@@ -1,0 +1,70 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+For a query name: run the Spark DataFrame and the oracle SQL on the same
+parquet tables, then compare row count, sorted column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats rounded). Catching mismatches here means the driver's
+CORRECTNESS_r{N}.json stays green.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from wri_data_processing_spark.catalog import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v  # exact: engine queries are designed to be bit-identical
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    du = con.execute(sql).df()
+    if sorted(sp.columns) != sorted(du.columns):
+        problems.append(f"columns differ: spark={sorted(sp.columns)} duck={sorted(du.columns)}")
+        return problems
+    if len(sp) != len(du):
+        problems.append(f"row count: spark={len(sp)} duck={len(du)}")
+    a, b = _normalize(sp), _normalize(du)
+    if a != b:
+        diff_sample = []
+        for x, y in zip(a, b):
+            if x != y:
+                diff_sample.append(f"spark={x!r} duck={y!r}")
+                if len(diff_sample) >= 3:
+                    break
+        if not diff_sample and len(a) != len(b):
+            diff_sample.append(f"lengths {len(a)} vs {len(b)}")
+        problems.append("values differ: " + "; ".join(diff_sample))
+    return problems

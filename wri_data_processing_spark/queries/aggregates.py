@@ -1,0 +1,174 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Reference parity:
+- agg_count_by_group     : status accounting, ``01b_make_cog_all.R:117-123``.
+- agg_conditional_count  : hosted/local counts, ``02b_make_stac_all.R:161-162``.
+- agg_distinct_sorted    : collection summaries, ``02b:299-304``.
+- agg_duplicate_keys     : dup-key abort, ``02b:128-131``.
+- agg_first_value        : first-row extent, ``02b:134-139`` (min/max variant,
+                           which SURVEY A6 notes is the principled form).
+- agg_minmax_stats       : COG band statistics (min/max/mean/stddev),
+                           ``meta.json:92-93,145-148``.
+- agg_cube_rollup / agg_approx_distinct: mandated capability (A8/A9).
+
+Scale notes: all of these are partial+final hash aggregations — Catalyst
+plans the map-side combine automatically, so the shuffle carries only
+per-group partials. ``approx_count_distinct`` (HLL) replaces exact distinct
+counting at 100 TB; it cannot match an exact oracle so it is declared
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+
+@query(
+    "agg_count_by_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_conditional_count",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+      COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS n_small,
+      COUNT(*) AS n_total
+    FROM orders
+    """,
+)
+def agg_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000
+    return o.agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(~big).alias("n_small"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "agg_distinct_sorted",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def agg_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "agg_duplicate_keys",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def agg_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@query(
+    "agg_first_value",
+    oracle="""
+    SELECT o_custkey,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_orderdate,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_orderdate
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_orderdate"),
+    )
+
+
+@query(
+    "agg_minmax_stats",
+    oracle="""
+    SELECT
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_price,
+      floor(sqrt((COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))
+           / (COUNT(*) * (COUNT(*) - 1))) * 1000.0 + 0.5) / 1000.0 AS stddev_price,
+      COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band statistics (A7). stddev is computed from EXACT decimal sums via
+    the textbook sqrt((n*Sxx - Sx^2)/(n(n-1))) identity so both engines see
+    bit-identical doubles (streaming stddev accumulation is order-dependent).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,6)")
+    sq = (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,8)")
+    sx = F.sum(dec).cast("double")
+    sxx = F.sum(sq).cast("double")
+    n = F.count(F.lit(1))
+    return l.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (sx / n).alias("mean_price"),
+        # floor-quantize at 1e-3: the variance identity amplifies the one
+        # place the engines can differ by an ulp (int128 decimal -> double
+        # cast of the squares sum); floor of identical-to-1e-11 doubles is
+        # deterministic, unlike round() which has midpoint-semantics drift.
+        (F.floor(F.sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 1000.0 + 0.5) / 1000.0).alias(
+            "stddev_price"
+        ),
+        n.alias("n"),
+    )
+
+
+@query(
+    "agg_cube_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate has no exact SQL oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate — the 100 TB substitute for COUNT(DISTINCT).
+
+    rsd=0.01 keeps the sketch ~throusands of bytes per group; the shuffle
+    carries sketches, not values.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )

@@ -1,0 +1,164 @@
+"""Geospatial-core queries (SURVEY.md §2.9) over synthesized grid data.
+
+The driver testdata has no raster tables, so these queries synthesize the
+reference's data shapes deterministically from the star schema (same
+derivation on both sides):
+
+- validate_assumptions : layer metadata rows derived from part, pushed
+  through the exact 00b:105-141 first-error cascade.
+- geo_overview_pyramid : a 64x64 cell grid derived from lineitem, halved one
+  level with AVERAGE resampling (the G3 building block; geo/tiles.py runs
+  the full 7-level pyramid and is unit-tested).
+- geo_reproject_bbox   : rows-only (pandas-UDF edge; no SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.geo.reproject import with_stac_spatial
+from wri_data_processing_spark.operators.validate import GridExpectations, validate_assumptions
+from wri_data_processing_spark.registry import query
+
+_EXP = GridExpectations()
+
+# Same synthetic layer metadata on both sides: mostly-valid rows with seeded
+# CRS / resolution / extent violations (FIXTURES.md A1 generator notes).
+_LAYERS_SQL = f"""
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 37 = 0 THEN 4326
+         WHEN p_partkey % 37 = 1 THEN NULL
+         ELSE 5070 END AS crs_epsg,
+    CASE WHEN p_partkey % 41 = 0 THEN 90.1
+         WHEN p_partkey % 41 = 1 THEN 90.00001
+         ELSE 90.0 END AS resolution_x,
+    90.0 AS resolution_y,
+    CASE WHEN p_partkey % 43 = 0 THEN {_EXP.xmin} + 100.0 ELSE {_EXP.xmin} END AS extent_xmin,
+    {_EXP.xmax} AS extent_xmax,
+    {_EXP.ymin} AS extent_ymin,
+    {_EXP.ymax} AS extent_ymax
+  FROM part
+"""
+
+
+def _layers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        F.when(k % 37 == 0, F.lit(4326))
+        .when(k % 37 == 1, F.lit(None))
+        .otherwise(F.lit(5070))
+        .cast("int")
+        .alias("crs_epsg"),
+        F.when(k % 41 == 0, F.lit(90.1))
+        .when(k % 41 == 1, F.lit(90.00001))
+        .otherwise(F.lit(90.0))
+        .alias("resolution_x"),
+        F.lit(90.0).alias("resolution_y"),
+        F.when(k % 43 == 0, F.lit(_EXP.xmin + 100.0)).otherwise(F.lit(_EXP.xmin)).alias(
+            "extent_xmin"
+        ),
+        F.lit(_EXP.xmax).alias("extent_xmax"),
+        F.lit(_EXP.ymin).alias("extent_ymin"),
+        F.lit(_EXP.ymax).alias("extent_ymax"),
+    )
+
+
+@query(
+    "validate_assumptions",
+    oracle=f"""
+    WITH layers AS ({_LAYERS_SQL}),
+    checked AS (
+      SELECT p_partkey,
+        CASE
+          WHEN crs_epsg IS NULL THEN 'EPSG is NA'
+          WHEN crs_epsg != {_EXP.epsg} THEN 'EPSG mismatch (' || crs_epsg || ')'
+          WHEN NOT (abs(resolution_x - {_EXP.res_x}) <= 1e-6 * greatest(abs({_EXP.res_x}), 1.0)
+                AND abs(resolution_y - {_EXP.res_y}) <= 1e-6 * greatest(abs({_EXP.res_y}), 1.0))
+            THEN 'Resolution mismatch'
+          WHEN NOT (abs(extent_xmin - ({_EXP.xmin})) <= 1e-6 * greatest(abs({_EXP.xmin}), 1.0)
+                AND abs(extent_xmax - ({_EXP.xmax})) <= 1e-6 * greatest(abs({_EXP.xmax}), 1.0)
+                AND abs(extent_ymin - ({_EXP.ymin})) <= 1e-6 * greatest(abs({_EXP.ymin}), 1.0)
+                AND abs(extent_ymax - ({_EXP.ymax})) <= 1e-6 * greatest(abs({_EXP.ymax}), 1.0))
+            THEN 'Extent mismatch'
+        END AS assumption_error
+      FROM layers
+    )
+    SELECT (assumption_error IS NULL) AS passes_assumptions,
+           assumption_error, COUNT(*) AS n
+    FROM checked GROUP BY 1, 2
+    """,
+)
+def validate_assumptions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layers = _layers_df(spark, sf_dir)
+    return (
+        validate_assumptions(layers)
+        .groupBy("passes_assumptions", "assumption_error")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "geo_overview_pyramid",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS layer_id,
+             CAST(l_orderkey % 64 AS BIGINT) AS x,
+             CAST(l_suppkey % 64 AS BIGINT) AS y,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT layer_id, x // 2 AS x, y // 2 AS y,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS val,
+           COUNT(*) AS n_children
+    FROM base GROUP BY 1, 2, 3
+    """,
+)
+def geo_overview_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One halving level, WEIGHTED average (exact decimal sums carried up).
+
+    GDAL AVERAGE averages the 4 child CELL values unweighted; carrying exact
+    (sum, count) up the pyramid instead gives the true mean of underlying
+    cells AND is order-independent (bit-identical vs the oracle). The
+    unweighted GDAL-parity variant lives in geo/tiles.py::overview_level.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    base = (
+        l.groupBy(
+            F.col("l_returnflag").alias("layer_id"),
+            (F.col("l_orderkey") % 64).alias("x"),
+            (F.col("l_suppkey") % 64).alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        base.groupBy(
+            "layer_id",
+            F.floor(F.col("x") / 2).alias("x"),
+            F.floor(F.col("y") / 2).alias("y"),
+        )
+        .agg(
+            (F.sum("s").cast("double") / F.sum("n")).alias("val"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+
+
+@query("geo_reproject_bbox")  # rows-only: pandas-UDF boundary op, no SQL oracle
+def geo_reproject_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproject synthesized layer extents; returns bbox + GeoJSON ring."""
+    layers = _layers_df(spark, sf_dir).limit(100)
+    out = with_stac_spatial(layers)
+    return out.select(
+        "p_partkey",
+        "bbox",
+        F.col("geometry.type").alias("geom_type"),
+        F.to_json("geometry").alias("geometry_json"),
+    )

@@ -1,0 +1,178 @@
+"""Deduplication operators (SURVEY.md §2.12 L1/L2).
+
+- dedup_exact         : content-hash groupBy, keep lowest doc_id.
+- dedup_ngram_jaccard : word-3-gram shingles -> inverted-index self-join ->
+                        Jaccard >= threshold pairs. Exact, SQL-checkable.
+- dedup_minhash_lsh   : spark.ml MinHashLSH approx similarity join
+                        (rows-only; banding is probabilistic).
+- dedup_simhash       : 64-bit SimHash per doc from xxhash64 token hashes —
+                        pure DataFrame bit arithmetic (rows-only: xxhash64
+                        has no DuckDB twin).
+
+Scale notes: exact dedup is one hash aggregation on a 256-bit digest (shuffle
+carries 32-byte keys, not documents). The shingle join is the textbook
+inverted-index plan: explode -> distinct -> self-equi-join on shingle; at
+100 TB you'd add a document-frequency cap on shingles (drop shingles in >X%
+of docs) to bound the quadratic term — implemented here via a configurable
+max_df guard. MinHashLSH replaces the exact join when recall<1 is acceptable:
+cost drops from |pairs| to |bucket collisions|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_JACCARD_THRESHOLD = 0.6
+_MAX_DF = 1000  # document-frequency cap on shingles (scale guard)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Docs with fewer than n tokens produce no shingles (filter first — Spark's
+    sequence(0, -1) would DESCEND, not return empty).
+    """
+    d2 = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return d2.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON doc_a = s1.doc_id
+    JOIN sizes s2 ON doc_b = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    # Scale guard: drop pathological shingles appearing in > _MAX_DF docs
+    # (no-op at test scale; bounds the join blowup at 100 TB).
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(F.broadcast(df_counts.filter(F.col("df") > _MAX_DF)), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(s1), "doc_a")
+        .join(F.broadcast(s2), "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: probabilistic banding, no SQL oracle
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates via spark.ml (deterministic seed).
+
+    Pipeline: shingle set -> HashingTF sparse vector -> MinHashLSH
+    approxSimilarityJoin at Jaccard distance <= 0.4. The LSH banding makes
+    this sub-quadratic — the scale path when the exact shingle join is too
+    hot. Recall is probabilistic; the exact dedup_ngram_jaccard is the
+    correctness anchor.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3).groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit mixing has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, pure DataFrame bit arithmetic.
+
+    Each token votes +-1 per bit position of its xxhash64; the sign vector
+    is reassembled into a 64-bit signature. Near-dup candidates are docs
+    whose signatures agree on a 16-bit band (4-band blocking) — here we
+    return (doc_id, simhash, band0..band3) so the banded self-join is a
+    plain equi-join downstream.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    out = bit_sums.select("doc_id", sig.alias("simhash"))
+    bands = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long"))).alias(
+            f"band{i}"
+        )
+        for i in range(4)
+    ]
+    return out.select("doc_id", "simhash", *bands)

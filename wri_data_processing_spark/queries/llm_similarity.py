@@ -1,0 +1,116 @@
+"""Similarity search over embeddings (SURVEY.md §2.12 L3).
+
+- sim_topk            : exact brute-force cosine top-k vs a query vector —
+                        the correctness baseline. JVM-side higher-order
+                        functions (zip_with + aggregate), no Python.
+- sim_pairs_threshold : all pairs with cosine >= tau (exact; the
+                        embedding-cosine near-dup primitive).
+- sim_ann_lsh         : BucketedRandomProjectionLSH approximate neighbors —
+                        the 100 TB scale path (rows-only; random projections
+                        have no SQL oracle).
+
+Scale notes: brute force is O(N*Q) dot products — fine for one query against
+100 TB when the scan is columnar (embedding column pruned to 256 B/row), but
+pairwise all-pairs is quadratic: real deployments bucket by LSH (sim_ann_lsh)
+or IVF-style coarse centroids first. The cosine arithmetic casts fp32 ->
+fp64 BEFORE multiply so both engines accumulate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_PAIR_TAU = 0.45  # driver testdata max pairwise cosine is ~0.51
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two array<double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+@query(
+    "sim_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE vec_id != 0
+    ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (TakeOrderedAndProject plan)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    sim = F.round(cosine(_dvec("embedding"), _dvec("qv")), 6)
+    return (
+        joined.select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {_PAIR_TAU}
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= tau (embedding near-dup detection)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.filter(sim >= _PAIR_TAU).select(
+        "vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim")
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: random-projection buckets have no SQL oracle
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors of vec_id=0 via BucketedRandomProjectionLSH.
+
+    Deterministic seed; Euclidean-bucketed candidates re-ranked by exact
+    cosine. This is the plan shape that survives 100 TB: candidates come from
+    bucket equi-joins, not a cross product.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    feats = e.select("vec_id", "label", array_to_vector(_dvec("embedding")).alias("features"),
+                     F.col("embedding"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feats)
+    q = feats.filter(F.col("vec_id") == 0)
+    cands = model.approxSimilarityJoin(q, feats.filter(F.col("vec_id") != 0), 10.0, distCol="dist")
+    sim = F.round(cosine(_dvec(F.col("datasetA.embedding")), _dvec(F.col("datasetB.embedding"))), 6)
+    return (
+        cands.select(F.col("datasetB.vec_id").alias("vec_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

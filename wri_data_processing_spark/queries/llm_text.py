@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.12 L4).
+
+All pure column expressions (JVM-side, codegen) — at 100 TB these run inside
+the scan stage with zero Python and zero shuffle until the final demo
+aggregation. Operators: stats, quality score, token counting (BPE-ish regex),
+language-ID heuristic, document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_PUNCT_RE = "[.,!?;:]"
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_calc,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      length(replace(text, ' ', '')) * 1.0
+        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS avg_token_len,
+      (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+        / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    return d.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.replace(text, F.lit(" "), F.lit(""))) / F.greatest(n_tokens, F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            (F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, "")))
+            / F.greatest(F.length(text), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count: letter runs | digit runs | lone symbols."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# Language-ID heuristic: count marker-word hits per language. Deterministic
+# substring counting via length deltas so both dialects agree exactly.
+_MARKERS = {
+    "en": ["the", "and", "with"],
+    "es": ["el", "la", "con"],
+    "fr": ["le", "la", "avec"],
+    "de": ["der", "und", "mit"],
+}
+
+
+def _count_sql(word: str) -> str:
+    w = f" {word} "
+    return f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{w}', ''))) / {len(w)}"
+
+
+def _count_col(word: str) -> F.Column:
+    w = f" {word} "
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(w), F.lit("")))) / F.lit(len(w))
+
+
+_SCORE_SQL = {lang: " + ".join(_count_sql(w) for w in ws) for lang, ws in _MARKERS.items()}
+
+_PRED_SQL = f"""
+  CASE
+    WHEN {_SCORE_SQL['en']} >= greatest({_SCORE_SQL['es']}, {_SCORE_SQL['fr']}, {_SCORE_SQL['de']})
+         AND {_SCORE_SQL['en']} > 0 THEN 'en'
+    WHEN {_SCORE_SQL['es']} >= greatest({_SCORE_SQL['fr']}, {_SCORE_SQL['de']})
+         AND {_SCORE_SQL['es']} > 0 THEN 'es'
+    WHEN {_SCORE_SQL['fr']} >= {_SCORE_SQL['de']} AND {_SCORE_SQL['fr']} > 0 THEN 'fr'
+    WHEN {_SCORE_SQL['de']} > 0 THEN 'de'
+    ELSE 'unknown'
+  END
+"""
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language ID vs the labeled lang column (confusion counts)."""
+    d = table(spark, sf_dir, "documents")
+    scores = {lang: sum((_count_col(w) for w in ws), F.lit(0.0)) for lang, ws in _MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"]))
+            & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["es"] >= F.greatest(scores["fr"], scores["de"])) & (scores["es"] > 0), "es")
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
+        .when(scores["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        d.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        length(text) AS n_chars,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+          / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+      0.4 * least(n_tokens / 50.0, 1.0)
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * least(n_chars / 200.0, 1.0) AS quality_score
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite length/punctuation quality score in [0,1]."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_chars = F.length(text)
+    punct_ratio = (n_chars - F.length(F.regexp_replace(text, _PUNCT_RE, ""))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    score = (
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(n_chars / 200.0, F.lit(1.0))
+    )
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: lower, collapse whitespace, md5."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,329 @@
+"""Filters, projections, and joins (SURVEY.md §2.2 / §2.3).
+
+Reference parity:
+- filter_exclude_paths : exclude-dir path pruning, ``scripts/R/utils.R:78-80``
+  applied before I/O at ``scripts/00b_extract_metadata_all.R:71``.
+- filter_predicate     : success filter, ``00b_extract_metadata_all.R:163``.
+- split_by_flag        : consistency split, ``00b:164-165``.
+- project_columns      : column drop/select, ``00a_extract_metadata_one.R:75``.
+- join_left_anti       : resume anti-join, ``00b:57-74``.
+- join_left_semi       : exists-guard semi join, ``01b_make_cog_all.R:78-89``.
+- join_broadcast_left  : per-row hosted-flag enrichment, ``02b_make_stac_all.R:147-158``.
+- join_inner_equi/full_outer/range/asof: mandated query-surface capability.
+
+Scale notes: dimension joins (nation, region, part at catalog scale) carry
+explicit ``F.broadcast`` hints — no shuffle of the fact side's join keys is
+ever needed for a <10 MB build side. The as-of join is implemented via the
+union+window pattern (operators/asof.py), which shuffles each side ONCE on
+the join key instead of a quadratic range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.operators.asof import asof_join
+from wri_data_processing_spark.registry import query
+
+# --- filters / projections -------------------------------------------------
+
+_EXCLUDE_RE = "/retro_|/archive/|/final_checks/"
+
+# Synthesized path column over documents so the exclude-filter semantics are
+# observable on driver testdata (same CASE on both sides).
+_PATH_CASE_SQL = """
+  CASE CAST(doc_id % 5 AS INTEGER)
+    WHEN 0 THEN 'data/archive/doc_' || doc_id || '.tif'
+    WHEN 1 THEN 'data/' || source || '/indicators/doc_' || doc_id || '.tif'
+    WHEN 2 THEN 'data/retro_2005/doc_' || doc_id || '.tif'
+    WHEN 3 THEN 'data/' || source || '/final_checks/doc_' || doc_id || '.tif'
+    ELSE 'data/' || source || '/indicators_no_mask/doc_' || doc_id || '.tif'
+  END
+"""
+
+
+def _path_col() -> F.Column:
+    d = F.col("doc_id")
+    return (
+        F.when(d % 5 == 0, F.concat(F.lit("data/archive/doc_"), d, F.lit(".tif")))
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("data/"), F.col("source"), F.lit("/indicators/doc_"), d, F.lit(".tif")),
+        )
+        .when(d % 5 == 2, F.concat(F.lit("data/retro_2005/doc_"), d, F.lit(".tif")))
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit("data/"), F.col("source"), F.lit("/final_checks/doc_"), d, F.lit(".tif")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("data/"), F.col("source"), F.lit("/indicators_no_mask/doc_"), d, F.lit(".tif")
+            )
+        )
+    )
+
+
+@query(
+    "filter_exclude_paths",
+    oracle=f"""
+    WITH paths AS (SELECT doc_id, {_PATH_CASE_SQL} AS path FROM documents)
+    SELECT doc_id, path FROM paths
+    WHERE NOT regexp_matches(path, '{_EXCLUDE_RE}')
+    """,
+)
+def filter_exclude_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("path", _path_col())
+    return d.filter(~F.col("path").rlike(_EXCLUDE_RE)).select("doc_id", "path")
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 50000 AND o_orderstatus = 'O'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 50000) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "split_by_flag",
+    oracle="""
+    SELECT (o_orderstatus = 'F') AS flag, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def split_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("flag", F.col("o_orderstatus") == "F")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "project_columns",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           c_acctbal / 1000.0 AS acctbal_k
+    FROM customer
+    """,
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") / 1000.0).alias("acctbal_k")
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_broadcast_left",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side preserved left join with an explicit broadcast of the dim.
+
+    Reference semantics: ``meta$is_hosted[i] <- probe`` (02b:147-158) is a
+    broadcast enrichment of a big table by a small lookup.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT cn.nationkey AS c_nation, sn.nationkey AS s_nation,
+           COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+    ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            c["nationkey"].alias("c_nation"),
+            s["nationkey"].alias("s_nation"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT e1.user_id, COUNT(*) AS n_followups
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL '5 minutes'
+    GROUP BY e1.user_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: pairs of events of one user within 5 minutes.
+
+    The equi key (user_id) makes this a sort-merge join with a residual range
+    predicate — NOT a broadcast-nested-loop. At 100 TB the equi component is
+    what keeps it tractable; a pure theta join would be banded by time bucket.
+    """
+    e = table(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.o_orderkey AS last_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at/before ts.
+
+    DuckDB validates via native ASOF JOIN; Spark side uses the union+window
+    implementation in operators/asof.py (single shuffle per side).
+    Tie-break on equal o_orderdate: highest o_orderkey wins on both sides is
+    NOT guaranteed by ASOF — so orders are pre-deduped to one row per
+    (custkey, orderdate): the max o_orderkey, matching DuckDB's argmax-free
+    deterministic reduction on both sides.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    # Deterministic: one order per (custkey, orderdate) — keep max orderkey.
+    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    joined = asof_join(
+        left=e.select("event_id", "user_id", "ts"),
+        right=o1.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("rts"),
+            "o_orderkey",
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["o_orderkey", "rts"],
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("last_orderdate"),
+    )

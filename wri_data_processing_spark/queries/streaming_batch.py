@@ -1,0 +1,152 @@
+"""Windowed event-time operators, batch-checkable (SURVEY.md §2.10 T1-T4).
+
+These run the SAME Spark expressions Structured Streaming uses
+(window / session_window / dedup) in batch mode so the DuckDB oracle can
+verify semantics; the streaming/ package wires identical logic behind
+readStream + watermarks (rows-only tests — see tests/test_streaming.py).
+
+Scale notes: tumbling/sliding windows are hash aggregations keyed by
+(window, user) — partial aggregation map-side; session windows shuffle once
+on user_id then merge sorted runs. In streaming, watermarks bound state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_window_agg",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (T2)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             value
+      FROM events
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM w GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour duration, 30-minute slide (each event in 2 windows)."""
+    e = table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            n.alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / n).alias("avg_value"),
+        )
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"), "n", "avg_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap (T3).
+
+    Spark semantics: an event extends a session iff its ts is STRICTLY before
+    session_end (= last_ts + gap); the oracle's gaps-and-islands encoding
+    uses >= gap as the new-session test, which is the same boundary rule.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup by (user_id, event_type) (T4 batch analog).
+
+    The streaming twin is dropDuplicatesWithinWatermark; batch uses an
+    explicit row_number so "first" is well-defined (ts, event_id order).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("first_ts"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Golden-output parity against the READ-ONLY reference repo.
+
+Strategy (SURVEY.md §5): run the reference's own committed metadata table
+(metadata/all_layers_consistent.csv, 82 layers) through the engine's
+classification functions and STAC assembly, and compare against the
+committed golden outputs (stac/collections/wri_ignitR/**). The spatial
+transform (pyproj, absent here) is bypassed by injecting each item's
+committed bbox — everything else (classification, hrefs, links, document
+structure, summaries) is recomputed from scratch and must match exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.functions import scalar as fns
+from wri_data_processing_spark.sources.tables import LAYERS_SCHEMA, scan_csv
+from wri_data_processing_spark.steps.step02_stac import (
+    build_collection_doc,
+    build_item_docs,
+    check_duplicate_keys,
+)
+
+REF = "/root/reference"
+META_CSV = f"{REF}/metadata/all_layers_consistent.csv"
+ITEMS_DIR = f"{REF}/stac/collections/wri_ignitR/items"
+COLLECTION_JSON = f"{REF}/stac/collections/wri_ignitR/collection.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(META_CSV), reason="reference repo not present"
+)
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return scan_csv(spark, META_CSV, LAYERS_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ref_items():
+    items = {}
+    for name in os.listdir(ITEMS_DIR):
+        with open(os.path.join(ITEMS_DIR, name)) as f:
+            items[name.removesuffix(".json")] = json.load(f)
+    return items
+
+
+def test_classification_matches_all_82_layers(meta):
+    """F2/F3/F4/F5 recomputed from filepath must equal the stored columns."""
+    path = F.col("filepath")
+    dt = fns.classify_data_type(path)
+    recomputed = meta.select(
+        "filepath",
+        "data_type",
+        "wri_domain",
+        "wri_dimension",
+        "cog_filename",
+        dt.alias("r_dt"),
+        fns.extract_domain(path).alias("r_dom"),
+        fns.classify_dimension(dt, fns.basename(path)).alias("r_dim"),
+        fns.make_cog_filename(path).alias("r_cog"),
+    ).collect()
+    assert len(recomputed) == 82
+    for row in recomputed:
+        assert row["r_dt"] == row["data_type"], row["filepath"]
+        assert row["r_dom"] == row["wri_domain"], row["filepath"]
+        assert row["r_dim"] == row["wri_dimension"], row["filepath"]
+        assert row["r_cog"] == row["cog_filename"], row["filepath"]
+
+
+def test_no_duplicate_cog_keys(meta):
+    check_duplicate_keys(meta)  # must not raise on the golden table
+
+
+def test_stac_items_match_golden(spark, meta, ref_items):
+    """Full item assembly vs the 82 committed item JSONs.
+
+    is_hosted and bbox are taken from the goldens (they encode the HTTP
+    probe result and the pyproj transform, both environment effects); every
+    other field is recomputed.
+    """
+    rows = [
+        (iid, doc["properties"]["is_hosted"], [float(x) for x in doc["bbox"]])
+        for iid, doc in ref_items.items()
+    ]
+    side = spark.createDataFrame(rows, "item_id_k string, is_hosted boolean, bbox array<double>")
+    enriched = meta.withColumn(
+        "item_id_k", F.regexp_replace("cog_filename", r"\.[^./]*$", "")
+    ).join(F.broadcast(side), "item_id_k")
+    items = build_item_docs(enriched)
+    produced = {r["item_id"]: r["item"].asDict(recursive=True) for r in items.collect()}
+    assert sorted(produced) == sorted(ref_items)
+    for iid, golden in ref_items.items():
+        assert produced[iid] == golden, f"item mismatch: {iid}"
+
+
+def test_collection_doc_matches_golden(meta, ref_items):
+    with open(COLLECTION_JSON) as f:
+        golden = json.load(f)
+    bbox = golden["extent"]["spatial"]["bbox"][0]
+    doc = build_collection_doc(meta, collection_bbox=bbox)
+    assert doc == golden

@@ -1,0 +1,97 @@
+"""Structured Streaming pipelines: semantics vs batch, state, late data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.streaming.pipelines import (
+    deduped,
+    read_event_stream,
+    run_available_now,
+    running_user_totals,
+    sessionized,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def event_source(spark, sf_dir, tmp_path):
+    """Copy the events table into a stream source dir as two file drops."""
+    src = str(tmp_path / "source")
+    e = table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, event_source, tmp_path):
+    stream = read_event_stream(spark, event_source)
+    run_available_now(
+        windowed_counts(stream), "wc_test", str(tmp_path / "ckpt_wc"), output_mode="update"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    # update-mode memory sink may emit a window twice (once per drop); the
+    # LAST emission per key must equal the batch result. All events here are
+    # in ts order per file drop, so final state == batch aggregation.
+    assert set(want).issubset(set(got))
+    for k, v in want.items():
+        assert got[k] == v, k
+
+
+def test_dedup_within_watermark(spark, event_source, tmp_path):
+    # Duplicate every event by appending the same files again.
+    stream = read_event_stream(spark, event_source)
+    run_available_now(
+        deduped(stream), "dedup_test", str(tmp_path / "ckpt_dd"), output_mode="append"
+    )
+    out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").first()
+    assert out["n"] == out["d"]
+
+
+def test_sessionized_runs(spark, event_source, tmp_path):
+    stream = read_event_stream(spark, event_source)
+    # Session-window streaming aggregation only supports append mode: rows
+    # emit once the watermark passes the session end.
+    run_available_now(
+        sessionized(stream), "sess_test", str(tmp_path / "ckpt_ss"), output_mode="append"
+    )
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    assert len(rows) > 0
+    assert {"session_start", "user_id", "n_events"} == set(rows[0].asDict())
+
+
+def test_running_user_totals_state(spark, event_source, tmp_path):
+    stream = read_event_stream(spark, event_source)
+    run_available_now(
+        running_user_totals(stream), "rut_test", str(tmp_path / "ckpt_rut"), output_mode="update"
+    )
+    # Latest emission per user equals the full batch totals.
+    got = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events
+        FROM rut_test GROUP BY user_id
+        """
+    )
+    want = (
+        spark.read.parquet(event_source)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    diff = got.join(want, "user_id").filter(got["n_events"] != want["n_events"]).count()
+    assert diff == 0

@@ -1,0 +1,78 @@
+"""Multimodal column queries (L5) over the synthesized media table.
+
+media_from_documents derives a deterministic binary table from documents
+(text bytes as payload), so the binary plumbing is oracle-checkable where
+the logic is length-arithmetic, and rows-only where it crosses the decoder
+stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+from wri_data_processing_spark.registry import query
+
+_TYPE_SQL = """
+  CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+  END
+"""
+
+
+@query(
+    "multimodal_meta",
+    oracle=f"""
+    SELECT doc_id AS media_id, {_TYPE_SQL} AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+           n_chars / 100.0 AS duration_s
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata beside the opaque payload (documents are ASCII, so
+    byte length == char length and the oracle is pure SQL)."""
+    m = media_from_documents(table(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_s").alias("duration_s"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           least((length(text) - 1) // 64 + 1, 16) AS n_frames,
+           CAST(least(length(text), 64) AS BIGINT) AS first_frame_bytes
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame explosion: frames per payload + size of frame 0."""
+    m = media_from_documents(table(spark, sf_dir, "documents"))
+    frames = frame_sample(m, every_n_bytes=64, max_frames=16)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.when(F.col("frame_idx") == 0, F.length("frame"))).cast("long").alias(
+            "first_frame_bytes"
+        ),
+    )
+
+
+@query("multimodal_features")  # rows-only: crosses the stubbed decoder boundary
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(table(spark, sf_dir, "documents"))
+    return extract_features(m)

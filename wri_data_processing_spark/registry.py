@@ -47,10 +47,12 @@ def load_all() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        multimodal,
         relational,
         scalar_fns,
         setops,
         sorts,
         streaming_batch,
+        tpch_extra,
         windows,
     )

@@ -45,15 +45,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc as an array: (doc_id, shingles).
 
-    Docs with fewer than n tokens produce no shingles (filter first — Spark's
-    sequence(0, -1) would DESCEND, not return empty).
+    Dedup happens per-row via array_distinct (JVM-side, no shuffle) so the
+    per-doc shingle count can ride along as a plain column — no separate
+    sizes aggregation, no distinct() exchange. Docs with fewer than n tokens
+    produce no rows (filter first — Spark's sequence(0, -1) would DESCEND,
+    not return empty).
     """
-    d2 = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")).filter(
-        F.size("toks") >= n
-    )
+    # Shingle construction is the CPU hot spot (per-token lambda eval). A small
+    # input can arrive as ONE file split; spread it across all cores before the
+    # expensive expression so it parallelizes. At real scale the scan already
+    # has many splits and this exchange is dwarfed by the shingle explode.
+    nparts = d.sparkSession.sparkContext.defaultParallelism
+    d2 = d.repartition(nparts, "doc_id").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
     sh = F.transform(
         idx,
@@ -61,7 +69,23 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
             " ", *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
         ),
     )
-    return d2.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return d2.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, n, shingle).
+
+    explode_outer, NOT explode: plain explode lets Catalyst infer
+    non-null/non-empty constraints on the array and push a Filter containing
+    the whole shingle expression below the repartition — evaluating the hot
+    expression twice, once on the unsplit input. The upstream size(toks)>=n
+    filter already guarantees non-empty arrays, so _outer is semantically
+    identical here and keeps the expression evaluated exactly once.
+    """
+    arr = _shingle_arrays(d, n)
+    return arr.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("shingle")
+    )
 
 
 @query(
@@ -87,26 +111,35 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
+    # (doc_id, n, shingle): per-doc distinct count rides along as a column,
+    # so no separate sizes aggregation and no size-lookup joins later.
     sh = _shingles(d, 3)
     # Scale guard: drop pathological shingles appearing in > _MAX_DF docs
-    # (no-op at test scale; bounds the join blowup at 100 TB).
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(F.broadcast(df_counts.filter(F.col("df") > _MAX_DF)), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # (no-op at test scale; bounds the join blowup at 100 TB). Window over
+    # shingle hash-partitions by shingle — the self-join below reuses that
+    # exchange, so the guard costs no extra shuffle.
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))).filter(
+        F.col("df") <= _MAX_DF
+    ).drop("df")
     a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # shuffle_merge hint: AQE would otherwise convert this self-join to
+    # broadcast, compiling the two sides as separate subtrees; sort-merge
+    # keeps them identical so the shingle pipeline's exchange is computed
+    # once and ReusedExchange'd on the other side.
+    b = sh.alias("b").hint("shuffle_merge")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        pairs.join(F.broadcast(s1), "doc_a")
-        .join(F.broadcast(s2), "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -125,9 +158,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = table(spark, sf_dir, "documents")
-    sh = _shingles(d, 3).groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    sh = _shingle_arrays(d, 3)  # already per-doc distinct arrays: no explode/collect round trip
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh).filter(F.size("shingles") > 0)
+    # No size>0 filter needed: size(toks)>=3 upstream guarantees >=1 shingle,
+    # and an explicit filter here would get its expression pushed below the
+    # repartition, double-evaluating the shingle construction.
+    feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")

@@ -1,0 +1,319 @@
+"""Scan / sink / probe engine ops as declared queries (SURVEY.md §2.1, P6, T1).
+
+These drive the sources/ and steps/ library code through the oracle harness.
+Sinks are round-trips: write to a scratch dir, read back, compare the result
+to an oracle computed straight from the source table — which checks the sink
+preserved every row/value, not merely that it ran. Scratch lives under /tmp
+and is wiped per invocation so reruns are idempotent.
+
+Reference parity: S1 scan 00b_extract_metadata_all.R:68; S2 header scan
+utils.R:175-214; S3 CSV read 01b:54/02b:109; S4 append utils.R:276-286;
+S5 overwrite 00b:167-177; S6 COG sink 01b:92-104; S7 JSON docs 02b:266,324;
+S8 HEAD probe 02b:86-103; P6 contract check 02b:112-123.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wri_data_processing_spark.catalog import TABLES, table
+from wri_data_processing_spark.registry import query
+from wri_data_processing_spark.sources.listing import scan_file_listing, strip_scheme
+from wri_data_processing_spark.sources.raster import scan_raster_header
+from wri_data_processing_spark.sources.tables import scan_csv, sink_append_table, sink_overwrite_table
+from wri_data_processing_spark.operators.probe import with_hosted_flag
+from wri_data_processing_spark.steps.step01_cog import status_counts, step01_cog
+
+_SCRATCH = "/tmp/wri_engine_scratch"
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Fresh per-(query, sf) scratch dir — wiped so reruns are deterministic."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_SCRATCH, name, tag)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+_PARQUET_NAMES = sorted(f"{t}.parquet" for t in TABLES)
+_NAMES_VALUES = ", ".join(f"('{n}')" for n in _PARQUET_NAMES)
+
+
+@query(
+    "scan_file_listing",
+    oracle=f"SELECT filename FROM (VALUES {_NAMES_VALUES}) AS t(filename)",
+)
+def scan_file_listing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: distributed binaryFile listing (metadata-only, content never read).
+
+    The sf dir always holds exactly the ten star-schema parquet files, so the
+    oracle is the literal name set — checking the glob+recursion plumbing.
+    """
+    listing = scan_file_listing(spark, sf_dir, glob="*.parquet")
+    return listing.select(
+        F.substring_index(strip_scheme(F.col("path")), "/", -1).alias("filename")
+    )
+
+
+@query(
+    "scan_raster_header",
+    oracle=f"""
+    SELECT filename,
+           CAST(length(filename) * 100 AS INTEGER) AS nrows,
+           CAST(length(filename) * 50 AS INTEGER) AS ncols,
+           90.0 AS resolution_x,
+           TRUE AS success
+    FROM (VALUES {_NAMES_VALUES}) AS t(filename)
+    """,
+)
+def scan_raster_header_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: header-only scan via mapInPandas with an injected reader.
+
+    GDAL is absent here, so the reader derives a deterministic header from
+    the filename — the oracle recomputes the same arithmetic over the known
+    file set, verifying the batch plumbing and error-tolerant row contract.
+    """
+
+    def fake_reader(path: str) -> dict:
+        name = os.path.basename(path)
+        return {
+            "filepath": path,
+            "filename": name,
+            "nrows": len(name) * 100,
+            "ncols": len(name) * 50,
+            "resolution_x": 90.0,
+            "resolution_y": 90.0,
+            "crs_epsg": 5070,
+            "datatype": "float32",
+            "success": True,
+            "error": None,
+        }
+
+    listing = scan_file_listing(spark, sf_dir, glob="*.parquet").select(
+        strip_scheme(F.col("path")).alias("path")
+    )
+    hdr = scan_raster_header(listing, reader=fake_reader)
+    return hdr.select("filename", "nrows", "ncols", "resolution_x", "success")
+
+
+_CSV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", IntegerType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT doc_id, lang, source, CAST(n_chars AS INTEGER) AS n_chars"
+    " FROM documents WHERE doc_id < 100",
+)
+def scan_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S5 round trip: documents subset -> CSV (overwrite) -> typed scan.
+
+    Oracle reads the same subset from parquet, so a match proves the CSV
+    sink+source are lossless for these types (header, NA-null convention).
+    """
+    path = _scratch_dir("scan_csv", sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select("doc_id", "lang", "source", F.col("n_chars").cast("int")).write.mode(
+        "overwrite"
+    ).option("header", "true").option("nullValue", "NA").csv(path)
+    return scan_csv(spark, path, schema=_CSV_SCHEMA)
+
+
+@query(
+    "sink_append_table",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, n_chars FROM documents WHERE doc_id < 50
+    """,
+)
+def sink_append_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: two appends to an empty table == the source twice (micro-batch
+    flush semantics, utils.R:276-286)."""
+    path = _scratch_dir("sink_append", sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "n_chars"
+    )
+    sink_append_table(d, path)
+    sink_append_table(d, path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "sink_overwrite_table",
+    oracle="SELECT doc_id, n_chars FROM documents WHERE doc_id < 50",
+)
+def sink_overwrite_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: overwrite twice == exactly one copy (idempotent rerun semantics)."""
+    path = _scratch_dir("sink_overwrite", sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "n_chars"
+    )
+    sink_overwrite_table(d, path)
+    sink_overwrite_table(d, path)
+    return spark.read.parquet(path)
+
+
+_JSON_READ_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("properties", StructType([
+            StructField("name", StringType()),
+            StructField("region", LongType()),
+        ])),
+    ]
+)
+
+
+@query(
+    "sink_json_docs",
+    oracle="SELECT n_nationkey AS id, n_name AS name, n_regionkey AS region FROM nation",
+)
+def sink_json_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 round trip: nested struct -> one JSON document per row -> parse back.
+
+    The STAC item sink pattern (02b:227-266): build the nested doc with
+    to_json(struct(...)), write as text, re-read with an explicit schema.
+    """
+    path = _scratch_dir("sink_json", sf_dir)
+    n = table(spark, sf_dir, "nation")
+    docs = n.select(
+        F.to_json(
+            F.struct(
+                F.col("n_nationkey").alias("id"),
+                F.struct(
+                    F.col("n_name").alias("name"),
+                    F.col("n_regionkey").alias("region"),
+                ).alias("properties"),
+            )
+        ).alias("value")
+    )
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.schema(_JSON_READ_SCHEMA).json(path)
+    return back.select(
+        "id",
+        F.col("properties.name").alias("name"),
+        F.col("properties.region").alias("region"),
+    )
+
+
+@query(
+    "sink_cog",
+    oracle="""
+    SELECT CASE WHEN p_partkey % 3 = 0 THEN 'written' ELSE 'missing' END AS status,
+           COUNT(*) AS n
+    FROM part WHERE p_partkey < 300 GROUP BY 1
+    """,
+)
+def sink_cog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: COG conversion fan-out via mapInPandas with an injected converter.
+
+    Synthetic metadata points every third row at a real file (nation.parquet)
+    and the rest at a missing path; the stub converter copies a byte marker.
+    Statuses are then fully determined: written / missing — checking the
+    per-row guard + tolerate-and-log contract (01b:78-104) distributably.
+    """
+    out_dir = _scratch_dir("sink_cog", sf_dir)
+    real = os.path.join(sf_dir, "nation.parquet")
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    meta = p.select(
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(real))
+        .otherwise(F.concat(F.lit("/nonexistent/"), F.col("p_partkey"), F.lit(".tif")))
+        .alias("filepath"),
+        F.concat(F.lit("cog_"), F.col("p_partkey"), F.lit(".tif")).alias("cog_filename"),
+    )
+
+    def stub_converter(src: str, dst: str) -> None:
+        with open(dst, "wb") as fh:
+            fh.write(b"COG")
+
+    statuses = step01_cog(meta, out_dir, converter=stub_converter)
+    return status_counts(statuses)
+
+
+@query(
+    "probe_url_exists",
+    oracle="SELECT p_partkey, (length(p_name) % 2 = 0) AS is_hosted"
+    " FROM part WHERE p_partkey < 500",
+)
+def probe_url_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: existence probe through the pooled pandas-UDF path, computed once.
+
+    The prober is a deterministic stand-in for HTTP HEAD (2xx parity by name
+    length), so the effectful-source plumbing — vectorized UDF, cache-once
+    contract — is exercised with an exact oracle.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    flagged = with_hosted_flag(
+        p.select("p_partkey", "p_name"), probe=lambda name: len(name) % 2 == 0,
+        filename_col="p_name",
+    )
+    return flagged.select("p_partkey", "is_hosted")
+
+
+_REQUIRED_COLS = ["l_orderkey", "l_quantity", "l_shipdate", "nonexistent_col"]
+_REQ_VALUES = ", ".join(
+    f"('{c}', {str(c != 'nonexistent_col').upper()})" for c in _REQUIRED_COLS
+)
+
+
+@query(
+    "assert_schema",
+    oracle=f"SELECT required_col, present FROM (VALUES {_REQ_VALUES})"
+    " AS t(required_col, present)",
+)
+def assert_schema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: required-column contract check (02b:112-123) as a presence table.
+
+    The library assert_schema raises on the first missing column (exact
+    reference semantics, covered in tests); the query form reports presence
+    per column so the result is a checkable relation.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    cols = set(l.columns)
+    rows = [(c, c in cols) for c in _REQUIRED_COLS]
+    return spark.createDataFrame(rows, ["required_col", "present"])
+
+
+@query(
+    "stream_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+    GROUP BY 1
+    """,
+)
+def stream_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 batch analog: late-data drop at watermark = max(event time) - 10 min.
+
+    In streaming this is df.withWatermark("ts", "10 minutes") state eviction
+    (streaming/pipelines.py wires the real readStream twin); batch mode
+    computes the same cut deterministically over the full table.
+    """
+    e = table(spark, sf_dir, "events")
+    wm = e.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm"))
+    return (
+        e.join(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         aggregates,
         flagship,
         geo,
+        io_ops,
         llm_dedup,
         llm_similarity,
         llm_text,

@@ -1,0 +1,190 @@
+"""Property-based parity tests (SURVEY.md §5): Spark Column expressions vs
+pure-Python mirrors of the reference R functions.
+
+Each hypothesis example generates a batch of synthetic paths; the batch is
+evaluated in ONE Spark job and compared row-by-row against the Python mirror
+(transcribed independently from scripts/R/utils.R). Priority ordering,
+exclude-wins, the /indicators_no_mask/ fall-through quirk, unanchored
+aggregate-dimension substrings, and near()'s relative tolerance are all
+reachable by the generators.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.functions.scalar import (
+    DOMAIN_DIRS,
+    classify_data_type,
+    classify_dimension,
+    extract_domain,
+    make_cog_filename,
+    near,
+)
+
+# ---------------------------------------------------------------- mirrors
+# Transcribed from scripts/R/utils.R (35-37, 49-57, 75-95, 108-131, 145-162).
+
+
+def py_classify_data_type(path: str) -> str:
+    if re.search(r"/retro_|/archive/|/final_checks/", path):
+        return "exclude"
+    if "/indicators/" in path:
+        return "indicator"
+    if re.search(r"WRI_score\.tif$", path):
+        return "final_score"
+    if re.search(r"_(domain_score|resilience|resistance|status)\.tif$", path):
+        return "aggregate"
+    return "exclude"
+
+
+def py_extract_domain(path: str) -> str:
+    parts = path.split("/")
+    idx = [i for i, p in enumerate(parts) if p == "indicators"]
+    if idx and idx[0] > 0:
+        return parts[idx[0] - 1]
+    for d in DOMAIN_DIRS:
+        if d in parts:
+            return d
+    fname = parts[-1]
+    for d in DOMAIN_DIRS:
+        if d in fname:
+            return d
+    return "unknown"
+
+
+def py_classify_dimension(data_type: str, filename: str) -> str | None:
+    if data_type == "indicator":
+        for token, dim in [
+            ("_resistance_", "resistance"),
+            ("_recovery_", "recovery"),
+            ("_status_", "status"),
+        ]:
+            if token in filename:
+                return dim
+        return None
+    if data_type == "aggregate":
+        for token in ["domain_score", "resilience", "resistance", "status"]:
+            if token in filename:
+                return token
+        return None
+    return None
+
+
+def py_make_cog_filename(path: str) -> str:
+    base = path.split("/")[-1]
+    stem = re.sub(r"\.[^./]*$", "", base)
+    if "/indicators_no_mask/" in path:
+        return f"{stem}_no_mask.tif"
+    return f"{stem}.tif"
+
+
+def py_near(a: float, b: float, tol: float = 1e-6) -> bool:
+    return abs(a - b) <= tol * max(abs(b), 1.0)
+
+
+# ------------------------------------------------------------- generators
+
+_DIRS = st.sampled_from(
+    DOMAIN_DIRS
+    + ["indicators", "indicators_no_mask", "archive", "final_checks", "retro_2020", "data", "aggregates"]
+)
+_STEMS = st.sampled_from(
+    [
+        "WRI_score",
+        "foo_resistance",
+        "foo_resistance_v2",
+        "air_quality_status",
+        "x_domain_score",
+        "water_resilience",
+        "b_status",
+        "plain",
+        "foo_recovery_01",
+        "species_richness_status_90m",
+    ]
+)
+
+
+@st.composite
+def paths(draw: st.DrawFn) -> str:
+    segs = draw(st.lists(_DIRS, min_size=0, max_size=4))
+    stem = draw(_STEMS)
+    ext = draw(st.sampled_from([".tif", ".tiff", ""]))
+    return "/".join(["", *segs, stem + ext]) if segs else stem + ext
+
+
+_SETTINGS = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _run_batch(spark, values, build_expr):
+    df = spark.createDataFrame([(v,) for v in values], ["path"])
+    return [r.out for r in df.select(build_expr(F.col("path")).alias("out")).collect()]
+
+
+@pytest.mark.usefixtures("spark")
+class TestScalarProperties:
+    @_SETTINGS
+    @given(batch=st.lists(paths(), min_size=1, max_size=50))
+    def test_classify_data_type(self, spark, batch):
+        got = _run_batch(spark, batch, classify_data_type)
+        assert got == [py_classify_data_type(p) for p in batch]
+
+    @_SETTINGS
+    @given(batch=st.lists(paths(), min_size=1, max_size=50))
+    def test_extract_domain(self, spark, batch):
+        got = _run_batch(spark, batch, extract_domain)
+        assert got == [py_extract_domain(p) for p in batch]
+
+    @_SETTINGS
+    @given(batch=st.lists(paths(), min_size=1, max_size=50))
+    def test_make_cog_filename(self, spark, batch):
+        got = _run_batch(spark, batch, make_cog_filename)
+        assert got == [py_make_cog_filename(p) for p in batch]
+
+    @_SETTINGS
+    @given(batch=st.lists(paths(), min_size=1, max_size=50))
+    def test_classify_dimension(self, spark, batch):
+        rows = [(py_classify_data_type(p), p.split("/")[-1]) for p in batch]
+        df = spark.createDataFrame(rows, ["data_type", "filename"])
+        got = [
+            r.out
+            for r in df.select(
+                classify_dimension(F.col("data_type"), F.col("filename")).alias("out")
+            ).collect()
+        ]
+        assert got == [py_classify_dimension(dt, fn) for dt, fn in rows]
+
+    @_SETTINGS
+    @given(
+        batch=st.lists(
+            st.tuples(
+                st.floats(-1e8, 1e8, allow_nan=False),
+                st.one_of(
+                    st.floats(-1e8, 1e8, allow_nan=False),
+                    st.sampled_from([90.0, 90.00001, 90.1, -5216639.669534829]),
+                ),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_near_relative_tolerance(self, spark, batch):
+        df = spark.createDataFrame(batch, ["a", "b"])
+        got = [
+            r.out for r in df.select(near(F.col("a"), F.col("b")).alias("out")).collect()
+        ]
+        assert got == [py_near(a, b) for a, b in batch]
+
+    def test_near_catches_absolute_tolerance_bug(self, spark):
+        """Regression guard: extent-sized values within relative tol must pass
+        (naive absolute |a-b|<=1e-6 would reject this pair)."""
+        xmin = -5216639.669534829
+        df = spark.createDataFrame([(xmin + 1.0, xmin)], ["a", "b"])
+        assert df.select(near(F.col("a"), F.col("b")).alias("o")).first().o is True

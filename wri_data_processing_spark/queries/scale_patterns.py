@@ -1,0 +1,152 @@
+"""Scale-pattern operators: the plan shapes that keep 100 TB jobs alive.
+
+- join_skew_salted : salt-expanded join — the hot-key treatment when one join
+                     key holds a disproportionate share of rows. The salt
+                     splits each hot key across S reducers; the dim side is
+                     replicated xS (still tiny). Oracle = the plain join, so
+                     the test proves salting changes the DISTRIBUTION, never
+                     the RESULT.
+- sim_ann_ivf      : IVF-style approximate neighbor search — coarse-quantize
+                     vectors to their nearest centroid (cluster assignment is
+                     a broadcast join, one shuffle by cluster), then search
+                     only nprobe clusters. Deterministic centroid choice makes
+                     this run exactly reproducible, so unlike random-projection
+                     LSH it gets a full SQL oracle.
+
+Scale notes: salting multiplies dim-side rows by S — keep S ~= ceil(hot-key
+share x shuffle partitions); AQE skew-join splitting does this adaptively,
+salting is the explicit form for when the engine must not rely on runtime
+stats. IVF turns O(N) scans per query into O(N x nprobe / nlist): at 100 TB
+the centroid table stays broadcastable (KB) and candidate search is a
+partition-pruned scan when the table is written bucketed by cluster_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
+from wri_data_processing_spark.registry import query
+
+_SALT = 8
+_NLIST = 8  # IVF centroid count
+_NPROBE = 2
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join: fact rows get salt = hash(event_id) % S, the dim
+    side is exploded with all S salt values, and the join key becomes
+    (user_id, salt) — so a key owning 30% of the fact lands on S reducers
+    instead of one. The oracle is the UNsalted join: identical results.
+    """
+    e = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT)).cast("int")
+    )
+    c = table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
+    )
+    return (
+        e.join(F.broadcast(c), (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id < {_NLIST}
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+                          c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+                   c.cemb) DESC, c.cid
+               ) AS rn
+        FROM cents c
+      ) WHERE rn <= {_NPROBE}
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+             AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cid = p.cid
+    WHERE a.vec_id != 0
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors of vec_id=0, fully deterministic.
+
+    Centroids are the first _NLIST vectors (a stand-in for k-means output —
+    the assignment/probe/search plan is identical). Every vector joins the
+    broadcast centroid table once for assignment; the query probes its
+    _NPROBE nearest clusters and re-ranks candidates by exact cosine.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _NLIST).select(
+        F.col("vec_id").alias("cid"), _dvec("embedding").alias("cemb")
+    )
+
+    # Assignment: nearest centroid per vector (broadcast x NLIST, argmax).
+    sim_c = cosine(_dvec("embedding"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim_c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+
+    # Probe list: the query vector's _NPROBE nearest centroids.
+    q = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qv"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_sim", cosine(F.col("cemb"), F.col("qv")))
+        .orderBy(F.col("_sim").desc(), "cid")
+        .limit(_NPROBE)
+        .select("cid")
+    )
+
+    # Candidate search restricted to probed clusters; exact re-rank.
+    sim_q = F.round(cosine(_dvec("embedding"), F.col("qv")), 6)
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim_q.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

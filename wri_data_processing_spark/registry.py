@@ -51,6 +51,7 @@ def load_all() -> None:
         multimodal,
         relational,
         scalar_fns,
+        scale_patterns,
         setops,
         sorts,
         streaming_batch,

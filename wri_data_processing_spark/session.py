@@ -45,6 +45,12 @@ def get_spark(
         # read it as long — catalog.table() converts back to timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Managed-table home for bucketed layouts (sources/bucketed.py);
+        # static conf, so it must be set at session build time.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/wri_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

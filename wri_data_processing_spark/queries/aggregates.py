@@ -172,3 +172,83 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one column per l_returnflag value.
+
+    Values are ENUMERATED (not discovered) — at 100 TB an unenumerated pivot
+    first runs a distinct scan over the pivot column; passing the value list
+    keeps it a single partial+final aggregation.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A8) — the grouping-id columns disambiguate a
+    genuine NULL group key from a superaggregate row, which matters once
+    nullable group columns appear."""
+    l = table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics on both
+    engines). At 100 TB swap to approx_percentile — the exact form buffers
+    per-group values; the sketch form shuffles fixed-size summaries."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )

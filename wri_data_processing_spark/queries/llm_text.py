@@ -181,3 +181,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.com or 555-' || doc_id AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                          '555-[0-9]+', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS BIGINT) AS n_phones
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""PII redaction (L4): regex scrub + redaction counts, pure JVM-side.
+
+    Synthetic emails/phones are injected deterministically (testdata text is
+    clean word soup), then scrubbed — the oracle applies the same injection
+    and patterns, so a match proves pattern semantics agree end-to-end.
+    Patterns use only RE2-safe constructs (char classes, +) so Java and RE2
+    regex engines behave identically.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.com or 555-"), F.col("doc_id"),
+    )
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"555-[0-9]+"
+    enriched = d.select("doc_id", t.alias("t"))
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("t"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone)).alias("n_phones"),
+    )

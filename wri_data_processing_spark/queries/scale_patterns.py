@@ -150,3 +150,42 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+PANDAS_NORM_SCHEMA = "user_id bigint, event_id bigint, value double, norm_value double"
+
+
+@query(
+    "pandas_grouped_map",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS norm_value
+    FROM (
+      SELECT user_id, event_id, value,
+             MIN(value) OVER (PARTITION BY user_id) AS mn,
+             MAX(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    )
+    """,
+)
+def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY.md §2.11): per-user min-max
+    normalization computed inside an Arrow batch per group.
+
+    Min-max (not z-score) so the result is order-independent — no floating
+    summation, hence bit-identical to the SQL-window oracle. One shuffle on
+    user_id; each group becomes one pandas frame (bounded: per-user row
+    counts, not table size — groups must fit in executor memory, which is
+    the documented applyInPandas contract at any scale).
+    """
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        rng = mx - mn
+        pdf = pdf[["user_id", "event_id", "value"]].copy()
+        pdf["norm_value"] = 0.0 if rng == 0 else (pdf["value"] - mn) / rng
+        return pdf
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(norm, PANDAS_NORM_SCHEMA)

@@ -293,3 +293,158 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year. Both nation lookups
+    broadcast; the fact chain shuffles lineitem once on orderkey."""
+    n = table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        l.join(F.broadcast(s.join(F.broadcast(sn), s.s_nationkey == sn.sk)),
+               l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(cn), c.c_nationkey == cn.ck), o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT l_year,
+           CAST(CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year, n_name,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+    ) GROUP BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year — a conditional
+    ratio over the full fact join, exact decimal numerators/denominators."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              l.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("l_year"),
+            F.col("n_name"),
+            _rev_dec().alias("rev"),
+        )
+    )
+    brazil = F.sum(
+        F.when(F.col("n_name") == "BRAZIL", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    ).cast("double")
+    return joined.groupBy("l_year").agg(
+        (brazil / F.sum("rev").cast("double")).cast("double").alias("mkt_share")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar-max filter. The max is a broadcast
+    single-row cross join, not a driver-side collect."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_dec()).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH rich AS (
+      SELECT * FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    scalar-subquery average (broadcast) + anti join against the fact."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -88,10 +88,10 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=rf"""
-    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+# Shared CTE chain for the shingle/pair derivation — used by the pair oracle
+# and (wrapped in a recursive closure) by the cluster oracle.
+_PAIRS_CTES = rf"""
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
@@ -101,14 +101,21 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+      FROM pairs
+      JOIN sizes s1 ON doc_a = s1.doc_id
+      JOIN sizes s2 ON doc_b = s2.doc_id
+      WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD}
     )
-    SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
-    FROM pairs
-    JOIN sizes s1 ON doc_a = s1.doc_id
-    JOIN sizes s2 ON doc_b = s2.doc_id
-    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_PAIRS_CTES} SELECT doc_a, doc_b, jaccard FROM jac",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -212,3 +219,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     return out.select("doc_id", "simhash", *bands)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION
+      SELECT doc_b, doc_a FROM jac
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id, COUNT(*) AS cluster_size
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph — the cluster-resolution
+    step that turns pairwise matches into keep-one-per-group decisions.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors'; converges in O(component diameter)
+    rounds (dup clusters are shallow — single digits). localCheckpoint per
+    round truncates the growing lineage, the standard Spark idiom for
+    iterative algorithms; convergence is an exact fixpoint test, not a round
+    cap. The oracle computes the same components via a recursive-CTE
+    transitive closure (viable at oracle scale only — closure is quadratic
+    per component, label propagation is linear).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(50):  # diameter bound; loop exits on fixpoint below
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), "lbl"
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.lbl") != F.col("old.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -123,7 +123,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # (doc_id, n, shingle): per-doc distinct count rides along as a column,
     # so no separate sizes aggregation and no size-lookup joins later.
-    sh = _shingles(d, 3)
+    # Shingles join as xxhash64 longs, not strings: 8-byte shuffle keys vs
+    # ~30-byte text. Collision risk is birthday-bound (~|shingles|^2 / 2^64);
+    # per-doc distinctness is computed BEFORE hashing so n stays exact.
+    sh = _shingles(d, 3).select("doc_id", "n", F.xxhash64("shingle").alias("shingle"))
     # Scale guard: drop pathological shingles appearing in > _MAX_DF docs
     # (no-op at test scale; bounds the join blowup at 100 TB). Window over
     # shingle hash-partitions by shingle — the self-join below reuses that
@@ -290,4 +293,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@query(
+    "dedup_ngram_unique",
+    oracle=f"""
+    WITH documents_u AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    {_PAIRS_CTES.replace("FROM documents", "FROM documents_u")}
+    SELECT doc_a, doc_b, jaccard FROM jac
+    """,
+)
+def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over UNIQUE texts — the scale-correct pipeline order.
+
+    Measured at 10x duplicated data (SCALE.md): running the shingle join on
+    raw docs is super-linear (every exact copy multiplies shingle document
+    frequency, join pairs grow with copy-count squared, 1.3s -> 17.2s);
+    collapsing exact duplicates first (one hash agg) holds the join input at
+    |unique texts| regardless of duplication. Pairs are reported between
+    cluster representatives (min doc_id per text).
+    """
+    d = table(spark, sf_dir, "documents")
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    sh = _shingles(reps, 3).select("doc_id", "n", F.xxhash64("shingle").alias("shingle"))
+    from pyspark.sql import Window
+
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))).filter(
+        F.col("df") <= _MAX_DF
+    ).drop("df")
+    a = sh.alias("a")
+    b = sh.alias("b").hint("shuffle_merge")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

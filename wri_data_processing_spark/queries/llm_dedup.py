@@ -168,12 +168,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = table(spark, sf_dir, "documents")
+    # Collapse exact duplicates first (pipeline order, see SCALE.md): exact
+    # copies collide in EVERY hash table, so raw input makes LSH candidate
+    # volume grow with copy-count squared while adding zero information —
+    # those pairs are dedup_exact's job. Representatives = min doc_id.
+    d = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     sh = _shingle_arrays(d, 3)  # already per-doc distinct arrays: no explode/collect round trip
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     # No size>0 filter needed: size(toks)>=3 upstream guarantees >=1 shingle,
     # and an explicit filter here would get its expression pushed below the
     # repartition, double-evaluating the shingle construction.
-    feats = tf.transform(sh)
+    # localCheckpoint: approxSimilarityJoin references feats as BOTH sides
+    # and its internal explode/join re-executes the lineage several times —
+    # materialize the (small: one sparse vector per unique doc) frame once.
+    feats = tf.transform(sh).localCheckpoint()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")

@@ -258,17 +258,27 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (theta) join: pairs of events of one user within 5 minutes.
+    """Range (theta) join: pairs of events of one user within 5 minutes,
+    banded by time bucket.
 
-    The equi key (user_id) makes this a sort-merge join with a residual range
-    predicate — NOT a broadcast-nested-loop. At 100 TB the equi component is
-    what keeps it tractable; a pure theta join would be banded by time bucket.
+    A plain SMJ on user_id evaluates the residual range predicate against
+    EVERY same-user pair — quadratic in per-user event density (measured
+    super-linear at a 10x scale-up, SCALE.md). Banding adds
+    bucket = floor(ts / 5 min) to the equi key: a match within (ts, ts+5min]
+    can only sit in the left row's bucket or the next one, so the left side
+    is exploded to those two keys and candidates shrink from |user events|^2
+    to ~2 x (per-bucket density)^2 per bucket. The residual filter then
+    applies the exact bounds — results identical to the naive join.
     """
     e = table(spark, sf_dir, "events")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
+    bucket = F.floor(F.unix_timestamp("ts") / 300)
+    e1 = e.select("user_id", "ts").withColumn(
+        "jb", F.explode(F.array(bucket, bucket + 1))
+    ).alias("e1")
+    e2 = e.select("user_id", "ts").withColumn("jb", bucket).alias("e2")
     cond = (
         (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e1.jb") == F.col("e2.jb"))
         & (F.col("e2.ts") > F.col("e1.ts"))
         & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
     )

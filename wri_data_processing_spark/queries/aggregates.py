@@ -14,8 +14,8 @@ Reference parity:
 Scale notes: all of these are partial+final hash aggregations — Catalyst
 plans the map-side combine automatically, so the shuffle carries only
 per-group partials. ``approx_count_distinct`` (HLL) replaces exact distinct
-counting at 100 TB; it cannot match an exact oracle so it is declared
-rows-only.
+counting at 100 TB; its estimate is engine-specific, so its oracle checks
+the exact counts plus an accuracy-bound boolean instead of the raw HLL value.
 """
 
 from __future__ import annotations
@@ -160,17 +160,45 @@ def agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimate has no exact SQL oracle
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_3rsd,
+           TRUE AS orders_within_3rsd
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate — the 100 TB substitute for COUNT(DISTINCT).
 
-    rsd=0.01 keeps the sketch ~throusands of bytes per group; the shuffle
+    rsd=0.01 keeps the sketch ~thousands of bytes per group; the shuffle
     carries sketches, not values.
+
+    Oracle strategy: the HLL value itself is engine-specific, so the checked
+    columns are the EXACT counts plus booleans asserting the estimate lands
+    within 3x the requested relative standard deviation — the oracle pins
+    those booleans to TRUE. This turns a "no oracle possible" op into a
+    checked accuracy contract.
     """
     l = table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 3 * 0.01 * F.col(exact)
+    )
+    return (
+        l.agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        )
+        .select(
+            "exact_parts",
+            "exact_orders",
+            within("approx_parts", "exact_parts").alias("parts_within_3rsd"),
+            within("approx_orders", "exact_orders").alias("orders_within_3rsd"),
+        )
     )
 
 

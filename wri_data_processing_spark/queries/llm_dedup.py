@@ -347,3 +347,44 @@ def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    SELECT e1.vec_id, e1.label
+    FROM embeddings e1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings e2
+      WHERE e2.vec_id < e1.vec_id
+        AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                   CAST(e2.embedding AS DOUBLE[])) >= 0.45
+    )
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop every vector that has a
+    lower-id neighbor with cosine >= tau; survivors are the corpus after
+    semantic dedup (keep-first semantics, deterministic).
+
+    Exact all-pairs here (the oracle demands exactness; testdata tau=0.45
+    keeps the pair count tiny). At 100 TB the pair generator is swapped for
+    the sim_ann_lsh bucket join — candidates from random-projection bucket
+    equality, exact cosine verify, identical keep-first anti-join — so the
+    quadratic stage never materializes. The anti-join itself is
+    broadcast-able: duplicates are a small fraction of the corpus.
+    """
+    from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    dups = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    return e.join(F.broadcast(dups), e.vec_id == F.col("dup_id"), "left_anti").select(
+        "vec_id", "label"
+    )

@@ -224,3 +224,72 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(email)).alias("n_emails"),
         F.regexp_count(F.col("t"), F.lit(phone)).alias("n_phones"),
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0)
+               + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        * 1.0 / greatest(length(text), 1))
+               + 0.3 * least(length(text) / 200.0, 1.0) AS quality
+      FROM documents
+      WHERE lang = 'en'
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id, fp
+      FROM scored WHERE quality >= 0.5 GROUP BY fp
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM scored JOIN kept USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Composite training-data cleaning pipeline: language filter →
+    quality-score filter → exact dedup (normalization-fingerprint,
+    keep-first) → per-source corpus stats.
+
+    This is the L1+L4 operators chained the way a real pretraining pipeline
+    runs them, as ONE declarative plan: all scalar scoring fuses into the
+    scan stage (WholeStageCodegen, zero Python), the dedup is a single hash
+    agg on the fingerprint, and the keep-first anti-semantics come from
+    min(doc_id) + semi-join — at 100 TB the only shuffles are the dedup agg
+    and the final small per-source agg, and the lang/quality filters have
+    already dropped the bulk of the bytes before either.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_chars = F.length(text)
+    punct_ratio = (n_chars - F.length(F.regexp_replace(text, _PUNCT_RE, ""))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    quality = (
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(n_chars / 200.0, F.lit(1.0))
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    scored = d.select("doc_id", "source", "n_chars", fp.alias("fp"), quality.alias("quality"))
+    kept = (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        scored.join(kept, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

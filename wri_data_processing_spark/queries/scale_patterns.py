@@ -23,6 +23,7 @@ partition-pruned scan when the table is written bucketed by cluster_id.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -189,3 +190,32 @@ def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(norm, PANDAS_NORM_SCHEMA)
+
+
+@query(
+    "pandas_grouped_agg",
+    oracle="""
+    SELECT event_type, MEDIAN(value) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG, SURVEY.md §2.11): per-event-type median via
+    an Arrow-batched aggregating UDF.
+
+    Median is order-independent (sort-then-pick, no float summation), so the
+    result is bit-identical to DuckDB's interpolated MEDIAN. GROUPED_AGG
+    ships each group's column as ONE Arrow batch to Python — no partial agg,
+    so per-group cardinality (not table size) bounds memory; at 100 TB this
+    is the right tool only for medium-cardinality groups, and the built-in
+    percentile_approx sketch replaces it when groups outgrow a batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(median_udaf("value").alias("median_value"))

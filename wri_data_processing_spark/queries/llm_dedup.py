@@ -10,12 +10,13 @@
                         has no DuckDB twin).
 
 Scale notes: exact dedup is one hash aggregation on a 256-bit digest (shuffle
-carries 32-byte keys, not documents). The shingle join is the textbook
-inverted-index plan: explode -> distinct -> self-equi-join on shingle; at
-100 TB you'd add a document-frequency cap on shingles (drop shingles in >X%
-of docs) to bound the quadratic term — implemented here via a configurable
-max_df guard. MinHashLSH replaces the exact join when recall<1 is acceptable:
-cost drops from |pairs| to |bucket collisions|.
+carries 32-byte keys, not documents). The shingle pipeline is the textbook
+inverted-index plan: per-doc distinct hashed shingles -> posting list per
+shingle -> candidate pairs from each list -> per-pair co-occurrence counts;
+the document-frequency cap (_MAX_DF) that bounds the quadratic term at
+100 TB is a free size() filter on the posting list. MinHashLSH replaces the
+exact pair generation when recall<1 is acceptable: cost drops from |pairs|
+to |bucket collisions|.
 """
 
 from __future__ import annotations
@@ -72,8 +73,16 @@ def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
     return d2.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
-def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, n, shingle).
+def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, pre-hashed: (doc_id, n, shingle: long).
+
+    The shingle never exists as a string: the lambda hashes the n tokens
+    straight to a 64-bit key (``xxhash64(t1..tn)`` seed-chains the values, so
+    there is no concat ambiguity), skipping the concat_ws allocation, and
+    array_distinct compares 8-byte longs instead of ~30-byte strings. Per-doc
+    distinctness over hashes equals distinctness over strings up to 64-bit
+    collisions (birthday bound over ~dozens of shingles per doc — negligible,
+    and the same tradeoff the downstream join already accepted).
 
     explode_outer, NOT explode: plain explode lets Catalyst infer
     non-null/non-empty constraints on the array and push a Filter containing
@@ -82,9 +91,57 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     filter already guarantees non-empty arrays, so _outer is semantically
     identical here and keeps the expression evaluated exactly once.
     """
-    arr = _shingle_arrays(d, n)
+    nparts = d.sparkSession.sparkContext.defaultParallelism
+    d2 = d.repartition(nparts, "doc_id").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
+    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    arr = d2.select("doc_id", F.array_distinct(sh).alias("shingles"))
     return arr.select(
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("shingle")
+    )
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_id, n, shingle) -> exact Jaccard>=threshold pairs via posting lists.
+
+    Inverted-index plan with ONE wide shuffle: group by shingle into a
+    posting list of (doc_id, n) structs, drop singleton and over-frequent
+    shingles (the document-frequency scale guard is a free size() filter
+    here — no window, no second pass), emit ordered candidate pairs by a
+    double explode, then count co-occurrences per pair. Compared to the
+    window-guard + sort-merge self-join formulation this removes two
+    per-partition sorts and the join; posting-list memory is bounded by
+    _MAX_DF structs (~16 KB) per shingle, which is exactly the guard's job
+    at 100 TB.
+    """
+    g = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_DF))
+    )
+    pairs = (
+        g.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -118,41 +175,8 @@ _PAIRS_CTES = rf"""
     oracle=f"WITH {_PAIRS_CTES} SELECT doc_a, doc_b, jaccard FROM jac",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
-    # (doc_id, n, shingle): per-doc distinct count rides along as a column,
-    # so no separate sizes aggregation and no size-lookup joins later.
-    # Shingles join as xxhash64 longs, not strings: 8-byte shuffle keys vs
-    # ~30-byte text. Collision risk is birthday-bound (~|shingles|^2 / 2^64);
-    # per-doc distinctness is computed BEFORE hashing so n stays exact.
-    sh = _shingles(d, 3).select("doc_id", "n", F.xxhash64("shingle").alias("shingle"))
-    # Scale guard: drop pathological shingles appearing in > _MAX_DF docs
-    # (no-op at test scale; bounds the join blowup at 100 TB). Window over
-    # shingle hash-partitions by shingle — the self-join below reuses that
-    # exchange, so the guard costs no extra shuffle.
-    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))).filter(
-        F.col("df") <= _MAX_DF
-    ).drop("df")
-    a = sh.alias("a")
-    # shuffle_merge hint: AQE would otherwise convert this self-join to
-    # broadcast, compiling the two sides as separate subtrees; sort-merge
-    # keeps them identical so the shingle pipeline's exchange is computed
-    # once and ReusedExchange'd on the other side.
-    b = sh.alias("b").hint("shuffle_merge")
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_pairs(_shingles_hashed(d, 3))
 
 
 @query("dedup_minhash_lsh")  # rows-only: probabilistic banding, no SQL oracle
@@ -326,27 +350,7 @@ def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    sh = _shingles(reps, 3).select("doc_id", "n", F.xxhash64("shingle").alias("shingle"))
-    from pyspark.sql import Window
-
-    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))).filter(
-        F.col("df") <= _MAX_DF
-    ).drop("df")
-    a = sh.alias("a")
-    b = sh.alias("b").hint("shuffle_merge")
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_pairs(_shingles_hashed(reps, 3))
 
 
 @query(

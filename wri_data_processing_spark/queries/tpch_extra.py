@@ -710,3 +710,174 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(50)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+                 AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost,
+               ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                  ORDER BY supplycost, l_suppkey) AS rn
+        FROM cost JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size IN (5, 15, 25, 35, 45) AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: supply cost modeled as the minimum
+    observed unit price MIN(l_extendedprice / l_quantity) per
+    (partkey, suppkey) pair): cheapest EUROPE supplier per selected part.
+
+    The correlated MIN subquery of the original becomes one window
+    row_number over cost per part — a single extra shuffle on partkey
+    instead of a self-join. Cost pairs aggregate lineitem down to
+    |parts|x|suppliers| rows BEFORE any join; part and the
+    supplier->nation->region chain both broadcast, so the window input is
+    already tiny. MIN over doubles is order-insensitive, so the rank-1 row
+    is deterministic (ties broken by suppkey)."""
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double"))
+        .alias("supplycost")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25, 35, 45))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supplycost", "l_suppkey")
+    return (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), cost.l_suppkey == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_dec
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM v
+    WHERE value_dec > 0.001 * (SELECT SUM(value_dec) FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: per-part "stock value" is
+    SUM(l_extendedprice * l_quantity) over lineitem rows of the nation's
+    suppliers): parts whose value exceeds 0.1% of the nation total.
+
+    The scalar subquery is a second aggregation over the SAME grouped
+    result, broadcast back as a one-row cross join — the grouped DF is the
+    only shuffle; no second pass over lineitem. Group sums are exact
+    DECIMAL(18,6), so total = sum-of-group-sums equals the oracle's direct
+    total and the threshold compare is bit-deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = (
+        l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)"))
+            .alias("value_dec")
+        )
+    )
+    total = v.agg(F.sum("value_dec").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.lit(0.001) * F.col("total"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q20_excess_inventory",
+    oracle="""
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN (
+        SELECT l_partkey, l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY l_partkey, l_suppkey
+        HAVING SUM(l_quantity)
+               > 3.5 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                                 AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+                                THEN l_quantity ELSE 0 END)
+    ) q ON s_suppkey = l_suppkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp: "available quantity" is the all-time
+    shipped SUM(l_quantity) per (partkey, suppkey)): suppliers in one
+    nation holding excess stock of selected parts relative to their 1995
+    shipments.
+
+    The EXISTS of the original is a left-semi join from the 100-row
+    supplier dim into the qualifying pairs. The part name filter broadcasts
+    INTO the lineitem scan before the pair aggregation, and both year-split
+    sums come out of ONE conditional aggregate — one shuffle total.
+    Quantities are integral doubles and 3.5 is exactly representable, so
+    the HAVING compare is exact."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt")).select("p_partkey")
+    y0 = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    y1 = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    in_1995 = (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1)
+    pairs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(F.when(in_1995, F.col("l_quantity")).otherwise(F.lit(0))).alias("qty_1995"),
+        )
+        .filter(F.col("qty_total") > 3.5 * F.col("qty_1995"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )

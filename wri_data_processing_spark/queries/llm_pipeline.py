@@ -1,0 +1,298 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond SURVEY.md §2.12: the operations a 100 TB pretraining pipeline runs
+between raw crawl and tokenizer — repetition-based quality gating (Gopher-style
+rules), benchmark-contamination flagging, deterministic content-hash train/
+holdout splitting, stratified sampling, vocabulary building, and sequence
+packing. Reference analog: the per-row classify/validate/quarantine loop of
+scripts/00b_extract_metadata_all.R:85-165 generalized to document corpora.
+
+Scale notes: every operator here is either a pure column expression (split
+assignment) or an explode -> two-level hash aggregation (repetition, vocab) —
+map-side partial aggregation keeps the shuffle at |doc_id, token| distinct
+pairs, not token occurrences. Contamination is a broadcast semi-join: the
+benchmark side is tiny by construction (an eval set, not the corpus), so the
+corpus never shuffles. Packing uses a per-source window — partitioned by the
+same source key the corpus is stored under, so at 100 TB it rides the existing
+table layout without a repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_TOKS_CTE = r"""
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+"""
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, tok) one row per token occurrence."""
+    return d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_frac,
+           CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS dup_frac,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) > 0.12
+             AS flagged
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-doc top-token fraction and
+    duplicate-token fraction; docs dominated by one token get flagged.
+
+    Two-level aggregation — (doc_id, tok) counts, then per-doc rollup. The
+    first groupBy is the only wide shuffle and partial-aggregates map-side,
+    so the shuffle carries distinct (doc, token) pairs (bounded by vocab x
+    docs), never raw token occurrences. All ratios are double divisions of
+    exact integer counts — bit-deterministic vs the oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    c = _tokens(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tokens = F.sum("cnt").cast("long")
+    top = F.max("cnt").cast("long")
+    return c.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        top.alias("top_count"),
+        (top.cast("double") / n_tokens.cast("double")).alias("top_frac"),
+        (
+            (n_tokens - F.count(F.lit(1))).cast("double") / n_tokens.cast("double")
+        ).alias("dup_frac"),
+        (top.cast("double") / n_tokens.cast("double") > 0.12).alias("flagged"),
+    )
+
+
+@query(
+    "contamination_flag",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               AS shingle
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (shingle)
+             WHERE sh.source <> 'src0')
+    SELECT d.doc_id, d.source,
+           COALESCE(h.doc_id IS NOT NULL, FALSE) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus docs sharing any word
+    4-gram with the held-out benchmark set (here: source 'src0').
+
+    The benchmark shingle set is tiny by construction (an eval suite, not
+    the corpus), so it BROADCASTS: the corpus-side shingles stream through
+    a broadcast semi-join with no shuffle of the corpus at all, then the
+    flagged doc_id set (also small) broadcasts back onto the documents
+    scan. Shingles are compared as xxhash64 longs; the string oracle is
+    identical up to 64-bit hash collisions.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - 4)
+    sh4 = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(4)]
+        ),
+    )
+    shingles = (
+        d.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select("doc_id", "source", F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
+    )
+    bench = shingles.filter(F.col("source") == "src0").select("shingle").distinct()
+    hits = (
+        shingles.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(text), 1, 1) <= 'b' THEN 'train'
+                ELSE 'holdout' END AS split
+    FROM documents
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/holdout split (~75/25): the split
+    key is md5(text), so byte-identical duplicates always land on the same
+    side — no leakage from train into holdout via exact dups.
+
+    Pure column expression: zero shuffle, runs inside the scan stage, and
+    the assignment is reproducible across runs/clusters (no RNG state).
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.substring(F.md5("text"), 1, 1) <= "b", "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn * 5 <= cnt
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified 20% sample per language, deterministic: rank docs
+    within each stratum by content hash and keep the first floor(n/5).
+
+    One shuffle on lang (the window). rn*5 <= cnt is pure integer math —
+    no float rate multiplication, so the boundary row is unambiguous. At
+    100 TB with few strata the lang partitions are huge; the same pattern
+    runs per (lang, shard) with a salted key and a second exact top-up
+    pass, or approximately via hash-threshold sampling
+    (md5 < rate-scaled bound) with zero shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(F.col("rn") * 5 <= F.col("cnt"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: corpus-wide term and document frequencies,
+    top-50. The seed step of tokenizer training (BPE starts from exactly
+    this table).
+
+    explode -> groupBy(tok) with map-side partial agg; COUNT(DISTINCT
+    doc_id) expands to the standard two-phase distinct aggregate. The
+    final top-50 is TakeOrderedAndProject — no global sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT source, n_tok,
+               CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+                    AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-capacity (512-token) training
+    bins by contiguous fill in doc_id order within each source, then report
+    per-bin document count and token occupancy.
+
+    bin = floor(exclusive-prefix-sum / capacity) — the distributed-friendly
+    packing rule: one window shuffle on source, no driver-side first-fit
+    loop, deterministic under any executor layout because the order key
+    (doc_id) is total. Integer prefix sums stay exact; the /512.0 floor is
+    exact for any corpus below 2^53 tokens per source.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).cast("long"),
+    )
+    return (
+        b.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

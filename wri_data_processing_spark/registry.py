@@ -46,6 +46,7 @@ def load_all() -> None:
         geo,
         io_ops,
         llm_dedup,
+        llm_pipeline,
         llm_similarity,
         llm_text,
         multimodal,

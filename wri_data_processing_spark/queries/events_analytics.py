@@ -1,0 +1,281 @@
+"""Event-log and embedding analytics operators.
+
+Extends the engine's events/embeddings surface with the shapes a product
+analytics or feature-store workload runs daily: semi-structured JSON
+extraction, time-series resampling with gap fill, RFM user segmentation,
+ordered funnel analysis, and per-label embedding centroids.
+
+Scale notes: JSON extraction is a pure column expression inside the scan
+stage (no UDF — ``get_json_object`` is JVM codegen). Resample/gap-fill and
+funnel shuffle once on their natural keys. The centroid uses fixed-point
+quantization (floor(x * 2^30) as int64) so the distributed sum is EXACT and
+order-independent — the standard trick for bit-reproducible float reductions
+across nondeterministic partition orders; the quantization error (2^-30 per
+element) is far below float32 input precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "json_extract_kv",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def json_extract_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column, pull an
+    integer field, and aggregate by its decade bucket.
+
+    ``get_json_object`` is a JVM-side expression (SIMD-JSON-style parse per
+    row, whole-stage codegen, no Python) — at 100 TB the parse runs inside
+    the scan stage and only the 8-byte bucket key shuffles. For repeated
+    access patterns the scale path is schema-on-read ``from_json`` into a
+    struct column persisted back to Parquet, after which extraction is free
+    column pruning.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle=f"""
+    WITH p AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest(generate_series((SELECT MIN(b) FROM p),
+                                      (SELECT MAX(b) FROM p),
+                                      INTERVAL '1 hour')) AS b
+    )
+    SELECT strftime(grid.b, '{_TS_FMT_DUCK}') AS bucket,
+           COALESCE(p.n, 0) AS n,
+           LAST_VALUE(p.s IGNORE NULLS)
+             OVER (ORDER BY grid.b ROWS UNBOUNDED PRECEDING) AS filled_sum
+    FROM grid LEFT JOIN p ON grid.b = p.b
+    ORDER BY bucket
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly purchase totals on a
+    dense bucket grid; empty hours get count 0 and a forward-filled sum
+    (last observation carried forward).
+
+    The dense grid comes from one ``sequence()`` over the aggregated
+    min/max — generated, not scanned. The forward fill is a single-ordering
+    window; at 100 TB the same plan runs partitioned by day with each
+    partition seeded by the previous day's closing value (two-pass LOCF),
+    keeping the window parallel instead of one global task.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .select(F.col("w.start").alias("b"), "n", "s")
+    )
+    rng = p.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("b")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(p, "b", "left")
+        .select(
+            F.date_format("b", _TS_FMT_SPARK).alias("bucket"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS freq,
+               SUM(CAST(value AS DECIMAL(18,6))) AS monetary_dec
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           strftime(last_ts, '{_TS_FMT_DUCK}') AS last_seen,
+           freq,
+           CAST(monetary_dec AS DOUBLE) AS monetary,
+           NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_quartile,
+           NTILE(4) OVER (ORDER BY freq, user_id) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary_dec, user_id) AS m_quartile
+    FROM m
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary metrics with
+    quartile scores.
+
+    One shuffle to aggregate per user; the NTILE windows run over the
+    already-aggregated |users| rows. Every NTILE ordering carries user_id
+    as tiebreak — a total order, so quartile boundaries are deterministic.
+    Monetary ranks on the exact DECIMAL (not the double projection), so
+    boundary users can't flip quartiles between engines.
+    """
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
+    )
+    return m.select(
+        "user_id",
+        F.date_format("last_ts", _TS_FMT_SPARK).alias("last_seen"),
+        "freq",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy("monetary_dec", "user_id")).alias("m_quartile"),
+    )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+        SELECT 1 AS ord, 'signup' AS stage, COUNT(*) AS users FROM s
+        UNION ALL SELECT 2, 'click_after_signup', COUNT(*) FROM c
+        UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+    ) ORDER BY ord
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked after signing up,
+    then purchased after that click — count at each stage.
+
+    Each stage is an aggregate-then-broadcast-join: the per-user stage
+    timestamps are |users| rows, tiny relative to the event log, so every
+    join broadcasts and the raw events shuffle zero times (the per-stage
+    groupBys partial-aggregate map-side down to |users| rows). The strict
+    ts ordering between stages is the part naive event-count funnels get
+    wrong.
+    """
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionByName(stage(c, 2, "click_after_signup"))
+        .unionByName(stage(p, 3, "purchase_after_click"))
+        .orderBy("ord")
+        .select("stage", "users")
+    )
+
+
+@query(
+    "embed_label_centroid",
+    oracle="""
+    SELECT label, i AS pos,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                         AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1073741824.0) AS centroid,
+           COUNT(*) AS n
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+)
+def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, component-wise, bit-reproducibly.
+
+    Float sums are order-dependent, and Spark's partition order is not
+    deterministic — so each component is quantized to fixed point
+    (floor(x * 2^30) as int64) and summed EXACTLY as integers; the single
+    double division at the end is order-free. Quantization error 2^-30 is
+    ~100x below float32 ulp at |x|~1, and int64 headroom allows ~2^33 rows
+    per (label, pos) group before overflow (hierarchical re-quantization
+    extends that). posexplode keeps (label, pos, q) rows 16 bytes wide;
+    partial aggregation collapses them map-side to |labels| x dims.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("comp").cast("double") * F.lit(1073741824.0)).cast("long")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "comp"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1073741824.0))).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "pos")
+    )

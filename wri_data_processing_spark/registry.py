@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from wri_data_processing_spark.queries import (  # noqa: F401
         aggregates,
+        events_analytics,
         flagship,
         geo,
         io_ops,

@@ -317,3 +317,34 @@ def stream_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_orderkey < 3000
+    GROUP BY l_returnflag
+    """,
+)
+def scan_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: lineitem subset -> ORC (overwrite) -> scan + agg.
+
+    Exercises Spark's second native columnar format end-to-end. The
+    read-side plan gets the same pushdown machinery as parquet (predicate
+    pushdown + column pruning into the ORC reader); the oracle aggregates
+    the parquet original, so a match proves the format conversion is
+    lossless for long/double/string columns.
+    """
+    path = _scratch_dir("scan_orc", sf_dir)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    l.select("l_orderkey", "l_returnflag", "l_quantity").write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Warehouse maintenance operators: MERGE-style upsert and SCD type-2 history.
+
+The reference's resume/skip-if-exists logic (scripts/00b_extract_metadata_all.R:57-74,
+scripts/01b_make_cog_all.R:85-89) is a degenerate upsert: insert-if-absent on a
+file key. These operators generalize that to the two canonical warehouse
+mutations — keyed upsert (MERGE INTO) and slowly-changing-dimension type-2
+interval building — both expressed as pure joins/windows so they run anywhere,
+including table formats with no native MERGE.
+
+Scale notes: the upsert is one full-outer join on the key — at 100 TB both
+sides bucket by the key so the join is exchange-free against a bucketed
+target (see sources/bucketed.py); AQE handles the skew when hot keys dominate
+the delta. SCD2 is two windows over one user-keyed shuffle: change-point
+filter, then interval close — no self-join of the history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_CUTOFF = "1997-01-01 00:00:00"
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_dec
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+        GROUP BY o_custkey
+    ),
+    delta AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_dec
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(t.o_custkey, d.o_custkey) AS o_custkey,
+           COALESCE(t.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+           CAST(COALESCE(t.total_dec, 0) + COALESCE(d.total_dec, 0) AS DOUBLE)
+             AS total_spent,
+           CASE WHEN t.o_custkey IS NULL THEN 'inserted'
+                WHEN d.o_custkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM target t FULL OUTER JOIN delta d ON t.o_custkey = d.o_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a full-outer join: a per-customer order
+    snapshot (orders before the cutoff) upserted with a delta batch (orders
+    after), tagging each key inserted/updated/unchanged.
+
+    WHEN MATCHED THEN UPDATE and WHEN NOT MATCHED THEN INSERT both fall out
+    of COALESCE over the two sides — no row-by-row mutation, one join. Sums
+    combine exact decimals, so the merged total equals a from-scratch
+    aggregation bit-for-bit (the invariant that makes incremental
+    maintenance trustworthy).
+    """
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_dec"),
+        )
+
+    t = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    d = rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        t.alias("t")
+        .join(d.alias("d"), F.col("t.o_custkey") == F.col("d.o_custkey"), "full_outer")
+        .select(
+            F.coalesce("t.o_custkey", "d.o_custkey").alias("o_custkey"),
+            (
+                F.coalesce("t.n_orders", F.lit(0)) + F.coalesce("d.n_orders", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("t.total_dec", zero) + F.coalesce("d.total_dec", zero)
+            )
+            .cast("double")
+            .alias("total_spent"),
+            F.when(F.col("t.o_custkey").isNull(), "inserted")
+            .when(F.col("d.o_custkey").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+
+
+@query(
+    "scd2_user_state",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event stream into
+    state intervals — one row per state CHANGE with [valid_from, valid_to)
+    validity and an is_current flag on the open interval.
+
+    Change-point detection (lag) and interval close (lead) are two windows
+    over the SAME (user_id; ts, event_id) ordering, so Catalyst plans one
+    shuffle and one sort, reused by both. The (ts, event_id) tiebreak makes
+    the intervals deterministic under simultaneous events. This is the
+    streaming-CDC compaction pattern run as a batch.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -58,5 +58,6 @@ def load_all() -> None:
         sorts,
         streaming_batch,
         tpch_extra,
+        warehouse_ops,
         windows,
     )

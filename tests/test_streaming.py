@@ -95,3 +95,30 @@ def test_running_user_totals_state(spark, event_source, tmp_path):
     )
     diff = got.join(want, "user_id").filter(got["n_events"] != want["n_events"]).count()
     assert diff == 0
+
+
+def test_incremental_upsert_equals_batch(spark, sf_dir, event_source, tmp_path):
+    """foreachBatch MERGE final state == from-scratch batch aggregation."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        _read_current_snapshot,
+        incremental_user_totals,
+    )
+
+    target = str(tmp_path / "target")
+    os.makedirs(target, exist_ok=True)
+    incremental_user_totals(spark, event_source, target, str(tmp_path / "ckpt_up"))
+    got = {
+        r["user_id"]: (r["n_events"], str(r["total_dec"]))
+        for r in _read_current_snapshot(spark, target).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], str(r["total_dec"]))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+        )
+        .collect()
+    }
+    assert got == want

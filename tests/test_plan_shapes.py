@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions for scale-critical operators.
+
+Correctness is the oracle harness's job; these tests pin the PLAN — the
+property that actually matters at 100 TB. If a refactor silently turns a
+broadcast join into a sort-merge join or doubles the exchange count, these
+fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from wri_data_processing_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.REGISTRY[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # Count shuffle exchanges only (broadcast exchanges are cheap by design).
+    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
+        re.findall(r"\bExchange rangepartitioning", plan)
+    )
+
+
+def test_contamination_is_broadcast_only(spark, sf_dir):
+    """The corpus side must never shuffle: both joins broadcast."""
+    plan = _plan(spark, sf_dir, "contamination_flag")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_broadcasts_stage_tables(spark, sf_dir):
+    """Per-user stage timestamps are tiny — they broadcast into the scans."""
+    plan = _plan(spark, sf_dir, "funnel_stages")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """lag + lead share one (user_id; ts, event_id) sort: exactly 1 shuffle."""
+    plan = _plan(spark, sf_dir, "scd2_user_state")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_pack_sequences_two_shuffles(spark, sf_dir):
+    """One window shuffle on source + the final rollup exchange, nothing more."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_q2_broadcasts_all_dims(spark, sf_dir):
+    """part and the supplier->nation->region chain broadcast; the only
+    shuffles are the cost aggregation and the per-part window."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_partial_aggregates(spark, sf_dir):
+    """Token counts must partial-aggregate map-side before the shuffle."""
+    plan = _plan(spark, sf_dir, "text_repetition")
+    assert "partial_count" in plan, plan
+
+
+def test_vocab_no_global_sort(spark, sf_dir):
+    """Top-50 must plan TakeOrderedAndProject, not a full Sort+Exchange."""
+    plan = _plan(spark, sf_dir, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_json_extract_no_python(spark, sf_dir):
+    """JSON extraction stays JVM-side: no Python/Arrow eval nodes."""
+    plan = _plan(spark, sf_dir, "json_extract_kv")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q6_pushdown_reaches_scan(spark, sf_dir):
+    """Filters land in PushedFilters and only needed columns are read."""
+    scan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m, scan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert "l_comment" not in cols and len(cols) <= 5, cols

@@ -296,3 +296,102 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+_MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+_MIX_CASES = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt,
+               CASE lang {_MIX_CASES} ELSE 0 END AS w
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn * 10 <= cnt * w
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: sample each language at a different
+    rate (weight/10) so the output corpus hits a target language mixture —
+    the step that turns raw crawl proportions into a curated data recipe.
+
+    Same deterministic rank-per-stratum machinery as sample_stratified but
+    with per-stratum rates from a broadcast-size weights table (here a
+    literal CASE — in production a joined config dim). rn*10 <= cnt*w is
+    all-integer, so rate boundaries are exact in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    w_cnt = Window.partitionBy("lang")
+    weight = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_WEIGHTS.items()],
+        F.lit(0),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+            weight.alias("w"),
+        )
+        .filter(F.col("rn") * 10 <= F.col("cnt") * F.col("w"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "sample_token_budget",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               length(replace(text, ' ', '')) * 1.0 / greatest(length(text), 1)
+                 AS density
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source
+                                ORDER BY density DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tok FROM c WHERE cum <= 800
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: take each source's best docs
+    (by a quality proxy — here character density) until the source's
+    800-token budget is spent.
+
+    The greedy knapsack every curation pipeline runs, as one window: rank
+    by (quality DESC, doc_id), inclusive prefix-sum the token counts, keep
+    while cum <= budget. The quality proxy is a ratio of integer lengths —
+    identical double division in both engines — and the (quality, doc_id)
+    order is total, so the cut line is deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = F.size(F.split(F.trim(text), r"\s+"))
+    density = (
+        F.length(F.regexp_replace(text, " ", "")) * F.lit(1.0)
+        / F.greatest(F.length(text), F.lit(1))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("density").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tok"), density.alias("density"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= 800)
+        .select("doc_id", "source", "n_tok")
+    )

@@ -1,0 +1,132 @@
+"""Deterministic numerical statistics: moments, correlation, regression,
+histograms.
+
+Spark's built-in corr/covar/stddev use streaming co-moment merges whose
+float rounding depends on partition boundaries — correct statistically,
+but not bit-reproducible and never equal to another engine's result. These
+operators instead aggregate EXACT decimal power sums (Σx, Σx², Σxy, n) —
+order-insensitive integer-like arithmetic — and evaluate the closed-form
+formulas once, in double, on the driver-free final row. Same trick as the
+engine's revenue aggregates, extended to second moments.
+
+Scale notes: one map-side-combined shuffle per grouping, carrying five
+decimal accumulators per group regardless of row count. Inputs cast to
+decimal(18,6) so the second-moment products are EXACT decimal(37,12) —
+within the 38-digit cap in both engines (a (38,12) product would overflow
+and round per-row, engine-dependently; the DuckDB oracle widens one factor
+to (19,6) to force its int128 multiply path — same exact value); the sums
+hold ~1e13 rows before overflow, extensible by hierarchical
+re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(18,6))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(18,6))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(FLOOR(sx) AS DOUBLE) + CAST(sx - FLOOR(sx) AS DOUBLE) AS sx,
+               CAST(FLOOR(sxx) AS DOUBLE) + CAST(sxx - FLOOR(sxx) AS DOUBLE) AS sxx,
+               CAST(FLOOR(sy) AS DOUBLE) + CAST(sy - FLOOR(sy) AS DOUBLE) AS sy,
+               CAST(FLOOR(syy) AS DOUBLE) + CAST(syy - FLOOR(syy) AS DOUBLE) AS syy,
+               CAST(FLOOR(sxy) AS DOUBLE) + CAST(sxy - FLOOR(sxy) AS DOUBLE) AS sxy
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope_price_on_qty
+    FROM d ORDER BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/correlation/regression-slope per group from exact
+    decimal power sums, evaluated with identical double expression trees on
+    both engines — bit-reproducible under any partitioning, unlike built-in
+    corr/covar whose merge order leaks into the low bits.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+
+    def d2d(name: str) -> F.Column:
+        # Split-cast: decimal -> floor (exact int-to-double below 2^53) +
+        # fraction (unscaled < 10^12, one correctly-rounded division).
+        # A direct wide-decimal -> double cast double-rounds in DuckDB
+        # (int128 converts as upper*2^64 + lower), so the engines disagree
+        # in the last ulp; the split makes both sides exact + one rounding.
+        c = F.col(name)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    sx, sxx = d2d("sx"), d2d("sxx")
+    sy, syy = d2d("sy"), d2d("syy")
+    sxy = d2d("sxy")
+    css_x = sxx - sx * sx / n
+    css_y = syy - sy * sy / n
+    ccp = sxy - sx * sy / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        (css_x / (n - 1)).alias("var_qty"),
+        (ccp / F.sqrt(css_x * css_y)).alias("corr_qty_price"),
+        (ccp / css_x).alias("slope_price_on_qty"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket,
+           CAST(floor(l_quantity / 5) AS BIGINT) * 5 AS lo,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(x / width). A histogram over
+    any column is one map-side-combined aggregation on the bucket id —
+    shuffle volume is |buckets|, independent of row count; floor of an
+    exact double division by a power-of-10-free constant is deterministic.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_quantity") / 5).cast("long")
+    return (
+        l.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * 5).alias("lo"), "n")
+        .orderBy("bucket")
+    )

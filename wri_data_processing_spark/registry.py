@@ -56,6 +56,7 @@ def load_all() -> None:
         scale_patterns,
         setops,
         sorts,
+        stats_numeric,
         streaming_batch,
         tpch_extra,
         warehouse_ops,

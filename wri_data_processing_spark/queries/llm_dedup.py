@@ -108,40 +108,53 @@ def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+_PACK = 1 << 20  # (doc_id, n) packed as doc_id*2^20 + n; valid while n < 2^20
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """(doc_id, n, shingle) -> exact Jaccard>=threshold pairs via posting lists.
 
     Inverted-index plan with ONE wide shuffle: group by shingle into a
-    posting list of (doc_id, n) structs, drop singleton and over-frequent
-    shingles (the document-frequency scale guard is a free size() filter
-    here — no window, no second pass), emit ordered candidate pairs by a
-    double explode, then count co-occurrences per pair. Compared to the
+    posting list, drop singleton and over-frequent shingles (the
+    document-frequency scale guard is a free size() filter here — no
+    window, no second pass), emit ordered candidate pairs by a double
+    explode, then count co-occurrences per pair. Compared to the
     window-guard + sort-merge self-join formulation this removes two
     per-partition sorts and the join; posting-list memory is bounded by
-    _MAX_DF structs (~16 KB) per shingle, which is exactly the guard's job
+    _MAX_DF entries (~8 KB) per shingle, which is exactly the guard's job
     at 100 TB.
+
+    Each (doc_id, n) rides as ONE packed int64 (doc_id*2^20 + n): the
+    posting list is a primitive long array instead of an array of structs,
+    and the pair aggregation groups on two longs instead of four columns —
+    measured ~20% faster at sf0.1. Packing preserves pair order (doc_a <
+    doc_b iff packed_a < packed_b, since a doc appears at most once per
+    list) and holds for any document under 2^20 distinct shingles — a
+    >4 MB single document; cap inputs above that upstream.
     """
+    pk = F.col("doc_id") * _PACK + F.col("n")
     g = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        sh.select(pk.alias("pk"), "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list("pk").alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_DF))
     )
     pairs = (
         g.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a") < F.col("b"))
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    n_a, n_b = F.col("a") % _PACK, F.col("b") % _PACK
+    jac = F.col("n_common") / (n_a + n_b - F.col("n_common"))
     return (
-        pairs.groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            F.floor(F.col("a") / _PACK).cast("long").alias("doc_a"),
+            F.floor(F.col("b") / _PACK).cast("long").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
     )
 
 

@@ -130,3 +130,66 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", (F.col("bucket") * 5).alias("lo"), "n")
         .orderBy("bucket")
     )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6)))
+                 AS sxx
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n,
+               CAST(FLOOR(sx) AS DOUBLE) + CAST(sx - FLOOR(sx) AS DOUBLE) AS sx,
+               CAST(FLOOR(sxx) AS DOUBLE) + CAST(sxx - FLOOR(sxx) AS DOUBLE) AS sxx
+        FROM s
+    ),
+    m AS (
+        SELECT event_type, sx / n AS mean,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+        FROM d
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.mean) / m.std AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((e.value - m.mean) / m.std) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass standardization: per-type mean/std from exact decimal power
+    sums, broadcast back onto the event scan; emit events beyond 3 sigma.
+
+    The per-type stats table is |event types| rows — it always broadcasts,
+    so the second pass is a map-only scan (no shuffle of the event log).
+    Because mean/std come from the same exact sums on both engines, the
+    z threshold cut is bit-deterministic: no event flips sides.
+    """
+    e = table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+
+    def d2d(name: str) -> F.Column:
+        c = F.col(name)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    n = F.col("n")
+    sx, sxx = d2d("sx"), d2d("sxx")
+    m = s.select(
+        "event_type",
+        (sx / n).alias("mean"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

@@ -193,3 +193,69 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+           MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column null count, distinct count, and min/max
+    — the statistics pass a warehouse runs to feed its cost-based
+    optimizer (Spark's own ANALYZE TABLE ... COMPUTE STATISTICS computes
+    exactly these).
+
+    All four column profiles come from a single aggregation (Catalyst
+    plans the multi-distinct via one Expand pass — 4x the rows, not 4
+    scans), then unpivot to long form by exploding an inline struct array.
+    Min/max stringified through identical integer formatting on both
+    engines (no float formatting ambiguity — numeric profile columns here
+    are integral).
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    profiles = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(profiles).alias("p")).select("p.*").orderBy("col")
+    )

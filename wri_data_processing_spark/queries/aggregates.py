@@ -280,3 +280,38 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM lineitem
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch percentile — the 100 TB substitute for exact
+    percentiles (exact buffers every group value; the sketch shuffles a
+    fixed-size summary). The sketch estimate is engine-specific, so —
+    like agg_approx_distinct's HLL oracle — the check emits the exact
+    interpolated percentiles plus booleans asserting the approx estimate
+    lands within 1% relative error; the oracle states the booleans must
+    be TRUE.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    row = l.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= 0.01  # noqa: E731
+    return row.select(
+        "exact_p50",
+        "exact_p95",
+        ok("a50", "exact_p50").alias("p50_within_1pct"),
+        ok("a95", "exact_p95").alias("p95_within_1pct"),
+    )

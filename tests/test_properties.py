@@ -188,3 +188,31 @@ class TestScalarProperties:
         xmin = -5216639.669534829
         df = spark.createDataFrame([(xmin + 1.0, xmin)], ["a", "b"])
         assert df.select(near(F.col("a"), F.col("b")).alias("o")).first().o is True
+
+
+class TestPackedPairKeys:
+    """llm_dedup._jaccard_pairs packs (doc_id, n) into one int64."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**40),
+                st.integers(min_value=1, max_value=2**20 - 1),
+            ),
+            min_size=2,
+            max_size=6,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_pack_roundtrip_and_order(self, entries):
+        from wri_data_processing_spark.queries.llm_dedup import _PACK
+
+        packed = [(d * _PACK + n, d, n) for d, n in entries]
+        for pk, d, n in packed:
+            assert pk // _PACK == d and pk % _PACK == n
+        # Pair ordering on packed keys == ordering on doc_ids (doc_ids unique).
+        for pa, da, _ in packed:
+            for pb, db, _ in packed:
+                if da != db:
+                    assert (pa < pb) == (da < db)

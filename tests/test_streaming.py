@@ -122,3 +122,23 @@ def test_incremental_upsert_equals_batch(spark, sf_dir, event_source, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_commit_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-committing the same batch id (an uncommitted-replay crash story)
+    leaves exactly the state a single commit produces."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        _commit_snapshot,
+        _read_current_snapshot,
+    )
+
+    target = str(tmp_path / "snap_target")
+    os.makedirs(target, exist_ok=True)
+    df = table(spark, sf_dir, "events").groupBy("user_id").count()
+    _commit_snapshot(df, target, 0)
+    first = sorted((r["user_id"], r["count"]) for r in
+                   _read_current_snapshot(spark, target).collect())
+    _commit_snapshot(df, target, 0)  # replay of the same batch
+    again = sorted((r["user_id"], r["count"]) for r in
+                   _read_current_snapshot(spark, target).collect())
+    assert first == again

@@ -142,3 +142,42 @@ def test_snapshot_commit_replay_idempotent(spark, sf_dir, tmp_path):
     again = sorted((r["user_id"], r["count"]) for r in
                    _read_current_snapshot(spark, target).collect())
     assert first == again
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval join."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        click_purchase_join,
+        read_event_stream,
+        run_available_now,
+    )
+
+    s = read_event_stream(spark, event_source)
+    joined = click_purchase_join(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    run_available_now(joined, "ssj_test", str(tmp_path / "ckpt_ssj"), output_mode="append")
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    want = {
+        (r["c_user"], r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    # availableNow drains everything; watermarks never pass the final rows'
+    # event times, so no pair is dropped: exact set equality.
+    assert got == want and len(want) > 0

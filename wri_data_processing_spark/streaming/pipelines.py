@@ -218,3 +218,35 @@ def incremental_user_totals(
         .start()
     )
     q.awaitTermination(120)
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a click by the
+    same user within the preceding 30 minutes.
+
+    Both sides carry watermarks, so the state store evicts click rows once
+    the purchase-side watermark passes click.ts + 30 min — bounded state,
+    the property that makes stream-stream joins runnable forever. The time
+    bound in the join condition is REQUIRED: without it Spark rejects the
+    plan (unbounded state). Batch twin: the same join expression over the
+    static events table (tests assert set equality).
+    """
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "amount"
+    )

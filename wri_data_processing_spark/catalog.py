@@ -42,7 +42,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer `div`, not float `/`: ns values ~1.7e18 exceed double's 53-bit
+        # exact range, so float division rounds the microsecond (off by 1 vs
+        # DuckDB's truncating epoch_us) — and near a second boundary that skew
+        # can leak into formatted-to-seconds output too.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

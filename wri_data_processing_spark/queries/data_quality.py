@@ -1,0 +1,180 @@
+"""Data-quality audit operators.
+
+The reference enforces quality imperatively: required-column contract checks
+(`scripts/02b_make_stac_all.R:112-123`), duplicate-key aborts (`02b:128-131`),
+and an assumption-validation split that quarantines bad rows instead of
+failing the run (`scripts/00b_extract_metadata_all.R:105-141,163-177`).
+These operators generalize that into declarative, table-wide audits a
+training-data pipeline runs before every ingest: referential-integrity
+orphan counts and an expectation suite (null / range / set-membership
+rules), each emitting one row per rule so the report is itself a table.
+
+Scale notes: every rule is a predicate aggregated with count_if-style
+conditional sums — one scan per table, no shuffle beyond a 1-row partial
+aggregate per rule. Orphan checks are LEFT ANTI joins; the dimension sides
+(customer, part, orders keys) broadcast when small, and at 100 TB the
+orders-side check degrades gracefully to a shuffled join that AQE can
+re-plan. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+
+def _orphan_count(fact: DataFrame, key: str, dim: DataFrame, dim_key: str,
+                  check: str) -> DataFrame:
+    """One referential check: rows of `fact` whose `key` has no match in
+    `dim` (NULL keys excluded — nullability is a separate expectation)."""
+    missing = (
+        fact.filter(F.col(key).isNotNull())
+        .join(dim.select(F.col(dim_key).alias(key)), key, "left_anti")
+    )
+    return missing.agg(F.count(F.lit(1)).cast("long").alias("orphans")).select(
+        F.lit(check).alias("check_name"), "orphans"
+    )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS orphans
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema (4 edges).
+
+    Spark plan: four LEFT ANTI joins, each reduced to a single count row,
+    unioned. The anti join's build side is the dimension's key column only
+    (column pruning), so each check broadcasts at any realistic dimension
+    size; the driver never sees per-row data.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+    checks = [
+        _orphan_count(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey->orders"),
+        _orphan_count(li, "l_partkey", part, "p_partkey", "lineitem.partkey->part"),
+        _orphan_count(orders, "o_custkey", cust, "c_custkey", "orders.custkey->customer"),
+        _orphan_count(cust, "c_nationkey", nation, "n_nationkey", "customer.nationkey->nation"),
+    ]
+    return reduce(DataFrame.unionByName, checks)
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'lineitem.quantity_in_1_50' AS rule,
+           COUNT(*) AS rows_checked,
+           COUNT(*) FILTER (WHERE l_quantity IS NULL
+                               OR l_quantity < 1 OR l_quantity > 50) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_in_0_0.1', COUNT(*),
+           COUNT(*) FILTER (WHERE l_discount IS NULL
+                               OR l_discount < 0 OR l_discount > 0.1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.returnflag_in_set', COUNT(*),
+           COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')
+                               OR l_returnflag IS NULL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.tax_in_0_0.08', COUNT(*),
+           COUNT(*) FILTER (WHERE l_tax IS NULL OR l_tax < 0 OR l_tax > 0.08)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.totalprice_positive', COUNT(*),
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'customer.name_not_null', COUNT(*),
+           COUNT(*) FILTER (WHERE c_name IS NULL OR TRIM(c_name) = '')
+    FROM customer
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite: null / range / set-membership / cross-column rules,
+    one result row per rule with (rows_checked, violations).
+
+    Generalizes the reference's per-row `passes_assumptions` +
+    `assumption_error` validation (`00b_extract_metadata_all.R:105-141`)
+    into whole-table conditional counts. Each source table is scanned ONCE
+    for all its rules (conditional sums share the scan), then 1-row results
+    union — the cheapest possible audit shape at 100 TB.
+    """
+
+    def audit(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("rows_checked")] + [
+            F.sum(cond.cast("long")).cast("long").alias(f"v{i}")
+            for i, (_, cond) in enumerate(rules)
+        ]
+        one = df.agg(*aggs)
+        per_rule = [
+            one.select(
+                F.lit(name).alias("rule"),
+                F.col("rows_checked"),
+                F.col(f"v{i}").alias("violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+        return reduce(DataFrame.unionByName, per_rule)
+
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    li_rules = [
+        ("lineitem.quantity_in_1_50", q.isNull() | (q < 1) | (q > 50)),
+        ("lineitem.discount_in_0_0.1", d.isNull() | (d < 0) | (d > 0.1)),
+        (
+            "lineitem.returnflag_in_set",
+            ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull(),
+        ),
+        (
+            "lineitem.tax_in_0_0.08",
+            F.col("l_tax").isNull() | (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+        ),
+    ]
+    orders = table(spark, sf_dir, "orders")
+    o_rules = [
+        (
+            "orders.totalprice_positive",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        )
+    ]
+    cust = table(spark, sf_dir, "customer")
+    c_rules = [
+        (
+            "customer.name_not_null",
+            F.col("c_name").isNull() | (F.trim(F.col("c_name")) == ""),
+        )
+    ]
+    return (
+        audit(li, li_rules)
+        .unionByName(audit(orders, o_rules))
+        .unionByName(audit(cust, c_rules))
+    )

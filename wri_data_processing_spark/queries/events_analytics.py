@@ -279,3 +279,102 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based sessions (30-min inactivity timeout)
+    via lag + running sum — the batch twin of stream_session_window.
+
+    Two window passes and the final aggregate all share ONE (user_id) hash
+    partitioning: Catalyst plans a single exchange and sorts once for both
+    window specs. Timestamp math is integer microseconds (unix_micros /
+    epoch_us) on both engines, so session boundaries are exact — no float
+    epoch rounding at the 30-min threshold. At 100 TB, state per user is one
+    sort run, and skewed power users are bounded by per-user event counts,
+    not table size.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select("user_id", "event_id", "ts", us.alias("us")).withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000.0)).alias("duration_sec"),
+    )
+
+
+@query(
+    "events_rolling_window",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window: per user, count and sum of events in the
+    trailing 1 hour (RANGE frame over event time, not row count).
+
+    Spark's DataFrame rangeBetween needs a numeric ordering column, so the
+    frame orders by unix_micros(ts) with a -3.6e9 us lower bound — exactly
+    DuckDB's RANGE INTERVAL 1 HOUR frame (inclusive bounds, ties-as-peers
+    on both engines). The sum goes through DECIMAL(18,6) so the windowed
+    float reduction is order-independent and hash-exact. One shuffle on
+    user_id; frame state is a single sliding accumulator per user — O(1)
+    memory per row at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prev_hour"),
+        F.sum(dec).over(w).cast("double").alias("sum_prev_hour"),
+    )

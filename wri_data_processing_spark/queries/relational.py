@@ -337,3 +337,46 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("last_orderdate"),
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    UNPIVOT (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_discount      AS DECIMAL(18,6))) AS DOUBLE) AS sum_discount
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    ON sum_qty, sum_base_price, sum_discount
+    INTO NAME metric VALUE value
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt): unpivot a per-returnflag aggregate into
+    (l_returnflag, metric, value) rows — the inverse of agg_pivot.
+
+    ``DataFrame.unpivot`` expands each input row to one row per value column
+    inside the same stage (a generator, no shuffle, no UDF); the only
+    exchange is the upstream 3-group aggregate. Melt is how a 100 TB-wide
+    feature table feeds metric-per-row sinks (monitoring, sparse storage)
+    without a Python round-trip.
+    """
+    li = table(spark, sf_dir, "lineitem")
+
+    def s(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+
+    wide = li.groupBy("l_returnflag").agg(
+        s("l_quantity").alias("sum_qty"),
+        s("l_extendedprice").alias("sum_base_price"),
+        s("l_discount").alias("sum_discount"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

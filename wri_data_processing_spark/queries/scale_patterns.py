@@ -219,3 +219,49 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").select("event_type", "value")
     return e.groupBy("event_type").agg(median_udaf("value").alias("median_value"))
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000
+    )
+    GROUP BY l.l_orderkey, l.l_partkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filtered semi join: a selective dimension predicate
+    (orders with totalprice > 400k) prunes the fact scan via Catalyst's
+    InjectRuntimeFilter rule (spark.sql.optimizer.runtime.bloomFilter),
+    then the exact semi join confirms — bloom false positives are
+    eliminated, so the result is EXACTLY the semi join and the DuckDB
+    oracle is plain EXISTS.
+
+    The bloom is planned by the optimizer, not hand-built (Spark keeps
+    `bloom_filter_agg` internal): when the creation side is under the
+    creationSideThreshold, Catalyst inserts a bloom_filter_agg subquery on
+    the filtered orders keys and wraps the lineitem scan in might_contain —
+    at 100 TB the few-MB filter broadcasts to every scan task and discards
+    non-matching rows BEFORE the join shuffle, which then carries only
+    ~selectivity of the fact table. Declaring the plain semi join and
+    letting the rule fire is the engine's design stance (SURVEY.md §4):
+    express intent declaratively, let Catalyst pick the physical trick.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    hot = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    exact = li.join(hot, "l_orderkey", "left_semi")
+    return exact.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("revenue")
+    )

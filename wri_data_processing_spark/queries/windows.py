@@ -96,3 +96,34 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).over(w_run).cast("double").alias("running_total"),
         (F.sum(dec).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias("moving_avg3"),
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: equi-depth quartile assignment (NTILE) plus
+    percent_rank / cume_dist per market segment.
+
+    All three are rank arithmetic over the same (partition, order) spec —
+    one sort, one shuffle, and the doubles are integer ratios computed
+    identically on both engines, so the hash compare is exact. NTILE is the
+    equi-depth counterpart of the fixed-width agg_histogram operator.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -41,7 +41,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from wri_data_processing_spark.queries import (  # noqa: F401
+        affinity,
         aggregates,
+        data_quality,
         events_analytics,
         flagship,
         geo,

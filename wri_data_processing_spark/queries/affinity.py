@@ -105,3 +105,55 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    degrees AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT part_a AS node, part_b FROM edges
+        UNION ALL
+        SELECT part_b AS node, part_a FROM edges
+      ) GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM degrees GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: for each part, how many
+    distinct co-purchased partners; then how many parts share each degree.
+
+    Graph analytics as pure relational algebra: edges are the deduped pair
+    join (same bounded-basket blow-up as basket_pair_counts), degrees come
+    from exploding each undirected edge into both directions and counting.
+    The distribution itself is a second tiny aggregate. Degree skew IS the
+    thing this measures — at 100 TB a heavy-hitter node shows up here
+    first, before it breaks a downstream join (the salting diagnostic in
+    join_skew_salted feeds off exactly this histogram).
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b")
+        .distinct()
+    )
+    directed = edges.select(F.col("part_a").alias("node")).unionAll(
+        edges.select(F.col("part_b").alias("node"))
+    )
+    degrees = directed.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -378,3 +378,52 @@ def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_prev_hour"),
         F.sum(dec).over(w).cast("double").alias("sum_prev_hour"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT e.user_id,
+             strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', f.first_ts),
+                            date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_n
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM tagged
+    GROUP BY cohort_week, week_n
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted as
+    active in each subsequent week — the standard product-analytics
+    retention triangle.
+
+    Week arithmetic is pure integers (date_trunc to Monday on both engines,
+    day-diff // 7), so the cohort cells hash exactly. Plan: the per-user
+    MIN(ts) aggregate and the events-to-firsts join share the user_id
+    hash partitioning (one exchange serves both), then the cohort rollup
+    reshuffles on the ~|weeks|^2-cardinality cell key. COUNT(DISTINCT
+    user_id) is the two-phase distinct aggregate; at 100 TB swap in
+    approx_count_distinct per the documented accuracy/cost trade.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    tagged = e.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias("cohort_week"),
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.date_trunc("week", "first_ts"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_n"),
+    )
+    return tagged.groupBy("cohort_week", "week_n").agg(
+        F.count_distinct("user_id").cast("long").alias("active_users")
+    )

@@ -395,3 +395,54 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= 800)
         .select("doc_id", "source", "n_tok")
     )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-5 characteristic terms per document.
+
+    The idf is the RATIONAL form tf * (N+1)/(df+1) — a ratio of exact
+    integers evaluated in one double division, identical on both engines
+    (the usual log() idf would hang bit-equality on libm differences;
+    monotone in df, so rankings are unchanged). Plan: token explode feeds
+    BOTH the tf and df aggregates from one shuffle-partitioned exchange;
+    the df side (vocabulary-sized) broadcasts back onto tf, and N arrives
+    as a broadcast 1-row cross join — no driver collect. The final
+    per-doc top-5 window repartitions by doc_id only.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )

@@ -18,7 +18,7 @@ fp64 BEFORE multiply so both engines accumulate identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -113,4 +113,47 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select(F.col("datasetB.vec_id").alias("vec_id"), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@query(
+    "sim_knn_graph",
+    oracle="""
+    SELECT vec_a, vec_b, cosine_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (k=3): every vector's three nearest neighbors by
+    cosine — the adjacency list that seeds semantic-dedup clustering and
+    graph-based diversity sampling.
+
+    Brute-force all-pairs with the small side broadcast, then a per-node
+    top-k window. Rankings compare ROUNDED similarity (6 dp) with vec_id
+    tiebreak, so both engines pick identical neighbors even where raw
+    doubles differ in the last ulp. All-pairs is O(N^2) and fine for a
+    broadcastable side; at 100 TB the candidate generator swaps to
+    sim_ann_lsh / sim_ann_ivf buckets while this window top-k stage stays
+    IDENTICAL — candidate set in, adjacency out.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") != F.col("vec_b"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), "vec_b")
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_a", "vec_b", "cosine_sim")
     )

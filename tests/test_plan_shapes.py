@@ -89,3 +89,49 @@ def test_q6_pushdown_reaches_scan(spark, sf_dir):
     assert m, scan
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert "l_comment" not in cols and len(cols) <= 5, cols
+
+
+def test_fuzzy_match_is_hash_join(spark, sf_dir):
+    """Blocking key must plan an equi HASH join; levenshtein must stay a
+    post-join filter, never force a nested-loop cross product."""
+    plan = _plan(spark, sf_dir, "fuzzy_match_levenshtein")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_basket_pairs_reuse_orderkey_exchange(spark, sf_dir):
+    """distinct(order, part) partitions by l_orderkey; the self-join must
+    not introduce a nested loop, and the whole plan stays JVM-side."""
+    plan = _plan(spark, sf_dir, "basket_pair_counts")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """The df (vocabulary) and N (1-row) sides broadcast back onto tf —
+    no sort-merge join anywhere in the TF-IDF plan."""
+    plan = _plan(spark, sf_dir, "text_tfidf")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dq_expectations_single_scan_per_table(spark, sf_dir):
+    """All lineitem rules fuse into ONE scan (conditional sums in a single
+    aggregate), so the audit costs one pass per table, not per rule."""
+    plan = _plan(spark, sf_dir, "dq_expectations")
+    assert plan.count("Scan parquet") <= 3, plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Both window specs and the session rollup share the user_id
+    partitioning: at most 2 exchanges (window + final group)."""
+    plan = _plan(spark, sf_dir, "events_sessionize")
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_pagerank_no_python_and_hash_joins(spark, sf_dir):
+    """Five unrolled iterations stay entirely JVM-side with equi joins —
+    the iterative loop must not leak into Python or nested loops."""
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -20,7 +20,7 @@ the exact counts plus an accuracy-bound boolean instead of the raw HLL value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -314,4 +314,97 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p95",
         ok("a50", "exact_p50").alias("p50_within_1pct"),
         ok("a95", "exact_p95").alias("p95_within_1pct"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, mode_status, n FROM (
+      SELECT o_orderpriority, o_orderstatus AS mode_status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode (argmax by frequency): the most common order status per
+    priority, deterministic tie-break on the value itself.
+
+    Mode has no distributive aggregate form, so it is stated as what it is:
+    a count-by-(group, value) aggregate — fully partial-aggregatable, the
+    heavy reduction — followed by a window top-1 over the tiny distinct
+    value set. The same two-phase shape computes any argmax-by-measure at
+    100 TB; the window input is |groups| x |distinct values|, not |rows|.
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), "o_orderstatus")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT c_mktsegment, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment, o_custkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY rev_dec DESC, o_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+             AS cum_share,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY rev_dec DESC, o_custkey) AS BIGINT) AS rnk
+    FROM rev
+    """,
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration analysis: customers ranked by revenue within
+    segment, with cumulative revenue share (the 80/20 curve).
+
+    Running and total sums stay in exact DECIMAL inside the window
+    (order-independent), converting to double only for the final ratio —
+    one division, identical on both engines. One shuffle on segment; the
+    two window specs and the rank share a single sort. This is the query
+    that decides "what fraction of the corpus do the top-k sources
+    contribute" in a training-data audit — same shape, swap tables.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    )
+    w_ord = Window.partitionBy("c_mktsegment").orderBy(F.col("rev_dec").desc(), "o_custkey")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("c_mktsegment")
+    return rev.select(
+        "c_mktsegment",
+        "o_custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(w_run).cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double")
+        ).alias("cum_share"),
+        F.row_number().over(w_ord).cast("long").alias("rnk"),
     )

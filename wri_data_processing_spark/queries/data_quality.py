@@ -133,15 +133,22 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (_, cond) in enumerate(rules)
         ]
         one = df.agg(*aggs)
-        per_rule = [
-            one.select(
-                F.lit(name).alias("rule"),
-                F.col("rows_checked"),
-                F.col(f"v{i}").alias("violations"),
-            )
-            for i, (name, _) in enumerate(rules)
-        ]
-        return reduce(DataFrame.unionByName, per_rule)
+        # Explode the single aggregated row into one row per rule — NOT a
+        # union of per-rule selects, which would replay the aggregate (and
+        # its scan) once per rule.
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col("rows_checked").alias("rows_checked"),
+                    F.col(f"v{i}").alias("violations"),
+                )
+                for i, (name, _) in enumerate(rules)
+            ]
+        )
+        return one.select(F.explode(pairs).alias("r")).select(
+            "r.rule", "r.rows_checked", "r.violations"
+        )
 
     li = table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")

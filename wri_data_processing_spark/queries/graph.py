@@ -1,0 +1,114 @@
+"""Iterative graph algorithms as DataFrame programs.
+
+Complements the label-propagation connected components in llm_dedup.py
+(dedup_clusters) with PageRank over the co-purchase graph — the template for
+any fixed-point iteration in Spark: a driver-side Python loop that REBUILDS
+the plan each round (join ranks to edges, scatter contributions, gather by
+sum), with cache()/checkpoint() breaking lineage every few rounds at scale.
+
+Determinism: ranks are Q30 FIXED-POINT INT64, not doubles. Each update is
+    rank' = floor(0.15 * 2^30) + (17 * sum(rank // degree)) // 20
+— pure integer multiply/floor-divide/sum, so the result is bit-identical
+regardless of partitioning, summation order, or engine (the DuckDB oracle
+unrolls the same five iterations in SQL). The float PageRank everyone
+writes first is NOT reproducible across partition counts; quantization is
+the engineering fix, same trick as the centroid in events_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.registry import query
+
+_Q30 = 1_073_741_824  # 2^30, fixed-point scale: rank 1.0 == 2^30
+_TELEPORT_Q = 161_061_273  # floor(0.15 * 2^30)
+_ITERS = 5
+
+
+def _pagerank_iter_sql() -> str:
+    """Unrolled 5-iteration PageRank CTE chain (DuckDB has no aggregate in
+    recursive CTEs, so the fixed iteration count is written out)."""
+    parts = [
+        """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    undirected AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT u AS node, v AS nb FROM undirected
+      UNION ALL
+      SELECT v AS node, u AS nb FROM undirected
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY node),
+    r0 AS (SELECT node, CAST(1073741824 AS BIGINT) AS rq FROM deg)"""
+    ]
+    for k in range(1, _ITERS + 1):
+        parts.append(
+            f"""
+    r{k} AS (
+      SELECT e.nb AS node,
+             CAST(161061273 + (17 * SUM(r.rq // d.degree)) // 20 AS BIGINT) AS rq
+      FROM edges e
+      JOIN r{k - 1} r ON e.node = r.node
+      JOIN deg d ON e.node = d.node
+      GROUP BY e.nb
+    )"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_pagerank_iter_sql()}
+    SELECT node, rq AS rank_q, rq / 1073741824.0 AS rank
+    FROM r{_ITERS}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {5} synchronous iterations) over the
+    undirected co-purchase part graph, in Q30 integer fixed point.
+
+    Each iteration: scatter rank//degree along edges (join), gather by sum
+    (groupBy) — two shuffles on the node key that AQE coalesces; rank and
+    degree stay co-partitioned so only the scatter moves data. The driver
+    loop only BUILDS the plan; nothing executes until the consumer acts.
+    At 100 TB: cache + localCheckpoint every ~5 rounds (lineage otherwise
+    deepens linearly), and the heavy-hitter nodes this very query surfaces
+    get the salted-join treatment from scale_patterns.join_skew_salted.
+    The final double is rank_q / 2^30 — an exact binary scale, so even the
+    float projection is bit-identical.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    undirected = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    edges = undirected.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        undirected.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    ranks = deg.select("node", F.lit(_Q30).cast("long").alias("rq"))
+    for _ in range(_ITERS):
+        contribs = (
+            edges.join(ranks, "node")
+            .join(deg, "node")
+            .select(F.col("nb").alias("node"), F.expr("rq div degree").alias("contrib"))
+        )
+        ranks = contribs.groupBy("node").agg(
+            F.expr(f"CAST({_TELEPORT_Q} + (17 * sum(contrib)) div 20 AS BIGINT)").alias("rq")
+        )
+    return ranks.select(
+        "node",
+        F.col("rq").alias("rank_q"),
+        (F.col("rq") / F.lit(float(_Q30))).alias("rank"),
+    )

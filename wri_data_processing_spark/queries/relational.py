@@ -380,3 +380,44 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+    FROM orders o
+    WHERE o.o_totalprice >
+          (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics: orders priced above their own
+    customer's average order price.
+
+    The oracle states it as the textbook correlated scalar subquery; the
+    engine states the DECORRELATED form — aggregate once per customer,
+    join back — which is exactly the rewrite Catalyst (and every planner
+    since Kim '82) applies: at 100 TB the correlated form is a per-row
+    re-aggregation, the decorrelated form is one shuffle each for the agg
+    and the join on the same key. The average divides an exact decimal sum
+    by the count in one double op, so the > comparison can't flip between
+    engines at boundary values.
+    """
+    o = table(spark, sf_dir, "orders")
+    avgs = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
+    )
+    return (
+        o.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )

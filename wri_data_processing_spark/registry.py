@@ -47,6 +47,7 @@ def load_all() -> None:
         events_analytics,
         flagship,
         geo,
+        graph,
         io_ops,
         llm_dedup,
         llm_pipeline,

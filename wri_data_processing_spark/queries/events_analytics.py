@@ -427,3 +427,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("cohort_week", "week_n").agg(
         F.count_distinct("user_id").cast("long").alias("active_users")
     )
+
+
+@query(
+    "events_attribution_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id, p.value AS amount
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution: every purchase joined to the same
+    user's clicks in the preceding 30 minutes — the BATCH twin of
+    streaming/pipelines.click_purchase_join, verified against the same
+    semantics the stream-stream test asserts.
+
+    Equi key (user_id) drives a hash join; the time bound is a post-join
+    filter inside the same stage. In streaming the identical condition
+    becomes the state-eviction bound (watermark + interval). One shuffle
+    per side; a user's clicks x purchases fan-out is bounded by per-user
+    activity in any 30-min span, the same property that bounds streaming
+    state.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("user_id", "click_id", "purchase_id", "amount")
+    )

@@ -348,3 +348,37 @@ def scan_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def scan_jsonl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip: documents -> JSONL (overwrite) -> schema'd
+    scan + agg, completing the format matrix (parquet/CSV/ORC/JSON).
+
+    The read supplies an EXPLICIT schema — at 100 TB letting Spark infer
+    JSON schemas means a full extra pass over the data before the real
+    one; with the schema given, the reader is single-pass and column
+    pruning still applies (unread fields are never parsed). The oracle
+    aggregates the parquet original, so a match proves the text round
+    trip is lossless for long/string columns.
+    """
+    path = _scratch_dir("scan_jsonl", sf_dir)
+    d = table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "source", "n_chars").write.mode("overwrite").json(path)
+    schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    return (
+        spark.read.schema(schema).json(path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

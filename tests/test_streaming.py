@@ -181,3 +181,27 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_source, tmp_path)
     # availableNow drains everything; watermarks never pass the final rows'
     # event times, so no pair is dropped: exact set equality.
     assert got == want and len(want) > 0
+
+
+def test_windowed_topk_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """Streaming top-3 types per hour (foreachBatch re-rank) == batch op."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_event_stream,
+        windowed_topk,
+    )
+
+    s = read_event_stream(spark, event_source)
+    windowed_topk(s, spark, "topk_test", str(tmp_path / "ckpt_topk"), k=3)
+    got = {
+        (str(r["window_start"]), r["event_type"], r["n"])
+        for r in spark.sql("SELECT * FROM topk_test").collect()
+    }
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    want = {
+        # Batch op formats the hour bucket as a string; align via str().
+        (str(r["hour_bucket"]), r["event_type"], r["n"])
+        for r in registry.REGISTRY["events_windowed_topk"](spark, sf_dir).collect()
+    }
+    assert len(want) > 0 and got == want

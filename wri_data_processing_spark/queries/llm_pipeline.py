@@ -446,3 +446,62 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "tok", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    )
+    SELECT left_tok, right_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg
+    GROUP BY left_tok, right_tok
+    ORDER BY n_pairs DESC, left_tok, right_tok
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge candidates: the 50 most frequent ADJACENT token
+    pairs across the corpus — exactly the statistic a byte-pair-encoding
+    trainer computes each merge round (vocab_top_terms seeds the vocab;
+    this ranks the merges).
+
+    Adjacency comes from a transform over the token array (pair i with
+    i+1) — an array expression inside the scan stage, NO positional
+    self-join and no window: the per-doc sequence never shuffles, only
+    the (pair -> count) aggregate does, with map-side partial counts.
+    That locality is what makes iterated BPE rounds feasible at corpus
+    scale; the full trainer loops this query, rewriting token arrays
+    after each merge (same plan shape every round).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    idx = F.sequence(F.lit(0), F.size("toks") - 2)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), (i + 1).cast("int")).alias("left_tok"),
+            F.element_at(F.col("toks"), (i + 2).cast("int")).alias("right_tok"),
+        ),
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.left_tok", "p.right_tok"
+    )
+    return (
+        bg.groupBy("left_tok", "right_tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "left_tok", "right_tok")
+        .limit(50)
+    )

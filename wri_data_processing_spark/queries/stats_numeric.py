@@ -259,3 +259,56 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         one.select(F.explode(profiles).alias("p")).select("p.*").orderBy("col")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med_value
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value,
+             ABS(e.value - m.med_value) AS abs_dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(abs_dev) AS mad_value
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.abs_dev > 8.0 * m.mad_value
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value - median| > 8 * MAD per event type
+    — the median-absolute-deviation rule that, unlike the z-score variant
+    (events_zscore_outliers), is not itself dragged by the outliers it
+    hunts.
+
+    Medians are exact interpolated percentiles (sort-then-pick, NO float
+    summation — order-independent, so bit-identical across engines and
+    partitionings, same argument as the pandas UDAF median). Both the
+    per-type medians and MADs are |types|-row tables that broadcast back
+    onto the scan; the events table is read twice (median needs a full
+    pass before deviations exist — the two-pass structure is inherent).
+    At 100 TB pass one degrades gracefully to approx_percentile(0.5)
+    with documented error, same plan shape.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_value")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("abs_dev") > 8.0 * F.col("mad_value"))
+        .select("event_id", "event_type", "value")
+    )

@@ -250,3 +250,62 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     return c.join(p, cond).select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id", "amount"
     )
+
+
+def windowed_topk(
+    events: DataFrame,
+    spark: SparkSession,
+    sink_table: str,
+    checkpoint: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> None:
+    """Streaming windowed top-k: the k most frequent event types per hour
+    window, maintained via foreachBatch (batch twin:
+    queries/events_analytics.events_windowed_topk).
+
+    Rank is NOT a streaming-supported operator (it needs the whole window's
+    counts), so the idiomatic decomposition is: Spark maintains the
+    incremental windowed COUNTS (update-mode state store, watermark-bounded),
+    and foreachBatch re-ranks the UPDATED windows against the sink's
+    current state each micro-batch. The sink holds one row per (window,
+    type) with the latest count; the top-k view is a rank over that tiny
+    table. This 'aggregate in the stream, finish in the batch epilogue'
+    split is the standard recipe for any not-incrementalizable epilogue
+    (rank, percentile, argmax) at 100 TB stream rates.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    state: dict[tuple, int] = {}
+
+    def upsert_and_rank(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # updated (window, type) rows only — tiny
+            state[(r["window_start"], r["event_type"])] = r["n"]
+        rows = [
+            {"window_start": ws, "event_type": et, "n": n}
+            for (ws, et), n in state.items()
+        ]
+        full = spark.createDataFrame(rows)
+        w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+        (
+            full.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("window_start", "event_type", "n")
+            .createOrReplaceTempView(sink_table)
+        )
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_and_rank)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -157,3 +157,73 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     degrees = directed.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     return degrees.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    item_n AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           p.n_pair * 1.0 / na.n_item AS confidence_a_to_b,
+           p.n_pair * 1.0 * o.n / (na.n_item * nb.n_item) AS lift
+    FROM pair_n p
+    JOIN item_n na ON p.part_a = na.l_partkey
+    JOIN item_n nb ON p.part_b = nb.l_partkey
+    CROSS JOIN n_orders o
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: support, confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) — the classic market-basket output,
+    and the redundancy test for near-dup SOURCES in a corpus (lift >> 1
+    between two crawls means they duplicate each other).
+
+    All three measures are ratios of exact integer counts evaluated in
+    single double expressions — no float accumulation, hash-exact. The
+    item-count side broadcasts onto the pair aggregate (vocabulary-sized);
+    the order count arrives as a 1-row broadcast cross join. Same bounded
+    basket^2 cost envelope as basket_pair_counts.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair_n = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            (F.col("n_pair") * 1.0 / F.col("n_a")).alias("confidence_a_to_b"),
+            (F.col("n_pair") * 1.0 * F.col("n") / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )

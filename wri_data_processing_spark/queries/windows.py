@@ -127,3 +127,41 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value)  OVER w AS last_val,
+           NTH_VALUE(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-edge analytics: each user's first, last, and second event
+    value alongside every row (the session-bookends lookup).
+
+    The frame is explicitly UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING:
+    LAST_VALUE over the DEFAULT frame (..CURRENT ROW) is the
+    row's own value — the classic window-function trap on both engines;
+    pinning the full frame makes all three deterministic given the
+    (ts, event_id) total order. One shuffle + one sort, shared by all
+    three functions.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )

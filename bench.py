@@ -54,18 +54,23 @@ def main() -> None:
     # Warmup: codegen + file listing caches.
     registry.REGISTRY["q1_pricing_summary"](spark, sf_dir).count()
 
-    # Steady-state timing: each query runs twice, min is reported — the first
-    # run pays one-off whole-stage-codegen compilation (~0.5-1.5 s for wide
-    # plans), which on a long-lived cluster is amortized to nothing.
+    # Steady-state timing: min over repeated runs — the first run pays
+    # one-off whole-stage-codegen compilation (~0.5-1.5 s for wide plans),
+    # amortized to nothing on a long-lived cluster. If the two runs disagree
+    # by >25% (noisy-neighbor CPU contention), a third run tightens the min.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.REGISTRY[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) > 0 and max(runs) / min(runs) > 1.25:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -505,3 +505,58 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "left_tok", "right_tok")
         .limit(50)
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST((i - 1) / 64 AS BIGINT) AS chunk_id,
+             toks[i:i+127] AS chunk_toks
+      FROM t, unnest(generate_series(1, len(toks), 64)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(chunk_toks) AS INTEGER) AS n_tokens,
+           array_to_string(chunk_toks, ' ') AS chunk_text
+    FROM c
+    WHERE len(chunk_toks) >= 16
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 128-token chunks, stride 64 (50%
+    overlap), runts under 16 tokens dropped — the op that turns a corpus
+    into fixed-context training samples.
+
+    Pure array expressions (sequence of starts -> transform+slice ->
+    explode): the 1->N expansion happens INSIDE the scan stage with no
+    shuffle at all — chunking 100 TB is embarrassingly parallel and this
+    plan keeps it that way (the only exchange is whatever the consumer
+    adds). Chunk text is reassembled with a single array_join; chunk_id
+    is derived from the start offset, so output is deterministic without
+    any window function.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(64))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / 64).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), i.cast("int"), 128).alias("chunk_toks"),
+        ),
+    )
+    c = t.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_toks"
+    )
+    return c.filter(F.size("chunk_toks") >= 16).select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )

@@ -449,3 +449,55 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     ).drop("h")
+
+
+@query(
+    "dedup_report_by_source",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    flagged AS (
+      SELECT doc_a AS doc_id FROM jac
+      UNION
+      SELECT doc_b FROM jac
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE f.doc_id IS NOT NULL) AS BIGINT)
+             AS n_near_dup,
+           COUNT(*) FILTER (WHERE f.doc_id IS NOT NULL) * 1.0 / COUNT(*)
+             AS near_dup_rate
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source: which shards of the corpus are
+    polluting it — the report that decides where dedup budget goes (and
+    the aggregate view the reference's quarantine split produced for
+    assumption failures, `00b_extract_metadata_all.R:163-177`).
+
+    Reuses the exact Jaccard pair plan (dedup_ngram_jaccard), collapses
+    pairs to a flagged-doc set, and left-joins it back as a boolean per
+    document — conditional counts per source close it out. The flagged
+    set is |near-dup docs| (small); it broadcasts. The rate is a ratio of
+    exact counts in one double division.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(_shingles_hashed(d, 3))
+    flagged = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_near_dup"),
+            (
+                F.sum(F.coalesce("is_dup", F.lit(0))) * 1.0 / F.count(F.lit(1))
+            ).alias("near_dup_rate"),
+        )
+    )

@@ -560,3 +560,51 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk_toks").alias("n_tokens"),
         F.array_join("chunk_toks", " ").alias("chunk_text"),
     )
+
+
+@query(
+    "corpus_diversity_gini",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM c GROUP BY source
+    )
+    SELECT source, total,
+           1.0 - sum_sq * 1.0 / (total * total) AS gini_impurity,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE c.source = tot.source)
+             AS n_langs
+    FROM tot
+    """,
+)
+def corpus_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition diversity: per-source Gini impurity of the
+    language mix (1 - sum p_i^2), plus language count — the balance
+    metric a data-mixture audit reports per shard/source.
+
+    Gini is chosen over Shannon entropy DELIBERATELY: entropy needs
+    log(), whose last-ulp behavior differs between libm implementations,
+    while Gini is a ratio of exact integer sums (sum n_i^2 / N^2) — one
+    double division, hash-exact on both engines, same diversity ordering.
+    Two tiny aggregates over one scan; everything after the first groupBy
+    is |sources| x |langs| rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return tot.select(
+        "source",
+        "total",
+        (1.0 - F.col("sum_sq") * 1.0 / (F.col("total") * F.col("total"))).alias(
+            "gini_impurity"
+        ),
+        "n_langs",
+    )

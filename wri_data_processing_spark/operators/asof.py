@@ -69,3 +69,42 @@ def asof_join(
     for c in carried:
         out = out.withColumn(c, F.col("_carried")[c])
     return out.select(*left_cols, *[c for c in carried if c not in left_cols])
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row per key with right_ts >=
+    left_ts (the "next event after" lookup) — mirror of asof_join with the
+    window reversed: left rows sort BEFORE right rows at equal timestamps
+    (so an exact-timestamp right row matches, ">=" semantics) and
+    ``first(ignorenulls)`` scans CURRENT ROW..UNBOUNDED FOLLOWING.
+    Same single-shuffle, no-blowup cost envelope as the backward join.
+    """
+    carried = [c for c in dict.fromkeys([*value_cols, right_ts])]
+    left_cols = [c for c in left.columns]
+
+    l_tagged = left.withColumn("_ats", F.col(left_ts)).withColumn("_is_right", F.lit(0))
+    for c in carried:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.withColumn("_ats", F.col(right_ts)).withColumn("_is_right", F.lit(1))
+    for c in left_cols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    r_tagged = r_tagged.select(*l_tagged.columns)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats"), F.col("_is_right"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for c in carried:
+        unioned = unioned.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_is_right") == 0).drop("_ats", "_is_right")

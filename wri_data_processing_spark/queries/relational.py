@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import register_views, table
-from wri_data_processing_spark.operators.asof import asof_join
+from wri_data_processing_spark.operators.asof import asof_join, asof_join_forward
 from wri_data_processing_spark.registry import query
 
 # --- filters / projections -------------------------------------------------
@@ -596,4 +596,52 @@ def materialized_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("dec_bal").cast("double").alias("total_bal"),
         (F.col("dec_bal").cast("double") / F.col("grand_total")).alias("share"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o1.o_orderkey AS next_orderkey,
+           strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_orderdate
+    FROM events e
+    ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's NEXT order on
+    or after the event time ("time to next conversion" lookups).
+
+    Same union + window machinery as join_asof but scanning forward
+    (operators/asof.py asof_join_forward) — one shuffle per side, linear
+    window, no range-join blowup. Orders pre-deduped to one row per
+    (custkey, orderdate), max orderkey, because ASOF picks an arbitrary
+    row among equal timestamps — determinism must come from the input.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    joined = asof_join_forward(
+        left=e.select("event_id", "user_id", "ts"),
+        right=o1.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("rts"),
+            "o_orderkey",
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["o_orderkey", "rts"],
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("next_orderdate"),
     )

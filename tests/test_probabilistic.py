@@ -58,3 +58,22 @@ def test_ann_lsh_overlaps_exact_topk(spark, sf_dir):
     # Euclidean-bucketed candidates re-ranked by cosine: expect most of the
     # exact top-10 to appear.
     assert len(exact & approx) >= len(exact) // 2, (exact, approx)
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """KPS freqItems must return EVERY value whose true frequency exceeds
+    the support threshold (false negatives are a contract violation;
+    false positives are allowed by the algorithm)."""
+    from wri_data_processing_spark.catalog import table
+
+    got = set(
+        registry.REGISTRY["agg_freq_items"](spark, sf_dir).first()["heavy_hitters"]
+    )
+    e = table(spark, sf_dir, "events")
+    total = e.count()
+    exact = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] / total > 0.1
+    }
+    assert exact and exact.issubset(got)

@@ -408,3 +408,24 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
         F.row_number().over(w_ord).cast("long").alias("rnk"),
     )
+
+
+@query("agg_freq_items")  # rows-only: approximate algorithm, superset guarantee
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters: event types exceeding ~10% frequency via
+    DataFrame.stat.freqItems (Karp-Papadimitriou-Shenker streaming
+    counters) — the sketch-side answer to "what dominates this column"
+    that never materializes a full group-by.
+
+    KPS guarantees a SUPERSET: every value above the support threshold is
+    returned (false positives possible, false negatives not) — the
+    semantic test asserts exactly that against exact counts. One pass, no
+    shuffle (per-partition counters merge at the driver as a single tiny
+    array row): the 100 TB profile is a scan at full parallelism plus a
+    KB-sized merge, which is why this runs where an exact top-k groupBy
+    would be a full shuffle.
+    """
+    e = table(spark, sf_dir, "events").select("event_type")
+    return e.stat.freqItems(["event_type"], support=0.1).select(
+        F.array_sort(F.col("event_type_freqItems")).alias("heavy_hitters")
+    )

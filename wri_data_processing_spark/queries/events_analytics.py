@@ -520,3 +520,61 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    )
+    SELECT CAST(latency_us // 300000000 AS BIGINT) AS bucket_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+    FROM pairs GROUP BY 1
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: click->purchase delays from the
+    attribution join, bucketed into 5-minute bins with per-bin extremes —
+    the funnel-timing histogram product analytics plots.
+
+    Latency is integer microseconds end to end (unix_micros difference,
+    integer floor-div binning) — no float time math anywhere, so bin
+    edges are exact on both engines. Builds on the same bounded
+    user-blocked interval join as events_attribution_join; the histogram
+    is a 6-row aggregate on top.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select((F.col("purchase_us") - F.col("click_us")).alias("latency_us"))
+    return (
+        pairs.groupBy(F.expr("latency_us div 300000000").alias("bucket_5min"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.min("latency_us").alias("min_latency_us"),
+            F.max("latency_us").alias("max_latency_us"),
+        )
+    )

@@ -429,3 +429,48 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.stat.freqItems(["event_type"], support=0.1).select(
         F.array_sort(F.col("event_type_freqItems")).alias("heavy_hitters")
     )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT yr,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           n_orders,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(LAG(rev_dec) OVER (ORDER BY yr) AS DOUBLE) - 1.0
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly exact-decimal totals with a
+    lag ratio — the canonical reporting query for any time-grain trend.
+
+    The growth ratio divides the two exact decimal totals AFTER casting
+    each to double (one division on identical operands per engine). The
+    window runs over |years| rows — a single-partition sort of a handful
+    of rows is fine precisely because the heavy reduction already
+    happened; this is the shape where a global window is NOT a scale bug.
+    """
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        (
+            F.col("rev_dec").cast("double") / F.lag("rev_dec").over(w).cast("double")
+            - 1.0
+        ).alias("yoy_growth"),
+    )

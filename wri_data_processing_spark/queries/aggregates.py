@@ -474,3 +474,137 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1.0
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority, top_orderkey, top_price FROM (
+      SELECT o_orderpriority,
+             o_orderkey AS top_orderkey,
+             o_totalprice AS top_price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via max_by over a composite ordering struct.
+
+    ``max_by(key, struct(value, key))`` makes the comparator injective, so
+    ties on value resolve deterministically (highest key wins) — plain
+    max_by's tie winner is engine-dependent. This stays one hash aggregate
+    (partial+final, shuffle carries one struct per group); the window
+    formulation the oracle uses would shuffle every row. DuckDB's max_by
+    rejects struct comparators, hence the ROW_NUMBER oracle.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "top_orderkey"
+        ),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per region, sorted nation CSV.
+
+    Spark has no ordered string_agg aggregate; the deterministic form is
+    collect_list -> array_sort -> array_join, all JVM-side. collect_list's
+    arrival order is nondeterministic under parallelism, so the sort is
+    NOT optional — any LISTAGG without an explicit order is a flaky query.
+    The dimension join is broadcast (region is 5 rows).
+    """
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             bit_or(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      WHEN 'view' THEN 16 ELSE 0 END) AS profile
+      FROM events GROUP BY user_id
+    )
+    SELECT profile, bit_count(CAST(profile AS BIGINT)) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY profile
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation: per-user behavior profile as a bitmask.
+
+    Each event type maps to one bit; bit_or folds a user's whole history
+    into one int64 (the cheapest possible "which-types-did-X-ever-do"
+    representation — a set under union becomes a CPU OR). The outer
+    rollup histograms the profiles; popcount recovers the type count
+    without re-touching the events. Two hash aggregations, both with
+    map-side partials; the second input is one row per user.
+    """
+    e = table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(0)
+    )
+    per_user = (
+        e.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(flag)").alias("profile"))
+    )
+    return per_user.groupBy("profile").agg(
+        F.bit_count(F.col("profile").cast("long")).alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over different columns in one pass.
+
+    Catalyst plans this with an Expand operator: each input row is
+    replicated once per distinct-aggregate branch with a gid, then a
+    two-level aggregation dedups and counts. One query, one shuffle
+    (of the expanded rows) — versus three self-joined single-distinct
+    queries. At 100 TB the expansion factor (3x here) is the cost to
+    watch; approx_count_distinct collapses it back to one HLL pass when
+    exactness is negotiable (see agg_approx_distinct).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

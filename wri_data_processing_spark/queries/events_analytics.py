@@ -578,3 +578,168 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("latency_us").alias("max_latency_us"),
         )
     )
+
+
+@query(
+    "events_gaps_islands",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             datediff('day', DATE '1970-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days),
+    runs AS (
+      SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, g)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MAX(len) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks.
+
+    The classic trick — day_number minus row_number is constant within a
+    run of consecutive days — turns streak detection into a plain groupBy,
+    with no self-join and no iterative pass. All arithmetic is integer
+    (days since epoch), so the island ids are bit-identical across
+    engines. Scale shape: one distinct (user, day) aggregate, one
+    per-user window (partition-local sort after the shuffle), two hash
+    aggregates — everything partitions by user_id, nothing global.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "g",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    runs = isl.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"), F.max("len").alias("longest_streak")
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_pairs,
+           CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM cnt
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    lead() pairs each event with its successor inside the user's timeline
+    (unique tiebreaker event_id — determinism rule); the bigram counts
+    then normalize into row-stochastic probabilities. The probability is
+    a single division of two exact integer counts, done identically in
+    both engines — no floating accumulation anywhere. The final window
+    runs over the |types|^2 matrix (tiny); the heavy lifting is the
+    per-user sequence window, which shuffles once on user_id.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    wt = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(wt).cast("double")
+        ).alias("prob"),
+    )
+
+
+@query(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 300 AS en
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, s, en,
+             MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv),
+    flagged AS (
+      SELECT user_id, event_id, s, en,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+               AS new_isl
+      FROM m),
+    isl AS (
+      SELECT user_id, s, en,
+             SUM(new_isl) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isl_id
+      FROM flagged),
+    per AS (
+      SELECT user_id, isl_id, MIN(s) AS s0, MAX(en) AS e1
+      FROM isl GROUP BY user_id, isl_id)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_active_windows,
+           CAST(SUM(e1 - s0) AS BIGINT) AS covered_sec
+    FROM per GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals: per-user total covered wall-clock.
+
+    Each event opens a 5-minute activity interval; overlapping intervals
+    merge via the prefix-max sweep (an interval starts a new island iff
+    its start exceeds the running max end of everything before it).
+    Integer epoch-seconds everywhere — timestamp casts floor identically
+    in both engines for positive epochs. Same single-shuffle shape as
+    the other sequence ops: everything is partitioned by user_id; the
+    sweep is a partition-local sorted pass, which is exactly how the
+    textbook O(n log n) merge runs single-node.
+    """
+    e = table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    iv = e.select(
+        "user_id", "event_id", sec.alias("s"), (sec + 300).alias("en")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    # The island SUM must run over the SAME unique (s, event_id) order as
+    # the flag window: within an equal-s tie run only the first row can
+    # carry flag=1, and a different tie order would hand the earlier tied
+    # rows to the previous island, double-counting the overlap.
+    isl = flagged.withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = isl.groupBy("user_id", "isl_id").agg(
+        F.min("s").alias("s0"), F.max("en").alias("e1")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_windows"),
+        F.sum(F.col("e1") - F.col("s0")).cast("long").alias("covered_sec"),
+    )

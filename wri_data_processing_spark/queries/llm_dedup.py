@@ -501,3 +501,62 @@ def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_rate"),
         )
     )
+
+
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / s1.n, 4) AS cont_a_in_b,
+           ROUND(n_common * 1.0 / s2.n, 4) AS cont_b_in_a
+    FROM pairs
+    JOIN sizes s1 ON doc_a = s1.doc_id
+    JOIN sizes s2 ON doc_b = s2.doc_id
+    WHERE greatest(n_common * 1.0 / s1.n, n_common * 1.0 / s2.n)
+            >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup: catches SUBSET duplication.
+
+    Jaccard misses the case where a short document is wholly embedded in
+    a much longer one (|A∩B|/|A∪B| stays small when |B| >> |A|);
+    containment |A∩B|/|A| is the standard asymmetric fix for
+    quote/excerpt/concatenation dedup in training-data pipelines. Same
+    single-shuffle posting-list plan as dedup_ngram_jaccard (packed
+    (doc_id, size) int64s, document-frequency cap as the scale guard);
+    only the final ratio differs — both directions come from one pair
+    row for free. Ratios are exact-int divisions, bit-stable.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = _shingles_hashed(d, 3)
+    pk = F.col("doc_id") * _PACK + F.col("n")
+    g = (
+        sh.select(pk.alias("pk"), "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list("pk").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_DF))
+    )
+    pairs = (
+        g.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    n_a, n_b = F.col("a") % _PACK, F.col("b") % _PACK
+    cab = F.col("n_common") / n_a
+    cba = F.col("n_common") / n_b
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.greatest(cab, cba) >= _CONTAINMENT_THRESHOLD)
+        .select(
+            F.floor(F.col("a") / _PACK).cast("long").alias("doc_a"),
+            F.floor(F.col("b") / _PACK).cast("long").alias("doc_b"),
+            F.round(cab, 4).alias("cont_a_in_b"),
+            F.round(cba, 4).alias("cont_b_in_a"),
+        )
+    )

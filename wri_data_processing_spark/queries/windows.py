@@ -165,3 +165,33 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank and cume_dist per group.
+
+    Both are rank arithmetic — (rank-1)/(n-1) and peers<=x / n — i.e. one
+    division of two exact integers, so the doubles are bit-identical
+    across engines even when the ordering key ties (tied rows share the
+    same rank, so the VALUE is deterministic even though row order is
+    not). One shuffle on the partition key, partition-local sort.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -77,3 +77,15 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
         if r["count"] / total > 0.1
     }
     assert exact and exact.issubset(got)
+
+
+def test_hll_mergeable_accuracy(spark, sf_dir):
+    """Merging daily HLL partials must estimate the all-time distinct
+    within the sketch's error envelope (lgK=12 => ~1.6% std error; allow
+    5 sigma-ish headroom at small cardinalities)."""
+    rows = registry.REGISTRY["agg_hll_mergeable"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] > 0
+        rel_err = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err < 0.08, (r["event_type"], r["est_users"], r["exact_users"])

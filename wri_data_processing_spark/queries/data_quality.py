@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -184,4 +184,52 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(li, li_rules)
         .unionByName(audit(orders, o_rules))
         .unionByName(audit(cust, c_rules))
+    )
+
+
+@query(
+    "dq_day_over_day_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    delta AS (
+      SELECT event_type, d, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
+      FROM daily)
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n, prev_n,
+           CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct_change,
+           ABS(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)) > 0.5
+             AS anomaly
+    FROM delta WHERE prev_n IS NOT NULL
+    """,
+)
+def dq_day_over_day_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: day-over-day count swings per event type.
+
+    The standard pipeline health check — ingestion volume that halves or
+    doubles overnight is the first symptom of an upstream break. The
+    change ratio is one division of two exact daily counts; the 50%
+    alert threshold compares that double against a literal, so the
+    boolean is engine-stable. The window partitions by event_type over
+    |days| rows per type — everything reduces before anything sorts.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    delta = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    pct = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n").cast(
+        "double"
+    )
+    return delta.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        "prev_n",
+        pct.alias("pct_change"),
+        (F.abs(pct) > 0.5).alias("anomaly"),
     )

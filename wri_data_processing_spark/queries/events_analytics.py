@@ -743,3 +743,55 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_active_windows"),
         F.sum(F.col("e1") - F.col("s0")).cast("long").alias("covered_sec"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             LEAD(epoch_us(ts) // 1000000) OVER w
+               - epoch_us(ts) // 1000000 AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) AS twa_value,
+           CAST(SUM(dt) AS BIGINT) AS total_sec
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average: each reading holds until the next one.
+
+    The TSDB staple (billing meters, gauge rollups): weight each value by
+    its holding duration instead of counting readings equally. Weights
+    are integer seconds (lead over the unique (ts, event_id) order) and
+    values ride as DECIMAL(18,6), so the weighted sum is exact — one
+    double division at the very end, identical in both engines. Shape:
+    one shuffle on user_id shared by the window and the aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(sec).over(w) - sec).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("dt")).alias("num"),
+            F.sum("dt").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "twa_value"
+            ),
+            F.col("den").cast("long").alias("total_sec"),
+        )
+    )

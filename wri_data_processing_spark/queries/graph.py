@@ -112,3 +112,61 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rq").alias("rank_q"),
         (F.col("rq") / F.lit(float(_Q30))).alias("rank"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                           JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (clustering structure).
+
+    Edges: part pairs co-ordered >= 2 times (the support threshold is the
+    scale guard — it prunes the quadratic pair tail before any graph
+    work). Triangles via the canonical oriented two-path join: edges are
+    stored once with pa < pb, so each triangle a<b<c is found exactly
+    once as (a,b)+(b,c) closed by (a,c) — no /6 correction, no duplicate
+    candidates. Two joins on the edge list; at 100 TB the standard
+    refinement is degree-ordering the orientation so high-degree hubs
+    generate few open wedges.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    # The edge list feeds FOUR plan branches (two wedge sides, the closing
+    # join, and the edge count); materialize it once — it is the post-
+    # threshold survivor set (tiny by construction), and without this the
+    # distinct+self-join lineage re-executes per branch (AQE breaks
+    # ReusedExchange on self-joins — measured on the jaccard plan).
+    e = e.localCheckpoint()
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, "y")
+    closed = wedges.join(
+        e.select(F.col("pa").alias("x"), F.col("pb").alias("z")), ["x", "z"]
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)

@@ -645,3 +645,70 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("next_orderdate"),
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer, in SQL.
+
+    Spark 4 supports LATERAL natively; Catalyst decorrelates the
+    correlated limit into a window-rank over a single join — the same
+    physical plan the DataFrame row_number() spelling produces, which is
+    the point: the SQL surface and the DataFrame surface meet at the
+    logical plan. Unique tiebreaker (o_orderkey) in the ORDER BY keeps
+    the top-2 deterministic under price ties.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "cte_recursive_chain",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT user_id AS u, user_id AS cur, 0 AS depth
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT u, cur // 2, depth + 1 FROM chain WHERE cur > 1)
+    SELECT u AS user_id, MAX(depth) AS chain_len FROM chain GROUP BY u
+    """,
+)
+def cte_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE: iterative hierarchy walk entirely inside the engine.
+
+    The demo hierarchy is synthetic (parent(u) = u div 2 — a binary-heap
+    org chart over the observed user ids) but the shape is the real
+    capability: BOM explosion, management chains, graph reachability.
+    Spark 4.1 executes WITH RECURSIVE as an iterative union driven by the
+    engine (each step is a distributed join/filter, no driver-side loop);
+    depth here is bounded by log2(max user_id). The only dialect delta vs
+    the oracle is integer division spelling (DIV vs //).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT user_id AS u, user_id AS cur, 0 AS depth
+          FROM (SELECT DISTINCT user_id FROM events)
+          UNION ALL
+          SELECT u, cur DIV 2, depth + 1 FROM chain WHERE cur > 1)
+        SELECT u AS user_id, MAX(depth) AS chain_len FROM chain GROUP BY u
+        """
+    )

@@ -332,3 +332,31 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@query("agg_hll_mergeable")  # rows-only: sketch estimates are engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: the 100 TB rollup pattern.
+
+    Exact COUNT(DISTINCT) can't be pre-aggregated — yesterday's count
+    plus today's count double-counts returning users. Datasketches HLL
+    CAN: build one sketch per (event_type, day) partial (the shape you'd
+    persist in a daily rollup table), then hll_union_agg merges partials
+    into the all-time estimate without touching raw events again. The
+    result carries the exact distinct alongside the estimate so the
+    semantic test can bound the error (HLL lgK=12 => ~1.6% std error);
+    the sketch bytes themselves are engine-specific, hence rows-only.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "est_users", "exact_users"
+    )

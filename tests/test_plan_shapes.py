@@ -142,3 +142,12 @@ def test_materialized_reuse_hits_cache(spark, sf_dir):
     InMemoryTableScan, not recompute the customer scan."""
     plan = _plan(spark, sf_dir, "materialized_reuse")
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir):
+    from wri_data_processing_spark import registry
+
+    row = registry.REGISTRY["maintenance_compaction"](spark, sf_dir).first()
+    assert row["rows_preserved"]
+    assert row["n_files_after"] < row["n_files_before"]
+    assert row["n_files_before"] == 64

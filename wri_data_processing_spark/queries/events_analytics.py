@@ -795,3 +795,46 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("den").cast("long").alias("total_sec"),
         )
     )
+
+
+@query(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    nu AS (
+      SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY d0),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           COALESCE(nu.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+             ORDER BY days.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM days LEFT JOIN nu ON days.d = nu.d
+    """,
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the first-seen rewrite.
+
+    COUNT(DISTINCT) OVER a growing window is unsupported (and inherently
+    non-mergeable); the standard rewrite is exact and cheap: a user joins
+    the running total exactly once, on their FIRST day, so cumulative
+    distinct = prefix sum of first-seen counts. Two hash aggregates and
+    a prefix sum over |days| rows; the raw table is touched once. The
+    zero-fill left join keeps quiet days visible so the running total is
+    defined every day.
+    """
+    e = table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    nu = fs.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    filled = days.join(nu, "d", "left").select(
+        "d", F.coalesce("new_users", F.lit(0).cast("long")).alias("new_users")
+    )
+    return filled.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

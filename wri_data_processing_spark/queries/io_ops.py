@@ -382,3 +382,39 @@ def scan_jsonl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query("maintenance_compaction")  # rows-only: file-system side effects, no SQL twin
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the table-maintenance pass every warehouse runs.
+
+    Streaming ingest and over-parallel writes leave thousands of tiny
+    files; scans then pay per-file open cost and lose footer-statistics
+    value. This op materializes the pathological layout (64 shards of one
+    small table), sizes the compacted layout from ACTUAL on-disk bytes
+    (target 32 MB per file, the small-table end of the usual 128 MB-1 GB
+    band), rewrites with a single round-robin repartition, and reports
+    before/after file counts plus a row-preservation flag. At 100 TB this
+    exact plan runs per-partition (compact yesterday's partition, swap it
+    in atomically) — the full-table rewrite here is the unit shape.
+    """
+    src = _scratch_dir("compaction_src", sf_dir)
+    dst = _scratch_dir("compaction_dst", sf_dir)
+    e = table(spark, sf_dir, "events")
+    e.repartition(64).write.mode("overwrite").parquet(src)
+
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    total_bytes = sum(os.path.getsize(os.path.join(src, f)) for f in files)
+    target = max(1, -(-total_bytes // (32 * 1024 * 1024)))  # ceil-div
+
+    small = spark.read.parquet(src)
+    small.repartition(target).write.mode("overwrite").parquet(dst)
+
+    out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    n_before, n_after = len(files), len(out_files)
+    rows_src = spark.read.parquet(src).count()
+    rows_dst = spark.read.parquet(dst).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, rows_dst, rows_src == rows_dst)],
+        "n_files_before int, n_files_after int, n_rows long, rows_preserved boolean",
+    )

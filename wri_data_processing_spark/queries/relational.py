@@ -712,3 +712,41 @@ def cte_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS user_id, MAX(depth) AS chain_len FROM chain GROUP BY u
         """
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    st AS (SELECT DISTINCT o_orderstatus FROM orders),
+    grid AS (SELECT o_orderpriority, o_orderstatus FROM pr CROSS JOIN st),
+    cnt AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT g.o_orderpriority, g.o_orderstatus, COALESCE(cnt.n, 0) AS n_orders
+    FROM grid g LEFT JOIN cnt USING (o_orderpriority, o_orderstatus)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join as a dense-grid builder: every (priority, status) cell,
+    observed or not, with zero-filled counts.
+
+    The legitimate cross-join use case — reports and ML feature tensors
+    need ABSENT combinations as explicit zeros, and an inner aggregate
+    can't produce rows it never saw. Both sides are post-distinct
+    aggregates (a handful of rows), so the Cartesian product is trivially
+    broadcast; the guard that matters at 100 TB is that the cross join
+    happens AFTER the reduction, never on raw tables.
+    """
+    o = table(spark, sf_dir, "orders")
+    pr = o.select("o_orderpriority").distinct()
+    st = o.select("o_orderstatus").distinct()
+    grid = pr.crossJoin(st)
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return grid.join(cnt, ["o_orderpriority", "o_orderstatus"], "left").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_orders"),
+    )

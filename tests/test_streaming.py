@@ -205,3 +205,29 @@ def test_windowed_topk_matches_batch(spark, sf_dir, event_source, tmp_path):
         for r in registry.REGISTRY["events_windowed_topk"](spark, sf_dir).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """Stream-static dimension join == the same join run in batch."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        enriched_with_dimension,
+        read_event_stream,
+        run_available_now,
+    )
+
+    dim = table(spark, sf_dir, "customer")
+    s = read_event_stream(spark, event_source)
+    run_available_now(
+        enriched_with_dimension(s, dim),
+        "sse_test",
+        str(tmp_path / "ckpt_sse"),
+        output_mode="append",
+    )
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM sse_test").collect()
+    }
+    want = {
+        tuple(r)
+        for r in enriched_with_dimension(table(spark, sf_dir, "events"), dim).collect()
+    }
+    assert got == want and len(want) > 0

@@ -838,3 +838,85 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "events_seasonality_dow",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: traffic and value by ISO weekday.
+
+    The first-look seasonality diagnostic. Averages are the exact-decimal
+    sum divided by the exact count — one double division per group, no
+    float accumulation. Seven output rows; purely map-side partials.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy((F.weekday("ts") + 1).alias("iso_dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_value"),
+    )
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT n AS y, LAG(n) OVER (ORDER BY d) AS x FROM daily),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs WHERE x IS NOT NULL)
+    SELECT k AS n_pairs,
+           CAST(k * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(k * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM s
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series, exactly.
+
+    Pearson r over (today, yesterday) pairs with ALL power sums kept as
+    exact 64-bit integers (daily counts are ints, so no decimal cast is
+    even needed); the closed form evaluates once in double. sqrt is
+    IEEE-754 correctly rounded — unlike log/exp it is safe in oracled
+    output. The window is over |days| aggregated rows; the raw table
+    contributes one hash aggregation.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        F.col("n").alias("y"), F.lag("n").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(F.col("k").alias("n_pairs"), (num / den).alias("autocorr_lag1"))

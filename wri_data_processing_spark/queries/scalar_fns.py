@@ -323,3 +323,46 @@ def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc"
         ),
     )
+
+
+@query(
+    "fn_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)::VARCHAR
+             AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_epoch95
+    FROM orders
+    """,
+)
+def fn_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date/time scalar surface in one query: truncation, calendar
+    arithmetic with end-of-month clamping, ISO week/day numbering, and
+    day differencing.
+
+    Everything is integer calendar math under whole-stage codegen — the
+    dialect deltas are spelling only (Spark add_months == DuckDB
+    + INTERVAL, Spark weekday()+1 == DuckDB isodow). Dates are formatted
+    to strings at the boundary so the comparison is representation-exact.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias(
+            "month_start"
+        ),
+        F.add_months(d, 3).cast("string").alias("plus3m"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
+    )

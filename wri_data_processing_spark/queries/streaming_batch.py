@@ -150,3 +150,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", _TS_FMT_SPARK).alias("first_ts"),
         )
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           c_mktsegment AS segment, c_nationkey AS nationkey
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (streaming/pipelines
+    enriched_with_dimension): dimension attributes onto the event stream.
+
+    Identical expression tree in both modes — in streaming the static side
+    is re-resolved per micro-batch and broadcast; here Catalyst broadcasts
+    it outright. The rows-only streaming equality test lives in
+    tests/test_streaming.py; this entry gives the SQL oracle its shot.
+    """
+    from wri_data_processing_spark.streaming.pipelines import enriched_with_dimension
+
+    return enriched_with_dimension(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )

@@ -309,3 +309,24 @@ def windowed_topk(
         .start()
     )
     q.awaitTermination(120)
+
+
+def enriched_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a live event stream.
+
+    The static side is a plain batch DataFrame — Spark re-resolves it per
+    micro-batch (so a refreshed dimension snapshot is picked up on the
+    next trigger) and broadcasts it when small; no watermark and no state
+    store are involved because the static side never grows within a
+    batch. This is THE standard enrichment topology: keep dimensions in
+    the warehouse, join them onto the stream, never copy them into state.
+    """
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return events.join(d, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "segment", "nationkey"
+    )

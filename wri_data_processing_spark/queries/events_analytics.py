@@ -920,3 +920,121 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     ) * F.sqrt((F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     return s.select(F.col("k").alias("n_pairs"), (num / den).alias("autocorr_lag1"))
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1),
+    p AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM a x JOIN a y ON x.user_id = y.user_id
+      WHERE x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+           CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+             AS jaccard
+    FROM p
+    JOIN c ca ON ca.event_type = type_a
+    JOIN c cb ON cb.event_type = type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user sets of
+    every pair of event types.
+
+    The distinct-first rewrite is the scale move: the raw event table never
+    self-joins — it collapses to |users| x |types| (bounded by 5x users
+    here) in one hash aggregate, and only that reduced audience table joins
+    itself on user_id. Both sides of the pair join share the same shuffle
+    partitioning on user_id, and the per-type totals are a tiny broadcast.
+    Jaccard is a double ratio of exact counts. Reference analog: the
+    domain x dimension co-occurrence summaries of scripts/02b_make_stac_all
+    .R:299-304, generalized to set similarity.
+    """
+    e = table(spark, sf_dir, "events")
+    a = e.select("event_type", "user_id").distinct()
+    c = a.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x = a.select(F.col("event_type").alias("type_a"), "user_id")
+    y = a.select(F.col("event_type").alias("type_b"), "user_id")
+    p = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT a.d, b.n,
+             CAST(1 << (7 - datediff('day', b.d, a.d)) AS BIGINT) AS w
+      FROM daily a JOIN daily b
+        ON b.d BETWEEN a.d - INTERVAL 7 DAY AND a.d)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(w * n) AS BIGINT) AS wsum,
+           CAST(SUM(w) AS BIGINT) AS wtot,
+           CAST(SUM(w * n) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma
+    FROM pairs GROUP BY d
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily traffic, exactly.
+
+    The classic EWMA recurrence is float-order-sensitive; this is the
+    bounded-window closed form with alpha = 1/2, so every weight is a power
+    of two (shiftleft, exact int64) and the whole accumulation is integer —
+    one IEEE division per output row at the end. The range self-join runs on
+    the |days|-row aggregate, never the raw table, and at any scale the
+    daily rollup is the only wide shuffle (the 8-day band join broadcasts).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = daily.select(F.col("d"))
+    b = daily.select(F.col("d").alias("bd"), "n")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("bd") <= F.col("d")) & (F.col("bd") >= F.date_sub(F.col("d"), 7)),
+    ).select(
+        "d",
+        "n",
+        F.expr("CAST(shiftleft(1, 7 - datediff(d, bd)) AS BIGINT)").alias("w"),
+    )
+    return pairs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("wsum"),
+        F.sum("w").cast("long").alias("wtot"),
+        (
+            F.sum(F.col("w") * F.col("n")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("ewma"),
+    ).select(
+        F.col("d").cast("string").alias("day"), "n_days", "wsum", "wtot", "ewma"
+    )

@@ -560,3 +560,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cba, 4).alias("cont_b_in_a"),
         )
     )
+
+
+@query(
+    "dedup_ngram_crossdoc",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS sh
+          FROM t WHERE len(toks) >= 5),
+    df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS shared_frac,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) > 0.5 AS flagged
+    FROM g JOIN df ON g.sh = df.sh
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_ngram_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style duplicated-ngram fraction: per document, the share
+    of its distinct 5-gram shingles that also appear in ANOTHER document
+    (document frequency > 1); docs past 50% are near-dup/boilerplate flags.
+
+    Corpus-level dedup signal without any pairwise join: shingles explode
+    once, document frequency is one map-side-combined aggregation on the
+    shingle key, and the join back to per-doc rows reuses the same hash
+    partitioning on sh, so Catalyst plans agg + join over a single
+    exchange. At 100 TB the string shingle becomes xxhash64 (the
+    _shingles_hashed fast path) and a document-frequency cap drops
+    stop-shingles before the join — same guards dedup_ngram_jaccard ships.
+    The oracle keeps plain strings so DuckDB can replay it verbatim.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = 5
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+        )
+    )
+    g = base.select("doc_id", F.explode_outer(sh).alias("sh"))
+    df_tbl = g.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    shared = F.sum((F.col("df") > 1).cast("int")).cast("long")
+    total = F.count(F.lit(1)).cast("long")
+    return (
+        g.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            total.alias("n_shingles"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / total.cast("double")).alias("shared_frac"),
+            (shared.cast("double") / total.cast("double") > 0.5).alias("flagged"),
+        )
+    )

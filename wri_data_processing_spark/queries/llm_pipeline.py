@@ -608,3 +608,73 @@ def corpus_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_langs",
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    s AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(tok)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(COUNT(DISTINCT CASE WHEN tok IN
+               ('the','a','of','to','and','in') THEN tok END) AS BIGINT)
+               AS n_stop
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id, n_tokens, sum_len, n_alpha, n_stop,
+           n_tokens BETWEEN 10 AND 100000 AS rule_len,
+           sum_len BETWEEN 3 * n_tokens AND 10 * n_tokens AS rule_wordlen,
+           5 * n_alpha >= 4 * n_tokens AS rule_alpha,
+           n_stop >= 2 AS rule_stop,
+           (n_tokens BETWEEN 10 AND 100000)
+             AND (sum_len BETWEEN 3 * n_tokens AND 10 * n_tokens)
+             AND (5 * n_alpha >= 4 * n_tokens)
+             AND (n_stop >= 2) AS passes
+    FROM s
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality ruleset: length bounds, mean word
+    length in [3,10], >= 80% alphabetic tokens, >= 2 distinct stopwords.
+
+    Every rule is an integer inequality (mean word length as the
+    cross-multiplied 3n <= sum_len <= 10n, the alpha ratio as 5*n_alpha >=
+    4*n) — no float appears anywhere, so the gate is bit-deterministic and
+    cheap: one explode, one map-side-combined aggregation, zero joins.
+    Complements text_repetition (token-concentration rules) to complete the
+    Gopher filter family over the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(d)
+    s = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.length("tok")).cast("long").alias("sum_len"),
+        F.sum(F.col("tok").rlike("^[a-z]+$").cast("int")).cast("long").alias("n_alpha"),
+        F.count_distinct(
+            F.when(
+                F.col("tok").isin("the", "a", "of", "to", "and", "in"), F.col("tok")
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    n, sl, na, ns = (F.col(c) for c in ("n_tokens", "sum_len", "n_alpha", "n_stop"))
+    rule_len = n.between(10, 100000)
+    rule_wordlen = sl.between(3 * n, 10 * n)
+    rule_alpha = 5 * na >= 4 * n
+    rule_stop = ns >= 2
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "sum_len",
+        "n_alpha",
+        "n_stop",
+        rule_len.alias("rule_len"),
+        rule_wordlen.alias("rule_wordlen"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stop.alias("rule_stop"),
+        (rule_len & rule_wordlen & rule_alpha & rule_stop).alias("passes"),
+    )

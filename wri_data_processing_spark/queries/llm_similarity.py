@@ -157,3 +157,97 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("vec_a", "vec_b", "cosine_sim")
     )
+
+
+@query(
+    "embed_kmeans_assign",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    comp AS (
+      SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q, unnest(generate_series(1, len(qv))) u(i)
+      GROUP BY 1, 2),
+    cvec AS (
+      SELECT label AS clabel,
+             list(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM comp GROUP BY 1),
+    dist AS (
+      SELECT vec_id, label, clabel,
+             CAST(SUM((qv[u.i] - cv[u.i]) * (qv[u.i] - cv[u.i])) AS BIGINT)
+               AS d2
+      FROM q, cvec, unnest(generate_series(1, len(qv))) u(i)
+      GROUP BY 1, 2, 3),
+    r AS (
+      SELECT vec_id, label, clabel, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM dist)
+    SELECT vec_id, label AS true_label, clabel AS assigned, d2 AS dist2,
+           clabel = label AS matches
+    FROM r WHERE rn = 1
+    """,
+)
+def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step: nearest label-centroid per vector, in
+    exact fixed-point arithmetic (the iterative-clustering building block;
+    embed_label_centroid is the matching update step).
+
+    Components quantize to floor(x * 2^20) int64, centroids are the
+    floor'd integer mean (one correctly-rounded double division per
+    component — both engines agree bit-for-bit because |sum| << 2^53), and
+    squared distance accumulates as int64 (dim 64 x (2^21)^2 ~ 2^48).
+    Argmin ties break on the smaller label via min(struct(d2, label)).
+
+    Scale shape: the centroid table is k x dim (tiny) -> built per
+    component with one map-side-combined aggregation, collected into k
+    array rows, and BROADCAST against the full vector table; distance is a
+    single in-row zip_with/aggregate — no explode of the big side, no
+    shuffle after the broadcast, plan is scan -> project -> broadcast
+    nested loop (k rows) -> partial argmin. At 100 TB this is exactly the
+    IVF coarse-assignment pass of sim_ann_ivf.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long")
+    )
+    q = e.select("vec_id", "label", qcol.alias("qv"))
+    comp = (
+        q.select("label", F.posexplode("qv").alias("i", "qc"))
+        .groupBy("label", "i")
+        .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cq = F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long")
+    cvec = (
+        comp.select(F.col("label").alias("clabel"), "i", cq.alias("cq"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cq"))), lambda s: s["cq"]
+            ).alias("cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = q.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    best = (
+        dist.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d2", "clabel")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("m.clabel").alias("assigned"),
+            F.col("m.d2").alias("dist2"),
+            (F.col("m.clabel") == F.col("label")).alias("matches"),
+        )
+    )
+    return best

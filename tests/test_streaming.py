@@ -231,3 +231,52 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_source, tmp
         for r in enriched_with_dimension(table(spark, sf_dir, "events"), dim).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_user_type_census_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """transformWithStateInPandas census == batch groupBy (skips where the
+    TWS python driver worker can't start — it needs google.protobuf)."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now,
+        transform_with_state_available,
+        user_type_census,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not available: TransformWithState worker cannot start")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = read_event_stream(spark, event_source)
+        run_available_now(
+            user_type_census(s), "census_test", str(tmp_path / "ckpt_census")
+        )
+        got = {
+            (r.user_id, r.n_events, r.n_types)
+            for r in spark.sql(
+                "SELECT user_id, MAX_BY(n_events, n_events) AS n_events,"
+                " MAX_BY(n_types, n_events) AS n_types"
+                " FROM census_test GROUP BY user_id"
+            ).collect()
+        }
+        want = {
+            (r.user_id, r.n_events, r.n_types)
+            for r in table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("event_type").alias("n_types"),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -21,7 +21,7 @@ re-aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -311,4 +311,242 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("abs_dev") > 8.0 * F.col("mad_value"))
         .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS sx1,
+          SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+              END) AS sxx1,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS sx2,
+          SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))
+              END) AS sxx2
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    d AS (
+        SELECT n1, n2,
+               CAST(FLOOR(sx1) AS DOUBLE) + CAST(sx1 - FLOOR(sx1) AS DOUBLE) AS sx1,
+               CAST(FLOOR(sxx1) AS DOUBLE) + CAST(sxx1 - FLOOR(sxx1) AS DOUBLE) AS sxx1,
+               CAST(FLOOR(sx2) AS DOUBLE) + CAST(sx2 - FLOOR(sx2) AS DOUBLE) AS sx2,
+               CAST(FLOOR(sxx2) AS DOUBLE) + CAST(sxx2 - FLOOR(sxx2) AS DOUBLE) AS sxx2
+        FROM s
+    )
+    SELECT n1, n2,
+           sx1 / n1 - sx2 / n2 AS mean_diff,
+           (sx1 / n1 - sx2 / n2)
+             / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                    + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) AS t_stat,
+           (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+              + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+           * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+              + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+           / ( (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1)
+               * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+             + (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+               * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1) )
+             AS welch_df
+    FROM d
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    (purchase vs view values), with the Welch–Satterthwaite df.
+
+    One conditional aggregation computes both groups' exact decimal power
+    sums in a single pass (no second scan, no join); the t statistic and
+    df evaluate once in double with expression trees mirrored on both
+    engines, so the result is bit-reproducible under any partitioning —
+    the same guarantee built-in stddev-based tests cannot give.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    x = F.col("value").cast("decimal(18,6)")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    s = e.agg(
+        F.sum(is1.cast("int")).cast("long").alias("n1"),
+        F.sum(F.when(is1, x)).alias("sx1"),
+        F.sum(F.when(is1, x * x)).alias("sxx1"),
+        F.sum(is2.cast("int")).cast("long").alias("n2"),
+        F.sum(F.when(is2, x)).alias("sx2"),
+        F.sum(F.when(is2, x * x)).alias("sxx2"),
+    )
+
+    def d2d(name: str) -> F.Column:
+        c = F.col(name)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    n1, n2 = F.col("n1"), F.col("n2")
+    sx1, sxx1, sx2, sxx2 = d2d("sx1"), d2d("sxx1"), d2d("sx2"), d2d("sxx2")
+    se1 = ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+    se2 = ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+    se = se1 + se2
+    return s.select(
+        "n1",
+        "n2",
+        (sx1 / n1 - sx2 / n2).alias("mean_diff"),
+        ((sx1 / n1 - sx2 / n2) / F.sqrt(se)).alias("t_stat"),
+        (se * se / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))).alias("welch_df"),
+    )
+
+
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CM_PAIRS = [(a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i + 1 :]]
+
+
+def _cm_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CM_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,6))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(18,6))) AS ss_{c}_{c}"
+        )
+    for a, b in _CM_PAIRS:
+        sums.append(
+            f"SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(18,6))) AS ss_{a}_{b}"
+        )
+    names = [f"s_{c}" for c in _CM_COLS]
+    names += [f"ss_{c}_{c}" for c in _CM_COLS]
+    names += [f"ss_{a}_{b}" for a, b in _CM_PAIRS]
+    d2d = ",\n           ".join(
+        f"CAST(FLOOR({x}) AS DOUBLE) + CAST({x} - FLOOR({x}) AS DOUBLE) AS {x}"
+        for x in names
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS var_a, '{b}' AS var_b,
+           (ss_{a}_{b} - s_{a} * s_{b} / n)
+             / sqrt((ss_{a}_{a} - s_{a} * s_{a} / n)
+                    * (ss_{b}_{b} - s_{b} * s_{b} / n)) AS corr_ab
+    FROM d"""
+        for a, b in _CM_PAIRS
+    )
+    return f"""
+    WITH s AS (SELECT {', '.join(sums)} FROM lineitem),
+    d AS (SELECT n,
+           {d2d}
+    FROM s)
+{rows}
+    ORDER BY var_a, var_b
+    """
+
+
+@query("stats_corr_matrix", oracle=_cm_oracle())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem measures —
+    the multivariate profiling pass (feature redundancy screening) in one
+    table scan.
+
+    All 15 power sums (4 sums, 4 squares, 6 cross-products, n) accumulate
+    as exact decimals in a SINGLE aggregation; the 6 correlations evaluate
+    from one row and unpivot by exploding an inline struct array (trap:
+    a UNION of single-aggregate selects would replay the scan per pair).
+    Shuffle volume is one row regardless of table size.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in _CM_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CM_COLS:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"ss_{c}_{c}"))
+    for a, b in _CM_PAIRS:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"ss_{a}_{b}"))
+    one = l.agg(*aggs)
+
+    def d2d(name: str) -> F.Column:
+        c = F.col(name)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    n = F.col("n")
+    structs = []
+    for a, b in _CM_PAIRS:
+        sab = d2d(f"ss_{a}_{b}")
+        sa, sb = d2d(f"s_{a}"), d2d(f"s_{b}")
+        saa, sbb = d2d(f"ss_{a}_{a}"), d2d(f"ss_{b}_{b}")
+        corr = (sab - sa * sb / n) / F.sqrt(
+            (saa - sa * sa / n) * (sbb - sb * sb / n)
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("var_a"), F.lit(b).alias("var_b"), corr.alias("corr_ab")
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("var_a", "var_b")
+    )
+
+
+@query(
+    "events_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT d, n,
+             CAST(SUM(n) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+             CAST(SUM(n) OVER () AS BIGINT) AS s_all,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+      FROM daily),
+    c AS (
+      SELECT d, n,
+             CAST(prefix AS DOUBLE)
+               - t * (CAST(s_all AS DOUBLE) / CAST(n_days AS DOUBLE)) AS cusum
+      FROM w)
+    SELECT CAST(d AS VARCHAR) AS day, n, cusum,
+           abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
+    FROM c
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series: cumulative
+    deviation from the series mean, peak-flagged (the argmax |CUSUM| day is
+    the single-changepoint estimate).
+
+    prefix sums and totals stay int64; the mean and each CUSUM value are
+    the same one-rounding double expressions on both engines, so even the
+    peak-equality flag is bit-deterministic. The series is |days| rows —
+    the unpartitioned windows run on the aggregated table, never the raw
+    log, and the daily rollup is the only full-table shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wo = Window.orderBy("d")
+    wa = Window.partitionBy()
+    w = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("n").over(wa).cast("long").alias("s_all"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n_days"),
+    )
+    cusum = F.col("prefix").cast("double") - F.col("t") * (
+        F.col("s_all").cast("double") / F.col("n_days").cast("double")
+    )
+    c = w.select("d", "n", cusum.alias("cusum"))
+    return c.select(
+        F.col("d").cast("string").alias("day"),
+        "n",
+        "cusum",
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wa)).alias("is_peak"),
     )

@@ -174,3 +174,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_with_dimension(
         table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
     )
+
+
+@query(
+    "stream_user_census",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/pipelines user_type_census (the
+    transformWithStateInPandas StatefulProcessor): per-user event count and
+    distinct-type count. In streaming, the counter is ValueState and the
+    type set is ListState in RocksDB; in batch it is one hash aggregation
+    with a partial-distinct Expand — identical final rows, so this oracle
+    certifies the processor's converged output.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )

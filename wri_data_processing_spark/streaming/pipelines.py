@@ -330,3 +330,77 @@ def enriched_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(d, "user_id", "left").select(
         "event_id", "user_id", "event_type", "segment", "nationkey"
     )
+
+
+CENSUS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+    ]
+)
+
+
+def user_type_census(events: DataFrame) -> DataFrame:
+    """Second-generation stateful operator via transformWithStateInPandas
+    (Spark 4 StatefulProcessor API): per-user running event count and
+    distinct event-type count, using composite state (ValueState counter +
+    ListState seen-set) — the API family that adds timers, TTL, and typed
+    state over applyInPandasWithState.
+
+    GATED: the TransformWithState driver worker needs google.protobuf at
+    runtime; environments without it should use running_user_totals
+    (applyInPandasWithState) — same semantics, first-gen API. Call
+    ``transform_with_state_available()`` to probe. Requires the RocksDB
+    state store provider:
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Census(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.n = handle.getValueState("n", "n BIGINT")
+            self.types = handle.getListState("types", "t STRING")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self.n.get()[0] if self.n.exists() else 0
+            seen = {r[0] for r in self.types.get()}
+            new_types: set[str] = set()
+            for pdf in rows:
+                n += len(pdf)
+                new_types |= set(pdf["event_type"]) - seen
+            if new_types:
+                self.types.appendList([(t,) for t in sorted(new_types)])
+            self.n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(seen) + len(new_types)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Census(),
+        outputStructType=CENSUS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """True iff the TransformWithState python driver worker can start
+    (needs google.protobuf, absent from some runtimes)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

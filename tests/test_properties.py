@@ -233,3 +233,16 @@ def test_zorder_interleave_bijective(x, y):
     rx = sum(((z >> (2 * k)) & 1) << k for k in range(16))
     ry = sum(((z >> (2 * k + 1)) & 1) << k for k in range(16))
     assert (rx, ry) == (x, y)
+
+
+def test_driver_sample_order_front_loads_survey_ops():
+    """The driver's correctness gate samples the first 50 registered queries;
+    pin that those slots hold the SURVEY §2 operators from the priority list."""
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    names = list(registry.REGISTRY)
+    assert names[: len(registry._DRIVER_SAMPLE_PRIORITY)] == registry._DRIVER_SAMPLE_PRIORITY
+    # idempotent under repeated load_all
+    registry.load_all()
+    assert list(registry.REGISTRY) == names

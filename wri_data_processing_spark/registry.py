@@ -38,6 +38,113 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Driver-sample priority: the correctness harness samples the FIRST 50
+# registered queries, so registration order decides which operators get a
+# hard driver-verified CORRECTNESS row each round.  Rounds 1-2 spent the
+# sample on the aggregate/events family; this list front-loads the SURVEY
+# §2 operators that have so far only local oracle evidence.  Positions
+# 1-50 are this round's sample; 51+ queue the remaining §2 ops for
+# rotation in later rounds, ahead of everything already driver-verified.
+_DRIVER_SAMPLE_PRIORITY: list[str] = [
+    # -- round 3 sample: joins --
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_semi",
+    "join_broadcast_left",
+    "join_full_outer",
+    "join_range",
+    "join_asof",
+    "join_asof_forward",
+    # -- windows --
+    "window_rank",
+    "window_lag_lead",
+    "window_running_sum",
+    # -- sorts / limits --
+    "sort_order_by",
+    "limit_n",
+    "top_k",
+    # -- set ops --
+    "set_union_all",
+    "set_except",
+    "set_intersect",
+    # -- filters / projection / schema --
+    "filter_exclude_paths",
+    "filter_predicate",
+    "split_by_flag",
+    "project_columns",
+    "assert_schema",
+    # -- scalar functions --
+    "fn_classify_data_type",
+    "fn_extract_domain",
+    "fn_classify_dimension",
+    "fn_make_output_name",
+    "fn_path_parts",
+    "fn_near_tolerance",
+    "fn_round_units",
+    "fn_format_string",
+    "fn_datetime_parse",
+    "fn_trim_nonblank",
+    "fn_json_build",
+    "fn_date_math",
+    # -- sources / sinks --
+    "scan_file_listing",
+    "scan_raster_header",
+    "scan_csv",
+    "sink_append_table",
+    "sink_overwrite_table",
+    "sink_json_docs",
+    "sink_cog",
+    "probe_url_exists",
+    # -- streaming (batch twins) --
+    "stream_watermark",
+    "stream_window_agg",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    # -- LLM dedup core --
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # -- positions 51+: remaining §2 ops, next rotation --
+    "dedup_ngram_unique",
+    "dedup_embedding",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk",
+    "sim_pairs_threshold",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "text_stats",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "geo_reproject_bbox",
+]
+
+
+def _apply_driver_sample_order() -> None:
+    """Reorder REGISTRY in place so priority queries register first.
+
+    Mutates the existing dict (callers hold references to it) rather than
+    rebinding the module global.
+    """
+    snapshot = dict(REGISTRY)
+    missing = [n for n in _DRIVER_SAMPLE_PRIORITY if n not in snapshot]
+    if missing:
+        raise RuntimeError(f"priority list names unregistered queries: {missing}")
+    REGISTRY.clear()
+    for name in _DRIVER_SAMPLE_PRIORITY:
+        REGISTRY[name] = snapshot[name]
+    for name, fn in snapshot.items():
+        if name not in REGISTRY:
+            REGISTRY[name] = fn
+
+
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from wri_data_processing_spark.queries import (  # noqa: F401
@@ -65,3 +172,5 @@ def load_all() -> None:
         warehouse_ops,
         windows,
     )
+
+    _apply_driver_sample_order()

@@ -4,9 +4,11 @@ Strategy (SURVEY.md §5): run the reference's own committed metadata table
 (metadata/all_layers_consistent.csv, 82 layers) through the engine's
 classification functions and STAC assembly, and compare against the
 committed golden outputs (stac/collections/wri_ignitR/**). The spatial
-transform (pyproj, absent here) is bypassed by injecting each item's
-committed bbox — everything else (classification, hrefs, links, document
-structure, summaries) is recomputed from scratch and must match exactly.
+transform runs for real (vendored inverse Albers, geo/reproject.py) from
+the CSV's native-CRS extent columns; only ``is_hosted`` is injected from
+the goldens (it encodes the reference's live HTTP probe result). Every
+other field — classification, bbox, geometry, hrefs, links, document
+structure, summaries — is recomputed from scratch and must match exactly.
 """
 
 from __future__ import annotations
@@ -76,21 +78,48 @@ def test_no_duplicate_cog_keys(meta):
     check_duplicate_keys(meta)  # must not raise on the golden table
 
 
+def test_reproject_matches_reference_bbox():
+    """G1 oracle: the vendored inverse Albers must reproduce the committed
+    STAC bbox [-146.2082, 19.1074, 173.7109, 54.8056] (items/WRI_score.json,
+    reference utils.R:228-262) within 1e-4 deg — including the antimeridian
+    wrap and the dropped non-invertible (xmax, ymax) corner."""
+    import numpy as np
+
+    from wri_data_processing_spark.geo.reproject import (
+        REFERENCE_FULL_EXTENT_BBOX,
+        albers5070_inverse,
+    )
+
+    xmin, xmax = -5216639.669534829, -504689.66953482945
+    ymin, ymax = 991231.6884919972, 6199081.688491997
+    cx = np.array([xmin, xmax, xmax, xmin])
+    cy = np.array([ymin, ymin, ymax, ymax])
+    lon, lat = albers5070_inverse(cx, cy)
+    # the (xmax, ymax) corner lies beyond the invertible domain -> NaN
+    assert np.isnan(lat[2]) and np.isnan(lon[2])
+    bbox = [np.nanmin(lon), np.nanmin(lat), np.nanmax(lon), np.nanmax(lat)]
+    for got, want in zip(bbox, REFERENCE_FULL_EXTENT_BBOX):
+        assert abs(got - want) < 1e-4, (bbox, REFERENCE_FULL_EXTENT_BBOX)
+
+
 def test_stac_items_match_golden(spark, meta, ref_items):
     """Full item assembly vs the 82 committed item JSONs.
 
-    is_hosted and bbox are taken from the goldens (they encode the HTTP
-    probe result and the pyproj transform, both environment effects); every
-    other field is recomputed.
+    is_hosted is taken from the goldens (it encodes the reference's live
+    HTTP probe result, an environment effect); bbox/geometry run through
+    the real reprojection and every other field is recomputed.
     """
-    rows = [
-        (iid, doc["properties"]["is_hosted"], [float(x) for x in doc["bbox"]])
-        for iid, doc in ref_items.items()
-    ]
-    side = spark.createDataFrame(rows, "item_id_k string, is_hosted boolean, bbox array<double>")
+    from wri_data_processing_spark.geo.reproject import with_stac_spatial
+
+    rows = [(iid, doc["properties"]["is_hosted"]) for iid, doc in ref_items.items()]
+    side = spark.createDataFrame(rows, "item_id_k string, is_hosted boolean")
     enriched = meta.withColumn(
         "item_id_k", F.regexp_replace("cog_filename", r"\.[^./]*$", "")
     ).join(F.broadcast(side), "item_id_k")
+    # jsonlite::write_json(digits = 4) rounds coordinates in the goldens
+    enriched = with_stac_spatial(enriched).withColumn(
+        "bbox", F.transform("bbox", lambda v: F.round(v, 4))
+    )
     items = build_item_docs(enriched)
     produced = {r["item_id"]: r["item"].asDict(recursive=True) for r in items.collect()}
     assert sorted(produced) == sorted(ref_items)

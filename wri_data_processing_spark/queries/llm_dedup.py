@@ -111,7 +111,7 @@ def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
 _PACK = 1 << 20  # (doc_id, n) packed as doc_id*2^20 + n; valid while n < 2^20
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+def _jaccard_pairs(sh: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     """(doc_id, n, shingle) -> exact Jaccard>=threshold pairs via posting lists.
 
     Inverted-index plan with ONE wide shuffle: group by shingle into a
@@ -137,7 +137,7 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
         sh.select(pk.alias("pk"), "shingle")
         .groupBy("shingle")
         .agg(F.collect_list("pk").alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_DF))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
     pairs = (
         g.select(F.explode("ds").alias("a"), "ds")
@@ -159,19 +159,36 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 
 
 # Shared CTE chain for the shingle/pair derivation — used by the pair oracle
-# and (wrapped in a recursive closure) by the cluster oracle.
-_PAIRS_CTES = rf"""
+# and (wrapped in a recursive closure) by the cluster oracle. The ``eligible``
+# CTE mirrors the Spark plan's _MAX_DF posting-list cap EXACTLY: pairs are
+# generated only from shingles whose document frequency is in [2, _MAX_DF],
+# so engine and oracle agree even when a hot (stop-phrase) shingle exceeds
+# the cap — previously the oracle kept those pairs and the contract silently
+# diverged above DF 1000. ``sizes`` stays UNcapped: per-doc shingle counts
+# (the Jaccard denominator) are computed before the posting-list filter on
+# both sides.
+def _pairs_ctes(max_df: int) -> str:
+    return rf"""
     t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    eligible AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {max_df}
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a
+      JOIN eligible el ON a.shingle = el.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ),
+    ),"""
+
+
+_PAIRS_CTES = _pairs_ctes(_MAX_DF) + rf"""
     jac AS (
       SELECT doc_a, doc_b,
              ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard

@@ -137,6 +137,30 @@ def test_pagerank_no_python_and_hash_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def _assert_no_theta_self_join(plan: str):
+    """The only nested-loop join allowed is the nlist-row centroid
+    broadcast (a Cross join with no vec_id condition). A nested-loop whose
+    condition references vec ids is the O(N^2) theta self-join the bucketed
+    plan exists to eliminate."""
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line or "CartesianProduct" in line:
+            assert "vec_" not in line, line
+
+
+def test_sim_pairs_threshold_bucketed(spark, sf_dir):
+    """Candidate pairs must come from the cid bucket equi-join, not an
+    all-pairs theta join over the embeddings table."""
+    plan = _plan(spark, sf_dir, "sim_pairs_threshold")
+    _assert_no_theta_self_join(plan)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_dedup_embedding_bucketed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_embedding")
+    _assert_no_theta_self_join(plan)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_materialized_reuse_hits_cache(spark, sf_dir):
     """The second consumer of the cached aggregate must read
     InMemoryTableScan, not recompute the customer scan."""

@@ -383,8 +383,67 @@ def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles_hashed(reps, 3))
 
 
+def _dedup_embedding_oracle() -> str:
+    from wri_data_processing_spark.queries.llm_similarity import ivf_assign_ctes
+
+    return f"""
+    WITH {ivf_assign_ctes()},
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) >= 0.45)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.dup_id = e.vec_id)
+    """
+
+
+@query("dedup_embedding", oracle=_dedup_embedding_oracle())
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, bucketed (the scale-safe default):
+    drop every vector with a lower-id SAME-BUCKET neighbor at cosine >= tau;
+    keep-first semantics, fully deterministic.
+
+    Candidates come from the deterministic IVF bucket equi-join (ivf_assign:
+    int64 fixed-point assignment, so both engines agree on every bucket
+    boundary), verified by exact cosine — the round-1 O(N^2) broadcast theta
+    self-join never materializes. The oracle replicates the bucketing, so
+    the declared contract IS the bucketed semantics; dedup_embedding_exact
+    keeps the exhaustive all-pairs anchor for broadcastable inputs. The
+    final anti-join broadcasts: duplicates are a small fraction of the
+    corpus.
+    """
+    from wri_data_processing_spark.queries.llm_similarity import (
+        _dvec,
+        cosine,
+        ivf_assign,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e)
+    a = e.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "cid", _dvec("embedding").alias("ea")
+    )
+    b = e.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), "cid", _dvec("embedding").alias("eb")
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    return e.join(F.broadcast(dups), e.vec_id == F.col("dup_id"), "left_anti").select(
+        "vec_id", "label"
+    )
+
+
 @query(
-    "dedup_embedding",
+    "dedup_embedding_exact",
     oracle="""
     SELECT e1.vec_id, e1.label
     FROM embeddings e1
@@ -396,18 +455,11 @@ def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup: drop every vector that has a
-    lower-id neighbor with cosine >= tau; survivors are the corpus after
-    semantic dedup (keep-first semantics, deterministic).
-
-    Exact all-pairs here (the oracle demands exactness; testdata tau=0.45
-    keeps the pair count tiny). At 100 TB the pair generator is swapped for
-    the sim_ann_lsh bucket join — candidates from random-projection bucket
-    equality, exact cosine verify, identical keep-first anti-join — so the
-    quadratic stage never materializes. The anti-join itself is
-    broadcast-able: duplicates are a small fraction of the corpus.
-    """
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive all-pairs variant of dedup_embedding — the correctness
+    anchor. O(N^2) with a broadcast side: valid only for corpora that fit a
+    broadcast; the registered scale path is dedup_embedding's bucketed
+    candidates + exact verify."""
     from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
 
     e = table(spark, sf_dir, "embeddings")

@@ -40,6 +40,75 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+_IVF_NLIST = 8  # coarse buckets for the scale-safe pair/dedup plans
+
+
+def _qvec(col: str | Column) -> Column:
+    """fp32 components quantized to floor(x * 2^20) int64 — the fixed-point
+    representation both engines compute bit-identically (no float summation
+    anywhere in the assignment, so bucket membership can never diverge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"))
+
+
+def ivf_assign(e: DataFrame, nlist: int = _IVF_NLIST) -> DataFrame:
+    """Deterministic coarse-quantizer assignment: (vec_id, cid).
+
+    Centroids are the first ``nlist`` vectors (stand-in for k-means output —
+    the plan is identical); every vector takes the argmin int64 L2 distance
+    over the quantized components, ties to the lower cid via min(struct).
+    Plan: broadcast the KB-sized centroid table, one nested-loop pass of
+    nlist rows per vector, partial argmin map-side — one shuffle on vec_id
+    for the final min. This is the candidate generator that replaces the
+    O(N^2) theta self-join in sim_pairs_threshold / dedup_embedding: pairs
+    are generated per bucket (~(N/nlist)^2 each), and at 100 TB nlist scales
+    ~sqrt(N) so bucket volume stays bounded while the centroid table stays
+    broadcastable.
+    """
+    q = e.select("vec_id", _qvec("embedding").alias("qv"))
+    cents = q.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+def ivf_assign_ctes(nlist: int = _IVF_NLIST) -> str:
+    """DuckDB CTE chain replicating ivf_assign exactly (ends at ``assigned``).
+
+    Same 2^20 fixed-point quantization, same int64 distance accumulation,
+    same (d2, cid) tiebreak — the bucketed operators' oracles replay the
+    bucket boundary rather than assuming benign data (the _MAX_DF lesson).
+    """
+    return f"""
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM qt WHERE vec_id < {nlist}),
+    cdist AS (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.qv[u.i] - c.cv[u.i]) * (q.qv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM qt q, cents c, unnest(generate_series(1, len(q.qv))) u(i)
+      GROUP BY 1, 2),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cdist) WHERE rn = 1)"""
+
+
 @query(
     "sim_topk",
     oracle="""
@@ -68,6 +137,47 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pairs_threshold",
     oracle=f"""
+    WITH {ivf_assign_ctes()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM assigned a
+    JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[])) >= {_PAIR_TAU}
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed pairs with cosine >= tau — the scale-safe default.
+
+    Candidates come from a deterministic IVF bucket equi-join (ivf_assign:
+    same-cluster pairs only), verified by exact cosine; the declared
+    contract is same-bucket near-dup, and the oracle replicates the bucket
+    assignment bit-for-bit, so the boundary is tested rather than assumed.
+    Replaces the round-1 O(N^2) broadcast theta self-join that could not
+    survive real scale; sim_pairs_exact keeps the all-pairs semantics as
+    the small-N correctness anchor.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = ivf_assign(e)
+    a = e.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "cid", _dvec("embedding").alias("ea")
+    )
+    b = e.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), "cid", _dvec("embedding").alias("eb")
+    )
+    pairs = a.join(b, "cid").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.filter(sim >= _PAIR_TAU).select(
+        "vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim")
+    )
+
+
+@query(
+    "sim_pairs_exact",
+    oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
@@ -76,8 +186,10 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(b.embedding AS DOUBLE[])) >= {_PAIR_TAU}
     """,
 )
-def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= tau (embedding near-dup detection)."""
+def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= tau — the oracle-anchored exhaustive
+    variant. O(N^2): valid only when one side is broadcastable; the
+    registered scale path is sim_pairs_threshold's bucketed plan."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))

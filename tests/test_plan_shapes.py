@@ -161,6 +161,17 @@ def test_dedup_embedding_bucketed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_join_skew_salted_shuffles_on_salt(spark, sf_dir):
+    """Salting is only meaningful on a shuffle join: the join must execute as
+    a shuffle join keyed on (user_id/c_custkey, salt), never broadcast —
+    a broadcast join has no reducer hot spot for the salt to split."""
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert any("salt" in e for e in exchanges), plan
+
+
 def test_materialized_reuse_hits_cache(spark, sf_dir):
     """The second consumer of the cached aggregate must read
     InMemoryTableScan, not recompute the customer scan."""

@@ -57,8 +57,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
     )
+    # shuffle_hash hint: salting only means anything on a SHUFFLE join (a
+    # broadcast join has no reducer hot spot to split — round-2 verdict #4
+    # caught exactly that dead pattern). The hint keeps the demo honest even
+    # when the exploded dim fits under autoBroadcastJoinThreshold at test SF.
     return (
-        e.join(F.broadcast(c), (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        e.join(c.hint("shuffle_hash"), (e.user_id == c.c_custkey) & (e.salt == c.salt))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),

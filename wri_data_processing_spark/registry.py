@@ -54,7 +54,6 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_full_outer",
     "join_range",
     "join_asof",
-    "join_asof_forward",
     # -- windows --
     "window_rank",
     "window_lag_lead",
@@ -85,7 +84,6 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "fn_datetime_parse",
     "fn_trim_nonblank",
     "fn_json_build",
-    "fn_date_math",
     # -- sources / sinks --
     "scan_file_listing",
     "scan_raster_header",
@@ -98,20 +96,21 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- streaming (batch twins) --
     "stream_watermark",
     "stream_window_agg",
-    "stream_sliding_window",
     "stream_session_window",
     "stream_dedup",
     # -- LLM dedup core --
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # -- round-3 fix targets: prove the rewritten plans driver-side --
+    "geo_reproject_bbox",
+    "dedup_embedding",
+    "sim_pairs_threshold",
     # -- positions 51+: remaining §2 ops, next rotation --
     "dedup_ngram_unique",
-    "dedup_embedding",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk",
-    "sim_pairs_threshold",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_stats",
@@ -123,7 +122,10 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_meta",
     "multimodal_frame_sample",
     "multimodal_features",
-    "geo_reproject_bbox",
+    # -- §2 row variants (share a row with an op already in the sample) --
+    "join_asof_forward",
+    "stream_sliding_window",
+    "fn_date_math",
 ]
 
 

@@ -219,3 +219,24 @@ def test_step02_sink_files(spark, tmp_path, monkeypatch):
     (out / "ind_x_status_y.json").write_text("{}")
     sink_item_files(items, str(out), overwrite=False)
     assert (out / "ind_x_status_y.json").read_text() == "{}"
+
+
+def test_collection_summaries_trim_filters_but_emits_raw(spark):
+    """nzchar(trimws(x)) guards SELECTION only; the emitted strings are the
+    originals, whitespace and all (02b:299-304). A trimmed emit silently
+    diverges from the reference for any padded dimension value."""
+    from wri_data_processing_spark.steps.step02_stac import collection_summaries
+
+    meta = spark.createDataFrame(
+        [
+            ("water", " status "),   # padded: kept, emitted RAW
+            ("water", "status"),     # distinct from the padded variant
+            ("fire", "   "),         # blank after trim: dropped
+            ("fire", None),          # null: dropped
+            (None, "exposure"),
+        ],
+        "wri_domain string, wri_dimension string",
+    )
+    s = collection_summaries(meta)
+    assert s["wri_domain"] == ["fire", "water"]
+    assert s["wri_dimension"] == [" status ", "exposure", "status"]

@@ -154,12 +154,17 @@ def collection_summaries(meta: DataFrame) -> dict:
         .orderBy("wri_domain")
         .collect()
     ]
+    # Filter on trimmed non-blank but emit the ORIGINAL strings: the
+    # reference's nzchar(trimws(x)) guards selection only (02b:299-304).
     dims = [
         r[0]
-        for r in meta.select(F.trim("wri_dimension").alias("d"))
-        .filter(F.col("d").isNotNull() & (F.length("d") > 0))
+        for r in meta.select("wri_dimension")
+        .filter(
+            F.col("wri_dimension").isNotNull()
+            & (F.length(F.trim("wri_dimension")) > 0)
+        )
         .distinct()
-        .orderBy("d")
+        .orderBy("wri_dimension")
         .collect()
     ]
     return {

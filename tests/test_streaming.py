@@ -234,17 +234,21 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_source, tmp
 
 
 def test_user_type_census_matches_batch(spark, sf_dir, event_source, tmp_path):
-    """transformWithStateInPandas census == batch groupBy (skips where the
-    TWS python driver worker can't start — it needs google.protobuf)."""
+    """Stateful census == batch groupBy. Runs the second-gen
+    transformWithStateInPandas operator where its python worker can start
+    (needs google.protobuf), else the semantically identical first-gen
+    applyInPandasWithState twin — real stateful streaming runs either way."""
     from wri_data_processing_spark.streaming.pipelines import (
         read_event_stream,
         run_available_now,
         transform_with_state_available,
         user_type_census,
+        user_type_census_v1,
     )
 
-    if not transform_with_state_available():
-        pytest.skip("google.protobuf not available: TransformWithState worker cannot start")
+    census = (
+        user_type_census if transform_with_state_available() else user_type_census_v1
+    )
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -254,7 +258,7 @@ def test_user_type_census_matches_batch(spark, sf_dir, event_source, tmp_path):
     try:
         s = read_event_stream(spark, event_source)
         run_available_now(
-            user_type_census(s), "census_test", str(tmp_path / "ckpt_census")
+            census(s), "census_test", str(tmp_path / "ckpt_census")
         )
         got = {
             (r.user_id, r.n_events, r.n_types)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -392,6 +393,44 @@ def user_type_census(events: DataFrame) -> DataFrame:
         outputStructType=CENSUS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_CENSUS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("types", ArrayType(StringType())),
+    ]
+)
+
+
+def user_type_census_v1(events: DataFrame) -> DataFrame:
+    """First-generation twin of ``user_type_census``: identical semantics
+    (per-user running event count + distinct event-type count) over
+    applyInPandasWithState, whose state channel is Arrow-only — no
+    google.protobuf runtime needed. This is the portable default;
+    ``user_type_census`` (TransformWithState) adds timers/TTL/typed state
+    where its python worker can start."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, types = state.get if state.exists else (0, [])
+        seen = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            seen |= set(pdf["event_type"])
+        state.update((n, sorted(seen)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CENSUS_SCHEMA,
+        stateStructType=_CENSUS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -4,20 +4,28 @@
 Usage: python bench.py
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default 32)
+       SPARK_GRAFT_BENCH_RUNS (default 3; timed runs per query)
 
 Prints {"metric": "...", "value": <total_sec>, "unit": "sec",
-        "queries": {name: sec}, "sf": <sf>}.
+        "queries": {name: sec}, "queries_detail": {name: {...}}, "sf": <sf>}.
 
-Each query is executed to completion (count-collected) so the measured time
-covers the full scan/shuffle/aggregate pipeline, not lazy plan construction.
-A warmup of the flagship query JIT-warms codegen and populates the parquet
-footer cache before measurement.
+Methodology — numbers this harness must be able to DEFEND on a contended box:
+- Each query is executed to completion (count-collected) so the measured
+  time covers the full scan/shuffle/aggregate pipeline, not lazy plan
+  construction. A warmup run of each query first JIT-warms whole-stage
+  codegen and the parquet footer cache, so every timed run is steady-state.
+- >= 3 timed runs per query. The headline scalar per query is the MEDIAN
+  (robust to one noisy-neighbor spike); min and relative spread
+  ((max-min)/median) ship alongside in queries_detail so a regression is
+  distinguishable from variance. If spread exceeds 20%, up to 2 extra runs
+  are taken and the spread recomputed over the best window.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,50 +35,68 @@ from wri_data_processing_spark import registry
 from wri_data_processing_spark.session import get_spark
 
 # Headline set: one representative per operator family, weighted toward the
-# plans that matter at scale (wide agg scan, big joins, windows, dedup, ANN).
+# plans that matter at scale (wide agg scan, big joins, windows, sessionize,
+# dedup incl. the iterative cluster closure, bucketed ANN pairs).
 HEADLINE = [
     "q1_pricing_summary",
     "join_inner_equi",
     "join_broadcast_left",
     "join_asof",
+    "join_range",
     "agg_cube_rollup",
     "window_running_sum",
     "top_k",
     "stream_window_agg",
     "stream_session_window",
+    "events_sessionize",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "sim_topk",
+    "sim_pairs_threshold",
     "text_stats",
     "text_fingerprint",
 ]
 
+SPREAD_TARGET = 0.20
+EXTRA_RUNS = 2
+
+
+def _time_once(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     registry.load_all()
     spark = get_spark(app_name="wri-engine-bench")
 
-    # Warmup: codegen + file listing caches.
-    registry.REGISTRY["q1_pricing_summary"](spark, sf_dir).count()
-
-    # Steady-state timing: min over repeated runs — the first run pays
-    # one-off whole-stage-codegen compilation (~0.5-1.5 s for wide plans),
-    # amortized to nothing on a long-lived cluster. If the two runs disagree
-    # by >25% (noisy-neighbor CPU contention), a third run tightens the min.
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry.REGISTRY[name]
-        runs: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        if min(runs) > 0 and max(runs) / min(runs) > 1.25:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        _time_once(fn, spark, sf_dir)  # per-query warmup (codegen, listings)
+        runs = [_time_once(fn, spark, sf_dir) for _ in range(n_runs)]
+        med = statistics.median(runs)
+        # Contended-box escape hatch: tighten with extra runs, then report
+        # spread over the n_runs fastest (the steady-state window).
+        extra = 0
+        while med > 0 and (max(runs) - min(runs)) / med > SPREAD_TARGET and extra < EXTRA_RUNS:
+            runs.append(_time_once(fn, spark, sf_dir))
+            runs = sorted(runs)[:n_runs]
+            med = statistics.median(runs)
+            extra += 1
+        spread = (max(runs) - min(runs)) / med if med > 0 else 0.0
+        timings[name] = round(med, 3)
+        detail[name] = {
+            "median": round(med, 3),
+            "min": round(min(runs), 3),
+            "spread_pct": round(100.0 * spread, 1),
+            "runs": n_runs + extra,
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -78,6 +104,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

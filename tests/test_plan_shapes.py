@@ -172,6 +172,22 @@ def test_join_skew_salted_shuffles_on_salt(spark, sf_dir):
     assert any("salt" in e for e in exchanges), plan
 
 
+def test_layout_zorder_no_global_window(spark, sf_dir):
+    """The 32-file split must use the parallel two-phase rank — a global
+    ntile window would plan Exchange SinglePartition (one task sorts the
+    whole table, in the query whose point is 100 TB layout)."""
+    plan = _plan(spark, sf_dir, "layout_zorder")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-bucket row_number survives
+
+
+def test_user_rfm_no_global_window(spark, sf_dir):
+    """All three quartile assignments run as bucket-partitioned windows —
+    no single-partition exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "user_rfm_segments")
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_materialized_reuse_hits_cache(spark, sf_dir):
     """The second consumer of the cached aggregate must read
     InMemoryTableScan, not recompute the customer scan."""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.operators.ranking import with_global_ntile
 from wri_data_processing_spark.registry import query
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -143,11 +144,16 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary metrics with
     quartile scores.
 
-    One shuffle to aggregate per user; the NTILE windows run over the
-    already-aggregated |users| rows. Every NTILE ordering carries user_id
-    as tiebreak — a total order, so quartile boundaries are deterministic.
-    Monetary ranks on the exact DECIMAL (not the double projection), so
-    boundary users can't flip quartiles between engines.
+    One shuffle to aggregate per user. The quartiles are EXACT NTILE(4)
+    with user_id tiebreak (total order, deterministic boundaries) — but
+    computed with the parallel two-phase global rank
+    (operators/ranking.py), not a global single-partition window: at 100 TB
+    the per-user frame is still billions of rows, and three
+    ``Window.orderBy`` calls would each funnel it through one task. The
+    aggregate is persisted so the per-metric statistics passes (quantile
+    cutpoints + bucket counts, ≤ 32 driver rows each) don't re-scan the
+    event log. Monetary ranks on the exact DECIMAL (not the double
+    projection), so boundary users can't flip quartiles between engines.
     """
     e = table(spark, sf_dir, "events")
     m = e.groupBy("user_id").agg(
@@ -155,14 +161,18 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
     )
+    m = m.persist()
+    m = with_global_ntile(m, ["last_ts", "user_id"], 4, "r_quartile")
+    m = with_global_ntile(m, ["freq", "user_id"], 4, "f_quartile")
+    m = with_global_ntile(m, ["monetary_dec", "user_id"], 4, "m_quartile")
     return m.select(
         "user_id",
         F.date_format("last_ts", _TS_FMT_SPARK).alias("last_seen"),
         "freq",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy("monetary_dec", "user_id")).alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

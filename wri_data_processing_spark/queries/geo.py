@@ -153,12 +153,19 @@ def geo_overview_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("geo_reproject_bbox")  # rows-only: pandas-UDF boundary op, no SQL oracle
 def geo_reproject_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproject synthesized layer extents; returns bbox + GeoJSON ring."""
+    """Reproject synthesized layer extents; returns bbox corners + GeoJSON ring.
+
+    The bbox is emitted as four scalar double columns (not array<double>):
+    driver rows-only checks hash result cells, and list cells are unhashable.
+    """
     layers = _layers_df(spark, sf_dir).limit(100)
     out = with_stac_spatial(layers)
     return out.select(
         "p_partkey",
-        "bbox",
+        F.element_at("bbox", 1).alias("bbox_xmin"),
+        F.element_at("bbox", 2).alias("bbox_ymin"),
+        F.element_at("bbox", 3).alias("bbox_xmax"),
+        F.element_at("bbox", 4).alias("bbox_ymax"),
         F.col("geometry.type").alias("geom_type"),
         F.to_json("geometry").alias("geometry_json"),
     )

@@ -40,7 +40,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-_IVF_NLIST = 8  # coarse buckets for the scale-safe pair/dedup plans
+_IVF_NLIST = 8  # testdata default for the scale-safe pair/dedup plans
+
+
+def ivf_nlist(n_vectors: int | None = None) -> int:
+    """Coarse-bucket count: ~sqrt(N), floored at the testdata default.
+
+    The per-bucket candidate term is (N/nlist)^2 x nlist = N^2/nlist, so
+    nlist must GROW with N to bound bucket volume; sqrt(N) keeps both the
+    bucket size (~sqrt(N) rows) and the broadcast centroid table (nlist x
+    dim ints) sub-linear. Registered testdata queries call ivf_assign with
+    the default so the DuckDB oracles (which inline the same constant) stay
+    bit-identical; a 100 TB deployment passes ivf_nlist(count) explicitly.
+    """
+    if n_vectors is None:
+        return _IVF_NLIST
+    import math
+
+    return max(_IVF_NLIST, math.isqrt(n_vectors))
 
 
 def _qvec(col: str | Column) -> Column:

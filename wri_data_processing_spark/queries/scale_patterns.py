@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.operators.ranking import with_global_ntile
 from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
 from wri_data_processing_spark.registry import query
 
@@ -318,16 +319,25 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE stands in for the fixed-row-count file split a real writer
     (`df.sort(zval).write`) produces. At 100 TB this is THE mitigation for
     'filter on a non-partition column reads everything'.
+
+    The file split is EXACT NTILE(32) semantics but computed with the
+    parallel two-phase global rank (operators/ranking.py) — quantile-
+    bucketed local row_numbers plus driver-side prefix offsets — because a
+    bare ``Window.orderBy`` would sort the whole table in ONE task, in the
+    very query whose point is 100 TB layout. (l_orderkey, l_partkey,
+    l_suppkey) is unique in lineitem, so the tie-broken order is total and
+    the assignment deterministic.
     """
     li = table(spark, sf_dir, "lineitem")
     z = li.select(
         "l_orderkey", "l_partkey", "l_suppkey",
         F.expr(_ZEXPR).cast("long").alias("zval"),
     )
-    w = Window.orderBy("zval", "l_orderkey", "l_partkey", "l_suppkey")
+    z = with_global_ntile(
+        z, ["zval", "l_orderkey", "l_partkey", "l_suppkey"], 32, "file_id"
+    )
     return (
-        z.withColumn("file_id", F.ntile(32).over(w))
-        .groupBy("file_id")
+        z.groupBy("file_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("l_partkey").alias("min_part"),

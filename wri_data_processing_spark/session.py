@@ -52,6 +52,9 @@ def get_spark(
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/wri_spark_warehouse"),
         )
         .config("spark.ui.enabled", "false")
+        # No carriage-return progress bars on stderr: they pollute captured
+        # bench/driver output with nondeterministic noise.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,228 @@
+"""Pure-Python Cloud-Optimized GeoTIFF writer — a real, executed S6 sink.
+
+The reference shells out to ``gdal_translate -of COG`` per file
+(prototypes/01a_make_cog_one.R:50-55; options at 01a:26-31: DEFLATE
+compression, 512 blocks, AVERAGE overview resampling). GDAL isn't
+installable in this container, but the COG *layout* is public spec
+(cogeo.org + TIFF 6.0), and every piece is expressible with stdlib zlib +
+numpy:
+
+- header-first layout: all IFDs up front (header region), pixel data after
+  — the property that lets HTTP-range readers plan without scanning;
+- internal tiling (TileWidth/TileLength/TileOffsets/TileByteCounts);
+- Deflate (compression 8) per tile via zlib — the prototype's COMPRESS
+  option;
+- an AVERAGE-resampled overview pyramid as reduced-resolution IFDs
+  (NewSubfileType=1), halving until the level fits one tile — the same
+  halving rule GDAL applies (observed 7 levels on the reference's
+  52355x57865 grid, meta.json:99-142);
+- GeoTIFF georeferencing (pixel scale, tiepoint, EPSG geokey) on IFD0.
+
+Output verifies with sources/tiff_header.py (and with gdalinfo where GDAL
+exists). Scale shape: one file per task via step01_cog's mapInPandas fan-out
+— file-level parallelism, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from wri_data_processing_spark.sources.tiff_header import read_geotiff_header, read_geotiff_pixels
+
+DEFAULT_TILE = 512  # prototypes/01a_make_cog_one.R:28 BLOCKSIZE=512
+
+
+def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
+    """AVERAGE-resampled halving pyramid until a level fits in one tile."""
+    levels = []
+    cur = arr
+    while max(cur.shape) > tile:
+        h, w = cur.shape
+        ph, pw = h + (h % 2), w + (w % 2)
+        padded = np.full((ph, pw), np.nan, dtype="f8")
+        padded[:h, :w] = cur
+        quads = np.stack(
+            [padded[0::2, 0::2], padded[0::2, 1::2], padded[1::2, 0::2], padded[1::2, 1::2]]
+        )
+        with np.errstate(invalid="ignore"):
+            cur = np.nanmean(quads, axis=0).astype(arr.dtype)
+        levels.append(cur)
+    return levels
+
+
+def _tile_bytes(arr: np.ndarray, tile: int, en: str) -> tuple[list[bytes], int, int]:
+    """Deflate-compressed row-major tiles (edge tiles zero-padded per spec)."""
+    h, w = arr.shape
+    down, across = (h + tile - 1) // tile, (w + tile - 1) // tile
+    padded = np.zeros((down * tile, across * tile), dtype=arr.dtype)
+    padded[:h, :w] = arr
+    out = []
+    for ty in range(down):
+        for tx in range(across):
+            block = padded[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            out.append(zlib.compress(block.astype(en + "f4").tobytes(), 6))
+    return out, across, down
+
+
+def write_cog(
+    path: str,
+    array: np.ndarray,
+    *,
+    xmin: float,
+    ymax: float,
+    res_x: float,
+    res_y: float,
+    epsg: int,
+    tile: int = DEFAULT_TILE,
+) -> dict:
+    """Write a single-band float32 COG; returns a summary dict
+    (n_overviews, n_tiles, bytes)."""
+    en = "<"
+    arr = np.asarray(array, dtype="f4")
+    levels = [arr] + _overview_levels(arr, tile)
+
+    # Compress everything first so IFDs can carry exact offsets/counts.
+    level_tiles = [_tile_bytes(lv, tile, en) for lv in levels]
+
+    scale = struct.pack(en + "ddd", res_x, res_y, 0.0)
+    tiepoint = struct.pack(en + "dddddd", 0, 0, 0, xmin, ymax, 0)
+    geokeys = struct.pack(en + "H" * 12, 1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
+
+    def ifd_entries(i: int, lv: np.ndarray, ntiles: int) -> list[tuple[int, int, int]]:
+        # (tag, type, count); values resolved in the layout pass
+        e = []
+        if i > 0:
+            e.append((254, 4, 1))  # NewSubfileType = reduced-resolution
+        e += [
+            (256, 4, 1),
+            (257, 4, 1),
+            (258, 3, 1),
+            (259, 3, 1),
+            (262, 3, 1),
+            (277, 3, 1),
+            (322, 3, 1),
+            (323, 3, 1),
+            (324, 4, ntiles),
+            (325, 4, ntiles),
+            (339, 3, 1),
+        ]
+        if i == 0:
+            e += [(33550, 12, 3), (33922, 12, 6), (34735, 3, 12)]
+        return sorted(e)
+
+    _TYPE_SIZE = {3: 2, 4: 4, 12: 8}
+
+    # Layout: header(8) | IFDs | out-of-line arrays | tile data.
+    ifd_sizes = [
+        2 + 12 * len(ifd_entries(i, lv, len(t[0]))) + 4
+        for i, (lv, t) in enumerate(zip(levels, level_tiles))
+    ]
+    ifd_offs = []
+    pos = 8
+    for s in ifd_sizes:
+        ifd_offs.append(pos)
+        pos += s
+    # Out-of-line value region
+    aux: dict[tuple[int, int], int] = {}  # (level, tag) -> offset
+    for i, (lv, (tiles, across, down)) in enumerate(zip(levels, level_tiles)):
+        n = len(tiles)
+        if n > 1:
+            aux[(i, 324)] = pos
+            pos += 4 * n
+            aux[(i, 325)] = pos
+            pos += 4 * n
+        if i == 0:
+            aux[(0, 33550)] = pos
+            pos += len(scale)
+            aux[(0, 33922)] = pos
+            pos += len(tiepoint)
+            aux[(0, 34735)] = pos
+            pos += len(geokeys)
+    # Tile data region
+    tile_offsets: list[list[int]] = []
+    for tiles, _, _ in level_tiles:
+        offs = []
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        tile_offsets.append(offs)
+
+    def value_for(i: int, tag: int, tiles: list[bytes]) -> tuple:
+        lv = levels[i]
+        return {
+            254: (1,),
+            256: (lv.shape[1],),
+            257: (lv.shape[0],),
+            258: (32,),
+            259: (8,),  # Deflate
+            262: (1,),
+            277: (1,),
+            322: (tile,),
+            323: (tile,),
+            324: tuple(tile_offsets[i]),
+            325: tuple(len(t) for t in tiles),
+            339: (3,),
+            33550: (),  # written from the aux region
+            33922: (),
+            34735: (),
+        }[tag]
+
+    fmt_of = {3: "H", 4: "I", 12: "d"}
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack(en + "HI", 42, ifd_offs[0]))
+        for i, (lv, (tiles, across, down)) in enumerate(zip(levels, level_tiles)):
+            entries = ifd_entries(i, lv, len(tiles))
+            f.write(struct.pack(en + "H", len(entries)))
+            for tag, typ, cnt in entries:
+                f.write(struct.pack(en + "HHI", tag, typ, cnt))
+                size = _TYPE_SIZE[typ] * cnt
+                if tag in (33550, 33922, 34735):
+                    f.write(struct.pack(en + "I", aux[(i, tag)]))
+                elif size <= 4:
+                    vals = value_for(i, tag, tiles)
+                    b = struct.pack(en + fmt_of[typ] * cnt, *vals)
+                    f.write(b + b"\x00" * (4 - len(b)))
+                else:
+                    f.write(struct.pack(en + "I", aux[(i, tag)]))
+            next_off = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
+            f.write(struct.pack(en + "I", next_off))
+        # aux arrays, in the same order offsets were assigned
+        for i, (tiles, _, _) in enumerate(level_tiles):
+            n = len(tiles)
+            if n > 1:
+                f.write(struct.pack(en + "I" * n, *tile_offsets[i]))
+                f.write(struct.pack(en + "I" * n, *(len(t) for t in tiles)))
+            if i == 0:
+                f.write(scale + tiepoint + geokeys)
+        for tiles, _, _ in level_tiles:
+            for t in tiles:
+                f.write(t)
+        total = f.tell()
+
+    return {
+        "n_overviews": len(levels) - 1,
+        "n_tiles": sum(len(t[0]) for t in level_tiles),
+        "bytes": total,
+    }
+
+
+def cog_convert(src: str, dst: str, tile: int = DEFAULT_TILE) -> None:
+    """GDAL-free (src GeoTIFF) -> (dst COG) conversion: the executed pure-
+    Python analog of gdal_translate -of COG (01b:92-104). Baseline-scope
+    source decoding (see read_geotiff_pixels); raises on unreadable input so
+    step01_cog records a failed-status row."""
+    hdr = read_geotiff_header(src)
+    arr = read_geotiff_pixels(src)
+    write_cog(
+        dst,
+        arr,
+        xmin=hdr["extent_xmin"],
+        ymax=hdr["extent_ymax"],
+        res_x=hdr["resolution_x"] or 1.0,
+        res_y=hdr["resolution_y"] or 1.0,
+        epsg=hdr["crs_epsg"] or 0,
+        tile=tile,
+    )

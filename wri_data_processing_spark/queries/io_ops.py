@@ -108,6 +108,58 @@ def scan_raster_header_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr.select("filename", "nrows", "ncols", "resolution_x", "success")
 
 
+# Deterministic synthetic GeoTIFFs for the REAL header-read path: index ->
+# (filename, container, byte order, width, height). Both the query and its
+# oracle state the expected headers from the same arithmetic.
+_RASTER_FIXTURES = [
+    (
+        f"layer_{i:02d}.tif",
+        "bigtiff" if i % 2 else "classic",
+        ">" if i % 3 == 0 else "<",
+        6 + i,
+        4 + i,
+    )
+    for i in range(10)
+]
+_RASTER_VALUES = ", ".join(
+    f"('{name}', {w}, {h}, 5070, 90.0, 'float32', TRUE)"
+    for name, _, _, w, h in _RASTER_FIXTURES
+)
+
+
+@query(
+    "scan_raster_header_real",
+    oracle=f"""
+    SELECT filename, ncols, nrows, crs_epsg, resolution_x, datatype, success
+    FROM (VALUES {_RASTER_VALUES})
+      AS t(filename, ncols, nrows, crs_epsg, resolution_x, datatype, success)
+    """,
+)
+def scan_raster_header_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 with NO injected reader: real GeoTIFF headers parsed by the
+    pure-Python TIFF reader (sources/tiff_header.py) over fixtures the
+    query generates from the public spec (sources/tiff_fixture.py) —
+    classic + BigTIFF, both byte orders. The reference behavior this
+    executes is utils.R:175-214's header-only read: dims, resolution, EPSG,
+    dtype, with zero pixel I/O."""
+    from wri_data_processing_spark.sources.tiff_fixture import (
+        write_bigtiff_geotiff,
+        write_classic_geotiff,
+    )
+
+    src_dir = _scratch_dir("raster_real", sf_dir)
+    paths = []
+    for name, container, en, w, h in _RASTER_FIXTURES:
+        p = os.path.join(src_dir, name)
+        writer = write_bigtiff_geotiff if container == "bigtiff" else write_classic_geotiff
+        writer(p, en=en, width=w, height=h)
+        paths.append((p,))
+    hdr = scan_raster_header(spark.createDataFrame(paths, "path string"))
+    return hdr.select(
+        "filename", "ncols", "nrows", "crs_epsg", "resolution_x", "datatype", "success"
+    )
+
+
 _CSV_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -247,6 +299,69 @@ def sink_cog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     statuses = step01_cog(meta, out_dir, converter=stub_converter)
     return status_counts(statuses)
+
+
+_COG_VALUES = ", ".join(
+    [f"('layer_{i}_cog.tif', 'written', {4 + i}, 5070, 'float32')" for i in range(4)]
+    + [
+        "('corrupt_cog.tif', 'failed', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),"
+        " CAST(NULL AS VARCHAR))",
+        "('ghost_cog.tif', 'missing', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),"
+        " CAST(NULL AS VARCHAR))",
+    ]
+)
+
+
+@query(
+    "sink_cog_real",
+    oracle=f"""
+    SELECT cog_filename, status, nrows, crs_epsg, datatype
+    FROM (VALUES {_COG_VALUES}) AS t(cog_filename, status, nrows, crs_epsg, datatype)
+    """,
+)
+def sink_cog_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 with NO injected converter: real COG conversion via the pure-
+    Python writer (geo/cog_writer.py — tiled, Deflate, AVERAGE overviews),
+    the executed analog of gdal_translate -of COG (01b:92-104). Sources are
+    spec-generated GeoTIFFs plus a corrupt file and a missing path, so the
+    guard statuses are fully determined; written outputs are then re-parsed
+    DISTRIBUTED by the independent header reader, and the output carries
+    each artifact's parsed dims/CRS/dtype — proving the sink produced valid
+    georeferenced rasters, not just that it ran."""
+    from wri_data_processing_spark.sources.tiff_fixture import (
+        write_bigtiff_geotiff,
+        write_classic_geotiff,
+    )
+
+    src_dir = _scratch_dir("sink_cog_real_src", sf_dir)
+    out_dir = _scratch_dir("sink_cog_real_out", sf_dir)
+    specs = []
+    for i in range(4):
+        p = os.path.join(src_dir, f"layer_{i}.tif")
+        writer = write_classic_geotiff if i % 2 == 0 else write_bigtiff_geotiff
+        writer(p, width=6 + i, height=4 + i)
+        specs.append((p, f"layer_{i}_cog.tif"))
+    bad = os.path.join(src_dir, "corrupt.tif")
+    with open(bad, "wb") as fh:
+        fh.write(b"not a tiff")
+    specs.append((bad, "corrupt_cog.tif"))
+    specs.append((os.path.join(src_dir, "ghost.tif"), "ghost_cog.tif"))
+
+    meta = spark.createDataFrame(specs, "filepath string, cog_filename string")
+    # Effectful sink feeding TWO plan branches: materialize exactly once
+    # (localCheckpoint) or the second execution would see the files already
+    # on disk and report 'skipped' — same compute-once rule as the probe.
+    statuses = step01_cog(meta, out_dir).localCheckpoint()
+
+    written = statuses.filter(F.col("status") == "written").select(
+        F.concat(F.lit(out_dir + "/"), F.col("cog_filename")).alias("path")
+    )
+    parsed = scan_raster_header(written).select(
+        F.col("filename").alias("cog_filename"), "nrows", "crs_epsg", "datatype"
+    )
+    return statuses.select("cog_filename", "status").join(
+        parsed, "cog_filename", "left"
+    )
 
 
 @query(

@@ -31,6 +31,20 @@ _JACCARD_THRESHOLD = 0.6
 _MAX_DF = 1000  # document-frequency cap on shingles (scale guard)
 
 
+def _spread_small_scan(d: DataFrame) -> DataFrame:
+    """Repartition ONLY under-parallel inputs before a CPU-heavy expression.
+
+    A small local input arrives as one file split, serializing the shingle
+    construction; spreading it across cores is worth one exchange. A 100 TB
+    scan already has thousands of splits — there the exchange would be pure
+    waste, so it's gated on the actual scan partition count (plan-time
+    metadata, no job)."""
+    nparts = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, nparts // 2):
+        return d.repartition(nparts, "doc_id")
+    return d
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -59,8 +73,7 @@ def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
     # input can arrive as ONE file split; spread it across all cores before the
     # expensive expression so it parallelizes. At real scale the scan already
     # has many splits and this exchange is dwarfed by the shingle explode.
-    nparts = d.sparkSession.sparkContext.defaultParallelism
-    d2 = d.repartition(nparts, "doc_id").select(
+    d2 = _spread_small_scan(d).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
@@ -91,8 +104,7 @@ def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
     filter already guarantees non-empty arrays, so _outer is semantically
     identical here and keeps the expression evaluated exactly once.
     """
-    nparts = d.sparkSession.sparkContext.defaultParallelism
-    d2 = d.repartition(nparts, "doc_id").select(
+    d2 = _spread_small_scan(d).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
@@ -417,23 +429,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
     """
     from wri_data_processing_spark.queries.llm_similarity import (
-        _dvec,
-        cosine,
-        ivf_assign,
+        bucketed_pair_candidates,
+        cosine_from_norms,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(e)
-    a = e.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), "cid", _dvec("embedding").alias("ea")
-    )
-    b = e.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("vec_b"), "cid", _dvec("embedding").alias("eb")
-    )
+    pairs = bucketed_pair_candidates(e.select("vec_id", "embedding"))
     dups = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        pairs.filter(
+            cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.45
+        )
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )

@@ -35,8 +35,22 @@ def _dvec(col: str | Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity between two array<double> columns."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (vec_norm(a) * vec_norm(b))
+
+
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array<double> column."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms — bit-identical to :func:`cosine`
+    (same sqrt-of-sum expression, same dot/(na*nb) association), but the
+    norm work runs once per VECTOR instead of once per PAIR. On a bucketed
+    pair join that's the difference between O(N) and O(candidate-pairs)
+    higher-order-function evaluations — at 250 vectors/bucket, a ~125x cut
+    of two-thirds of the per-pair array arithmetic."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return dot / (na * nb)
 
 
@@ -151,6 +165,47 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_FANOUT = 8  # blocks per bucket: spreads each cid's pair work across tasks
+
+
+def bucketed_pair_candidates(e: DataFrame, nlist: int = _IVF_NLIST) -> DataFrame:
+    """Same-bucket candidate pairs (vec_a < vec_b) with pre-computed norms:
+    columns (cid, vec_a, ea, na, vec_b, eb, nb).
+
+    Two scale levers beyond the bucket equi-join itself:
+
+    - **Norms once per vector** (cosine_from_norms): the O(pairs) stage does
+      only the dot product.
+    - **Block fan-out**: a bare join on cid has exactly ``nlist`` distinct
+      keys, so at most nlist tasks carry the quadratic pair work no matter
+      how many cores exist. Side B is split into ``_PAIR_FANOUT`` blocks by
+      vec_id and side A replicated once per block (A is the small projected
+      side: id + vector + norm), making the join key (cid, block) with
+      nlist x fanout distinct values — the same trick as the salted skew
+      join, applied to a low-cardinality bucket key. Output set is identical;
+      only the task layout changes.
+    """
+    assigned = ivf_assign(e, nlist=nlist)
+    side = e.join(assigned, "vec_id").select(
+        "vec_id", "cid", _dvec("embedding").alias("v"), vec_norm(_dvec("embedding")).alias("nv")
+    )
+    a = side.select(
+        F.col("vec_id").alias("vec_a"),
+        "cid",
+        F.col("v").alias("ea"),
+        F.col("nv").alias("na"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_FANOUT - 1))).alias("blk"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vec_b"),
+        "cid",
+        F.col("v").alias("eb"),
+        F.col("nv").alias("nb"),
+        (F.col("vec_id") % _PAIR_FANOUT).alias("blk"),
+    )
+    return a.join(b, ["cid", "blk"]).filter(F.col("vec_a") < F.col("vec_b")).drop("blk")
+
+
 @query(
     "sim_pairs_threshold",
     oracle=f"""
@@ -178,15 +233,8 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small-N correctness anchor.
     """
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = ivf_assign(e)
-    a = e.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), "cid", _dvec("embedding").alias("ea")
-    )
-    b = e.join(assigned, "vec_id").select(
-        F.col("vec_id").alias("vec_b"), "cid", _dvec("embedding").alias("eb")
-    )
-    pairs = a.join(b, "cid").filter(F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    pairs = bucketed_pair_candidates(e)
+    sim = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return pairs.filter(sim >= _PAIR_TAU).select(
         "vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim")
     )
@@ -208,10 +256,18 @@ def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant. O(N^2): valid only when one side is broadcastable; the
     registered scale path is sim_pairs_threshold's bucketed plan."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        _dvec("embedding").alias("ea"),
+        vec_norm(_dvec("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        _dvec("embedding").alias("eb"),
+        vec_norm(_dvec("embedding")).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return pairs.filter(sim >= _PAIR_TAU).select(
         "vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim")
     )
@@ -275,10 +331,18 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL — candidate set in, adjacency out.
     """
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        _dvec("embedding").alias("ea"),
+        vec_norm(_dvec("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        _dvec("embedding").alias("eb"),
+        vec_norm(_dvec("embedding")).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") != F.col("vec_b"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    sim = F.round(cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
     w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), "vec_b")
     return (
         pairs.select("vec_a", "vec_b", sim.alias("cosine_sim"))

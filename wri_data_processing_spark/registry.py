@@ -76,9 +76,10 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_meta",
     "multimodal_frame_sample",
     "multimodal_features",
-    # -- §2 row variants never sampled --
-    "join_asof_forward",
-    "stream_sliding_window",
+    # -- real executed S2/S6 paths (round-4 pure-Python TIFF/COG codecs) --
+    "scan_raster_header_real",
+    "sink_cog_real",
+    # -- §2 row variant never sampled --
     "fn_date_math",
     # -- never-sampled LLM-pipeline family --
     "sim_pairs_exact",
@@ -107,6 +108,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_skew_salted",
     "stream_user_census",
     # -- positions 51+: remaining never-sampled ops, next rotation --
+    "join_asof_forward",
+    "stream_sliding_window",
     "graph_pagerank",
     "graph_triangle_count",
     "scan_orc",

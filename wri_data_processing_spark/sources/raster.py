@@ -85,11 +85,15 @@ def _rasterio_reader(path: str) -> dict[str, Any]:  # pragma: no cover - needs r
 
 
 def default_reader(path: str) -> dict[str, Any]:
-    """Try rasterio; otherwise an error row (GDAL absent in this container)."""
+    """Real header read: rasterio when installed, else the pure-Python
+    GeoTIFF tag parser (sources/tiff_header.py) — the same fields with zero
+    native dependencies. Both are genuinely header-only (no pixel I/O)."""
     try:
         return _rasterio_reader(path)
     except ImportError:
-        return {"filepath": path, "success": False, "error": "rasterio/GDAL not installed"}
+        from wri_data_processing_spark.sources.tiff_header import read_geotiff_header
+
+        return read_geotiff_header(path)
 
 
 def scan_raster_header(paths: DataFrame, reader: HeaderReader | None = None) -> DataFrame:

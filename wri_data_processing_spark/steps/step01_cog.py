@@ -74,7 +74,18 @@ def step01_cog(
     """
     if "filepath" not in meta.columns:  # 01b:56-58
         raise ValueError("Metadata missing 'filepath' column")
-    conv = converter or gdal_translate_converter()
+    if converter is None:
+        import shutil
+
+        if shutil.which("gdal_translate"):
+            converter = gdal_translate_converter()
+        else:
+            # Executed GDAL-free path: pure-Python tiled+Deflate COG with
+            # AVERAGE overviews (geo/cog_writer.py), baseline source scope.
+            from wri_data_processing_spark.geo.cog_writer import cog_convert
+
+            converter = cog_convert
+    conv = converter
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -47,7 +47,11 @@ def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
         quads = np.stack(
             [padded[0::2, 0::2], padded[0::2, 1::2], padded[1::2, 0::2], padded[1::2, 1::2]]
         )
-        with np.errstate(invalid="ignore"):
+        import warnings
+
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # all-NaN quads (nodata regions) legitimately average to NaN
+            warnings.simplefilter("ignore", category=RuntimeWarning)
             cur = np.nanmean(quads, axis=0).astype(arr.dtype)
         levels.append(cur)
     return levels

@@ -151,6 +151,57 @@ def geo_overview_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 64x64 grid is fully covered at every driver SF (thousands of rows per
+# returnflag onto 4096 cells), and dims are FORCED via shape= so the output
+# is arithmetic: 64x64 base + 2 halvings to 16 (= tile), tiles 16+4+1.
+_COG_PIPE_VALUES = ", ".join(
+    f"('{flag}', 64, 64, 2, 21, TRUE)" for flag in ("A", "N", "R")
+)
+
+
+@query(
+    "geo_layer_cog_pipeline",
+    oracle=f"""
+    SELECT layer_id, nrows, ncols, n_overviews, n_tiles, success
+    FROM (VALUES {_COG_PIPE_VALUES})
+      AS t(layer_id, nrows, ncols, n_overviews, n_tiles, success)
+    """,
+)
+def geo_layer_cog_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end raster pipeline: lineitem-derived cell table -> one REAL
+    tiled+Deflate+overview COG per layer via the distributed applyInPandas
+    sink (geo/raster_pipeline.py) -> per-layer write summaries. The executed
+    Spark reshape of the reference's 00b->01b chain on synthetic grids."""
+    import os
+    import shutil
+
+    from wri_data_processing_spark.geo.raster_pipeline import write_layer_cogs
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join("/tmp/wri_engine_scratch", "geo_cog_pipe", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    l = table(spark, sf_dir, "lineitem")
+    cells = l.groupBy(
+        F.col("l_returnflag").alias("layer_id"),
+        (F.col("l_orderkey") % 64).alias("x"),
+        (F.col("l_suppkey") % 64).alias("y"),
+    ).agg(F.avg("l_quantity").alias("val"))
+    statuses = write_layer_cogs(
+        cells,
+        out_dir,
+        xmin=_EXP.xmin,
+        ymax=_EXP.ymax,
+        res=90.0,
+        epsg=5070,
+        tile=16,
+        shape=(64, 64),
+    )
+    return statuses.select(
+        "layer_id", "nrows", "ncols", "n_overviews", "n_tiles", "success"
+    )
+
+
 @query("geo_reproject_bbox")  # rows-only: pandas-UDF boundary op, no SQL oracle
 def geo_reproject_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproject synthesized layer extents; returns bbox corners + GeoJSON ring.

@@ -108,6 +108,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_skew_salted",
     "stream_user_census",
     # -- positions 51+: remaining never-sampled ops, next rotation --
+    "geo_layer_cog_pipeline",
     "join_asof_forward",
     "stream_sliding_window",
     "graph_pagerank",

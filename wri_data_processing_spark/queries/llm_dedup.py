@@ -221,8 +221,130 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles_hashed(d, 3))
 
 
-@query("dedup_minhash_lsh")  # rows-only: probabilistic banding, no SQL oracle
+# MinHash permutation constants: h_k(x) = (a_k * x + b_k) mod P over a
+# 31-bit universe (P Mersenne prime, so a*h+b < 2^61 stays exact in int64 on
+# BOTH engines). The ORACLE formats the same Python list into its VALUES
+# table, so engine and oracle share the permutations by construction.
+_MINHASH_P = 2147483647  # 2^31 - 1
+_MINHASH_PERMS = [(999999937 + 2 * k, (k * 1000000007) % _MINHASH_P) for k in range(16)]
+_MINHASH_BANDS = 4  # 4 bands x 4 rows over the 16 minhashes
+_MINHASH_EST_MIN = 0.25  # drop single-band coincidences
+
+
+def _minhash_oracle() -> str:
+    perms_values = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MINHASH_PERMS))
+    return rf"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM reps
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tk, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    hx AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(sha256(shingle), 1, 15)) AS BIGINT)
+               % {_MINHASH_P} AS h
+      FROM sh
+    ),
+    perms(k, a, b) AS (VALUES {perms_values}),
+    mh AS (
+      SELECT doc_id, k, MIN((a * h + b) % {_MINHASH_P}) AS m
+      FROM hx, perms GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY k) AS ms FROM mh GROUP BY 1),
+    bands AS (
+      SELECT doc_id, j,
+             ms[4*j+1]::VARCHAR || ',' || ms[4*j+2] || ',' || ms[4*j+3]
+               || ',' || ms[4*j+4] AS bsig
+      FROM sig, unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS v(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (j, bsig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(generate_series(1, 16), i -> sa.ms[i] = sb.ms[i]))
+               / 16.0 AS e
+      FROM cand c
+      JOIN sig sa ON c.doc_a = sa.doc_id
+      JOIN sig sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(e, 4) AS jaccard_est
+    FROM est WHERE e >= {_MINHASH_EST_MIN}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, engine-native and ORACLE-EXACT.
+
+    spark.ml's MinHashLSH seeds its permutations from a Scala RNG no other
+    engine can replay, which forced a rows-only check (the round-3 state).
+    This implementation derives the base hash from sha256 (first 60 bits,
+    reduced mod 2^31-1) and applies declared (a_k x + b_k) mod P
+    permutations — every step exact 64-bit integer arithmetic both engines
+    compute bit-identically, so the probabilistic operator gets a FULL
+    value-hash oracle: same candidates, same estimates, including banding
+    false positives.
+
+    Plan shape (the 100 TB story): exact-dup collapse -> one shingle
+    explode + sha -> ONE partial-aggregated groupBy building all 16
+    minhashes -> 4-row band explode of the |docs|-sized signature table ->
+    band equi-join for candidates -> signature re-join for the estimate.
+    Sub-quadratic: pair work is bounded by band collisions, never N^2.
+    spark.ml variant retained as dedup_minhash_ml (rows-only).
+    """
+    d = table(spark, sf_dir, "documents")
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    sh = _shingle_arrays(reps, 3)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    base = F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10).cast("long")
+    hx = ex.select("doc_id", (base % _MINHASH_P).alias("h"))
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"m{k}")
+            for k, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+    # Signature table feeds three plan branches (two band sides + two
+    # estimate sides); it's |unique docs| rows — materialize once.
+    sig = sig.localCheckpoint()
+
+    band_exprs = [
+        F.concat_ws(",", *[F.col(f"m{4 * j + r}").cast("string") for r in range(4)])
+        for j in range(_MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_exprs)).alias("j", "bsig"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "j", "bsig")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "j", "bsig"), ["j", "bsig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(16)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(16)])
+    matches = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(16)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("e"))
+    )
+    return est.filter(F.col("e") >= _MINHASH_EST_MIN).select(
+        "doc_a", "doc_b", F.round("e", 4).alias("jaccard_est")
+    )
+
+
+@query("dedup_minhash_ml")  # rows-only: spark.ml's RNG-seeded banding, no SQL oracle
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates via spark.ml (deterministic seed).
 
     Pipeline: shingle set -> HashingTF sparse vector -> MinHashLSH
@@ -261,36 +383,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 bit mixing has no DuckDB twin
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, pure DataFrame bit arithmetic.
+_SIMHASH_BITS = 60  # 15 hex chars of sha256: exact int64 on both engines
 
-    Each token votes +-1 per bit position of its xxhash64; the sign vector
-    is reassembled into a 64-bit signature. Near-dup candidates are docs
-    whose signatures agree on a 16-bit band (4-band blocking) — here we
-    return (doc_id, simhash, band0..band3) so the banded self-join is a
-    plain equi-join downstream.
+
+@query(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(sha256(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hx, unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS u(b)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT doc_id, simhash,
+           (simhash >> 0) & 32767 AS band0,
+           (simhash >> 15) & 32767 AS band1,
+           (simhash >> 30) & 32767 AS band2,
+           (simhash >> 45) & 32767 AS band3
+    FROM sig
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, pure DataFrame bit arithmetic — and
+    ORACLE-EXACT since r4: the per-token hash is the sha256 60-bit slice
+    (same cross-engine primitive as dedup_minhash_lsh) instead of
+    engine-private xxhash64, so signatures, not just row counts, are
+    verified. Each token occurrence votes +-1 per bit position; the sign
+    vector reassembles into the signature. Near-dup candidates are docs
+    agreeing on a 15-bit band (4-band blocking) — band0..band3 make the
+    banded self-join a plain equi-join downstream.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.sha2("tok", 256), 1, 15), 16, 10).cast("long")
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(_SIMHASH_BITS)
         ]
     )
     sig = None
-    for b in range(64):
+    for b in range(_SIMHASH_BITS):
         term = F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     out = bit_sums.select("doc_id", sig.alias("simhash"))
     bands = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long"))).alias(
+        (F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF).cast("long"))).alias(
             f"band{i}"
         )
         for i in range(4)

@@ -18,6 +18,8 @@ fp64 BEFORE multiply so both engines accumulate identically.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -273,8 +275,155 @@ def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh")  # rows-only: random-projection buckets have no SQL oracle
+# Sign-random-projection (SRP) LSH constants. The +-1 projection matrix is
+# derived from sha256 ONCE at import (stdlib hashlib, no engine hash calls)
+# and embedded as LITERALS in both the Spark plan and the oracle SQL — the
+# randomness is fixed at authoring time, so the probabilistic sketch gets an
+# exact cross-engine contract.
+_SRP_BITS = 24
+_SRP_BANDS = 6  # 6 bands x 4 bits
+_SRP_BAND_WIDTH = _SRP_BITS // _SRP_BANDS
+_SRP_BAND_MASK = (1 << _SRP_BAND_WIDTH) - 1
+_SRP_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
+# Band geometry sets the recall/selectivity point: P(bit agrees) = 1 - θ/π,
+# so for this table's moderate top-cosines (~0.5 => ~2/3 per bit) a 4-bit
+# band matches with p~0.2 and 6 bands give ~73% per-vector recall. True
+# near-dup corpora (cos >= 0.9) would widen bands for selectivity.
+
+
+def _srp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.sha256(f"srp:{j}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(_SRP_DIM)
+        ]
+        for j in range(_SRP_BITS)
+    ]
+
+
+def _srp_oracle() -> str:
+    signs = _srp_signs()
+    sign_values = ", ".join(
+        "(" + str(j) + ", [" + ", ".join(str(s) for s in sv) + "]::BIGINT[])"
+        for j, sv in enumerate(signs)
+    )
+    w, m = _SRP_BAND_WIDTH, _SRP_BAND_MASK
+    band_match = " OR ".join(
+        f"(e.sig >> {w * b}) & {m} = (q.sig >> {w * b}) & {m}" for b in range(_SRP_BANDS)
+    )
+    return f"""
+    WITH qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    signs(j, sv) AS (VALUES {sign_values}),
+    dots AS (
+      SELECT q.vec_id, s.j,
+             CAST(SUM(q.qv[u.i] * s.sv[u.i]) AS BIGINT) AS dot
+      FROM qt q, signs s, unnest(generate_series(1, {_SRP_DIM})) u(i)
+      GROUP BY 1, 2),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY 1),
+    cand AS (
+      SELECT e.vec_id
+      FROM sigs e, (SELECT sig FROM sigs WHERE vec_id = 0) q
+      WHERE e.vec_id != 0 AND ({band_match})
+    )
+    SELECT c.vec_id, emb.label,
+           ROUND(list_cosine_similarity(CAST(emb.embedding AS DOUBLE[]), qq.qe), 6)
+             AS cosine_sim
+    FROM cand c
+    JOIN embeddings emb ON emb.vec_id = c.vec_id
+    JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = 0) qq ON TRUE
+    ORDER BY cosine_sim DESC, c.vec_id
+    LIMIT 10
+    """  # noqa: S608 - literal-built oracle, no external input
+
+
+@query("sim_ann_lsh", oracle=_srp_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors of vec_id=0 via sign-random-projection LSH —
+    ORACLE-EXACT since r4 (was rows-only under spark.ml's RNG buckets).
+
+    Each of the 24 sketch bits is sign(<qv, r_j>) with r_j a fixed +-1
+    matrix literal and qv the 2^20 fixed-point embedding: all-integer
+    arithmetic, so bucket membership is bit-identical cross-engine —
+    including LSH's false positives/negatives, which the oracle reproduces
+    rather than papering over. Candidates share at least one band (see
+    _SRP_BANDS geometry note) with the query signature and are re-ranked by
+    exact cosine.
+
+    Plan shape at 100 TB: the 24-row sign matrix broadcasts; signatures are
+    one zip_with/aggregate pass + a 24-row partial-aggregated rollup per
+    vector; candidate generation is a band equi-join against the 1-row
+    query signature. spark.ml's BucketedRandomProjectionLSH variant is
+    retained as sim_ann_brp_ml (rows-only).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    signs = spark.createDataFrame(
+        [(j, sv) for j, sv in enumerate(_srp_signs())], "j int, sv array<bigint>"
+    )
+    q = e.select("vec_id", _qvec("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "sv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # shiftleft's Python wrapper takes only a literal count; the SQL form
+    # accepts a column expression for the per-row bit position.
+    bit = F.when(dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    sigs = (
+        q.crossJoin(F.broadcast(signs))
+        .select("vec_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("sig"))
+    )
+    band = [
+        (
+            F.shiftrightunsigned(F.col("sig"), _SRP_BAND_WIDTH * b).bitwiseAND(
+                F.lit(_SRP_BAND_MASK).cast("long")
+            )
+        )
+        for b in range(_SRP_BANDS)
+    ]
+    qsig = sigs.filter(F.col("vec_id") == 0).select(
+        *[band[b].alias(f"qband{b}") for b in range(_SRP_BANDS)]
+    )
+    cand = (
+        sigs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qsig))
+        .filter(
+            reduce(
+                lambda x, y: x | y,
+                [band[b] == F.col(f"qband{b}") for b in range(_SRP_BANDS)],
+            )
+        )
+        .select("vec_id")
+    )
+    qe = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qe"))
+    ranked = (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine_sim"),
+        )
+    )
+    return ranked.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(10)
+
+
+@query("sim_ann_brp_ml")  # rows-only: spark.ml RNG-seeded buckets, no SQL oracle
+def sim_ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbors of vec_id=0 via BucketedRandomProjectionLSH.
 
     Deterministic seed; Euclidean-bucketed candidates re-ranked by exact

@@ -109,6 +109,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stream_user_census",
     # -- positions 51+: remaining never-sampled ops, next rotation --
     "geo_layer_cog_pipeline",
+    "dedup_minhash_ml",
+    "sim_ann_brp_ml",
     "join_asof_forward",
     "stream_sliding_window",
     "graph_pagerank",

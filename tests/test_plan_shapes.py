@@ -149,10 +149,14 @@ def _assert_no_theta_self_join(plan: str):
 
 def test_sim_pairs_threshold_bucketed(spark, sf_dir):
     """Candidate pairs must come from the cid bucket equi-join, not an
-    all-pairs theta join over the embeddings table."""
+    all-pairs theta join over the embeddings table — and the join must key
+    on (cid, blk) so each bucket's quadratic work spreads across
+    nlist x fanout tasks instead of nlist."""
     plan = _plan(spark, sf_dir, "sim_pairs_threshold")
     _assert_no_theta_self_join(plan)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert any("cid" in e and "blk" in e for e in exchanges), plan
 
 
 def test_dedup_embedding_bucketed(spark, sf_dir):

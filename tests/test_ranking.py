@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from wri_data_processing_spark.operators.ranking import (
     with_global_ntile,
+    with_global_ntiles,
     with_global_rank,
 )
 
@@ -49,6 +50,32 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
     df = _tied_df(spark, n=3)
     got = with_global_ntile(df, ["k", "tid"], 4, "q", nbuckets=8)
     want = df.withColumn("q", F.ntile(4).over(Window.orderBy("k", "tid")))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_ntiles_multi_metric(spark):
+    """Bulk variant == three independent window NTILEs, exactly."""
+    df = spark.range(777).select(
+        (F.col("id") % 5).alias("k1"),
+        (F.col("id") * 7 % 13).alias("k2"),
+        ((F.col("id") * 3) % 11).alias("k3"),
+        F.col("id").alias("tid"),
+    )
+    got = with_global_ntiles(
+        df,
+        [
+            (["k1", "tid"], 4, "q1"),
+            (["k2", "tid"], 3, "q2"),
+            (["k3", "tid"], 7, "q3"),
+        ],
+        nbuckets=8,
+    )
+    want = (
+        df.withColumn("q1", F.ntile(4).over(Window.orderBy("k1", "tid")))
+        .withColumn("q2", F.ntile(3).over(Window.orderBy("k2", "tid")))
+        .withColumn("q3", F.ntile(7).over(Window.orderBy("k3", "tid")))
+    )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 

@@ -134,8 +134,71 @@ def with_global_ntile(
     """Add an exact ``NTILE(tiles) OVER (ORDER BY order_cols)`` column with a
     parallel plan. Requires a total order; see :func:`with_global_rank`.
     """
-    rank_col = f"__gr_rank_{out_col}"
-    ranked, n_rows = _ranked_with_total(df, order_cols, rank_col, nbuckets, rel_err)
-    return ranked.withColumn(
-        out_col, ntile_from_rank(F.col(rank_col), n_rows, tiles)
-    ).drop(rank_col)
+    return with_global_ntiles(df, [(order_cols, tiles, out_col)], nbuckets, rel_err)
+
+
+def with_global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[list[str], int, str]],
+    nbuckets: int = 32,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Exact NTILE columns for SEVERAL orderings in bulk: one multi-column
+    approxQuantile pass and ONE combined bucket-count aggregation serve
+    every metric, so k quartile columns cost 2 statistics jobs instead of
+    2k (the difference between 7 and 3 jobs for RFM's three metrics).
+
+    ``specs``: (order_cols, tiles, out_col) per metric; each ordering must
+    be total (tie-broken), leading column castable to double.
+    """
+    key_cols = []
+    keyed = df
+    for i, (order_cols, _, _) in enumerate(specs):
+        kc = f"__gr_k{i}"
+        keyed = keyed.withColumn(kc, F.col(order_cols[0]).cast("double"))
+        key_cols.append(kc)
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    cuts_per = keyed.stat.approxQuantile(key_cols, probs, rel_err)
+
+    bucket_cols = []
+    for i, cuts in enumerate(cuts_per):
+        bc = f"__gr_b{i}"
+        keyed = keyed.withColumn(bc, _bucket_expr(F.col(f"__gr_k{i}"), sorted(set(cuts))))
+        bucket_cols.append(bc)
+
+    # One pass over the frame counts every metric's buckets: explode k
+    # (metric, bucket) pairs per row, aggregate — ≤ k x (nbuckets+1) rows
+    # to the driver.
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(bc).alias("b"))
+                for i, bc in enumerate(bucket_cols)
+            ]
+        )
+    ).alias("ib")
+    counts_rows = (
+        keyed.select(pairs)
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_metric: dict[int, dict[int, int]] = {}
+    for r in counts_rows:
+        per_metric.setdefault(r["i"], {})[r["b"]] = r["n"]
+
+    out = keyed
+    for i, (order_cols, tiles, out_col) in enumerate(specs):
+        counts = per_metric.get(i, {})
+        n_rows = sum(counts.values())
+        offset = 0
+        off_expr = F.lit(0)
+        for b in sorted(counts):
+            off_expr = F.when(F.col(bucket_cols[i]) == F.lit(b), F.lit(offset)).otherwise(
+                off_expr
+            )
+            offset += counts[b]
+        w = Window.partitionBy(bucket_cols[i]).orderBy(*order_cols)
+        rank = (F.row_number().over(w) + off_expr).cast("long")
+        out = out.withColumn(out_col, ntile_from_rank(rank, n_rows, tiles))
+    return out.drop(*key_cols, *bucket_cols)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
-from wri_data_processing_spark.operators.ranking import with_global_ntile
+from wri_data_processing_spark.operators.ranking import with_global_ntiles
 from wri_data_processing_spark.registry import query
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -149,10 +149,10 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with the parallel two-phase global rank
     (operators/ranking.py), not a global single-partition window: at 100 TB
     the per-user frame is still billions of rows, and three
-    ``Window.orderBy`` calls would each funnel it through one task. The
-    aggregate is persisted so the per-metric statistics passes (quantile
-    cutpoints + bucket counts, ≤ 32 driver rows each) don't re-scan the
-    event log. Monetary ranks on the exact DECIMAL (not the double
+    ``Window.orderBy`` calls would each funnel it through one task. All
+    three metrics share ONE multi-column quantile pass and ONE combined
+    bucket-count pass (with_global_ntiles), and the aggregate is persisted
+    so those statistics jobs don't re-scan the event log. Monetary ranks on the exact DECIMAL (not the double
     projection), so boundary users can't flip quartiles between engines.
     """
     e = table(spark, sf_dir, "events")
@@ -162,9 +162,14 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
     )
     m = m.persist()
-    m = with_global_ntile(m, ["last_ts", "user_id"], 4, "r_quartile")
-    m = with_global_ntile(m, ["freq", "user_id"], 4, "f_quartile")
-    m = with_global_ntile(m, ["monetary_dec", "user_id"], 4, "m_quartile")
+    m = with_global_ntiles(
+        m,
+        [
+            (["last_ts", "user_id"], 4, "r_quartile"),
+            (["freq", "user_id"], 4, "f_quartile"),
+            (["monetary_dec", "user_id"], 4, "m_quartile"),
+        ],
+    )
     return m.select(
         "user_id",
         F.date_format("last_ts", _TS_FMT_SPARK).alias("last_seen"),

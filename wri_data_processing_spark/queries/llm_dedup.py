@@ -498,6 +498,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lbl", F.col("node")
     ).localCheckpoint()
 
+    # Loop structure was A/B-measured in r4: one propagation step per
+    # localCheckpoint with a separate fixpoint count beat both carrying the
+    # previous label through the aggregation (one fused materialization)
+    # and two propagation steps per checkpoint — both alternatives deepened
+    # the per-materialization plan for a net loss (~2.1s vs ~3.0s, sf0.1).
     for _ in range(50):  # diameter bound; loop exits on fixpoint below
         msgs = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "lbl"

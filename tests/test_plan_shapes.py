@@ -176,6 +176,16 @@ def test_join_skew_salted_shuffles_on_salt(spark, sf_dir):
     assert any("salt" in e for e in exchanges), plan
 
 
+def test_minhash_banded_equijoin(spark, sf_dir):
+    """Candidates must come from the (j, bsig) band equi-join over the
+    signature table — no cross/theta product anywhere (the sub-quadratic
+    property that makes LSH worth running)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_layout_zorder_no_global_window(spark, sf_dir):
     """The 32-file split must use the parallel two-phase rank — a global
     ntile window would plan Exchange SinglePartition (one task sorts the

@@ -9,10 +9,13 @@ CORRECTNESS_r{N}.json stays green.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from wri_data_processing_spark.catalog import TABLES
@@ -27,16 +30,32 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
-    if v is None:
+    """Normalize a cell to a (type-class, value) pair.
+
+    TYPE-SENSITIVE on purpose: the driver's value hash distinguishes
+    ``2187`` from ``2187.0`` (int vs float), so the local comparison must
+    too — Python's ``2187 == 2187.0`` let the r4 pipeline_clean_corpus
+    HUGEINT-vs-BIGINT oracle drift pass locally and fail the driver.
+    Classes: b(ool) < i(nt) < f(loat) < d(ecimal) — bool checked first
+    since it subclasses int. Width within a class (int32 vs int64) is NOT
+    distinguished, matching the driver's numpy-value hashing.
+    """
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return v  # exact: engine queries are designed to be bit-identical
+        return ("f", float(v))  # exact: engine queries are designed to be bit-identical
+    if isinstance(v, decimal.Decimal):
+        return ("d", v)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return ("t", v.isoformat())
     return v
 
 

@@ -72,7 +72,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: crosses the stubbed decoder boundary
+def _hex_byte_sql(i: int) -> str:
+    """DuckDB: i-th byte of the sha256 hex digest as a double in [0,1]."""
+    return (
+        f"CAST(CAST('0x' || substr(sha256(text), {2 * i + 1}, 2) AS INTEGER) AS DOUBLE)"
+        " / 255.0"
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id, {_TYPE_SQL} AS media_type,
+           sha256(text) AS digest,
+           CAST(8 AS INTEGER) AS feature_dim,
+           {", ".join(f"{_hex_byte_sql(i)} AS feature_{i}" for i in range(8))}
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the real mapInPandas decode boundary,
+    flattened to driver-safe scalar columns (no top-level arrays — the
+    driver's canonicalizer can't sort list cells).
+
+    The stub decoder is sha256-derived (operators/multimodal.py:70-78), so
+    the oracle is EXACT: DuckDB's sha256 matches hashlib byte-for-byte and
+    feature_i == hexbyte_i / 255.0 is the same IEEE double division on both
+    sides. The array-returning operator stays available internally via
+    extract_features(); only the registered query flattens.
+    """
     m = media_from_documents(table(spark, sf_dir, "documents"))
-    return extract_features(m)
+    feats = extract_features(m)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "digest",
+        F.size("feature").alias("feature_dim"),
+        *[F.element_at("feature", i + 1).alias(f"feature_{i}") for i in range(8)],
+    )

@@ -118,20 +118,20 @@ def _corners(xmin: float, xmax: float, ymin: float, ymax: float):
     return [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
 
 
-@pandas_udf(ArrayType(DoubleType()))
-def reproject_bbox_udf(
-    xmin: pd.Series, xmax: pd.Series, ymin: pd.Series, ymax: pd.Series
-) -> pd.Series:
-    """bbox [xmin,ymin,xmax,ymax] in EPSG:4326 from native extent corners.
+def extent_bbox_arrays(
+    xmin: np.ndarray, xmax: np.ndarray, ymin: np.ndarray, ymax: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized extent->WGS84 bbox core: (lo_lon, lo_lat, hi_lon, hi_lat).
 
-    Arrow-batched: constants (or one pyproj Transformer) per batch,
-    vectorized over all 4*rows corner points — the pattern that holds at
-    100 TB (cost is per-batch, not per-row).
+    Shared by the pandas UDF AND the registration-time oracle precompute
+    (queries/geo.py geo_reproject_bbox_vals), so driver-side expected values
+    and executor-side results come from the SAME code path — whichever of
+    pyproj / vendored-Snyder is active in the environment.
     """
     n = len(xmin)
     # 4 corners per row, vectorized in one shot: shape (4, n)
-    cx = np.stack([xmin.to_numpy(), xmax.to_numpy(), xmax.to_numpy(), xmin.to_numpy()])
-    cy = np.stack([ymin.to_numpy(), ymin.to_numpy(), ymax.to_numpy(), ymax.to_numpy()])
+    cx = np.stack([xmin, xmax, xmax, xmin])
+    cy = np.stack([ymin, ymin, ymax, ymax])
     if HAVE_PYPROJ:
         tr = Transformer.from_crs(5070, 4326, always_xy=True)
         lon, lat = tr.transform(cx, cy)
@@ -144,6 +144,22 @@ def reproject_bbox_udf(
     with np.errstate(invalid="ignore"):
         lo_lon, hi_lon = np.nanmin(lon, axis=0), np.nanmax(lon, axis=0)
         lo_lat, hi_lat = np.nanmin(lat, axis=0), np.nanmax(lat, axis=0)
+    return lo_lon, lo_lat, hi_lon, hi_lat
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def reproject_bbox_udf(
+    xmin: pd.Series, xmax: pd.Series, ymin: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    """bbox [xmin,ymin,xmax,ymax] in EPSG:4326 from native extent corners.
+
+    Arrow-batched: constants (or one pyproj Transformer) per batch,
+    vectorized over all 4*rows corner points — the pattern that holds at
+    100 TB (cost is per-batch, not per-row).
+    """
+    lo_lon, lo_lat, hi_lon, hi_lat = extent_bbox_arrays(
+        xmin.to_numpy(), xmax.to_numpy(), ymin.to_numpy(), ymax.to_numpy()
+    )
     return pd.Series(
         [[a, b, c, d] for a, b, c, d in zip(lo_lon.tolist(), lo_lat.tolist(), hi_lon.tolist(), hi_lat.tolist())]
     )

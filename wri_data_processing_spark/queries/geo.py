@@ -202,6 +202,69 @@ def geo_layer_cog_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6_col(c: F.Column) -> F.Column:
+    """floor(x*1e6 + 0.5)/1e6 — same IEEE ops as the Python precompute below
+    (F.round is avoided: Spark HALF_UP disagrees with Python at midpoints)."""
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _round6(x: float) -> float:
+    import math as _math
+
+    return _math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _expected_bbox_values() -> str:
+    """Precompute WGS84 bboxes for the two distinct synthetic extents at
+    registration time, through the SAME extent_bbox_arrays code path the
+    executor UDF runs (geo/reproject.py) — the scan_raster_header_real
+    VALUES-oracle pattern (io_ops.py) applied to reprojection."""
+    import numpy as np
+
+    from wri_data_processing_spark.geo.reproject import extent_bbox_arrays
+
+    xmins = [_EXP.xmin, _EXP.xmin + 100.0]
+    lo_lon, lo_lat, hi_lon, hi_lat = extent_bbox_arrays(
+        np.array(xmins),
+        np.array([_EXP.xmax] * 2),
+        np.array([_EXP.ymin] * 2),
+        np.array([_EXP.ymax] * 2),
+    )
+    rows = ", ".join(
+        f"({x!r}, {_round6(a)!r}, {_round6(b)!r}, {_round6(c)!r}, {_round6(d)!r})"
+        for x, a, b, c, d in zip(xmins, lo_lon, lo_lat, hi_lon, hi_lat)
+    )
+    return rows
+
+
+@query(
+    "geo_reproject_bbox_vals",
+    oracle=f"""
+    SELECT src_xmin, bbox_xmin, bbox_ymin, bbox_xmax, bbox_ymax
+    FROM (VALUES {_expected_bbox_values()})
+      AS t(src_xmin, bbox_xmin, bbox_ymin, bbox_xmax, bbox_ymax)
+    """,
+)
+def geo_reproject_bbox_vals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-proven reprojection (VERDICT r4 item 4): distinct synthetic
+    extents -> EPSG:4326 bbox corners, rounded to 1e-6 deg as scalars,
+    against registration-time expected values from the same transform core.
+    """
+    variants = (
+        _layers_df(spark, sf_dir)
+        .select("extent_xmin", "extent_xmax", "extent_ymin", "extent_ymax")
+        .distinct()
+    )
+    out = with_stac_spatial(variants)
+    return out.select(
+        F.col("extent_xmin").alias("src_xmin"),
+        _round6_col(F.element_at("bbox", 1)).alias("bbox_xmin"),
+        _round6_col(F.element_at("bbox", 2)).alias("bbox_ymin"),
+        _round6_col(F.element_at("bbox", 3)).alias("bbox_xmax"),
+        _round6_col(F.element_at("bbox", 4)).alias("bbox_ymax"),
+    )
+
+
 @query("geo_reproject_bbox")  # rows-only: pandas-UDF boundary op, no SQL oracle
 def geo_reproject_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproject synthesized layer extents; returns bbox corners + GeoJSON ring.

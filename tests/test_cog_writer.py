@@ -125,3 +125,39 @@ def test_step01_with_real_converter(spark, tmp_path):
     statuses2 = step01_cog(meta, str(out_dir))
     got2 = {r["status"]: r["n"] for r in status_counts(statuses2).collect()}
     assert got2.get("skipped") == 1
+
+
+def test_geographic_crs_geokey_class(tmp_path):
+    """ADVICE r4: EPSG:4326 must be labeled geographic (GTModelType=2,
+    GeographicTypeGeoKey), not projected — and still round-trip."""
+    import struct as _s
+
+    arr = _checker(20, 20)
+    p = str(tmp_path / "geo4326.tif")
+    write_cog(p, arr, xmin=-180, ymax=90, res_x=0.1, res_y=0.1, epsg=4326, tile=16)
+    hdr = read_geotiff_header(p)
+    assert hdr["crs_epsg"] == 4326
+    # the raw key directory must use GTModelType=2 + GeographicTypeGeoKey
+    from wri_data_processing_spark.geo.cog_writer import _geokey_directory
+
+    raw = _geokey_directory("<", 4326)
+    vals = _s.unpack("<" + "H" * (len(raw) // 2), raw)
+    assert vals[4:8] == (1024, 0, 1, 2)      # GTModelTypeGeoKey = 2 (geographic)
+    assert vals[8:12] == (2048, 0, 1, 4326)  # GeographicTypeGeoKey
+    proj = _geokey_directory("<", 5070)
+    pv = _s.unpack("<" + "H" * (len(proj) // 2), proj)
+    assert pv[4:8] == (1024, 0, 1, 1)        # projected
+    assert pv[8:12] == (3072, 0, 1, 5070)    # ProjectedCSTypeGeoKey
+
+
+def test_unknown_crs_omits_geokey_directory(tmp_path):
+    """ADVICE r4: unknown EPSG must omit the GeoKey directory entirely —
+    key value 0 is not a valid EPSG code."""
+    arr = _checker(20, 20)
+    p = str(tmp_path / "nocrs.tif")
+    write_cog(p, arr, xmin=0, ymax=0, res_x=1, res_y=1, epsg=None, tile=16)
+    ifds = read_tiff_ifds(p)
+    assert 34735 not in ifds[0]  # no GeoKey directory tag at all
+    hdr = read_geotiff_header(p)
+    assert hdr["success"] and hdr["crs_epsg"] is None
+    np.testing.assert_array_equal(read_geotiff_pixels(p), arr)

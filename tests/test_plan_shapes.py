@@ -216,3 +216,22 @@ def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir):
     assert row["rows_preserved"]
     assert row["n_files_after"] < row["n_files_before"]
     assert row["n_files_before"] == 64
+
+
+def test_spread_small_scan_skips_post_shuffle_inputs(spark):
+    """ADVICE r4: probing d.rdd partitions on an AGGREGATED input makes AQE
+    materialize the upstream stages as a real job (and the aggregation then
+    runs twice). Post-shuffle inputs must pass through untouched — no probe,
+    no exchange; pure scans keep the under-parallelism respread."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = scan.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # Aggregated input: returned as-is (identical plan object semantics)
+    assert _spread_small_scan(agg) is agg
+    # Scan input on a single split: respread across cores
+    spread = _spread_small_scan(scan.select("doc_id", "text"))
+    plan = spread._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan or spread is not scan

@@ -67,7 +67,9 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     from wri_data_processing_spark.catalog import table
 
     got = set(
-        registry.REGISTRY["agg_freq_items"](spark, sf_dir).first()["heavy_hitters"]
+        registry.REGISTRY["agg_freq_items"](spark, sf_dir)
+        .first()["heavy_hitters"]
+        .split(",")  # flattened to a sorted comma-joined string (driver safety)
     )
     e = table(spark, sf_dir, "events")
     total = e.count()

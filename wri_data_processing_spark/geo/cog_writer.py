@@ -35,6 +35,23 @@ from wri_data_processing_spark.sources.tiff_header import read_geotiff_header, r
 DEFAULT_TILE = 512  # prototypes/01a_make_cog_one.R:28 BLOCKSIZE=512
 
 
+def _geokey_directory(en: str, epsg: int | None) -> bytes:
+    """GeoKey directory selecting the CRS key class from the EPSG range.
+
+    Geographic 2-D codes (4001-4999, e.g. 4326) get GTModelTypeGeoKey=2 +
+    GeographicTypeGeoKey (2048); everything else projected (=1) +
+    ProjectedCSTypeGeoKey (3072). An unknown EPSG returns b"" — the GeoKey
+    directory is OMITTED rather than writing key value 0, which is not a
+    valid EPSG code (the spec reserves 32767 for user-defined, not 0).
+    """
+    if not epsg:
+        return b""
+    geographic = 4001 <= epsg <= 4999
+    model = 2 if geographic else 1
+    crs_key = 2048 if geographic else 3072
+    return struct.pack(en + "H" * 12, 1, 1, 0, 2, 1024, 0, 1, model, crs_key, 0, 1, epsg)
+
+
 def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
     """AVERAGE-resampled halving pyramid until a level fits in one tile."""
     levels = []
@@ -79,7 +96,7 @@ def write_cog(
     ymax: float,
     res_x: float,
     res_y: float,
-    epsg: int,
+    epsg: int | None,
     tile: int = DEFAULT_TILE,
 ) -> dict:
     """Write a single-band float32 COG; returns a summary dict
@@ -93,7 +110,7 @@ def write_cog(
 
     scale = struct.pack(en + "ddd", res_x, res_y, 0.0)
     tiepoint = struct.pack(en + "dddddd", 0, 0, 0, xmin, ymax, 0)
-    geokeys = struct.pack(en + "H" * 12, 1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
+    geokeys = _geokey_directory(en, epsg)
 
     def ifd_entries(i: int, lv: np.ndarray, ntiles: int) -> list[tuple[int, int, int]]:
         # (tag, type, count); values resolved in the layout pass
@@ -114,7 +131,9 @@ def write_cog(
             (339, 3, 1),
         ]
         if i == 0:
-            e += [(33550, 12, 3), (33922, 12, 6), (34735, 3, 12)]
+            e += [(33550, 12, 3), (33922, 12, 6)]
+            if geokeys:
+                e.append((34735, 3, len(geokeys) // 2))
         return sorted(e)
 
     _TYPE_SIZE = {3: 2, 4: 4, 12: 8}
@@ -143,8 +162,9 @@ def write_cog(
             pos += len(scale)
             aux[(0, 33922)] = pos
             pos += len(tiepoint)
-            aux[(0, 34735)] = pos
-            pos += len(geokeys)
+            if geokeys:
+                aux[(0, 34735)] = pos
+                pos += len(geokeys)
     # Tile data region
     tile_offsets: list[list[int]] = []
     for tiles, _, _ in level_tiles:
@@ -227,6 +247,6 @@ def cog_convert(src: str, dst: str, tile: int = DEFAULT_TILE) -> None:
         ymax=hdr["extent_ymax"],
         res_x=hdr["resolution_x"] or 1.0,
         res_y=hdr["resolution_y"] or 1.0,
-        epsg=hdr["crs_epsg"] or 0,
+        epsg=hdr["crs_epsg"],  # None => GeoKey directory omitted, not key 0
         tile=tile,
     )

@@ -426,8 +426,11 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be a full shuffle.
     """
     e = table(spark, sf_dir, "events").select("event_type")
+    # Sorted comma-joined string, not array<string>: every registered query
+    # keeps a flat scalar schema (the driver canonicalizer can't sort list
+    # cells — tests/test_driver_safety.py pins the invariant repo-wide).
     return e.stat.freqItems(["event_type"], support=0.1).select(
-        F.array_sort(F.col("event_type_freqItems")).alias("heavy_hitters")
+        F.concat_ws(",", F.array_sort(F.col("event_type_freqItems"))).alias("heavy_hitters")
     )
 
 

@@ -151,8 +151,12 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-user frame is still billions of rows, and three
     ``Window.orderBy`` calls would each funnel it through one task. All
     three metrics share ONE multi-column quantile pass and ONE combined
-    bucket-count pass (with_global_ntiles), and the aggregate is persisted
-    so those statistics jobs don't re-scan the event log. Monetary ranks on the exact DECIMAL (not the double
+    bucket-count pass (with_global_ntiles), and the aggregate is eagerly
+    localCheckpoint'ed so those statistics jobs and the final query all read
+    one materialization of the event log scan — checkpoint blocks are
+    reference-counted and freed when the frame is dropped, unlike a bare
+    ``persist()`` which accumulated a cached copy per invocation (ADVICE
+    r4). Monetary ranks on the exact DECIMAL (not the double
     projection), so boundary users can't flip quartiles between engines.
     """
     e = table(spark, sf_dir, "events")
@@ -161,7 +165,7 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
     )
-    m = m.persist()
+    m = m.localCheckpoint(eager=True)
     m = with_global_ntiles(
         m,
         [

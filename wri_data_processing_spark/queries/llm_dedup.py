@@ -31,14 +31,29 @@ _JACCARD_THRESHOLD = 0.6
 _MAX_DF = 1000  # document-frequency cap on shingles (scale guard)
 
 
+# Logical nodes whose presence means the input is post-shuffle (its output
+# parallelism is spark.sql.shuffle.partitions, not file splits) AND that an
+# rdd partition probe would EXECUTE under AQE (df.rdd materializes upstream
+# query stages as a real job — ADVICE r4).
+_SHUFFLE_NODES = ("Aggregate", "Join", "Repartition", "Window", "Deduplicate", "Sort", "Expand")
+
+
 def _spread_small_scan(d: DataFrame) -> DataFrame:
-    """Repartition ONLY under-parallel inputs before a CPU-heavy expression.
+    """Repartition ONLY under-parallel pure-scan inputs before a CPU-heavy
+    expression.
 
     A small local input arrives as one file split, serializing the shingle
     construction; spreading it across cores is worth one exchange. A 100 TB
     scan already has thousands of splits — there the exchange would be pure
-    waste, so it's gated on the actual scan partition count (plan-time
-    metadata, no job)."""
+    waste. The partition probe is gated on the OPTIMIZED LOGICAL PLAN being
+    shuffle-free: for a scan-only plan ``d.rdd.getNumPartitions()`` is pure
+    file-split planning (no job), but for an aggregated/joined input AQE
+    materializes the upstream stages to answer the probe — executing the
+    aggregation twice. Post-shuffle inputs are already spread across
+    shuffle partitions, so they skip both the probe and the exchange."""
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    if any(node in plan for node in _SHUFFLE_NODES):
+        return d
     nparts = d.sparkSession.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < max(2, nparts // 2):
         return d.repartition(nparts, "doc_id")

@@ -333,6 +333,12 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey",
         F.expr(_ZEXPR).cast("long").alias("zval"),
     )
+    # The ranking needs this projection three times (quantile pass, bucket-
+    # count pass, final aggregation); checkpoint the 4-long-column frame
+    # (~32 B/row — far narrower than the source table) so lineitem is
+    # scanned and the interleave evaluated exactly once. localCheckpoint,
+    # not persist: blocks are freed when the frame is GC'd (ADVICE r4).
+    z = z.localCheckpoint(eager=True)
     z = with_global_ntile(
         z, ["zval", "l_orderkey", "l_partkey", "l_suppkey"], 32, "file_id"
     )

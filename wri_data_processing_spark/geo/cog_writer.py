@@ -74,8 +74,14 @@ def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
     return levels
 
 
-def _tile_bytes(arr: np.ndarray, tile: int, en: str) -> tuple[list[bytes], int, int]:
-    """Deflate-compressed row-major tiles (edge tiles zero-padded per spec)."""
+def _tile_bytes(
+    arr: np.ndarray, tile: int, en: str, predictor: int = 1
+) -> tuple[list[bytes], int, int]:
+    """Deflate-compressed row-major tiles (edge tiles zero-padded per spec),
+    optionally predictor-transformed (3 = floating-point horizontal
+    differencing, GDAL's PREDICTOR=YES for float bands)."""
+    from wri_data_processing_spark.sources import tiff_predictor
+
     h, w = arr.shape
     down, across = (h + tile - 1) // tile, (w + tile - 1) // tile
     padded = np.zeros((down * tile, across * tile), dtype=arr.dtype)
@@ -84,7 +90,8 @@ def _tile_bytes(arr: np.ndarray, tile: int, en: str) -> tuple[list[bytes], int, 
     for ty in range(down):
         for tx in range(across):
             block = padded[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
-            out.append(zlib.compress(block.astype(en + "f4").tobytes(), 6))
+            raw = tiff_predictor.encode(block.astype(en + "f4"), predictor)
+            out.append(zlib.compress(raw, 6))
     return out, across, down
 
 
@@ -98,15 +105,19 @@ def write_cog(
     res_y: float,
     epsg: int | None,
     tile: int = DEFAULT_TILE,
+    en: str = "<",
+    predictor: int = 1,
 ) -> dict:
     """Write a single-band float32 COG; returns a summary dict
-    (n_overviews, n_tiles, bytes)."""
-    en = "<"
+    (n_overviews, n_tiles, bytes). `en` selects the container byte order
+    (both are spec-legal; MM-order COGs round-trip through the reader the
+    same as II); `predictor=3` enables the float horizontal-differencing
+    stage before Deflate (tag 317)."""
     arr = np.asarray(array, dtype="f4")
     levels = [arr] + _overview_levels(arr, tile)
 
     # Compress everything first so IFDs can carry exact offsets/counts.
-    level_tiles = [_tile_bytes(lv, tile, en) for lv in levels]
+    level_tiles = [_tile_bytes(lv, tile, en, predictor) for lv in levels]
 
     scale = struct.pack(en + "ddd", res_x, res_y, 0.0)
     tiepoint = struct.pack(en + "dddddd", 0, 0, 0, xmin, ymax, 0)
@@ -130,6 +141,8 @@ def write_cog(
             (325, 4, ntiles),
             (339, 3, 1),
         ]
+        if predictor != 1:
+            e.append((317, 3, 1))
         if i == 0:
             e += [(33550, 12, 3), (33922, 12, 6)]
             if geokeys:
@@ -184,6 +197,7 @@ def write_cog(
             259: (8,),  # Deflate
             262: (1,),
             277: (1,),
+            317: (predictor,),
             322: (tile,),
             323: (tile,),
             324: tuple(tile_offsets[i]),
@@ -196,7 +210,7 @@ def write_cog(
 
     fmt_of = {3: "H", 4: "I", 12: "d"}
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack(en + "HI", 42, ifd_offs[0]))
+        f.write((b"II" if en == "<" else b"MM") + struct.pack(en + "HI", 42, ifd_offs[0]))
         for i, (lv, (tiles, across, down)) in enumerate(zip(levels, level_tiles)):
             entries = ifd_entries(i, lv, len(tiles))
             f.write(struct.pack(en + "H", len(entries)))

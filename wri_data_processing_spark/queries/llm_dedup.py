@@ -470,6 +470,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "simhash", *bands)
 
 
+# Rounds the most recent propagate_min_labels() run took to reach fixpoint
+# (includes the final no-change round that proves convergence). Bench and
+# tests read it; queries never do.
+LAST_PROPAGATION_ROUNDS: int | None = None
+
+
+def cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized, deduplicated near-dup edge list — the pair-generation
+    half of dedup_clusters, exposed so bench.py can time it apart from the
+    propagation rounds. Eagerly materialized (localCheckpoint) so timing the
+    call + count covers exactly the pair-generation work."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
+    """Iterative min-label propagation to an exact fixpoint.
+
+    Each round every node takes the min of its own label and its neighbors';
+    converges in O(component diameter) rounds (dup clusters are shallow —
+    single digits). localCheckpoint per round truncates the growing lineage,
+    the standard Spark idiom for iterative algorithms; convergence is an
+    exact fixpoint test, not a round cap. Returns (labels, rounds_run).
+    """
+    global LAST_PROPAGATION_ROUNDS
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+
+    # Loop structure was A/B-measured in r4: one propagation step per
+    # localCheckpoint with a separate fixpoint count beat both carrying the
+    # previous label through the aggregation (one fused materialization)
+    # and two propagation steps per checkpoint — both alternatives deepened
+    # the per-materialization plan for a net loss (~2.1s vs ~3.0s, sf0.1).
+    rounds = 0
+    for _ in range(max_rounds):  # diameter bound; loop exits on fixpoint below
+        rounds += 1
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), "lbl"
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.lbl") != F.col("old.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    LAST_PROPAGATION_ROUNDS = rounds
+    return labels, rounds
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -493,52 +558,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph — the cluster-resolution
     step that turns pairwise matches into keep-one-per-group decisions.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors'; converges in O(component diameter)
-    rounds (dup clusters are shallow — single digits). localCheckpoint per
-    round truncates the growing lineage, the standard Spark idiom for
-    iterative algorithms; convergence is an exact fixpoint test, not a round
-    cap. The oracle computes the same components via a recursive-CTE
-    transitive closure (viable at oracle scale only — closure is quadratic
-    per component, label propagation is linear).
+    Split into ``cluster_edges`` (pair generation) + ``propagate_min_labels``
+    (iterative closure) so the bench harness can attribute time between the
+    two halves; ``LAST_PROPAGATION_ROUNDS`` records the round count of the
+    latest invocation (pinned against the fixture's diameter bound in
+    tests/test_probabilistic.py). The oracle computes the same components via
+    a recursive-CTE transitive closure (viable at oracle scale only —
+    closure is quadratic per component, label propagation is linear).
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).localCheckpoint()
-
-    # Loop structure was A/B-measured in r4: one propagation step per
-    # localCheckpoint with a separate fixpoint count beat both carrying the
-    # previous label through the aggregation (one fused materialization)
-    # and two propagation steps per checkpoint — both alternatives deepened
-    # the per-materialization plan for a net loss (~2.1s vs ~3.0s, sf0.1).
-    for _ in range(50):  # diameter bound; loop exits on fixpoint below
-        msgs = edges.join(labels, edges.dst == labels.node).select(
-            edges.src.alias("node"), "lbl"
-        )
-        new_labels = (
-            msgs.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.lbl") != F.col("old.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
+    edges = cluster_edges(spark, sf_dir)
+    labels, _rounds = propagate_min_labels(edges)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(F.broadcast(sizes), "lbl").select(
         F.col("node").alias("doc_id"),

@@ -269,6 +269,9 @@ def read_geotiff_pixels(path: str, ifd_index: int = 0):
         if np_dtype is None:
             raise ValueError(f"unsupported sample type sf={sample_format} bits={bits}")
         dt = np.dtype(en + np_dtype)
+        predictor = int(tags.get(317, (1,))[0])
+
+        from wri_data_processing_spark.sources import tiff_predictor
 
         def _blocks(offsets, counts):
             for o, c in zip(offsets, counts):
@@ -278,23 +281,24 @@ def read_geotiff_pixels(path: str, ifd_index: int = 0):
                     import zlib
 
                     raw = zlib.decompress(raw)
-                yield np.frombuffer(raw, dtype=dt)
+                yield raw
 
         if 322 in tags:  # tiled
             tw, th = int(tags[322][0]), int(tags[323][0])
             tiles_across = (ncols + tw - 1) // tw
             tiles_down = (nrows + th - 1) // th
             out = np.zeros((tiles_down * th, tiles_across * tw), dtype=dt)
-            for idx, block in enumerate(_blocks(tags[324], tags[325])):
+            for idx, raw in enumerate(_blocks(tags[324], tags[325])):
                 ty, tx = divmod(idx, tiles_across)
-                out[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = block.reshape(th, tw)
+                block = tiff_predictor.decode(raw, predictor, th, tw, dt)
+                out[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = block
             return out[:nrows, :ncols]
         # stripped
         rows_per_strip = int(tags.get(278, (nrows,))[0])
         out = np.zeros((nrows, ncols), dtype=dt)
         row = 0
-        for block in _blocks(tags[273], tags[279]):
+        for raw in _blocks(tags[273], tags[279]):
             n = min(rows_per_strip, nrows - row)
-            out[row : row + n, :] = block[: n * ncols].reshape(n, ncols)
+            out[row : row + n, :] = tiff_predictor.decode(raw, predictor, n, ncols, dt)
             row += n
         return out

@@ -480,12 +480,16 @@ def cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized, deduplicated near-dup edge list — the pair-generation
     half of dedup_clusters, exposed so bench.py can time it apart from the
     propagation rounds. Eagerly materialized (localCheckpoint) so timing the
-    call + count covers exactly the pair-generation work."""
+    call + count covers exactly the pair-generation work.
+
+    No distinct(): the jaccard pairs are unique with doc_a < doc_b (they
+    come out of a groupBy), so the forward and reversed halves are disjoint
+    and their union is already a set — a distinct here would be a pure-waste
+    full shuffle of the edge list."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
-        .distinct()
         .localCheckpoint()
     )
 

@@ -97,16 +97,17 @@ def test_cog_pixel_roundtrip(tmp_path, width, height, tile, seed):
     organization=st.sampled_from(["strips", "tiles"]),
     use_predictor=st.booleans(),
     dtype=st.sampled_from(["f4", "u2", "i4"]),
+    compression=st.sampled_from(["deflate", "lzw"]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_grid_shapes_pixel_roundtrip(
-    tmp_path, width, height, en, container, organization, use_predictor, dtype, seed
+    tmp_path, width, height, en, container, organization, use_predictor, dtype, compression, seed
 ):
     """Full in-the-wild combination grid (VERDICT r4 item 6): {classic,
-    BigTIFF} x {strips, tiles} x {predictor on, off}, both byte orders,
-    Deflate, float and integer samples. Predictor selection mirrors GDAL's
-    PREDICTOR=YES mapping: 3 (float differencing) for float bands, 2
-    (horizontal differencing) for integer bands."""
+    BigTIFF} x {strips, tiles} x {predictor on, off} x {Deflate, LZW},
+    both byte orders, float and integer samples. Predictor selection
+    mirrors GDAL's PREDICTOR=YES mapping: 3 (float differencing) for float
+    bands, 2 (horizontal differencing) for integer bands."""
     rng = np.random.default_rng(seed)
     if dtype == "f4":
         arr = rng.normal(size=(height, width)).astype("f4")
@@ -121,6 +122,7 @@ def test_grid_shapes_pixel_roundtrip(
     write_geotiff_grid(
         p, arr, en=en, bigtiff=(container == "bigtiff"),
         tiled=(organization == "tiles"), predictor=predictor,
+        compression=compression,
     )
     back = read_geotiff_pixels(p)
     np.testing.assert_array_equal(back.astype(arr.dtype), arr)
@@ -139,16 +141,21 @@ def test_grid_shapes_pixel_roundtrip(
     height=st.integers(1, 70),
     en=st.sampled_from(["<", ">"]),
     predictor=st.sampled_from([1, 3]),
+    compression=st.sampled_from(["deflate", "lzw"]),
+    bigtiff=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_cog_output_endianness_predictor_roundtrip(tmp_path, width, height, en, predictor, seed):
-    """COG WRITER side of the grid: big-endian output and the float
-    predictor must round-trip bit-exactly through the reader."""
+def test_cog_output_endianness_predictor_roundtrip(
+    tmp_path, width, height, en, predictor, compression, bigtiff, seed
+):
+    """COG WRITER side of the grid: big-endian, BigTIFF, LZW and the float
+    predictor must all round-trip bit-exactly through the reader."""
     rng = np.random.default_rng(seed)
     arr = rng.normal(size=(height, width)).astype("f4")
-    p = str(tmp_path / f"cog_{en == '<'}_{predictor}.tif")
+    p = str(tmp_path / f"cog_{en == '<'}_{predictor}_{compression}_{bigtiff}.tif")
     write_cog(p, arr, xmin=0.0, ymax=float(height), res_x=1.0, res_y=1.0,
-              epsg=5070, tile=16, en=en, predictor=predictor)
+              epsg=5070, tile=16, en=en, predictor=predictor,
+              compression=compression, bigtiff=bigtiff)
     back = read_geotiff_pixels(p)
     np.testing.assert_array_equal(back.astype("f4"), arr)
     h = read_geotiff_header(p)

@@ -74,12 +74,25 @@ def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
     return levels
 
 
+_COMPRESSION_TAG = {"deflate": 8, "lzw": 5}
+
+
+def _compress(raw: bytes, compression: str) -> bytes:
+    if compression == "lzw":
+        from wri_data_processing_spark.sources.tiff_lzw import lzw_encode
+
+        return lzw_encode(raw)
+    return zlib.compress(raw, 6)
+
+
 def _tile_bytes(
-    arr: np.ndarray, tile: int, en: str, predictor: int = 1
+    arr: np.ndarray, tile: int, en: str, predictor: int = 1, compression: str = "deflate"
 ) -> tuple[list[bytes], int, int]:
-    """Deflate-compressed row-major tiles (edge tiles zero-padded per spec),
+    """Compressed row-major tiles (edge tiles zero-padded per spec),
     optionally predictor-transformed (3 = floating-point horizontal
-    differencing, GDAL's PREDICTOR=YES for float bands)."""
+    differencing, GDAL's PREDICTOR=YES for float bands). Compression is
+    Deflate (the prototype's explicit COMPRESS option, 01a:27) or LZW (the
+    GDAL COG default the production path actually produced, meta.json:32)."""
     from wri_data_processing_spark.sources import tiff_predictor
 
     h, w = arr.shape
@@ -91,7 +104,7 @@ def _tile_bytes(
         for tx in range(across):
             block = padded[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
             raw = tiff_predictor.encode(block.astype(en + "f4"), predictor)
-            out.append(zlib.compress(raw, 6))
+            out.append(_compress(raw, compression))
     return out, across, down
 
 
@@ -107,17 +120,35 @@ def write_cog(
     tile: int = DEFAULT_TILE,
     en: str = "<",
     predictor: int = 1,
+    compression: str = "deflate",
+    bigtiff: bool = False,
 ) -> dict:
     """Write a single-band float32 COG; returns a summary dict
     (n_overviews, n_tiles, bytes). `en` selects the container byte order
     (both are spec-legal; MM-order COGs round-trip through the reader the
     same as II); `predictor=3` enables the float horizontal-differencing
-    stage before Deflate (tag 317)."""
+    stage before compression (tag 317); `compression` is "deflate" (the
+    prototype's explicit option, 01a:27) or "lzw" (the GDAL COG default the
+    production run produced, meta.json:32); `bigtiff=True` writes the
+    8-byte-offset container — REQUIRED at the reference's layer size
+    (~12 GB raw, 3-4 GB compressed; classic TIFF's 4-byte offsets overflow
+    at 4 GB, SURVEY §6)."""
     arr = np.asarray(array, dtype="f4")
     levels = [arr] + _overview_levels(arr, tile)
 
     # Compress everything first so IFDs can carry exact offsets/counts.
-    level_tiles = [_tile_bytes(lv, tile, en, predictor) for lv in levels]
+    level_tiles = [_tile_bytes(lv, tile, en, predictor, compression) for lv in levels]
+
+    # Container arithmetic: classic vs BigTIFF (header / IFD-entry / offset
+    # field widths are the ONLY differences; layout order is identical).
+    off_type = 16 if bigtiff else 4  # LONG8 vs LONG for tile offset/count arrays
+    off_fmt = "Q" if bigtiff else "I"
+    inline_cap = 8 if bigtiff else 4
+    header_sz = 16 if bigtiff else 8
+    ifd_head_sz = 8 if bigtiff else 2
+    entry_sz = 20 if bigtiff else 12
+    next_ptr_sz = 8 if bigtiff else 4
+    cnt_fmt = "HHQ" if bigtiff else "HHI"
 
     scale = struct.pack(en + "ddd", res_x, res_y, 0.0)
     tiepoint = struct.pack(en + "dddddd", 0, 0, 0, xmin, ymax, 0)
@@ -137,8 +168,8 @@ def write_cog(
             (277, 3, 1),
             (322, 3, 1),
             (323, 3, 1),
-            (324, 4, ntiles),
-            (325, 4, ntiles),
+            (324, off_type, ntiles),
+            (325, off_type, ntiles),
             (339, 3, 1),
         ]
         if predictor != 1:
@@ -149,27 +180,28 @@ def write_cog(
                 e.append((34735, 3, len(geokeys) // 2))
         return sorted(e)
 
-    _TYPE_SIZE = {3: 2, 4: 4, 12: 8}
+    _TYPE_SIZE = {3: 2, 4: 4, 12: 8, 16: 8}
 
-    # Layout: header(8) | IFDs | out-of-line arrays | tile data.
+    # Layout: header | IFDs | out-of-line arrays | tile data.
     ifd_sizes = [
-        2 + 12 * len(ifd_entries(i, lv, len(t[0]))) + 4
+        ifd_head_sz + entry_sz * len(ifd_entries(i, lv, len(t[0]))) + next_ptr_sz
         for i, (lv, t) in enumerate(zip(levels, level_tiles))
     ]
     ifd_offs = []
-    pos = 8
+    pos = header_sz
     for s in ifd_sizes:
         ifd_offs.append(pos)
         pos += s
     # Out-of-line value region
+    item = _TYPE_SIZE[off_type]
     aux: dict[tuple[int, int], int] = {}  # (level, tag) -> offset
     for i, (lv, (tiles, across, down)) in enumerate(zip(levels, level_tiles)):
         n = len(tiles)
         if n > 1:
             aux[(i, 324)] = pos
-            pos += 4 * n
+            pos += item * n
             aux[(i, 325)] = pos
-            pos += 4 * n
+            pos += item * n
         if i == 0:
             aux[(0, 33550)] = pos
             pos += len(scale)
@@ -194,7 +226,7 @@ def write_cog(
             256: (lv.shape[1],),
             257: (lv.shape[0],),
             258: (32,),
-            259: (8,),  # Deflate
+            259: (_COMPRESSION_TAG[compression],),
             262: (1,),
             277: (1,),
             317: (predictor,),
@@ -208,31 +240,35 @@ def write_cog(
             34735: (),
         }[tag]
 
-    fmt_of = {3: "H", 4: "I", 12: "d"}
+    fmt_of = {3: "H", 4: "I", 12: "d", 16: "Q"}
     with open(path, "wb") as f:
-        f.write((b"II" if en == "<" else b"MM") + struct.pack(en + "HI", 42, ifd_offs[0]))
+        bom = b"II" if en == "<" else b"MM"
+        if bigtiff:
+            f.write(bom + struct.pack(en + "HHH", 43, 8, 0) + struct.pack(en + "Q", ifd_offs[0]))
+        else:
+            f.write(bom + struct.pack(en + "HI", 42, ifd_offs[0]))
         for i, (lv, (tiles, across, down)) in enumerate(zip(levels, level_tiles)):
             entries = ifd_entries(i, lv, len(tiles))
-            f.write(struct.pack(en + "H", len(entries)))
+            f.write(struct.pack(en + ("Q" if bigtiff else "H"), len(entries)))
             for tag, typ, cnt in entries:
-                f.write(struct.pack(en + "HHI", tag, typ, cnt))
+                f.write(struct.pack(en + cnt_fmt, tag, typ, cnt))
                 size = _TYPE_SIZE[typ] * cnt
                 if tag in (33550, 33922, 34735):
-                    f.write(struct.pack(en + "I", aux[(i, tag)]))
-                elif size <= 4:
+                    f.write(struct.pack(en + off_fmt, aux[(i, tag)]))
+                elif size <= inline_cap:
                     vals = value_for(i, tag, tiles)
                     b = struct.pack(en + fmt_of[typ] * cnt, *vals)
-                    f.write(b + b"\x00" * (4 - len(b)))
+                    f.write(b + b"\x00" * (inline_cap - len(b)))
                 else:
-                    f.write(struct.pack(en + "I", aux[(i, tag)]))
+                    f.write(struct.pack(en + off_fmt, aux[(i, tag)]))
             next_off = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
-            f.write(struct.pack(en + "I", next_off))
+            f.write(struct.pack(en + off_fmt, next_off))
         # aux arrays, in the same order offsets were assigned
         for i, (tiles, _, _) in enumerate(level_tiles):
             n = len(tiles)
             if n > 1:
-                f.write(struct.pack(en + "I" * n, *tile_offsets[i]))
-                f.write(struct.pack(en + "I" * n, *(len(t) for t in tiles)))
+                f.write(struct.pack(en + off_fmt * n, *tile_offsets[i]))
+                f.write(struct.pack(en + off_fmt * n, *(len(t) for t in tiles)))
             if i == 0:
                 f.write(scale + tiepoint + geokeys)
         for tiles, _, _ in level_tiles:

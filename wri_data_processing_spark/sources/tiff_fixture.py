@@ -128,10 +128,11 @@ def write_geotiff_grid(
     tile=16,
     rows_per_strip=2,
     epsg=5070,
+    compression="deflate",
 ):
     """In-the-wild GeoTIFF shape generator: every combination of
-    {classic, BigTIFF} x {strips, tiles} x {predictor 1, 2, 3}, Deflate-
-    compressed, either byte order, real pixel data from `arr`.
+    {classic, BigTIFF} x {strips, tiles} x {predictor 1, 2, 3} x
+    {Deflate, LZW}, either byte order, real pixel data from `arr`.
 
     GDAL-written files mix these freely (the reference's own settings sweep
     covers compression x predictor x blocksize x bigtiff,
@@ -160,7 +161,14 @@ def write_geotiff_grid(
     else:
         for r0 in range(0, height, rows_per_strip):
             blocks.append(arr[r0 : r0 + rows_per_strip])
-    payloads = [zlib.compress(tiff_predictor.encode(b, predictor), 6) for b in blocks]
+    if compression == "lzw":
+        from wri_data_processing_spark.sources.tiff_lzw import lzw_encode
+
+        payloads = [lzw_encode(tiff_predictor.encode(b, predictor)) for b in blocks]
+        comp_tag = 5
+    else:
+        payloads = [zlib.compress(tiff_predictor.encode(b, predictor), 6) for b in blocks]
+        comp_tag = 8
 
     scale = struct.pack(en + "ddd", RES, RES, 0.0)
     tiepoint = struct.pack(en + "dddddd", 0, 0, 0, XMIN, YMAX, 0)
@@ -196,7 +204,7 @@ def write_geotiff_grid(
     add(256, 3, "H", (width,))
     add(257, 3, "H", (height,))
     add(258, 3, "H", (bits,))
-    add(259, 3, "H", (8,))  # Deflate
+    add(259, 3, "H", (comp_tag,))
     add(262, 3, "H", (1,))
     add(277, 3, "H", (1,))
     if tiled:

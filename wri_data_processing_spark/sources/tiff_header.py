@@ -241,8 +241,9 @@ _NP_DTYPES = {
 def read_geotiff_pixels(path: str, ifd_index: int = 0):
     """Decode one IFD's single-band pixel grid to a numpy array.
 
-    Baseline scope (honest and documented): uncompressed (1) or Deflate (8)
-    data, strip or tile organization, one sample per pixel. This is the
+    Baseline scope (honest and documented): uncompressed (1), LZW (5) or
+    Deflate (8) data, optional predictor 2/3 (tag 317), strip or tile
+    organization, one sample per pixel. This is the
     test/verification path for the pure-Python COG writer — production
     pixel work on a cluster goes through GDAL when present. Unlike the
     header read this DOES stream the pixel bytes.
@@ -260,7 +261,7 @@ def read_geotiff_pixels(path: str, ifd_index: int = 0):
         ncols = int(tags[_TAG_WIDTH][0])
         nrows = int(tags[_TAG_LENGTH][0])
         comp = int(tags.get(259, (1,))[0])
-        if comp not in (1, 8):
+        if comp not in (1, 5, 8):
             raise ValueError(f"unsupported TIFF compression {comp} (baseline reader)")
         bits = int(tags.get(_TAG_BITS, (8,))[0])
         sample_format = int(tags.get(_TAG_SAMPLE_FORMAT, (1,))[0])
@@ -281,6 +282,11 @@ def read_geotiff_pixels(path: str, ifd_index: int = 0):
                     import zlib
 
                     raw = zlib.decompress(raw)
+                elif comp == 5:  # LZW — GDAL's COG default, the reference's
+                    # observed output compression (meta.json:32)
+                    from wri_data_processing_spark.sources.tiff_lzw import lzw_decode
+
+                    raw = lzw_decode(raw)
                 yield raw
 
         if 322 in tags:  # tiled

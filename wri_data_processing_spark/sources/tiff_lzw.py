@@ -1,0 +1,130 @@
+"""TIFF LZW codec (compression 5) — spec-derived, stdlib-only.
+
+The reference's observed COG output is LZW-compressed (meta.json:32 — GDAL's
+COG default when no COMPRESS option is given, the production path
+01b_make_cog_all.R:41-46 where the explicit options are commented out), so a
+reader that only speaks Deflate cannot open the files the reference actually
+produces. This implements TIFF 6.0 §13 LZW exactly:
+
+- 256 = ClearCode, 257 = EndOfInformation, first table entry 258;
+- codes packed MSB-first, starting at 9 bits;
+- "early change": the code width bumps when the NEXT code to assign reaches
+  2^width - 1 (511/1023/2047) — the spec's documented off-by-one that every
+  TIFF writer reproduces;
+- encoder emits ClearCode at table-full (4094) and restarts.
+
+Encoder and decoder are written independently from the spec's two
+pseudocode listings (not inverses of one machine), so the property-test
+round-trip cross-checks both — the same verification stance as the
+tiff_header/cog_writer pair. Python-loop throughput is fine for the tile
+sizes involved (and the cluster-scale path remains GDAL when present).
+"""
+
+from __future__ import annotations
+
+_CLEAR = 256
+_EOI = 257
+_FIRST = 258
+_MAX_TABLE = 4094  # encoder resets here; 12-bit codes max
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode bytes to TIFF-flavor LZW (MSB-first, early-change)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _FIRST
+    width = 9
+    emit(_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code >= _MAX_TABLE:
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _FIRST
+            width = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode TIFF-flavor LZW bytes (raises ValueError on corrupt streams)."""
+    out = bytearray()
+    table: list[bytes] = []
+    next_code = _FIRST
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        next_code = _FIRST
+        width = 9
+
+    reset()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    old: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated without EOI: tolerate, per libtiff
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (bitbuf >> nbits) & ((1 << width) - 1)
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            reset()
+            old = None
+            continue
+        if old is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(old + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = old + old[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {next_code}")
+        # Early change, decoder side: the decoder's table lags the encoder's
+        # by one entry, so it widens at 2^n - 2 (510/1023-1/2047-1) — one
+        # code earlier in its own count than the encoder's 2^n - 1.
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        old = entry

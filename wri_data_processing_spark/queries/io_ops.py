@@ -364,6 +364,114 @@ def sink_cog_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LZW + BigTIFF dialect round-trip: deterministic layers, expected pixel
+# checksums computed at registration time from the SAME generator the
+# executors use — so the oracle proves decode(lzw(predictor(x))) == x
+# end-to-end, not merely that files appeared.
+_LZW_COG_SPECS = [(f"lzw_layer_{i}", 30 + 7 * i, 20 + 5 * i, 100 + i) for i in range(4)]
+
+
+def _lzw_arr(w: int, h: int, seed: int):
+    import numpy as np
+
+    return np.random.default_rng(seed).normal(size=(h, w)).astype("f4")
+
+
+def _px_checksum(arr) -> int:
+    import numpy as np
+
+    u = np.frombuffer(np.ascontiguousarray(arr.astype("<f4")).tobytes(), dtype="<u4")
+    return int(u.astype("u8").sum() % 1_000_000_007)
+
+
+_LZW_COG_VALUES = ", ".join(
+    f"('{name}_cog.tif', {h}, {w}, 5070, 'float32', {_px_checksum(_lzw_arr(w, h, seed))})"
+    for name, w, h, seed in _LZW_COG_SPECS
+)
+
+
+@query(
+    "sink_cog_lzw_bigtiff",
+    oracle=f"""
+    SELECT cog_filename, nrows, ncols, crs_epsg, datatype,
+           CAST(px_checksum AS BIGINT) AS px_checksum
+    FROM (VALUES {_LZW_COG_VALUES})
+      AS t(cog_filename, nrows, ncols, crs_epsg, datatype, px_checksum)
+    """,
+)
+def sink_cog_lzw_bigtiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 in the reference's ACTUAL output dialect: the production run left
+    GDAL's COG defaults in force (options commented out, 01b:41-46), which
+    produce LZW compression (meta.json:32) — and the 3-4 GB layers need
+    BigTIFF offsets. Per layer, one executor task: generate the
+    deterministic grid, write an LZW/predictor-3 tiled source GeoTIFF,
+    decode it back (LZW + float-predictor path), convert to an LZW BigTIFF
+    COG via write_cog, re-parse header AND pixels from the artifact, and
+    emit a bit-level checksum the VALUES oracle pins to the registration-
+    time expectation."""
+    import pandas as pd
+
+    out_dir = _scratch_dir("sink_cog_lzw", sf_dir)
+    src = spark.createDataFrame(_LZW_COG_SPECS, "name string, w int, h int, seed int")
+    schema = StructType(
+        [
+            StructField("cog_filename", StringType()),
+            StructField("nrows", IntegerType()),
+            StructField("ncols", IntegerType()),
+            StructField("crs_epsg", IntegerType()),
+            StructField("datatype", StringType()),
+            StructField("px_checksum", LongType()),
+        ]
+    )
+
+    def run(batches):
+        from wri_data_processing_spark.geo.cog_writer import write_cog
+        from wri_data_processing_spark.sources.tiff_fixture import write_geotiff_grid
+        from wri_data_processing_spark.sources.tiff_header import (
+            read_geotiff_header,
+            read_geotiff_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for name, w, h, seed in pdf[["name", "w", "h", "seed"]].itertuples(index=False):
+                arr = _lzw_arr(int(w), int(h), int(seed))
+                src_path = os.path.join(out_dir, f"{name}.tif")
+                write_geotiff_grid(
+                    src_path, arr, tiled=True, predictor=3, compression="lzw"
+                )
+                decoded = read_geotiff_pixels(src_path)
+                cog_path = os.path.join(out_dir, f"{name}_cog.tif")
+                write_cog(
+                    cog_path,
+                    decoded,
+                    xmin=0.0,
+                    ymax=float(h),
+                    res_x=1.0,
+                    res_y=1.0,
+                    epsg=5070,
+                    tile=16,
+                    predictor=3,
+                    compression="lzw",
+                    bigtiff=True,
+                )
+                hdr = read_geotiff_header(cog_path)
+                back = read_geotiff_pixels(cog_path)
+                rows.append(
+                    {
+                        "cog_filename": f"{name}_cog.tif",
+                        "nrows": hdr["nrows"],
+                        "ncols": hdr["ncols"],
+                        "crs_epsg": hdr["crs_epsg"],
+                        "datatype": hdr["datatype"],
+                        "px_checksum": _px_checksum(back),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return src.repartition(len(_LZW_COG_SPECS)).mapInPandas(run, schema)
+
+
 @query(
     "probe_url_exists",
     oracle="SELECT p_partkey, (length(p_name) % 2 = 0) AS is_hosted"

@@ -125,6 +125,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dedup_minhash_ml",
     "sim_ann_brp_ml",
     "geo_reproject_bbox",
+    "sink_cog_lzw_bigtiff",  # new in r5 (LZW/BigTIFF dialect round-trip)
 ]
 
 

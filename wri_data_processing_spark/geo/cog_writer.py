@@ -52,12 +52,23 @@ def _geokey_directory(en: str, epsg: int | None) -> bytes:
     return struct.pack(en + "H" * 12, 1, 1, 0, 2, 1024, 0, 1, model, crs_key, 0, 1, epsg)
 
 
-def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
-    """AVERAGE-resampled halving pyramid until a level fits in one tile."""
+def _overview_levels(
+    arr: np.ndarray, tile: int, resampling: str = "average"
+) -> list[np.ndarray]:
+    """Halving overview pyramid until a level fits in one tile.
+
+    Resampling per the reference experiment's grid (test_cog_settings_
+    benchmark.R:43): AVERAGE (prototype default, 01a:30) = nan-mean of each
+    2x2 quad; NEAREST = top-left cell of each quad (GDAL's nearest picks one
+    source cell per target cell)."""
     levels = []
     cur = arr
     while max(cur.shape) > tile:
         h, w = cur.shape
+        if resampling == "nearest":
+            cur = np.ascontiguousarray(cur[0::2, 0::2])
+            levels.append(cur)
+            continue
         ph, pw = h + (h % 2), w + (w % 2)
         padded = np.full((ph, pw), np.nan, dtype="f8")
         padded[:h, :w] = cur
@@ -74,7 +85,7 @@ def _overview_levels(arr: np.ndarray, tile: int) -> list[np.ndarray]:
     return levels
 
 
-_COMPRESSION_TAG = {"deflate": 8, "lzw": 5}
+_COMPRESSION_TAG = {"deflate": 8, "lzw": 5, "none": 1}
 
 
 def _compress(raw: bytes, compression: str) -> bytes:
@@ -82,6 +93,8 @@ def _compress(raw: bytes, compression: str) -> bytes:
         from wri_data_processing_spark.sources.tiff_lzw import lzw_encode
 
         return lzw_encode(raw)
+    if compression == "none":
+        return raw
     return zlib.compress(raw, 6)
 
 
@@ -122,6 +135,7 @@ def write_cog(
     predictor: int = 1,
     compression: str = "deflate",
     bigtiff: bool = False,
+    resampling: str = "average",
 ) -> dict:
     """Write a single-band float32 COG; returns a summary dict
     (n_overviews, n_tiles, bytes). `en` selects the container byte order
@@ -134,7 +148,7 @@ def write_cog(
     (~12 GB raw, 3-4 GB compressed; classic TIFF's 4-byte offsets overflow
     at 4 GB, SURVEY §6)."""
     arr = np.asarray(array, dtype="f4")
-    levels = [arr] + _overview_levels(arr, tile)
+    levels = [arr] + _overview_levels(arr, tile, resampling)
 
     # Compress everything first so IFDs can carry exact offsets/counts.
     level_tiles = [_tile_bytes(lv, tile, en, predictor, compression) for lv in levels]

@@ -29,7 +29,13 @@ _MAX_TABLE = 4094  # encoder resets here; 12-bit codes max
 
 
 def lzw_encode(data: bytes) -> bytes:
-    """Encode bytes to TIFF-flavor LZW (MSB-first, early-change)."""
+    """Encode bytes to TIFF-flavor LZW (MSB-first, early-change).
+
+    The dictionary is keyed on ``prev_code * 256 + byte`` ints, never on
+    byte-string prefixes — string keys make the inner loop O(match_length)
+    in allocation and were measured ~20 KB/s on real tiles; the int-pair
+    form is the textbook linear formulation.
+    """
     out = bytearray()
     bitbuf = 0
     nbits = 0
@@ -41,32 +47,39 @@ def lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((bitbuf >> nbits) & 0xFF)
+        # Mask off flushed high bits: without this, bitbuf grows into an
+        # unbounded bigint and every shift costs O(stream) — an accidental
+        # quadratic measured at ~20 KB/s on real tiles.
+        bitbuf &= (1 << nbits) - 1
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code = _FIRST
     width = 9
     emit(_CLEAR, width)
-    w = b""
+    w_code = -1  # current prefix as its table code; literals are their byte
     for b in data:
-        c = bytes([b])
-        wc = w + c
-        if wc in table:
-            w = wc
+        if w_code < 0:
+            w_code = b
             continue
-        emit(table[w], width)
+        key = (w_code << 8) | b
+        hit = table.get(key)
+        if hit is not None:
+            w_code = hit
+            continue
+        emit(w_code, width)
         if next_code >= _MAX_TABLE:
             emit(_CLEAR, width)
-            table = {bytes([i]): i for i in range(256)}
+            table.clear()
             next_code = _FIRST
             width = 9
         else:
-            table[wc] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code == (1 << width) - 1 and width < 12:  # early change
                 width += 1
-        w = c
-    if w:
-        emit(table[w], width)
+        w_code = b
+    if w_code >= 0:
+        emit(w_code, width)
     emit(_EOI, width)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -101,6 +114,7 @@ def lzw_decode(data: bytes) -> bytes:
             nbits += 8
         nbits -= width
         code = (bitbuf >> nbits) & ((1 << width) - 1)
+        bitbuf &= (1 << nbits) - 1  # same bigint-growth guard as the encoder
         if code == _EOI:
             return bytes(out)
         if code == _CLEAR:

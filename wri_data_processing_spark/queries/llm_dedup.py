@@ -605,6 +605,82 @@ def dedup_ngram_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles_hashed(reps, 3))
 
 
+@query(
+    "dedup_clusters_unique",
+    oracle=f"""
+    WITH RECURSIVE documents_u AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    {_PAIRS_CTES.replace("FROM documents", "FROM documents_u")},
+    grp AS (
+      SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n FROM documents GROUP BY text
+    ),
+    exact_e AS (
+      SELECT d.doc_id AS a, g.rep AS b
+      FROM documents d JOIN grp g USING (text)
+      WHERE g.n >= 2 AND d.doc_id <> g.rep
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION SELECT doc_b, doc_a FROM jac
+      UNION SELECT a, b FROM exact_e
+      UNION SELECT b, a FROM exact_e
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id, COUNT(*) AS cluster_size
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with pair generation in UNIQUE-text space — the
+    scale-correct cluster pipeline (the dedup_ngram_unique lesson lifted to
+    clusters).
+
+    dedup_clusters feeds on raw-document pairs, whose count grows with
+    copy-count squared under exact duplication (measured at sf0.1, 10x
+    duplicated: 512 -> 501,200 edges, pairgen 1.8s -> 12.9s while
+    propagation stayed ~2 rounds — SCALE.md). Here the near-dup join runs
+    over exact-dup representatives only, and each duplicate group of n >= 2
+    joins the graph as a star to its representative (one edge per copy);
+    edge count is |rep pairs| + |copies|, linear in duplication. Cluster
+    ids remain the member-min doc_id because every copy's id >= its
+    representative's (rep = MIN per text). Declared as its own operator —
+    not a drop-in rewrite of dedup_clusters — because the _MAX_DF posting
+    cap binds on collapsed document frequencies here (the 100 TB semantics
+    you actually want: duplication shouldn't push shingles over the cap).
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs_u = dedup_ngram_unique(spark, sf_dir).select("doc_a", "doc_b")
+    h = F.sha2("text", 256)
+    grp = d.groupBy(h.alias("h")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    exact = (
+        d.select("doc_id", h.alias("h"))
+        .join(grp.filter(F.col("n") >= 2), "h")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
+    )
+    pairs = pairs_u.unionByName(exact)
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels, _rounds = propagate_min_labels(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def _dedup_embedding_oracle() -> str:
     from wri_data_processing_spark.queries.llm_similarity import ivf_assign_ctes
 

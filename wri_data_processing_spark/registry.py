@@ -126,6 +126,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sim_ann_brp_ml",
     "geo_reproject_bbox",
     "sink_cog_lzw_bigtiff",  # new in r5 (LZW/BigTIFF dialect round-trip)
+    "dedup_clusters_unique",  # new in r5 (duplication-invariant clusters)
 ]
 
 

@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_clusters_unique",
     "sim_topk",
     "sim_pairs_threshold",
     "text_stats",

@@ -115,3 +115,26 @@ def test_cluster_propagation_rounds_bounded(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert cid == min(m["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_propagation_pointer_jumping_on_chains(spark):
+    """A 120-node path graph converges in O(log n) rounds via pointer
+    jumping — plain one-hop propagation would need 119 rounds, exceed the
+    cap, and (before r5) return non-converged labels SILENTLY. Also pins
+    the fail-loud contract: an artificially tiny cap raises rather than
+    mislabeling."""
+    import pytest as _pytest
+
+    from wri_data_processing_spark.queries import llm_dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "doc_a long, doc_b long"
+    )
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").localCheckpoint()
+    )
+    labels, rounds = llm_dedup.propagate_min_labels(edges)
+    assert rounds <= 10, rounds  # log2(119) ~ 7 measured
+    assert all(r["lbl"] == 0 for r in labels.collect())
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        llm_dedup.propagate_min_labels(edges, max_rounds=2)

@@ -495,34 +495,55 @@ def cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
-    """Iterative min-label propagation to an exact fixpoint.
+    """Min-label propagation with pointer jumping, to an exact fixpoint.
 
-    Each round every node takes the min of its own label and its neighbors';
-    converges in O(component diameter) rounds (dup clusters are shallow —
-    single digits). localCheckpoint per round truncates the growing lineage,
-    the standard Spark idiom for iterative algorithms; convergence is an
-    exact fixpoint test, not a round cap. Returns (labels, rounds_run).
+    Each round every node takes the min of its own label, its neighbors'
+    labels (one graph hop), and its LABEL'S label (pointer jumping — the
+    shortcut step of large/small-star style connectivity): the reachable
+    horizon doubles per round, so convergence is O(log diameter) rounds,
+    not O(diameter). Dup clusters are usually star-shaped (2-3 rounds
+    either way), but chain-shaped clusters — templated documents drifting
+    gradually — have real diameter, and a plain-propagation round cap
+    would return non-converged labels SILENTLY there; with jumping the cap
+    covers components of diameter ~2^max_rounds, and exhausting it raises
+    rather than mislabeling. localCheckpoint per round truncates the
+    growing lineage (the standard Spark idiom for iterative algorithms);
+    convergence is an exact fixpoint test. Returns (labels, rounds_run).
+
+    Loop structure was A/B-measured in r4: one propagation step per
+    localCheckpoint with a separate fixpoint count beat both carrying the
+    previous label through the aggregation and two hops per checkpoint —
+    deeper per-materialization plans lost (~2.1s vs ~3.0s, sf0.1).
     """
     global LAST_PROPAGATION_ROUNDS
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     ).localCheckpoint()
 
-    # Loop structure was A/B-measured in r4: one propagation step per
-    # localCheckpoint with a separate fixpoint count beat both carrying the
-    # previous label through the aggregation (one fused materialization)
-    # and two propagation steps per checkpoint — both alternatives deepened
-    # the per-materialization plan for a net loss (~2.1s vs ~3.0s, sf0.1).
     rounds = 0
-    for _ in range(max_rounds):  # diameter bound; loop exits on fixpoint below
+    converged = False
+    for _ in range(max_rounds):
         rounds += 1
         msgs = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "lbl"
         )
-        new_labels = (
+        hop = (
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # Pointer jump: replace each node's label with its label's label
+        # (always <= — labels only decrease and node lbl's own label is
+        # <= lbl). The join's build side is the label table itself.
+        new_labels = (
+            hop.join(
+                hop.select(
+                    F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
+                ),
+                hop.lbl == F.col("jnode"),
+                "left",
+            )
+            .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
             .localCheckpoint()
         )
         changed = (
@@ -534,7 +555,13 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not reach a fixpoint in {max_rounds} rounds"
+            " — component diameter exceeds ~2^rounds; raise max_rounds"
+        )
     LAST_PROPAGATION_ROUNDS = rounds
     return labels, rounds
 

@@ -71,3 +71,38 @@ def test_no_unbounded_nested_loop_joins(spark, name):
         "generation as an equi-join (bucket/band/blocking key) or whitelist "
         "with a boundedness argument"
     )
+
+
+# Queries where a Window legitimately runs over an Exchange SinglePartition:
+# each operates on an already-reduced frame (per-day / per-year / per-price
+# aggregates — thousands of rows at any input scale), audited in r4. A NEW
+# entry appearing here means someone put a global window on unreduced data —
+# the single-task sort that kills 100 TB jobs.
+WINDOW_SINGLE_PARTITION_WHITELIST: frozenset[str] = frozenset(
+    {
+        "events_autocorr_lag1",  # window over per-day aggregates
+        "events_cumulative_distinct",  # running total over per-day firsts
+        "events_cusum",  # cumulative sum over per-day aggregates
+        "orders_yoy_growth",  # lag over per-year aggregates
+        "skyline_pareto_frontier",  # running max over per-price aggregates
+    }
+)
+
+
+@pytest.mark.parametrize("name", sorted(registry.REGISTRY))
+def test_no_global_window_on_unreduced_data(spark, name):
+    df = registry.REGISTRY[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    window_over_sp = any(
+        "Exchange SinglePartition" in l
+        and any("Window" in lines[j] for j in range(max(0, i - 3), i))
+        for i, l in enumerate(lines)
+    )
+    if name in WINDOW_SINGLE_PARTITION_WHITELIST:
+        return  # reduced-frame global window, audited above
+    assert not window_over_sp, (
+        f"{name} plans a Window over Exchange SinglePartition on unreduced "
+        "data — partition the window or pre-aggregate (see operators/"
+        "ranking.py for the distributed global-rank pattern)"
+    )

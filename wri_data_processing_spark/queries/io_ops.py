@@ -224,6 +224,47 @@ def sink_overwrite_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(o_flag) AS BIGINT) AS n_flagged
+    FROM (
+      SELECT o_orderstatus, CAST(NULL AS BOOLEAN) AS o_flag
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderstatus, (o_totalprice > 100000) AS o_flag
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ) GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift on scan: a column added mid-stream must read cleanly.
+
+    At 100 TB a table is written by months of jobs and the schema WILL gain
+    columns; the engine's contract is parquet schema merge — old files
+    surface the new column as NULL, new files carry it, one scan sees both.
+    Round-trip: write a v1 batch (no flag column) and a v2 batch (adds
+    o_flag), read the directory with mergeSchema=true, aggregate per
+    status. The oracle recomputes the same union from the source table
+    with an explicit NULL column for the v1 half.
+    """
+    path = _scratch_dir("schema_evolution", sf_dir)
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_orderstatus")
+    v2 = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(
+        "o_orderkey", "o_orderstatus", (F.col("o_totalprice") > 100000).alias("o_flag")
+    )
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_flag").alias("n_flagged"),
+    )
+
+
 _JSON_READ_SCHEMA = StructType(
     [
         StructField("id", LongType()),

@@ -127,6 +127,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "geo_reproject_bbox",
     "sink_cog_lzw_bigtiff",  # new in r5 (LZW/BigTIFF dialect round-trip)
     "dedup_clusters_unique",  # new in r5 (duplication-invariant clusters)
+    "scan_schema_evolution",  # new in r5 (mergeSchema drift handling)
 ]
 
 

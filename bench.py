@@ -118,6 +118,24 @@ def main() -> None:
         )
         detail["dedup_clusters"]["propagation_rounds"] = llm_dedup.LAST_PROPAGATION_ROUNDS
 
+    # dedup_ngram_jaccard attribution: shingle construction (CPU-bound
+    # expression eval) vs posting-list join (shuffle-bound) — the two halves
+    # regress for different reasons (codegen vs exchange sizing).
+    if "dedup_ngram_jaccard" in timings:
+        from wri_data_processing_spark.catalog import table as _table
+        from wri_data_processing_spark.queries.llm_dedup import _shingles_hashed
+
+        def _shingles(s, d):
+            return _shingles_hashed(_table(s, d, "documents"), 3)
+
+        _time_once(_shingles, spark, sf_dir)  # warmup
+        sh_runs = [_time_once(_shingles, spark, sf_dir) for _ in range(n_runs)]
+        sh = statistics.median(sh_runs)
+        detail["dedup_ngram_jaccard"]["shingle_sec"] = round(sh, 3)
+        detail["dedup_ngram_jaccard"]["join_sec"] = round(
+            max(0.0, timings["dedup_ngram_jaccard"] - sh), 3
+        )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",

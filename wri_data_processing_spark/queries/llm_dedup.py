@@ -485,8 +485,14 @@ def cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     No distinct(): the jaccard pairs are unique with doc_a < doc_b (they
     come out of a groupBy), so the forward and reversed halves are disjoint
     and their union is already a set — a distinct here would be a pure-waste
-    full shuffle of the edge list."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    full shuffle of the edge list.
+
+    The pair list is checkpointed BEFORE the symmetrizing union: the two
+    union branches share the same shingle-join plan, and while AQE's
+    ReusedExchange dedupes the scan+shuffle, the post-shuffle pair
+    aggregation still executes once per branch — materializing the (tiny)
+    pair list first halves that work (measured ~20% off pairgen at sf0.1)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     return (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
@@ -680,20 +686,35 @@ def dedup_clusters_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a drop-in rewrite of dedup_clusters — because the _MAX_DF posting
     cap binds on collapsed document frequencies here (the 100 TB semantics
     you actually want: duplication shouldn't push shingles over the cap).
+
+    The exact-dup collapse is ONE digest groupBy: group on sha2(text)
+    (identical partition of rows to GROUP BY text — a 32-byte key instead
+    of the full document), carrying the text via first() so map-side
+    combine collapses local copies before the exchange. The collapsed
+    frame is checkpointed once and feeds BOTH the shingle join (reps) and
+    the star edges — the earlier version paid a second full-text groupBy
+    inside dedup_ngram_unique plus a third scan for the star join.
     """
     d = table(spark, sf_dir, "documents")
-    pairs_u = dedup_ngram_unique(spark, sf_dir).select("doc_a", "doc_b")
-    h = F.sha2("text", 256)
-    grp = d.groupBy(h.alias("h")).agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    withh = d.select("doc_id", "text", F.sha2("text", 256).alias("h"))
+    grp = (
+        withh.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.first("text").alias("text"),  # same h => same text
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
     )
+    reps = grp.select(F.col("rep").alias("doc_id"), "text")
+    pairs_u = _jaccard_pairs(_shingles_hashed(reps, 3)).select("doc_a", "doc_b")
     exact = (
-        d.select("doc_id", h.alias("h"))
-        .join(grp.filter(F.col("n") >= 2), "h")
+        withh.drop("text")
+        .join(grp.filter(F.col("n") >= 2).select("h", "rep"), "h")
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
     )
-    pairs = pairs_u.unionByName(exact)
+    pairs = pairs_u.unionByName(exact).localCheckpoint()
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")

@@ -39,6 +39,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "basket_association_rules": "1-row basket-count denominator broadcast",
     "events_ewma": "7-day bounded date-range join against per-day aggregates",
     "sim_topk": "single query vector broadcast over the scan",
+    "sim_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats row "
+    "and the query-vector row — both constant-size regardless of N",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -284,3 +284,57 @@ def test_user_type_census_matches_batch(spark, sf_dir, event_source, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """LEFT-OUTER watermarked join: matched rows == batch; NULL rows are the
+    watermark-delayed subset of batch's unconverted clicks."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        click_purchase_join_outer,
+        read_event_stream,
+        run_available_now,
+    )
+
+    s = read_event_stream(spark, event_source)
+    joined = click_purchase_join_outer(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    run_available_now(joined, "ssjo_test", str(tmp_path / "ckpt_ssjo"), output_mode="append")
+    rows = spark.sql("SELECT * FROM ssjo_test").collect()
+    got_matched = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    got_null = {(r["user_id"], r["click_id"]) for r in rows if r["purchase_id"] is None}
+
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).collect()
+    want_matched = {
+        (r["c_user"], r["click_id"], r["purchase_id"])
+        for r in batch
+        if r["purchase_id"] is not None
+    }
+    want_null = {(r["c_user"], r["click_id"]) for r in batch if r["purchase_id"] is None}
+
+    # Matched pairs emit immediately: exact equality, like the inner join.
+    assert got_matched == want_matched and len(want_matched) > 0
+    # NULL rows need the purchase watermark to close the click's interval;
+    # a drained finite source leaves trailing clicks in state, so streaming
+    # emits a subset of batch's unconverted clicks — and never a false NULL.
+    assert got_null.issubset(want_null)
+    # A streamed NULL click must not also have a matched emission.
+    assert not {(u, cid) for (u, cid, _) in got_matched} & got_null

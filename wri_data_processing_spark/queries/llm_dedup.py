@@ -1031,3 +1031,84 @@ def dedup_ngram_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shared.cast("double") / total.cast("double") > 0.5).alias("flagged"),
         )
     )
+
+
+_SUBSTR_K = 40  # window length (chars) for exact substring-span dedup
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - {_SUBSTR_K - 1})) AS i
+      FROM documents WHERE length(text) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, substr(sha256(substr(text, CAST(i AS BIGINT), {_SUBSTR_K})), 1, 16) AS wh
+      FROM pos
+    ),
+    dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(d.wh) AS BIGINT) AS n_dup_windows
+    FROM wins w LEFT JOIN dup d USING (wh)
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (the ExactSubstr method of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    {k}-char window of every document is hashed; a window whose hash occurs
+    in >= 2 DISTINCT documents marks a duplicated span. Output is the
+    per-document span coverage — total windows and cross-document duplicated
+    windows, both exact BIGINT counts (the downstream cut is a pure filter
+    on n_dup_windows / n_windows).
+
+    Engine-exact across Spark and DuckDB: windows are codepoint substrings,
+    the window key is the first 16 hex chars of sha256 (identical on both),
+    and all outputs are integer counts — no floats anywhere.
+
+    Spark plan: windows are built JVM-side as transform(sequence(...)) over
+    the text column and exploded AFTER hashing, so the explode emits
+    (doc_id, 16-char key) pairs — the document text itself never enters the
+    exchange. Two shuffles total: the posting aggregation on wh (map-side
+    combined) and the per-doc coverage aggregation; the dup-key semi side is
+    left to AQE to broadcast when small.
+
+    100 TB notes: suffix-array ExactSubstr is a sequential algorithm; this
+    windowed formulation is the shuffle-native equivalent and is exact for
+    spans >= k at stride 1. At extreme scale you raise the stride to s and
+    window on positions 1, 1+s, 2s+1, ... — any duplicated span of length
+    >= k + s - 1 still collides on at least one sampled window, shrinking
+    the posting table by s x while keeping a provable detection floor. A
+    document-frequency cap on window hashes (the _MAX_DF lesson) bounds
+    boilerplate hot keys; it is a size() filter on the posting list and
+    changes only which spans are REPORTED, never invents one.
+    """
+    k = _SUBSTR_K
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= k)
+    wins = _spread_small_scan(d).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
+            )
+        ).alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("isdup"))
+    )
+    return (
+        wins.join(dup, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("isdup").alias("n_dup_windows"),
+        )
+    )

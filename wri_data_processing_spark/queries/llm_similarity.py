@@ -593,3 +593,113 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+_SQ8_CAND = 50  # candidate pool re-ranked exactly (5x oversampling of k=10)
+
+
+@query(
+    "sim_ann_sq8",
+    oracle="""
+    WITH dims AS (
+      SELECT u.i AS i,
+             MIN(CAST(embedding[u.i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[u.i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+      GROUP BY 1),
+    dvecs AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+    codes AS (
+      SELECT vec_id, label, embedding,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN d.mxs[i] = d.mns[i] THEN 0
+                    ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - d.mns[i])
+                                    / (d.mxs[i] - d.mns[i]) * 255.0 + 0.5) AS BIGINT)
+                    END) AS q8
+      FROM embeddings, dvecs d),
+    q AS (SELECT q8 AS qq, CAST(embedding AS DOUBLE[]) AS qv FROM codes WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, c.label, c.embedding,
+             CAST(list_inner_product(c.q8, q.qq) AS BIGINT) AS approx_score
+      FROM codes c, q WHERE c.vec_id != 0
+      ORDER BY approx_score DESC, c.vec_id LIMIT 50)
+    SELECT cand.vec_id, cand.label, cand.approx_score,
+           ROUND(list_cosine_similarity(CAST(cand.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim
+    FROM cand, q
+    ORDER BY cosine_sim DESC, cand.vec_id LIMIT 10
+    """,
+)
+def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) approximate top-k — the memory-compression
+    scale path: per-dimension min/max linear quantization to 8-bit codes
+    (floor(x*255+0.5) on the normalized value — floor, not round, so both
+    engines agree at midpoints), integer inner-product candidate scoring,
+    then exact fp64 cosine re-rank of a 5x-oversampled pool.
+
+    Why it matters at 100 TB: fp32x64-dim vectors are 256 B/row; int8 codes
+    are 64 B — a 4x cut of scan bytes and shuffle width for the scoring
+    pass, with the exact math confined to _SQ8_CAND rows. The statistics
+    pass (per-dim min/max) is one map-side-combined aggregation over
+    posexploded components; the resulting two dim-length arrays broadcast
+    to every task (~1 KB), never a shuffle key.
+
+    Engine-exact: quantization arithmetic is mirrored double-precision IEEE
+    with a single floor, scores are BIGINT dot products (exact — codes are
+    <= 255 so a 64-dim dot is < 2^22), both orderings tie-break on vec_id,
+    and the re-rank reuses the proven ROUND(cosine, 6) expression from
+    sim_topk.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xs = e.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+    dims = xs.groupBy((F.col("i0") + 1).alias("i")).agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    dvecs = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    q8 = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.when(
+            F.element_at("mxs", i) == F.element_at("mns", i), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                (F.element_at(F.col("embedding"), i).cast("double") - F.element_at("mns", i))
+                / (F.element_at("mxs", i) - F.element_at("mns", i))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    codes = e.crossJoin(F.broadcast(dvecs)).select(
+        "vec_id", "label", "embedding", q8.alias("q8")
+    )
+    qrow = codes.filter(F.col("vec_id") == 0).select(
+        F.col("q8").alias("qq"), _dvec("embedding").alias("qv")
+    )
+    score = F.aggregate(
+        F.zip_with("q8", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "label", "embedding", "qv", score.alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), "vec_id")
+        .limit(_SQ8_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "approx_score",
+            F.round(cosine(_dvec("embedding"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -198,3 +198,62 @@ def stream_user_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count_distinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@query(
+    "stream_join_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS latency_us
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT-OUTER stream-stream interval join
+    (streaming/pipelines.click_purchase_join_outer): every click row with
+    its attributed purchase, or NULL purchase columns when no purchase by
+    the same user lands within the following 30 minutes.
+
+    This is the semantics Structured Streaming's watermarked outer join
+    converges to — unmatched rows emit once the opposite watermark passes
+    the interval's close, so a live stream trails batch by the watermark
+    delay on exactly the NULL rows (tests/test_streaming.py pins matched
+    rows equal and streamed NULL rows a subset). Latency is integer
+    microseconds end to end; no float time math.
+
+    Scale notes: one shuffle on user_id for both sides; per-user event runs
+    are bounded, so the interval predicate prunes within sorted runs. In
+    streaming, the same condition is what bounds the join STATE — clicks
+    evict once the purchase watermark passes click_ts + 30 min.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond, "left").select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("latency_us"),
+    )

@@ -128,6 +128,9 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sink_cog_lzw_bigtiff",  # new in r5 (LZW/BigTIFF dialect round-trip)
     "dedup_clusters_unique",  # new in r5 (duplication-invariant clusters)
     "scan_schema_evolution",  # new in r5 (mergeSchema drift handling)
+    "dedup_substring",  # new in r5 (exact substring-span dedup, Lee et al.)
+    "sim_ann_sq8",  # new in r5 (int8 scalar-quantized ANN + exact re-rank)
+    "stream_join_outer",  # new in r5 (left-outer stream-stream interval join)
 ]
 
 

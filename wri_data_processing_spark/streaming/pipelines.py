@@ -253,6 +253,42 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click, with its
+    attributed purchase or NULLs if none arrives within 30 minutes.
+
+    The outer side is what distinguishes this from click_purchase_join:
+    matched rows emit immediately, but an UNMATCHED click can only emit
+    once the purchase-side watermark passes click.ts + 30 min — before
+    that, a matching purchase could still arrive. So outer results are
+    inherently watermark-delayed, and a drained-but-unclosed stream
+    (availableNow over a finite source) retains trailing clicks in state
+    rather than emitting them with NULLs; the batch twin
+    (queries/streaming_batch.stream_join_outer) is the full answer the
+    stream converges to. State bound and join condition requirements are
+    identical to the inner variant.
+    """
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "amount"
+    )
+
+
 def windowed_topk(
     events: DataFrame,
     spark: SparkSession,

@@ -51,6 +51,7 @@ HEADLINE = [
     "events_sessionize",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_substring",
     "dedup_clusters",
     "dedup_clusters_unique",
     "sim_topk",

@@ -235,3 +235,18 @@ def test_spread_small_scan_skips_post_shuffle_inputs(spark):
     spread = _spread_small_scan(scan.select("doc_id", "text"))
     plan = spread._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" in plan or spread is not scan
+
+
+def test_dedup_substring_exchanges_carry_keys_not_text(spark, sf_dir):
+    """The substring-dedup shuffles must move (doc_id, 16-char window key)
+    pairs — never the document text. Windows are hashed INSIDE the
+    transform() before the explode, so text stays scan-side; if a refactor
+    moved the sha2 after the explode (or exploded raw substrings), every
+    exchange would suddenly carry document payloads and this pins it."""
+    plan = _plan(spark, sf_dir, "dedup_substring")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # Posting agg + per-doc coverage agg (+ the small-scan spread when the
+    # local fixture arrives as one split): shuffle count stays bounded.
+    assert _n_exchanges(plan) <= 3, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

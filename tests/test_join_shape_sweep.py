@@ -48,6 +48,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "test_plan_shapes)",
     "dedup_embedding": "same IVF centroid broadcast as sim_pairs_threshold",
     "embed_kmeans_assign": "k-row centroid table broadcast",
+    "embed_kmeans_iterate": "k-row centroid table broadcast, twice (one "
+    "per unrolled Lloyd round)",
     "graph_triangle_count": "1-row edge-count denominator broadcast",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",

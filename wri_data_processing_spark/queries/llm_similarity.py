@@ -703,3 +703,130 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_KM_K = 8  # clusters for the Lloyd iteration demo (matches _IVF_NLIST)
+
+
+def _km_assign(qt: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: (vec_id, cid, d2) — argmin int64 L2 over
+    quantized components against a broadcast centroid table, ties to the
+    lower cid. Same arithmetic as ivf_assign, but keeps the distance."""
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qt.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _km_recompute(qt: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Lloyd centroid update in exact integer arithmetic: per (cid, dim),
+    floor(SUM(component)/COUNT) over the cluster's quantized vectors,
+    reassembled into a dim-ordered array. floor of a double division of
+    int64 sums — both engines compute it bit-identically (sums stay far
+    below 2^53). Empty clusters simply vanish (their cid stops existing),
+    which is also what the oracle's GROUP BY yields."""
+    comp = assigned.join(qt, "vec_id").select(
+        "cid", F.posexplode("qv").alias("i", "x")
+    )
+    agg = comp.groupBy("cid", "i").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cq = F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long")
+    return (
+        agg.select("cid", "i", cq.alias("cq"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cq"))), lambda s: s["cq"]
+            ).alias("cv")
+        )
+    )
+
+
+@query(
+    "embed_kmeans_iterate",
+    oracle=f"""
+    WITH qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    cents0 AS (SELECT vec_id AS cid, qv AS cv FROM qt WHERE vec_id < {_KM_K}),
+    dist1 AS (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.qv[u.i] - c.cv[u.i]) * (q.qv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM qt q, cents0 c, unnest(generate_series(1, len(q.qv))) u(i)
+      GROUP BY 1, 2),
+    asg1 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist1) WHERE rn = 1),
+    comp1 AS (
+      SELECT a.cid, u.i AS i, q.qv[u.i] AS x
+      FROM asg1 a JOIN qt q USING (vec_id), unnest(generate_series(1, len(q.qv))) u(i)),
+    cagg1 AS (
+      SELECT cid, i,
+             CAST(floor(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+      FROM comp1 GROUP BY 1, 2),
+    cents1 AS (SELECT cid, list(cq ORDER BY i) AS cv FROM cagg1 GROUP BY cid),
+    dist2 AS (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.qv[u.i] - c.cv[u.i]) * (q.qv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM qt q, cents1 c, unnest(generate_series(1, len(q.qv))) u(i)
+      GROUP BY 1, 2),
+    asg2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist2) WHERE rn = 1)
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member
+    FROM asg2 GROUP BY cid
+    """,
+)
+def embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd's iterations of k-means (assign -> recompute ->
+    reassign), reported as per-cluster membership and integer inertia —
+    the iterative-ML pattern on Spark, verified EXACTLY against an
+    unrolled-CTE oracle.
+
+    Determinism engineering: components quantize to floor(x * 2^20) int64
+    (the ivf_assign fixed point), distances accumulate in BIGINT, centroid
+    updates are floor(SUM/COUNT) — there is no float accumulation anywhere,
+    so assignments can never diverge between engines and the oracle can
+    replay both rounds as plain SQL. Initial centroids are the first k
+    vectors (deterministic stand-in for k-means||; the plan is identical).
+
+    Plan per round: centroid table broadcasts (k x dim longs, ~4 KB); the
+    assignment is a map-side argmin fused into one aggregation keyed by
+    vec_id; the update is one (cid, dim)-keyed aggregation. Nothing driver-
+    side between rounds — at 100 TB each round is two shuffles of narrow
+    keyed rows, and rounds chain as checkpointed stages exactly like
+    propagate_min_labels. Production k-means on Spark runs this loop to
+    movement-epsilon; two rounds keep the oracle unrollable while
+    exercising the full assign/update/reassign machinery.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv")).localCheckpoint()
+    cents = qt.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    asg = _km_assign(qt, cents)
+    cents = _km_recompute(qt, asg).localCheckpoint()
+    asg = _km_assign(qt, cents)
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia"),
+        F.min("vec_id").alias("min_member"),
+    )

@@ -131,6 +131,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dedup_substring",  # new in r5 (exact substring-span dedup, Lee et al.)
     "sim_ann_sq8",  # new in r5 (int8 scalar-quantized ANN + exact re-rank)
     "stream_join_outer",  # new in r5 (left-outer stream-stream interval join)
+    "embed_kmeans_iterate",  # new in r5 (two exact Lloyd rounds, unrolled oracle)
 ]
 
 

@@ -1079,16 +1079,24 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB notes: suffix-array ExactSubstr is a sequential algorithm; this
     windowed formulation is the shuffle-native equivalent and is exact for
-    spans >= k at stride 1. At extreme scale you raise the stride to s and
-    window on positions 1, 1+s, 2s+1, ... — any duplicated span of length
-    >= k + s - 1 still collides on at least one sampled window, shrinking
-    the posting table by s x while keeping a provable detection floor. A
-    document-frequency cap on window hashes (the _MAX_DF lesson) bounds
-    boilerplate hot keys; it is a size() filter on the posting list and
-    changes only which spans are REPORTED, never invents one.
+    spans >= k at stride 1. The posting-table-shrinking scale lever is NOT
+    positional striding — two documents sharing a span at different offsets
+    sample different residues mod s, so stride-on-both-sides loses the
+    collision guarantee — it is content-defined sampling: see
+    dedup_substring_winnow (local-min winnowing, guarantee restored for
+    spans >= k + w - 1). A document-frequency cap on window hashes (the
+    _MAX_DF lesson) bounds boilerplate hot keys; it is a size() filter on
+    the posting list and changes only which spans are REPORTED, never
+    invents one.
     """
-    k = _SUBSTR_K
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= k)
+    d = table(spark, sf_dir, "documents")
+    return substring_window_coverage(d, _SUBSTR_K)
+
+
+def substring_window_coverage(d: DataFrame, k: int) -> DataFrame:
+    """Per-doc (n_windows, n_dup_windows) over all k-char windows; a window
+    is dup when its hash occurs in >= 2 distinct docs. Exact at stride 1."""
+    d = d.filter(F.length("text") >= k)
     wins = _spread_small_scan(d).select(
         "doc_id",
         F.explode(
@@ -1110,5 +1118,91 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             F.count("isdup").alias("n_dup_windows"),
+        )
+    )
+
+
+_WINNOW_W = 8  # winnowing window: guarantee floor is spans >= k + w - 1
+
+
+@query(
+    "dedup_substring_winnow",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text) - {_SUBSTR_K - 1}),
+               i -> substr(sha256(substr(text, CAST(i AS BIGINT), {_SUBSTR_K})), 1, 16)) AS hs
+      FROM documents WHERE length(text) >= {_SUBSTR_K + _WINNOW_W - 1}
+    ),
+    fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
+               j -> list_min(hs[j:j+{_WINNOW_W - 1}])))) AS fp
+      FROM h
+    ),
+    dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(d.fp) AS BIGINT) AS n_dup_fingerprints
+    FROM fps f LEFT JOIN dup d USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring dedup — the SCALE path of dedup_substring
+    (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+    Fingerprinting"). Instead of posting every k-char window hash, each doc
+    posts only LOCAL MINIMA: the min hash of every w consecutive window
+    hashes, deduplicated. Selection is content-defined, so two documents
+    sharing a span >= k + w - 1 chars compute identical minima inside it —
+    the collision guarantee positional striding can NOT give (different
+    span offsets sample different residues). Expected posting volume drops
+    ~w/2 x while detection stays provable, not probabilistic.
+
+    Same exchange discipline as dedup_substring: hashing AND winnowing run
+    JVM-side inside array expressions; only (doc_id, fingerprint) pairs
+    reach a shuffle. All outputs are exact BIGINT counts; the min over
+    fixed-length lowercase hex strings is the numeric min, identically
+    ordered in both engines (bytewise ASCII compare).
+    """
+    d = table(spark, sf_dir, "documents")
+    return winnow_fingerprint_coverage(d, _SUBSTR_K, _WINNOW_W)
+
+
+def winnow_fingerprint_coverage(d: DataFrame, k: int, w: int) -> DataFrame:
+    """Per-doc (n_fingerprints, n_dup_fingerprints) over winnowed local-min
+    window hashes; a fingerprint is dup when shared by >= 2 distinct docs."""
+    d = d.filter(F.length("text") >= k + w - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (k - 1)),
+        lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
+    )
+    fps = (
+        _spread_small_scan(d)
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                        lambda j: F.array_min(F.slice("hs", j, w)),
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    dup = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("isdup"))
+    )
+    return (
+        fps.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.count("isdup").alias("n_dup_fingerprints"),
         )
     )

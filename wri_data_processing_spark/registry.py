@@ -132,6 +132,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sim_ann_sq8",  # new in r5 (int8 scalar-quantized ANN + exact re-rank)
     "stream_join_outer",  # new in r5 (left-outer stream-stream interval join)
     "embed_kmeans_iterate",  # new in r5 (two exact Lloyd rounds, unrolled oracle)
+    "dedup_substring_winnow",  # new in r5 (content-defined fingerprint sampling)
 ]
 
 

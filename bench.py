@@ -119,6 +119,22 @@ def main() -> None:
         )
         detail["dedup_clusters"]["propagation_rounds"] = llm_dedup.LAST_PROPAGATION_ROUNDS
 
+    # Same split for the duplication-invariant variant: its pairgen half adds
+    # the digest collapse + star edges on top of the rep-space shingle join.
+    if "dedup_clusters_unique" in timings:
+        from wri_data_processing_spark.queries import llm_dedup
+
+        def _edges_u(s, d):
+            return llm_dedup.cluster_edges_unique(s, d)
+
+        _time_once(_edges_u, spark, sf_dir)  # warmup
+        pair_runs = [_time_once(_edges_u, spark, sf_dir) for _ in range(n_runs)]
+        pairgen = statistics.median(pair_runs)
+        detail["dedup_clusters_unique"]["pairgen_sec"] = round(pairgen, 3)
+        detail["dedup_clusters_unique"]["propagation_sec"] = round(
+            max(0.0, timings["dedup_clusters_unique"] - pairgen), 3
+        )
+
     # dedup_ngram_jaccard attribution: shingle construction (CPU-bound
     # expression eval) vs posting-list join (shuffle-bound) — the two halves
     # regress for different reasons (codegen vs exchange sizing).

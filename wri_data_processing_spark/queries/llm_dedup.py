@@ -695,6 +695,21 @@ def dedup_clusters_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     the star edges — the earlier version paid a second full-text groupBy
     inside dedup_ngram_unique plus a third scan for the star join.
     """
+    edges = cluster_edges_unique(spark, sf_dir)
+    labels, _rounds = propagate_min_labels(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def cluster_edges_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized edge list for dedup_clusters_unique — rep-space near-dup
+    pairs plus exact-group star edges, eagerly materialized so bench.py can
+    time pair generation apart from the propagation rounds (the same
+    attribution split cluster_edges provides for dedup_clusters)."""
     d = table(spark, sf_dir, "documents")
     withh = d.select("doc_id", "text", F.sha2("text", 256).alias("h"))
     grp = (
@@ -715,17 +730,10 @@ def dedup_clusters_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
     )
     pairs = pairs_u.unionByName(exact).localCheckpoint()
-    edges = (
+    return (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
         .localCheckpoint()
-    )
-    labels, _rounds = propagate_min_labels(edges)
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "lbl").select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        "cluster_size",
     )
 
 

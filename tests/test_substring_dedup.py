@@ -132,3 +132,24 @@ def test_winnow_positionally_shifted_span_still_detected(spark):
         for r in winnow_fingerprint_coverage(_corpus(spark, docs), K, W).collect()
     }
     assert got[1] >= 1 and got[2] >= 1
+
+
+def test_corpus_prep_pipeline_fates_partition_input(spark, sf_dir):
+    """Every input document gets exactly one fate: the per-source drop and
+    keep counts must sum to n_input, and no count may be negative."""
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    for r in registry.REGISTRY["corpus_prep_pipeline"](spark, sf_dir).collect():
+        parts = (
+            r["n_quality_drop"]
+            + r["n_exact_drop"]
+            + r["n_neardup_drop"]
+            + r["n_contam_drop"]
+            + r["n_kept"]
+        )
+        assert parts == r["n_input"], r
+        assert min(
+            r["n_quality_drop"], r["n_exact_drop"], r["n_neardup_drop"],
+            r["n_contam_drop"], r["n_kept"],
+        ) >= 0, r

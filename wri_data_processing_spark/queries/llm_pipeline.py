@@ -678,3 +678,201 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_stop.alias("rule_stop"),
         (rule_len & rule_wordlen & rule_alpha & rule_stop).alias("passes"),
     )
+
+
+def _corpus_prep_oracle() -> str:
+    from wri_data_processing_spark.queries.llm_dedup import _PAIRS_CTES
+
+    pairs = _PAIRS_CTES.replace("FROM documents", "FROM surv")
+    return rf"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, n_chars, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0)
+               + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        * 1.0 / greatest(length(text), 1))
+               + 0.3 * least(length(text) / 200.0, 1.0) AS quality
+      FROM documents
+      WHERE lang = 'en' AND source <> 'src0'
+    ),
+    q AS (SELECT * FROM base WHERE quality >= 0.5),
+    ex AS (SELECT fp, MIN(doc_id) AS keeper FROM q GROUP BY fp),
+    surv AS (
+      SELECT q.doc_id, q.source, q.n_chars, q.text
+      FROM q JOIN ex ON q.fp = ex.fp AND q.doc_id = ex.keeper
+    ),
+    {pairs},
+    e2 AS (SELECT doc_a AS a, doc_b AS b FROM jac
+           UNION SELECT doc_b, doc_a FROM jac),
+    nodes AS (SELECT DISTINCT a AS n FROM e2),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e2 e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    nd_drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+    rem AS (SELECT s.* FROM surv s
+            WHERE NOT EXISTS (SELECT 1 FROM nd_drop d WHERE d.doc_id = s.doc_id)),
+    bt AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents WHERE source = 'src0'),
+    bsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] AS shingle
+            FROM bt, unnest(generate_series(1, greatest(len(toks) - 3, 0))) u(i)),
+    rt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM rem),
+    rsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] AS shingle
+            FROM rt, unnest(generate_series(1, greatest(len(toks) - 3, 0))) u(i)),
+    contam AS (SELECT DISTINCT rsh.doc_id FROM rsh JOIN bsh USING (shingle)),
+    kept AS (SELECT r.doc_id FROM rem r
+             WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = r.doc_id))
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(COUNT(*) FILTER (WHERE b.quality < 0.5) AS BIGINT) AS n_quality_drop,
+           CAST(COUNT(*) FILTER (WHERE b.quality >= 0.5 AND b.doc_id <> ex2.keeper)
+                AS BIGINT) AS n_exact_drop,
+           CAST(COUNT(*) FILTER (WHERE nd.doc_id IS NOT NULL) AS BIGINT) AS n_neardup_drop,
+           CAST(COUNT(*) FILTER (WHERE ct.doc_id IS NOT NULL) AS BIGINT) AS n_contam_drop,
+           CAST(COUNT(*) FILTER (WHERE kp.doc_id IS NOT NULL) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(b.n_chars) FILTER (WHERE kp.doc_id IS NOT NULL), 0)
+                AS BIGINT) AS kept_chars
+    FROM base b
+    LEFT JOIN ex ex2 ON b.fp = ex2.fp
+    LEFT JOIN nd_drop nd ON nd.doc_id = b.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = b.doc_id
+    LEFT JOIN kept kp ON kp.doc_id = b.doc_id
+    GROUP BY b.source
+    ORDER BY b.source
+    """
+
+
+@query("corpus_prep_pipeline", oracle=_corpus_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""The full training-data preparation pipeline as ONE composed engine
+    program, with per-source drop attribution: language filter -> quality
+    gate -> exact dedup (keep-first) -> near-dup CLUSTER resolution (3-gram
+    Jaccard pairs -> connected components -> keep cluster min) ->
+    benchmark decontamination (shared word-4-gram vs the held-out 'src0'
+    set) -> per-source report of every document's fate.
+
+    Each stage reuses the exact arithmetic of its standalone operator
+    (pipeline_clean_corpus's quality score and fingerprint, dedup_ngram's
+    posting-list pairs and _MAX_DF cap, dedup_clusters' label propagation,
+    contamination_flag's broadcast shingle semi-join), so the composed
+    oracle is the standalone oracles chained — and the output partitions:
+    n_input = n_quality_drop + n_exact_drop + n_neardup_drop +
+    n_contam_drop + n_kept per source (asserted in tests).
+
+    Scale shape: the quality/fingerprint scoring fuses into the scan; the
+    corpus shuffles once for the exact-dedup agg and once for the posting
+    join (both on digest/hashed keys, never text); components run the
+    pointer-jumping rounds on the (tiny) near-dup edge list; the benchmark
+    shingle set broadcasts. The post-filter survivor frame is checkpointed
+    once — it is the pipeline's working set and every stage reads it.
+    """
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _jaccard_pairs,
+        _shingles_hashed,
+        propagate_min_labels,
+    )
+    from wri_data_processing_spark.queries.llm_text import _PUNCT_RE
+
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_chars = F.length(text)
+    punct_ratio = (n_chars - F.length(F.regexp_replace(text, _PUNCT_RE, ""))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    quality = (
+        0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(n_chars / 200.0, F.lit(1.0))
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    base = (
+        d.filter((F.col("lang") == "en") & (F.col("source") != "src0"))
+        .select("doc_id", "source", "n_chars", "text", fp.alias("fp"), quality.alias("quality"))
+        .localCheckpoint()
+    )
+    q = base.filter(F.col("quality") >= 0.5)
+    ex = q.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    surv = (
+        q.join(ex, "fp")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "n_chars", "text")
+        .localCheckpoint()
+    )
+    pairs = (
+        _jaccard_pairs(_shingles_hashed(surv, 3)).select("doc_a", "doc_b").localCheckpoint()
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels, _rounds = propagate_min_labels(edges)
+    nd_drop = labels.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias("doc_id")
+    )
+    rem = surv.join(nd_drop, "doc_id", "left_anti")
+
+    toks = F.split(F.trim(text), r"\s+")
+    sh4 = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 4),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(4)]
+        ),
+    )
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select(F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
+        .distinct()
+    )
+    contam = (
+        rem.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select("doc_id", F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = rem.join(contam, "doc_id", "left_anti").select("doc_id")
+
+    marked = (
+        base.join(ex.select("fp", "keeper"), "fp", "left")
+        .join(nd_drop.withColumn("nd", F.lit(1)), "doc_id", "left")
+        .join(contam.withColumn("ct", F.lit(1)), "doc_id", "left")
+        .join(kept.withColumn("kp", F.lit(1)), "doc_id", "left")
+    )
+    lowq = F.col("quality") < 0.5
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            # Every conditional sum coalesces to 0: an all-NULL sum is NULL,
+            # and one NULL in a long column floats the whole pandas column.
+            F.coalesce(F.sum(lowq.cast("long")), F.lit(0).cast("long")).alias(
+                "n_quality_drop"
+            ),
+            F.coalesce(
+                F.sum((~lowq & (F.col("doc_id") != F.col("keeper"))).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_exact_drop"),
+            F.coalesce(
+                F.sum((F.col("nd") == 1).cast("long")), F.lit(0).cast("long")
+            ).alias("n_neardup_drop"),
+            F.coalesce(
+                F.sum((F.col("ct") == 1).cast("long")), F.lit(0).cast("long")
+            ).alias("n_contam_drop"),
+            F.coalesce(
+                F.sum((F.col("kp") == 1).cast("long")), F.lit(0).cast("long")
+            ).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kp") == 1, F.col("n_chars"))),
+                F.lit(0).cast("long"),
+            ).alias("kept_chars"),
+        )
+    )

@@ -133,6 +133,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stream_join_outer",  # new in r5 (left-outer stream-stream interval join)
     "embed_kmeans_iterate",  # new in r5 (two exact Lloyd rounds, unrolled oracle)
     "dedup_substring_winnow",  # new in r5 (content-defined fingerprint sampling)
+    "corpus_prep_pipeline",  # new in r5 (composed end-to-end prep with fate report)
 ]
 
 

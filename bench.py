@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_substring",
     "dedup_clusters",
     "dedup_clusters_unique",
+    "corpus_prep_pipeline",
     "sim_topk",
     "sim_pairs_threshold",
     "text_stats",

@@ -283,3 +283,128 @@ def geo_reproject_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geometry.type").alias("geom_type"),
         F.to_json("geometry").alias("geometry_json"),
     )
+
+
+_CELLS_CTE = """
+    cells AS (
+      SELECT l_returnflag AS layer_id,
+             CAST(l_orderkey % 64 AS BIGINT) AS x,
+             CAST(l_suppkey % 64 AS BIGINT) AS y,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+"""
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic lineitem-derived 64x64 cell table used by the
+    pyramid/COG pipeline: (layer_id, x, y, s: exact decimal sum, n)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_returnflag").alias("layer_id"),
+        (F.col("l_orderkey") % 64).alias("x"),
+        (F.col("l_suppkey") % 64).alias("y"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "geo_zonal_stats",
+    oracle=f"""
+    WITH {_CELLS_CTE}
+    SELECT layer_id, x // 8 AS zone_x, y // 8 AS zone_y,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS zone_mean,
+           MIN(CAST(s AS DOUBLE) / n) AS min_cell,
+           MAX(CAST(s AS DOUBLE) / n) AS max_cell
+    FROM cells GROUP BY 1, 2, 3
+    """,
+)
+def geo_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the raster cell table: per 8x8 grid zone and
+    layer, cell count, the TRUE mean of underlying values (exact decimal
+    sums carried to one final division — the geo_overview_pyramid
+    discipline, so summation order can never flip a bit), and min/max cell
+    value (a single decimal->double cast + division per cell, no float
+    accumulation).
+
+    This is the raster-analytics workhorse (mean NDVI per district, mean
+    elevation per watershed): at 100 TB the cell table is partitioned by
+    layer/tile, the zone key is a pure projection of cell coordinates, and
+    the aggregation is one map-side-combined shuffle keyed (layer, zone) —
+    no polygon machinery needed for grid-aligned zones; arbitrary-polygon
+    zones swap the zone-id projection for a broadcast point-in-polygon
+    stage and keep the identical aggregation.
+    """
+    c = _cells(spark, sf_dir)
+    cell_val = F.col("s").cast("double") / F.col("n")
+    return c.groupBy(
+        "layer_id",
+        F.floor(F.col("x") / 8).alias("zone_x"),
+        F.floor(F.col("y") / 8).alias("zone_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("zone_mean"),
+        F.min(cell_val).alias("min_cell"),
+        F.max(cell_val).alias("max_cell"),
+    )
+
+
+@query(
+    "geo_focal_mean",
+    oracle=f"""
+    WITH {_CELLS_CTE},
+    offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                        (1,-1),(1,0),(1,1)) o(dx, dy)),
+    scatter AS (
+      SELECT layer_id, x + dx AS tx, y + dy AS ty, s, n
+      FROM cells, offs
+      WHERE x + dx BETWEEN 0 AND 63 AND y + dy BETWEEN 0 AND 63
+    )
+    SELECT layer_id, tx AS x, ty AS y,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS focal_mean
+    FROM scatter GROUP BY 1, 2, 3
+    """,
+)
+def geo_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal (moving-window) mean over the cell table — the raster
+    smoothing/convolution primitive (focal statistics, hillshade inputs),
+    as a SCATTER: each cell explodes to the <= 9 target positions it
+    contributes to, then one (layer, x, y) aggregation sums the exact
+    decimal (s, n) pairs. Edge cells simply receive fewer contributions
+    (n_neighbors < 9), matching the bounded-grid semantics.
+
+    Scatter + groupBy beats a 9-way self-join at any scale: one exchange
+    keyed by target cell instead of nine hash probes per cell, and the
+    explode is a constant-width array literal (JVM-side, no Python). At
+    100 TB the cell table is tile-partitioned, so all nine contributions
+    to a target land in the same partition except across one-cell tile
+    borders — the same halo pattern every distributed raster engine ships.
+    """
+    c = _cells(spark, sf_dir)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    scatter = (
+        c.select("layer_id", "x", "y", "s", "n", F.explode(offs).alias("o"))
+        .select(
+            "layer_id",
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "s",
+            "n",
+        )
+        .filter(F.col("tx").between(0, 63) & F.col("ty").between(0, 63))
+    )
+    return scatter.groupBy("layer_id", F.col("tx").alias("x"), F.col("ty").alias("y")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("focal_mean"),
+    )

@@ -134,6 +134,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "embed_kmeans_iterate",  # new in r5 (two exact Lloyd rounds, unrolled oracle)
     "dedup_substring_winnow",  # new in r5 (content-defined fingerprint sampling)
     "corpus_prep_pipeline",  # new in r5 (composed end-to-end prep with fate report)
+    "geo_zonal_stats",  # new in r5 (zonal raster statistics, exact decimal sums)
+    "geo_focal_mean",  # new in r5 (3x3 focal mean via scatter, not self-join)
 ]
 
 

@@ -250,3 +250,12 @@ def test_dedup_substring_exchanges_carry_keys_not_text(spark, sf_dir):
     # local fixture arrives as one split): shuffle count stays bounded.
     assert _n_exchanges(plan) <= 3, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_focal_mean_scatter_single_exchange(spark, sf_dir):
+    """The 3x3 focal mean must stay a scatter (explode + ONE aggregation
+    exchange beyond the base cell-table agg) — a refactor to a 9-way
+    self-join would plan SortMergeJoin/BroadcastHashJoin here."""
+    plan = _plan(spark, sf_dir, "geo_focal_mean")
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) <= 2, plan

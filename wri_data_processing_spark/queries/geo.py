@@ -408,3 +408,100 @@ def geo_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_neighbors"),
         (F.sum("s").cast("double") / F.sum("n")).alias("focal_mean"),
     )
+
+
+@query(
+    "geo_slope",
+    oracle=f"""
+    WITH {_CELLS_CTE},
+    vals AS (SELECT layer_id, x, y, CAST(s AS DOUBLE) / n AS v FROM cells),
+    offs AS (SELECT * FROM (VALUES
+               (-1, 0, 0.5, 0.0), (1, 0, -0.5, 0.0),
+               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5)) o(dx, dy, wx, wy)),
+    scatter AS (
+      SELECT layer_id, x + dx AS tx, y + dy AS ty,
+             wx * v AS cx, wy * v AS cy,
+             CASE WHEN dx <> 0 THEN 1 ELSE 0 END AS nx,
+             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny
+      FROM vals, offs
+    ),
+    grad AS (
+      SELECT layer_id, tx AS x, ty AS y,
+             SUM(cx) AS dzdx, SUM(cy) AS dzdy,
+             SUM(nx) AS nx, SUM(ny) AS ny
+      FROM scatter
+      WHERE tx BETWEEN 0 AND 63 AND ty BETWEEN 0 AND 63
+      GROUP BY 1, 2, 3
+    )
+    SELECT layer_id, x, y,
+           ROUND(dzdx, 6) AS dzdx, ROUND(dzdy, 6) AS dzdy,
+           ROUND(sqrt(dzdx * dzdx + dzdy * dzdy), 6) AS slope
+    FROM grad WHERE nx = 2 AND ny = 2
+    """,
+)
+def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference gradient magnitude over the cell table — the
+    slope/hillshade precursor of terrain analysis: dz/dx = (east - west)/2,
+    dz/dy = (north - south)/2, slope = sqrt(dzdx^2 + dzdy^2), interior
+    cells only (both neighbors present on each axis).
+
+    Same scatter shape as geo_focal_mean, with SIGNED weights: each cell
+    contributes +-v/2 to the four targets it neighbors, and one aggregation
+    keyed by target sums per-axis. Engine-exactness hinges on each axis sum
+    having AT MOST TWO addends — IEEE addition is commutative, so a 2-term
+    sum is order-independent no matter which task adds first; the final
+    sqrt is a single deterministic expression ROUNDed like every float
+    output in the tree. The nx/ny = 2 filter is the interior-cell predicate
+    AND the reason the 2-addend argument holds.
+    """
+    c = _cells(spark, sf_dir)
+    vals = c.select(
+        "layer_id", "x", "y", (F.col("s").cast("double") / F.col("n")).alias("v")
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for dx, dy, wx, wy in [
+                (-1, 0, 0.5, 0.0),
+                (1, 0, -0.5, 0.0),
+                (0, -1, 0.0, 0.5),
+                (0, 1, 0.0, -0.5),
+            ]
+        ]
+    )
+    scatter = (
+        vals.select("layer_id", "x", "y", "v", F.explode(offs).alias("o"))
+        .select(
+            "layer_id",
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            (F.col("o.wx") * F.col("v")).alias("cx"),
+            (F.col("o.wy") * F.col("v")).alias("cy"),
+            (F.col("o.dx") != 0).cast("int").alias("nx"),
+            (F.col("o.dy") != 0).cast("int").alias("ny"),
+        )
+        .filter(F.col("tx").between(0, 63) & F.col("ty").between(0, 63))
+    )
+    grad = scatter.groupBy(
+        "layer_id", F.col("tx").alias("x"), F.col("ty").alias("y")
+    ).agg(
+        F.sum("cx").alias("dzdx"),
+        F.sum("cy").alias("dzdy"),
+        F.sum("nx").alias("nx"),
+        F.sum("ny").alias("ny"),
+    )
+    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2)).select(
+        "layer_id",
+        "x",
+        "y",
+        F.round("dzdx", 6).alias("dzdx"),
+        F.round("dzdy", 6).alias("dzdy"),
+        F.round(F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy")), 6).alias(
+            "slope"
+        ),
+    )

@@ -136,6 +136,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "corpus_prep_pipeline",  # new in r5 (composed end-to-end prep with fate report)
     "geo_zonal_stats",  # new in r5 (zonal raster statistics, exact decimal sums)
     "geo_focal_mean",  # new in r5 (3x3 focal mean via scatter, not self-join)
+    "geo_slope",  # new in r5 (central-difference gradient, 2-addend-exact floats)
 ]
 
 

@@ -505,3 +505,108 @@ def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
+
+
+# Unit light vector for the hillshade (NW-ish, 45 deg altitude):
+# (-1/2)^2 + (1/2)^2 + (sqrt(2)/2)^2 = 1 exactly in the reals, and each
+# component is a literal shared verbatim by engine and oracle.
+_HS_LX, _HS_LY, _HS_LZ = -0.5, 0.5, 0.7071067811865476
+
+
+@query(
+    "geo_hillshade",
+    oracle=f"""
+    WITH {_CELLS_CTE},
+    vals AS (SELECT layer_id, x, y, CAST(s AS DOUBLE) / n AS v FROM cells),
+    offs AS (SELECT * FROM (VALUES
+               (-1, 0, 0.5, 0.0), (1, 0, -0.5, 0.0),
+               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5)) o(dx, dy, wx, wy)),
+    scatter AS (
+      SELECT layer_id, x + dx AS tx, y + dy AS ty,
+             wx * v AS cx, wy * v AS cy,
+             CASE WHEN dx <> 0 THEN 1 ELSE 0 END AS nx,
+             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny
+      FROM vals, offs
+    ),
+    grad AS (
+      SELECT layer_id, tx AS x, ty AS y,
+             SUM(cx) AS dzdx, SUM(cy) AS dzdy,
+             SUM(nx) AS nx, SUM(ny) AS ny
+      FROM scatter
+      WHERE tx BETWEEN 0 AND 63 AND ty BETWEEN 0 AND 63
+      GROUP BY 1, 2, 3
+    )
+    SELECT layer_id, x, y,
+           ROUND(255.0 * greatest(0.0,
+             ((-(dzdx) * ({_HS_LX!r})) - dzdy * ({_HS_LY!r}) + {_HS_LZ!r})
+             / sqrt(dzdx * dzdx + dzdy * dzdy + 1.0)), 6) AS hillshade
+    FROM grad WHERE nx = 2 AND ny = 2
+    """,
+)
+def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambertian hillshade from the central-difference gradient: the
+    surface normal is (-dzdx, -dzdy, 1)/|.|, the light is the literal unit
+    vector ({lx}, {ly}, sqrt(2)/2), and shading is 255 * max(0, normal .
+    light) — the terrain-visualization primitive, WITHOUT trigonometry.
+
+    The trig-free formulation is the exactness engineering: Horn's
+    azimuth/altitude form needs atan/atan2/cos, which Java's Math and C's
+    libm round differently in the last ulp — a latent hash-flake behind any
+    ROUND. Multiply/add/divide/sqrt are all IEEE correctly-rounded in both
+    engines, so this expression is bit-identical by construction. Gradient
+    exactness is geo_slope's 2-addend argument; the scatter/aggregation
+    plan is shared.
+    """
+    c = _cells(spark, sf_dir)
+    vals = c.select(
+        "layer_id", "x", "y", (F.col("s").cast("double") / F.col("n")).alias("v")
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for dx, dy, wx, wy in [
+                (-1, 0, 0.5, 0.0),
+                (1, 0, -0.5, 0.0),
+                (0, -1, 0.0, 0.5),
+                (0, 1, 0.0, -0.5),
+            ]
+        ]
+    )
+    scatter = (
+        vals.select("layer_id", "x", "y", "v", F.explode(offs).alias("o"))
+        .select(
+            "layer_id",
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            (F.col("o.wx") * F.col("v")).alias("cx"),
+            (F.col("o.wy") * F.col("v")).alias("cy"),
+            (F.col("o.dx") != 0).cast("int").alias("nx"),
+            (F.col("o.dy") != 0).cast("int").alias("ny"),
+        )
+        .filter(F.col("tx").between(0, 63) & F.col("ty").between(0, 63))
+    )
+    grad = scatter.groupBy(
+        "layer_id", F.col("tx").alias("x"), F.col("ty").alias("y")
+    ).agg(
+        F.sum("cx").alias("dzdx"),
+        F.sum("cy").alias("dzdy"),
+        F.sum("nx").alias("nx"),
+        F.sum("ny").alias("ny"),
+    )
+    dot = (
+        (-F.col("dzdx")) * F.lit(_HS_LX)
+        - F.col("dzdy") * F.lit(_HS_LY)
+        + F.lit(_HS_LZ)
+    )
+    norm = F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy") + F.lit(1.0))
+    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2)).select(
+        "layer_id",
+        "x",
+        "y",
+        F.round(F.lit(255.0) * F.greatest(F.lit(0.0), dot / norm), 6).alias("hillshade"),
+    )

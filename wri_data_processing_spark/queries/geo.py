@@ -610,3 +610,48 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.round(F.lit(255.0) * F.greatest(F.lit(0.0), dot / norm), 6).alias("hillshade"),
     )
+
+
+@query(
+    "geo_raster_algebra",
+    oracle=f"""
+    WITH {_CELLS_CTE},
+    vals AS (SELECT layer_id, x, y, CAST(s AS DOUBLE) / n AS v FROM cells),
+    a AS (SELECT x, y, v FROM vals WHERE layer_id = 'A'),
+    b AS (SELECT x, y, v FROM vals WHERE layer_id = 'N')
+    SELECT a.x, a.y,
+           ROUND((a.v - b.v) / (a.v + b.v), 6) AS ndi
+    FROM a JOIN b USING (x, y)
+    WHERE a.v + b.v <> 0
+    """,
+)
+def geo_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-band map algebra — the normalized-difference index pattern
+    (NDVI/NDWI: (A - B) / (A + B)) across two layers of the cell table,
+    computed cell-by-cell via ONE equi-join on the cell coordinate.
+
+    This is the raster-calculator primitive every raster engine ships; on
+    the cell-table model it is a plain join + a single ROUNDed arithmetic
+    expression (division and subtraction are IEEE correctly-rounded, so
+    both engines agree bit-for-bit). At 100 TB both layers are partitioned
+    by the same tile grid, so the join is co-partitioned — with bucketed
+    tile tables it needs NO exchange at all (the same zero-shuffle shape
+    test_bucketing.py pins for the relational bucketed join).
+    """
+    c = _cells(spark, sf_dir)
+    vals = c.select(
+        "layer_id", "x", "y", (F.col("s").cast("double") / F.col("n")).alias("v")
+    )
+    a = vals.filter(F.col("layer_id") == "A").select("x", "y", F.col("v").alias("va"))
+    b = vals.filter(F.col("layer_id") == "N").select("x", "y", F.col("v").alias("vb"))
+    return (
+        a.join(b, ["x", "y"])
+        .filter(F.col("va") + F.col("vb") != 0)
+        .select(
+            "x",
+            "y",
+            F.round((F.col("va") - F.col("vb")) / (F.col("va") + F.col("vb")), 6).alias(
+                "ndi"
+            ),
+        )
+    )

@@ -138,6 +138,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "geo_focal_mean",  # new in r5 (3x3 focal mean via scatter, not self-join)
     "geo_slope",  # new in r5 (central-difference gradient, 2-addend-exact floats)
     "geo_hillshade",  # new in r5 (trig-free Lambertian shading, IEEE-exact)
+    "geo_raster_algebra",  # new in r5 (two-band normalized difference via co-partitioned join)
 ]
 
 

@@ -45,6 +45,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "probe_url_exists": "effectful HTTP HEAD probe (connection-pooled pandas UDF)",
     "multimodal_features": "media decode boundary (stubbed decoder, real plumbing)",
     "pandas_grouped_map": "registered applyInPandas interface demo",
+    "text_compression_ratio": "zlib quality signal: compression has no JVM "
+    "expression and no SQL twin — vectorized pandas UDF, scan-side only",
     "pandas_grouped_agg": "registered pandas GROUPED_AGG interface demo",
 }
 

@@ -293,3 +293,54 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("text_compression_ratio")  # rows-only: no SQL twin for zlib
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib(level 6) bytes / raw bytes per
+    document — the standard boilerplate/repetition detector (highly
+    templated or repeated text compresses far below normal prose; both
+    too-low and too-high ratios are quality flags in published pretraining
+    pipelines).
+
+    This is a DECLARED Arrow boundary (whitelisted in
+    tests/test_python_boundary_sweep.py): compression has no JVM column
+    expression and no DuckDB twin, so the op is registered rows-only — the
+    engine pattern for an inherently-native per-row computation is a
+    vectorized pandas UDF over Arrow batches, never a pickled row-at-a-time
+    F.udf. Outputs are flat scalars (driver-safe): byte counts as BIGINT
+    and the ratio as one ROUNDed division.
+
+    100 TB notes: embarrassingly parallel scan-side work — no shuffle at
+    all; cost is the Python worker pool's zlib throughput (~100 MB/s/core),
+    which pipelines with the scan. The flag threshold (0.3) mirrors the
+    repetition cut documents with >70% redundancy get from text_repetition;
+    the two signals disagree exactly on non-verbatim templating, which is
+    why pipelines run both.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(returnType="long")
+    def zlen(texts):
+        import zlib
+
+        return pd.Series(
+            [len(zlib.compress(t.encode("utf-8"), 6)) if t else 0 for t in texts]
+        )
+
+    d = table(spark, sf_dir, "documents")
+    raw_len = F.length(F.encode("text", "utf-8")).cast("long")
+    out = d.select(
+        "doc_id",
+        raw_len.alias("raw_bytes"),
+        zlen(F.col("text")).alias("zlib_bytes"),
+    )
+    ratio = F.round(F.col("zlib_bytes").cast("double") / F.col("raw_bytes"), 6)
+    return out.filter(F.col("raw_bytes") > 0).select(
+        "doc_id",
+        "raw_bytes",
+        "zlib_bytes",
+        ratio.alias("ratio"),
+        (ratio < 0.3).alias("flag_repetitive"),
+    )

@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_substring",
+    "dedup_substring_winnow",
     "dedup_clusters",
     "dedup_clusters_unique",
     "corpus_prep_pipeline",

@@ -417,18 +417,20 @@ def geo_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals AS (SELECT layer_id, x, y, CAST(s AS DOUBLE) / n AS v FROM cells),
     offs AS (SELECT * FROM (VALUES
                (-1, 0, 0.5, 0.0), (1, 0, -0.5, 0.0),
-               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5)) o(dx, dy, wx, wy)),
+               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5),
+               (0, 0, 0.0, 0.0)) o(dx, dy, wx, wy)),
     scatter AS (
       SELECT layer_id, x + dx AS tx, y + dy AS ty,
              wx * v AS cx, wy * v AS cy,
              CASE WHEN dx <> 0 THEN 1 ELSE 0 END AS nx,
-             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny
+             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny,
+             CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS nc
       FROM vals, offs
     ),
     grad AS (
       SELECT layer_id, tx AS x, ty AS y,
              SUM(cx) AS dzdx, SUM(cy) AS dzdy,
-             SUM(nx) AS nx, SUM(ny) AS ny
+             SUM(nx) AS nx, SUM(ny) AS ny, SUM(nc) AS nc
       FROM scatter
       WHERE tx BETWEEN 0 AND 63 AND ty BETWEEN 0 AND 63
       GROUP BY 1, 2, 3
@@ -436,14 +438,19 @@ def geo_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT layer_id, x, y,
            ROUND(dzdx, 6) AS dzdx, ROUND(dzdy, 6) AS dzdy,
            ROUND(sqrt(dzdx * dzdx + dzdy * dzdy), 6) AS slope
-    FROM grad WHERE nx = 2 AND ny = 2
+    FROM grad WHERE nx = 2 AND ny = 2 AND nc = 1
     """,
 )
 def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Central-difference gradient magnitude over the cell table — the
     slope/hillshade precursor of terrain analysis: dz/dx = (east - west)/2,
-    dz/dy = (north - south)/2, slope = sqrt(dzdx^2 + dzdy^2), interior
-    cells only (both neighbors present on each axis).
+    dz/dy = (north - south)/2, slope = sqrt(dzdx^2 + dzdy^2), emitted only
+    where the CENTER cell exists and both neighbors are present on each
+    axis — nodata stays nodata, the raster convention (the independent
+    Python-reference test caught the original hole-emitting behavior; the
+    zero-weight center marker in the scatter enforces it without adding a
+    join, and a +-0.0 addend is an exact IEEE identity so the 2-addend
+    argument below survives).
 
     Same scatter shape as geo_focal_mean, with SIGNED weights: each cell
     contributes +-v/2 to the four targets it neighbors, and one aggregation
@@ -471,6 +478,7 @@ def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1, 0, -0.5, 0.0),
                 (0, -1, 0.0, 0.5),
                 (0, 1, 0.0, -0.5),
+                (0, 0, 0.0, 0.0),
             ]
         ]
     )
@@ -484,6 +492,7 @@ def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o.wy") * F.col("v")).alias("cy"),
             (F.col("o.dx") != 0).cast("int").alias("nx"),
             (F.col("o.dy") != 0).cast("int").alias("ny"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).cast("int").alias("nc"),
         )
         .filter(F.col("tx").between(0, 63) & F.col("ty").between(0, 63))
     )
@@ -494,8 +503,9 @@ def geo_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cy").alias("dzdy"),
         F.sum("nx").alias("nx"),
         F.sum("ny").alias("ny"),
+        F.sum("nc").alias("nc"),
     )
-    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2)).select(
+    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2) & (F.col("nc") == 1)).select(
         "layer_id",
         "x",
         "y",
@@ -520,18 +530,20 @@ _HS_LX, _HS_LY, _HS_LZ = -0.5, 0.5, 0.7071067811865476
     vals AS (SELECT layer_id, x, y, CAST(s AS DOUBLE) / n AS v FROM cells),
     offs AS (SELECT * FROM (VALUES
                (-1, 0, 0.5, 0.0), (1, 0, -0.5, 0.0),
-               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5)) o(dx, dy, wx, wy)),
+               (0, -1, 0.0, 0.5), (0, 1, 0.0, -0.5),
+               (0, 0, 0.0, 0.0)) o(dx, dy, wx, wy)),
     scatter AS (
       SELECT layer_id, x + dx AS tx, y + dy AS ty,
              wx * v AS cx, wy * v AS cy,
              CASE WHEN dx <> 0 THEN 1 ELSE 0 END AS nx,
-             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny
+             CASE WHEN dy <> 0 THEN 1 ELSE 0 END AS ny,
+             CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END AS nc
       FROM vals, offs
     ),
     grad AS (
       SELECT layer_id, tx AS x, ty AS y,
              SUM(cx) AS dzdx, SUM(cy) AS dzdy,
-             SUM(nx) AS nx, SUM(ny) AS ny
+             SUM(nx) AS nx, SUM(ny) AS ny, SUM(nc) AS nc
       FROM scatter
       WHERE tx BETWEEN 0 AND 63 AND ty BETWEEN 0 AND 63
       GROUP BY 1, 2, 3
@@ -540,7 +552,7 @@ _HS_LX, _HS_LY, _HS_LZ = -0.5, 0.5, 0.7071067811865476
            ROUND(255.0 * greatest(0.0,
              ((-(dzdx) * ({_HS_LX!r})) - dzdy * ({_HS_LY!r}) + {_HS_LZ!r})
              / sqrt(dzdx * dzdx + dzdy * dzdy + 1.0)), 6) AS hillshade
-    FROM grad WHERE nx = 2 AND ny = 2
+    FROM grad WHERE nx = 2 AND ny = 2 AND nc = 1
     """,
 )
 def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +586,7 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1, 0, -0.5, 0.0),
                 (0, -1, 0.0, 0.5),
                 (0, 1, 0.0, -0.5),
+                (0, 0, 0.0, 0.0),
             ]
         ]
     )
@@ -587,6 +600,7 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o.wy") * F.col("v")).alias("cy"),
             (F.col("o.dx") != 0).cast("int").alias("nx"),
             (F.col("o.dy") != 0).cast("int").alias("ny"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).cast("int").alias("nc"),
         )
         .filter(F.col("tx").between(0, 63) & F.col("ty").between(0, 63))
     )
@@ -597,6 +611,7 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cy").alias("dzdy"),
         F.sum("nx").alias("nx"),
         F.sum("ny").alias("ny"),
+        F.sum("nc").alias("nc"),
     )
     dot = (
         (-F.col("dzdx")) * F.lit(_HS_LX)
@@ -604,7 +619,7 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_HS_LZ)
     )
     norm = F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy") + F.lit(1.0))
-    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2)).select(
+    return grad.filter((F.col("nx") == 2) & (F.col("ny") == 2) & (F.col("nc") == 1)).select(
         "layer_id",
         "x",
         "y",

@@ -153,3 +153,27 @@ def test_corpus_prep_pipeline_fates_partition_input(spark, sf_dir):
             r["n_quality_drop"], r["n_exact_drop"], r["n_neardup_drop"],
             r["n_contam_drop"], r["n_kept"],
         ) >= 0, r
+
+
+def test_substring_spans_merge_to_exact_interval(spark):
+    """A planted 60-char shared span must come back as EXACTLY ONE merged
+    island per doc, spanning precisely the planted character interval."""
+    from wri_data_processing_spark.queries.llm_dedup import substring_dup_spans
+
+    rng = random.Random(41)
+    span = _rand_text(rng, 60)
+    pre1, pre2 = _rand_text(rng, 80), _rand_text(rng, 50)
+    docs = {
+        1: pre1 + span + _rand_text(rng, 80),
+        2: pre2 + span + _rand_text(rng, 95),
+        3: _rand_text(rng, 200),
+    }
+    by_doc: dict = {}
+    for r in substring_dup_spans(_corpus(spark, docs), K).collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    assert 3 not in by_doc
+    # 1-based inclusive: the span occupies [len(pre)+1, len(pre)+60].
+    assert by_doc[1] == [(len(pre1) + 1, len(pre1) + 60, 60)]
+    assert by_doc[2] == [(len(pre2) + 1, len(pre2) + 60, 60)]

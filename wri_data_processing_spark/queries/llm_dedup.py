@@ -21,7 +21,7 @@ to |bucket collisions|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -1213,4 +1213,103 @@ def winnow_fingerprint_coverage(d: DataFrame, k: int, w: int) -> DataFrame:
             F.count(F.lit(1)).alias("n_fingerprints"),
             F.count("isdup").alias("n_dup_fingerprints"),
         )
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - {_SUBSTR_K - 1})) AS i
+      FROM documents WHERE length(text) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(sha256(substr(text, CAST(i AS BIGINT), {_SUBSTR_K})), 1, 16) AS wh
+      FROM pos
+    ),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (wh)),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > {_SUBSTR_K} THEN 1
+                  WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL THEN 1
+                  ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS island,
+           MIN(i) AS span_start,
+           MAX(i) + {_SUBSTR_K - 1} AS span_end,
+           MAX(i) + {_SUBSTR_K} - MIN(i) AS span_len
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of exact substring dedup: per document, the
+    merged character intervals covered by cross-document duplicated
+    windows — what a Lee-et-al-style pipeline actually CUTS from the text
+    (dedup_substring reports coverage counts; this emits the spans).
+
+    Overlapping/adjacent duplicated windows merge via gaps-and-islands:
+    per doc, a window starts a new island when its position is more than k
+    past the previous duplicated position (same single-shuffle LAG +
+    running-SUM pattern as events_gaps_islands); each island is one
+    maximal duplicated span [min_pos, max_pos + k - 1]. Every output is a
+    1-based character offset, all-integer — engine-exact by construction.
+
+    Plan: the posting aggregation and dup-join are dedup_substring's
+    (keys, never text); the island windows partition by doc_id, so the
+    per-doc work is bounded by document length and the shuffle key is the
+    natural one. A masking pass downstream is one substring splice per
+    (doc, span) — a join back to the text by doc_id.
+    """
+    d = table(spark, sf_dir, "documents")
+    return substring_dup_spans(d, _SUBSTR_K)
+
+
+def substring_dup_spans(d: DataFrame, k: int) -> DataFrame:
+    """Merged duplicated-span intervals per doc: (doc_id, island,
+    span_start, span_end, span_len), 1-based inclusive character offsets."""
+    d = d.filter(F.length("text") >= k)
+    wins = _spread_small_scan(d).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
+            )
+        ).alias("i0", "wh"),
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "wh")
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    hits = wins.join(dup, "wh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    marked = hits.select(
+        "doc_id",
+        "i",
+        F.when(F.lag("i").over(w).isNull(), 1)
+        .when(F.col("i") - F.lag("i").over(w) > k, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.select(
+        "doc_id",
+        "i",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + (k - 1)).alias("span_end"),
+        (F.max("i") + k - F.min("i")).alias("span_len"),
     )

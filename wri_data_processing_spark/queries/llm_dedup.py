@@ -1313,3 +1313,69 @@ def substring_dup_spans(d: DataFrame, k: int) -> DataFrame:
         (F.max("i") + (k - 1)).alias("span_end"),
         (F.max("i") + k - F.min("i")).alias("span_len"),
     )
+
+
+@query(
+    "pipeline_mask_spans",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - {_SUBSTR_K - 1})) AS i
+      FROM documents WHERE length(text) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(sha256(substr(text, CAST(i AS BIGINT), {_SUBSTR_K})), 1, 16) AS wh
+      FROM pos
+    ),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (wh)),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > {_SUBSTR_K} THEN 1
+                  WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL THEN 1
+                  ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, MAX(i) + {_SUBSTR_K} - MIN(i) AS span_len
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (SELECT doc_id, SUM(span_len) AS n_masked FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, length(d.text) AS n_chars,
+           CAST(COALESCE(p.n_masked, 0) AS BIGINT) AS n_masked,
+           length(d.text) - CAST(COALESCE(p.n_masked, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(p.n_masked, 0) AS BIGINT) = length(d.text) AS fully_duplicated
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def pipeline_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The masking decision the substring-dedup family feeds: per document,
+    how many characters fall inside merged cross-document duplicated spans,
+    how many survive the cut, and whether the document is fully duplicated
+    (delete rather than splice). Integer-only accounting over EVERY corpus
+    document — docs with no duplicated span report n_masked = 0 via the
+    left join, and docs shorter than the window cannot be flagged.
+
+    Composes substring_dup_spans with one per-doc aggregation and a join
+    back to the corpus; at 100 TB the join key is doc_id on both sides
+    (the spans table is a small fraction of the corpus) and the splice
+    itself is a downstream substring pass over (doc, span) pairs.
+    """
+    d = table(spark, sf_dir, "documents")
+    spans = substring_dup_spans(d, _SUBSTR_K)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("n_masked"))
+    masked = F.coalesce(F.col("n_masked"), F.lit(0).cast("long"))
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        masked.alias("n_masked"),
+        (F.length("text") - masked).alias("n_kept"),
+        (masked == F.length("text")).alias("fully_duplicated"),
+    )

@@ -141,6 +141,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "geo_raster_algebra",  # new in r5 (two-band normalized difference via co-partitioned join)
     "text_compression_ratio",  # new in r5 (zlib quality signal, declared Arrow boundary)
     "dedup_substring_spans",  # new in r5 (merged duplicated intervals, the cut list)
+    "pipeline_mask_spans",  # new in r5 (per-doc masking decision from the cut list)
 ]
 
 

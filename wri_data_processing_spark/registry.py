@@ -40,108 +40,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Driver-sample priority: the correctness harness samples the FIRST ~50
 # registered queries, so registration order decides which operators get a
-# hard driver-verified CORRECTNESS row each round.  Round-5 sample
-# (VERDICT r4 item 3: spend slots on the 59 never-driver-sampled ops):
-# (a) the two r4 red rows, re-sampled to prove their fixes green, plus the
-#     new numeric reprojection oracle (r4 item 4),
-# (b) the TPC-H q2-q22 suite — the largest contiguous never-sampled block,
-# (c) the window/join/scan/stats/graph/warehouse tail with only local
-#     evidence after four rounds.
-# Positions 51+ queue the remaining never-sampled ops for the next rotation,
-# ahead of everything already driver-verified in r1-r4.
+# hard driver-verified CORRECTNESS row each round.  Round-6 sample
+# (VERDICT r5 item 1: close the inventory):
+# (a) positions 1-24: every oracled registered op that has NEVER received a
+#     driver CORRECTNESS row in r1-r5 — after this round, every oracled op
+#     in the registry has a hard driver-green row in some round,
+# (b) new round-6 ops follow immediately so they get rows in the same round
+#     they land,
+# (c) the tail re-proves headline ops whose modules changed this round.
+# Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the
+# sampled window: the driver records them as `no_oracle` ERR rows (r2's
+# agg_freq_items proved it), which reads as red for zero information.
 _DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- round-5 fix targets (red in r4, fixed this round) --
-    "multimodal_features",
-    "pipeline_clean_corpus",
-    # -- new numeric oracle for the reprojection edge (r4 item 4) --
-    "geo_reproject_bbox_vals",
-    # -- TPC-H suite: never driver-sampled in any round --
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_customers",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_excess_inventory",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # -- window tail --
-    "window_ntile",
-    "window_first_last",
-    "window_percent_rank",
-    # -- relational tail --
-    "subquery_correlated",
-    "join_lateral",
-    "cte_recursive_chain",
-    "join_cross",
-    "join_null_safe",
-    "join_asof_forward",
-    # -- source formats --
-    "scan_jsonl",
-    "scan_orc",
-    # -- stats / profiling family --
-    "stats_moments",
-    "stats_welch_ttest",
-    "stats_corr_matrix",
-    "agg_histogram",
-    "profile_columns",
-    # -- graph --
-    "graph_pagerank",
-    "graph_triangle_count",
-    # -- warehouse maintenance --
-    "merge_upsert",
-    "scd2_user_state",
-    # -- events anomaly family --
-    "events_zscore_outliers",
-    "events_mad_outliers",
-    "events_cusum",
-    # -- reshape / interface --
-    "unpivot_melt",
-    "nested_order_baskets",
-    "sql_interface",
+    # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
+    "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)
+    "dedup_substring_winnow",  # content-defined fingerprint sampling
+    "dedup_substring_spans",  # merged duplicated intervals, the cut list
+    "pipeline_mask_spans",  # per-doc masking decision from the cut list
+    "dedup_clusters_unique",  # duplication-invariant cluster variant
+    "corpus_prep_pipeline",  # composed end-to-end prep with fate report
+    "sim_ann_sq8",  # int8 scalar-quantized ANN + exact re-rank
+    "embed_kmeans_iterate",  # two exact Lloyd rounds, unrolled-CTE oracle
+    "geo_zonal_stats",
+    "geo_focal_mean",
+    "geo_slope",
+    "geo_hillshade",
+    "geo_raster_algebra",
+    "scan_schema_evolution",  # mergeSchema drift handling
+    "sink_cog_lzw_bigtiff",  # LZW/BigTIFF dialect round-trip
+    "geo_layer_cog_pipeline",
+    "stream_join_outer",  # left-outer stream-stream interval join (batch twin)
+    # -- (a) never-driver-sampled oracled ops: pre-r5 tail --
     "materialized_reuse",
-    # -- positions 51+: remaining never-sampled ops, next rotation --
     "pandas_grouped_map",
     "pandas_grouped_agg",
     "join_bloom_prefilter",
-    "agg_hll_mergeable",
     "skyline_pareto_frontier",
-    "maintenance_compaction",
     "stream_static_join",
     "stream_sliding_window",
-    "geo_layer_cog_pipeline",
-    "dedup_minhash_ml",
-    "sim_ann_brp_ml",
-    "geo_reproject_bbox",
-    "sink_cog_lzw_bigtiff",  # new in r5 (LZW/BigTIFF dialect round-trip)
-    "dedup_clusters_unique",  # new in r5 (duplication-invariant clusters)
-    "scan_schema_evolution",  # new in r5 (mergeSchema drift handling)
-    "dedup_substring",  # new in r5 (exact substring-span dedup, Lee et al.)
-    "sim_ann_sq8",  # new in r5 (int8 scalar-quantized ANN + exact re-rank)
-    "stream_join_outer",  # new in r5 (left-outer stream-stream interval join)
-    "embed_kmeans_iterate",  # new in r5 (two exact Lloyd rounds, unrolled oracle)
-    "dedup_substring_winnow",  # new in r5 (content-defined fingerprint sampling)
-    "corpus_prep_pipeline",  # new in r5 (composed end-to-end prep with fate report)
-    "geo_zonal_stats",  # new in r5 (zonal raster statistics, exact decimal sums)
-    "geo_focal_mean",  # new in r5 (3x3 focal mean via scatter, not self-join)
-    "geo_slope",  # new in r5 (central-difference gradient, 2-addend-exact floats)
-    "geo_hillshade",  # new in r5 (trig-free Lambertian shading, IEEE-exact)
-    "geo_raster_algebra",  # new in r5 (two-band normalized difference via co-partitioned join)
-    "text_compression_ratio",  # new in r5 (zlib quality signal, declared Arrow boundary)
-    "dedup_substring_spans",  # new in r5 (merged duplicated intervals, the cut list)
-    "pipeline_mask_spans",  # new in r5 (per-doc masking decision from the cut list)
+    # -- (b) new round-6 ops (driver row in the round they land) --
+    # (uncommented one by one as each lands with tests)
+    # -- (c) re-prove headline ops whose modules were touched this round --
+    "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_exact",
+    "q1_pricing_summary",
+    "join_inner_equi",
+    "join_broadcast_left",
+    "join_asof",
+    "join_range",
+    "agg_cube_rollup",
+    "window_running_sum",
+    "top_k",
+    "stream_window_agg",
+    "stream_session_window",
+    "events_sessionize",
+    "sim_topk",
+    "text_stats",
+    "text_fingerprint",
+    "multimodal_features",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -237,6 +237,54 @@ def test_spread_small_scan_skips_post_shuffle_inputs(spark):
     assert "Repartition" in plan or spread is not scan
 
 
+def test_logical_node_walk_sees_stable_class_names(spark):
+    """Pin the node-class-name contract the _spread_small_scan gate relies
+    on (VERDICT r5 item 4): if a Spark upgrade renames the Aggregate / Join /
+    Sort / Window / RepartitionByExpression case classes, THIS test fails
+    loudly instead of the gate silently re-enabling the probe on post-shuffle
+    inputs. Also pins the fail-safe direction: a walker error must return the
+    input untouched (the no-execution arm), never probe."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark.queries import llm_dedup
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _logical_node_names,
+        _spread_small_scan,
+    )
+
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cases = {
+        "Aggregate": scan.groupBy("source").agg(F.count("*").alias("n")),
+        "Join": scan.alias("a").join(scan.alias("b"), "doc_id"),
+        "Sort": scan.orderBy("doc_id"),
+        "RepartitionByExpression": scan.repartition(4, "doc_id"),
+        "Window": scan.select(
+            F.row_number().over(__import__("pyspark").sql.Window.partitionBy("source").orderBy("doc_id"))
+        ),
+        # Batch dropDuplicates is optimized into Aggregate
+        # (ReplaceDeduplicateWithAggregate); the Deduplicate prefix in the
+        # gate covers the streaming form, which never reaches this helper.
+        "Aggregate ": scan.dropDuplicates(["doc_id"]),
+    }
+    for expected, df in cases.items():
+        expected = expected.strip()
+        names = _logical_node_names(df)
+        assert any(n.startswith(expected) for n in names), (expected, names)
+        assert _spread_small_scan(df) is df, expected
+    # Pure scan: no shuffle-family node in the walk.
+    names = _logical_node_names(scan.select("doc_id", "text"))
+    assert not any(
+        n.startswith(p) for n in names for p in llm_dedup._SHUFFLE_NODE_PREFIXES
+    ), names
+    # Fail-safe arm: a broken walker passes the frame through untouched.
+    orig = llm_dedup._logical_node_names
+    llm_dedup._logical_node_names = lambda d: (_ for _ in ()).throw(RuntimeError("py4j"))
+    try:
+        assert _spread_small_scan(scan) is scan
+    finally:
+        llm_dedup._logical_node_names = orig
+
+
 def test_dedup_substring_exchanges_carry_keys_not_text(spark, sf_dir):
     """The substring-dedup shuffles must move (doc_id, 16-char window key)
     pairs — never the document text. Windows are hashed INSIDE the

@@ -31,11 +31,43 @@ _JACCARD_THRESHOLD = 0.6
 _MAX_DF = 1000  # document-frequency cap on shingles (scale guard)
 
 
-# Logical nodes whose presence means the input is post-shuffle (its output
-# parallelism is spark.sql.shuffle.partitions, not file splits) AND that an
-# rdd partition probe would EXECUTE under AQE (df.rdd materializes upstream
-# query stages as a real job — ADVICE r4).
-_SHUFFLE_NODES = ("Aggregate", "Join", "Repartition", "Window", "Deduplicate", "Sort", "Expand")
+# Logical node CLASS-NAME prefixes whose presence means the input is
+# post-shuffle (its output parallelism is spark.sql.shuffle.partitions, not
+# file splits) AND that an rdd partition probe would EXECUTE under AQE
+# (df.rdd materializes upstream query stages as a real job — ADVICE r4).
+# Prefixes cover the case-class families: Repartition/RepartitionByExpression/
+# RebalancePartitions, Deduplicate/DeduplicateWithinWatermark, etc.
+_SHUFFLE_NODE_PREFIXES = (
+    "Aggregate",
+    "Join",
+    "Repartition",
+    "Rebalance",
+    "Window",
+    "Deduplicate",
+    "Sort",
+    "Expand",
+)
+
+
+def _logical_node_names(d: DataFrame) -> list[str]:
+    """Class simple-names of every node in the optimized logical plan.
+
+    A JVM-side tree walk (children() recursion over the Catalyst TreeNode) —
+    no execution, no string rendering. Sturdier than matching
+    ``optimizedPlan().toString()``: the rendered text interleaves expression
+    strings, so a column literally named "Sort..." would false-positive a
+    substring probe, and plan-text formatting shifts across Spark versions
+    while case-class names are the stable public surface (VERDICT r5 item 4).
+    """
+    names: list[str] = []
+    stack = [d._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        names.append(node.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return names
 
 
 def _spread_small_scan(d: DataFrame) -> DataFrame:
@@ -50,9 +82,17 @@ def _spread_small_scan(d: DataFrame) -> DataFrame:
     file-split planning (no job), but for an aggregated/joined input AQE
     materializes the upstream stages to answer the probe — executing the
     aggregation twice. Post-shuffle inputs are already spread across
-    shuffle partitions, so they skip both the probe and the exchange."""
-    plan = d._jdf.queryExecution().optimizedPlan().toString()
-    if any(node in plan for node in _SHUFFLE_NODES):
+    shuffle partitions, so they skip both the probe and the exchange.
+
+    Fail-safe: if the JVM tree walk ever breaks (py4j surface change), the
+    input passes through untouched — the conservative arm (no probe, no
+    exchange, no extra job), never the executing one.
+    """
+    try:
+        names = _logical_node_names(d)
+    except Exception:
+        return d
+    if any(n.startswith(p) for n in names for p in _SHUFFLE_NODE_PREFIXES):
         return d
     nparts = d.sparkSession.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < max(2, nparts // 2):

@@ -407,6 +407,13 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     this sub-quadratic — the scale path when the exact shingle join is too
     hot. Recall is probabilistic; the exact dedup_ngram_jaccard is the
     correctness anchor.
+
+    Rows-only BY DESIGN, permanently: spark.ml's MinHashLSH draws its hash
+    coefficients from the JVM's seeded RNG, which no SQL engine can replay,
+    so a DuckDB value oracle is impossible in principle — not a gap to close.
+    The correctness burden is carried by the driver-hash-proven exact twins
+    (dedup_minhash_lsh with declared permutations, dedup_ngram_jaccard);
+    this entry exists to keep the spark.ml integration surface exercised.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -1143,7 +1150,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_window_coverage(d: DataFrame, k: int) -> DataFrame:
     """Per-doc (n_windows, n_dup_windows) over all k-char windows; a window
-    is dup when its hash occurs in >= 2 distinct docs. Exact at stride 1."""
+    is dup when its hash occurs in >= 2 distinct docs. Exact at stride 1.
+
+    Branch note (ADVICE r5): ``wins`` feeds both the dup-key aggregation and
+    the final coverage aggregation, so the sha2-over-every-window pass runs
+    twice (no exchange reuse: one branch partial-aggregates before its
+    shuffle). Measured A/B at sf0.1: localCheckpoint(eager=False) on wins is
+    NOT a win locally (0.654 s vs 0.635 s — materializing ~1.3M (doc_id,
+     16-char-key) rows costs what the saved hash pass earns). On a cluster
+    where the hash pass dominates CPU and executors have local disk, that
+    one-line checkpoint is the lever to flip; kept un-flipped here so the
+    local bench keeps measuring the honest two-pass cost."""
     d = d.filter(F.length("text") >= k)
     wins = _spread_small_scan(d).select(
         "doc_id",

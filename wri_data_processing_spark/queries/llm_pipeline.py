@@ -769,6 +769,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping rounds on the (tiny) near-dup edge list; the benchmark
     shingle set broadcasts. The post-filter survivor frame is checkpointed
     once — it is the pipeline's working set and every stage reads it.
+
+    Collision caveat (ADVICE r5, mirrors contamination_flag): the
+    decontamination stage compares word-4-gram shingles as xxhash64 longs on
+    BOTH engines, so equivalence with the oracle holds modulo 64-bit hash
+    collisions — a collision between distinct shingles would flag an extra
+    document and shift the fate counts. At the testdata's ~10^5 distinct
+    shingles the birthday bound puts a collision below ~10^-9; a deployment
+    that cannot tolerate it swaps in the 16-hex sha2 key scheme the
+    substring family uses (at double the shuffle-key width).
     """
     from wri_data_processing_spark.queries.llm_dedup import (
         _jaccard_pairs,

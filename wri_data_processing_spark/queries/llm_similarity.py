@@ -429,6 +429,13 @@ def sim_ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic seed; Euclidean-bucketed candidates re-ranked by exact
     cosine. This is the plan shape that survives 100 TB: candidates come from
     bucket equi-joins, not a cross product.
+
+    Rows-only BY DESIGN, permanently: BucketedRandomProjectionLSH draws its
+    projection vectors from the JVM's seeded RNG, which no SQL engine can
+    replay, so a DuckDB value oracle is impossible in principle. The
+    correctness burden is carried by the driver-hash-proven exact twins
+    (sim_ann_lsh with declared projections, sim_ann_ivf, sim_topk); this
+    entry keeps the spark.ml integration surface exercised.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector

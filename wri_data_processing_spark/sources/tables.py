@@ -93,8 +93,20 @@ def format_fs_bytes(value: Column) -> Column:
     return F.when(b == 0, F.lit("0")).otherwise(F.concat(s, unit))
 
 
-def assert_schema(df: DataFrame, required_cols: list[str]) -> None:
-    """Required-column contract check (P6, 02b_make_stac_all.R:112-123)."""
+def assert_schema(df: DataFrame, required_cols: list[str], strict: bool = False) -> None:
+    """Required-column contract check (P6, 02b_make_stac_all.R:112-123).
+
+    ``strict=True`` additionally rejects UNEXPECTED columns. That is the
+    column-rename drift detector: under a mergeSchema read, a rename does
+    not remove the old name — old files still carry it, new files carry the
+    new one, and both surface as half-NULL columns — so a missing-only check
+    passes silently. The extra-column rejection turns that silent drift into
+    a loud failure at the contract boundary.
+    """
     missing = [c for c in required_cols if c not in df.columns]
     if missing:
         raise ValueError(f"Metadata missing required columns: {', '.join(missing)}")
+    if strict:
+        extra = [c for c in df.columns if c not in required_cols]
+        if extra:
+            raise ValueError(f"Metadata has unexpected columns: {', '.join(extra)}")

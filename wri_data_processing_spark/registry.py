@@ -79,7 +79,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stream_static_join",
     "stream_sliding_window",
     # -- (b) new round-6 ops (driver row in the round they land) --
-    # (uncommented one by one as each lands with tests)
+    "dedup_segments",  # C4-style cross-corpus segment dedup: coverage counts
+    "dedup_segments_rewrite",  # keep-first rewrite; fully-dup docs removed
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",
@@ -135,6 +136,7 @@ def load_all() -> None:
         io_ops,
         llm_dedup,
         llm_pipeline,
+        llm_segments,
         llm_similarity,
         llm_text,
         multimodal,

@@ -837,3 +837,134 @@ def embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").alias("inertia"),
         F.min("vec_id").alias("min_member"),
     )
+
+
+_PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
+_PQ_DSUB = 8
+_PQ_KSUB = 16  # centroids per subspace: sub-vectors of vec_id 0..15
+_PQ_CAND = 128  # ADC candidate pool re-ranked exactly (recovers exact top-10 on the fixture)
+
+
+@query(
+    "sim_ann_pq",
+    oracle=f"""
+    WITH qt AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(m.i AS BIGINT) AS m,
+             qv[(CAST(m.i AS BIGINT) * {_PQ_DSUB} + 1):
+                (CAST(m.i AS BIGINT) * {_PQ_DSUB} + {_PQ_DSUB})] AS sv
+      FROM qt, unnest(generate_series(0, {_PQ_M - 1})) m(i)),
+    cents AS (SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < {_PQ_KSUB}),
+    cd AS (
+      SELECT s.vec_id, s.m, c.c,
+             CAST(SUM((s.sv[u.i] - c.cv[u.i]) * (s.sv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM sub s, cents c, unnest(generate_series(1, {_PQ_DSUB})) u(i)
+      WHERE s.m = c.m
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM cd) WHERE rn = 1),
+    lut AS (SELECT m, c, d2 FROM cd WHERE vec_id = 0),
+    adc AS (
+      SELECT co.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN lut l ON l.m = co.m AND l.c = co.code
+      WHERE co.vec_id != 0 GROUP BY 1),
+    cand AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT {_PQ_CAND}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id, e.label, c.adc_d2,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6)
+             AS cosine_sim
+    FROM cand c JOIN embeddings e USING (vec_id), q
+    ORDER BY cosine_sim DESC, c.vec_id LIMIT 10
+    """,
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search"): vectors are coded per SUBSPACE — the 64-dim
+    space splits into 8 sub-vectors of 8 dims, each assigned to its nearest
+    of 16 subspace centroids — and query distance is the asymmetric (ADC)
+    sum of a precomputed per-subspace lookup table over the codes. The
+    exact fp64 cosine re-ranks a 128-candidate pool (measured on the
+    fixture: the exact top-10 all sit within ADC rank 121, so the pool
+    recovers exact recall; a production corpus tunes pool/N down as the
+    codebooks are actually trained rather than declared).
+
+    The third orthogonal ANN lever, completing the family: IVF prunes WHICH
+    vectors are scored (bucket equi-join), SQ8 shrinks the scan/shuffle
+    WIDTH 4x (int8 codes), PQ shrinks it a further 8x and replaces the
+    per-pair arithmetic with 8 table lookups — a 64-dim fp32 vector (256 B)
+    becomes 8 single-byte codes. Codebooks are the sub-vectors of vec_id <
+    16 (the declared stand-in for trained codebooks, the ivf_assign
+    convention) so both engines share them without RNG.
+
+    Engine-exact end to end: components quantize to floor(x * 2^20) int64
+    (the _qvec fixed point), every distance is an integer sum of squares,
+    ADC scores are BIGINT sums of 8 BIGINTs, argmin ties break to the
+    lower centroid id, and only the re-ranked pool touches floats (ROUNDed
+    identically at 6 places; both orderings tie-break on vec_id).
+
+    Plan shape at 100 TB: the codebook (8 x 16 rows) and the query LUT
+    broadcast; coding is one map-side-combined argmin per
+    (vector, subspace) and one per-vector sum — two narrow keyed shuffles
+    whose rows are (ids + one BIGINT), never embeddings; the candidate cut
+    is a TakeOrdered (no global sort); the exact re-rank touches
+    _PQ_CAND rows. In production the codes are precomputed at ingest and
+    the scoring pass reads 8 B/vector instead of 256 B — the ADC join and
+    TakeOrdered here are exactly that read path.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    sub = qt.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("qv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("m", "sv"),
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "sv")
+    cents = sub.filter(F.col("vec_id") < _PQ_KSUB).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cd = sub.join(F.broadcast(cents), "m").select("vec_id", "m", "c", d2.alias("d2"))
+    codes = (
+        cd.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c")).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+    # lut columns renamed so the join condition can never resolve both sides
+    # to the shared cd lineage (Spark warns 'trivially true predicate' there).
+    lut = cd.filter(F.col("vec_id") == 0).select(
+        F.col("m").alias("lm"), F.col("c").alias("lc"), F.col("d2").alias("qd2")
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lc")))
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", "vec_id").limit(_PQ_CAND)
+    q = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qv2"))
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "adc_d2",
+            F.round(cosine(_dvec("embedding"), F.col("qv2")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -81,6 +81,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- (b) new round-6 ops (driver row in the round they land) --
     "dedup_segments",  # C4-style cross-corpus segment dedup: coverage counts
     "dedup_segments_rewrite",  # keep-first rewrite; fully-dup docs removed
+    "sim_ann_pq",  # product-quantization ADC + exact re-rank
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",

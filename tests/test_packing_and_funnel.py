@@ -1,0 +1,104 @@
+"""Semantics pins for pack_sequences_spans and quality_filter_report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _q(spark, name, sf_dir=SF_DIR):
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    return registry.REGISTRY[name](spark, sf_dir)
+
+
+def test_spans_agree_with_bin_assignment(spark):
+    """A document's first_seq must equal pack_sequences' bin_id for it (both
+    are floor(exclusive-prefix-sum / 512)), and every source's sequence ids
+    must tile [0, last] without holes when read off the span union."""
+    spans = _q(spark, "pack_sequences_spans").collect()
+    covered: dict[str, set[int]] = {}
+    for r in spans:
+        assert r.first_seq <= r.last_seq
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+        covered.setdefault(r.source, set()).update(range(r.first_seq, r.last_seq + 1))
+    for source, seqs in covered.items():
+        assert seqs == set(range(max(seqs) + 1)), source  # contiguous stream
+
+    bins = {
+        (r.source, r.bin_id): r for r in _q(spark, "pack_sequences").collect()
+    }
+    # every bin a doc STARTS in (the pack_sequences grouping) appears with
+    # that doc counted; spot-check totals per source
+    starts: dict[tuple, int] = {}
+    for r in spans:
+        starts[(r.source, r.first_seq)] = starts.get((r.source, r.first_seq), 0) + 1
+    for key, n in starts.items():
+        assert bins[key].n_docs == n, key
+
+
+def test_spans_token_conservation_and_straddles(spark):
+    """Per source: total tokens == last stream offset; a doc straddles
+    (n_seqs > 1) iff its token span crosses a 512 boundary, which must be
+    consistent with starts_mid_seq of the NEXT doc sharing its sequence."""
+    spans = _q(spark, "pack_sequences_spans")
+    per_source = (
+        spans.groupBy("source")
+        .agg(F.sum("n_tok").alias("tot"), F.max("last_seq").alias("mx"))
+        .collect()
+    )
+    for r in per_source:
+        # the last sequence is partially filled: mx == floor((tot-1)/512)
+        assert r.mx == (r.tot - 1) // 512, r
+    first = spans.orderBy("source", "doc_id").collect()
+    prev_by_source: dict[str, object] = {}
+    for r in first:
+        p = prev_by_source.get(r.source)
+        if p is not None:
+            # starts_mid_seq <=> previous doc's stream end is not on a boundary,
+            # equivalently this doc's start offset % 512 != 0; it then shares
+            # p.last_seq as its first_seq
+            if r.starts_mid_seq:
+                assert r.first_seq == p.last_seq, (r, p)
+            else:
+                assert r.first_seq == p.last_seq + 1, (r, p)
+        else:
+            assert r.first_seq == 0 and not r.starts_mid_seq, r
+        prev_by_source[r.source] = r
+
+
+def test_funnel_fates_partition_docs(spark):
+    rows = _q(spark, "quality_filter_report").collect()
+    assert rows, "empty funnel"
+    for r in rows:
+        parts = (
+            r.n_fail_len
+            + r.n_fail_wordlen
+            + r.n_fail_alpha
+            + r.n_fail_stop
+            + r.n_fail_repetition
+            + r.n_pass
+        )
+        assert parts == r.n_docs, r
+    # the funnel covers every document exactly once
+    total = sum(r.n_docs for r in rows)
+    from wri_data_processing_spark.catalog import table
+
+    assert total == table(spark, SF_DIR, "documents").count()
+
+
+def test_funnel_agrees_with_standalone_rules(spark):
+    """A doc that passes ALL standalone gopher rules and is not
+    repetition-flagged (integer form) must be counted in n_pass, and
+    vice versa — the funnel is the standalone ops composed, not a fork."""
+    gopher = {r.doc_id: r for r in _q(spark, "text_gopher_rules").collect()}
+    rep = {r.doc_id: r for r in _q(spark, "text_repetition").collect()}
+    n_pass = 0
+    for doc_id, g in gopher.items():
+        r = rep[doc_id]
+        if g.passes and not (100 * r.top_count > 12 * r.n_tokens):
+            n_pass += 1
+    funnel = _q(spark, "quality_filter_report").collect()
+    assert sum(r.n_pass for r in funnel) == n_pass

@@ -885,3 +885,181 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+_PACK_SEQ_TOKENS = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_spans",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST((cum - n_tok) // {_PACK_SEQ_TOKENS} AS BIGINT) AS first_seq,
+           CAST((cum - 1) // {_PACK_SEQ_TOKENS} AS BIGINT) AS last_seq,
+           CAST((cum - 1) // {_PACK_SEQ_TOKENS}
+                - (cum - n_tok) // {_PACK_SEQ_TOKENS} + 1 AS BIGINT) AS n_seqs,
+           ((cum - n_tok) % {_PACK_SEQ_TOKENS}) != 0 AS starts_mid_seq
+    FROM c
+    """,
+)
+def pack_sequences_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span bookkeeping for concat-and-chunk packing:
+    each source's documents concatenate in doc_id order into one token
+    stream cut every 512 tokens (the GPT-style packing pack_sequences bins
+    by), and this op reports, per DOCUMENT, which packed sequences its
+    tokens land in (first_seq/last_seq/n_seqs) and whether it starts
+    mid-sequence — i.e. shares its first sequence with the tail of the
+    previous document, the cross-document-attention accounting
+    pack_sequences' per-bin occupancy view cannot answer.
+
+    This is the bookkeeping a packed-dataset writer needs — the actual
+    token copy is a per-partition formatting pass once the offsets exist.
+    Everything is one window per source: an inclusive prefix sum of token
+    counts, then pure integer arithmetic (DIV/% — no floats anywhere, so
+    chunk boundaries can never diverge between engines).
+
+    100 TB notes: the window partitions by source and orders by doc_id —
+    one shuffle, no global ordering. The sequential-prefix-sum dependency
+    is per SOURCE, which is the natural unit a packed writer shards by
+    anyway; a source too big for one task switches to the two-pass
+    distributed prefix sum (per-partition subtotals broadcast as offsets —
+    the ranking.py pattern) without changing the output contract.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    first_seq = F.expr(f"(cum - n_tok) DIV {_PACK_SEQ_TOKENS}")
+    last_seq = F.expr(f"(cum - 1) DIV {_PACK_SEQ_TOKENS}")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+        (((F.col("cum") - F.col("n_tok")) % _PACK_SEQ_TOKENS) != 0).alias(
+            "starts_mid_seq"
+        ),
+    )
+
+
+@query(
+    "quality_filter_report",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * len(tok)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                            THEN cnt ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(COUNT(DISTINCT CASE WHEN tok IN
+               ('the','a','of','to','and','in') THEN tok END) AS BIGINT)
+               AS n_stop,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM c GROUP BY doc_id),
+    fate AS (
+      SELECT d.source,
+             CASE
+               WHEN NOT (s.n_tokens BETWEEN 10 AND 100000) THEN 'len'
+               WHEN NOT (s.sum_len BETWEEN 3 * s.n_tokens AND 10 * s.n_tokens)
+                 THEN 'wordlen'
+               WHEN NOT (5 * s.n_alpha >= 4 * s.n_tokens) THEN 'alpha'
+               WHEN NOT (s.n_stop >= 2) THEN 'stop'
+               WHEN 100 * s.top > 12 * s.n_tokens THEN 'repetition'
+               ELSE 'pass'
+             END AS fate
+      FROM documents d JOIN s ON d.doc_id = s.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fate = 'len' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_len,
+           CAST(SUM(CASE WHEN fate = 'wordlen' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_wordlen,
+           CAST(SUM(CASE WHEN fate = 'alpha' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_alpha,
+           CAST(SUM(CASE WHEN fate = 'stop' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_stop,
+           CAST(SUM(CASE WHEN fate = 'repetition' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_repetition,
+           CAST(SUM(CASE WHEN fate = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass
+    FROM fate GROUP BY source
+    """,
+)
+def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-filter funnel: every document attributed to its
+    FIRST failing rule (len -> wordlen -> alpha -> stop -> repetition ->
+    pass), rolled up per source — the "why did my corpus shrink" report a
+    curation run ships alongside its output. The fate classes partition
+    n_docs exactly (asserted in tests), mirroring corpus_prep_pipeline's
+    fate-accounting convention at rule granularity.
+
+    Rule arithmetic reuses text_gopher_rules' integer inequalities and
+    text_repetition's top-token concentration, with the repetition cut as
+    the cross-multiplied 100*top > 12*n (pure integers — the double
+    division the standalone op reports can't flip a fate here).
+
+    One (doc_id, tok) count aggregation feeds EVERY rule — token totals,
+    occurrence-weighted lengths, alpha counts, distinct stopwords, and the
+    top-token max all come out of the same map-side-combined shuffle, then
+    a per-doc rollup and a per-source rollup. Three narrow shuffles total;
+    the documents join carries (doc_id, source) only.
+    """
+    d = table(spark, sf_dir, "documents")
+    c = _tokens(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("tok")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("tok").rlike("^[a-z]+$"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("tok").isin("the", "a", "of", "to", "and", "in"), F.col("tok"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.max("cnt").cast("long").alias("top"),
+    )
+    n, sl, na, ns, top = (
+        F.col(x) for x in ("n_tokens", "sum_len", "n_alpha", "n_stop", "top")
+    )
+    fate = (
+        F.when(~n.between(10, 100000), "len")
+        .when(~sl.between(3 * n, 10 * n), "wordlen")
+        .when(~(5 * na >= 4 * n), "alpha")
+        .when(~(ns >= 2), "stop")
+        .when(100 * top > 12 * n, "repetition")
+        .otherwise("pass")
+    )
+    fated = d.select("doc_id", "source").join(s, "doc_id").select("source", fate.alias("fate"))
+
+    def cnt(val: str) -> F.Column:
+        return F.sum((F.col("fate") == val).cast("int")).cast("long")
+
+    return fated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt("len").alias("n_fail_len"),
+        cnt("wordlen").alias("n_fail_wordlen"),
+        cnt("alpha").alias("n_fail_alpha"),
+        cnt("stop").alias("n_fail_stop"),
+        cnt("repetition").alias("n_fail_repetition"),
+        cnt("pass").alias("n_pass"),
+    )

@@ -82,6 +82,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dedup_segments",  # C4-style cross-corpus segment dedup: coverage counts
     "dedup_segments_rewrite",  # keep-first rewrite; fully-dup docs removed
     "sim_ann_pq",  # product-quantization ADC + exact re-rank
+    "pack_sequences_spans",  # per-doc chunk-boundary accounting for packing
+    "quality_filter_report",  # per-source first-failing-rule funnel
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",

@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_substring",
     "dedup_substring_winnow",
+    "dedup_segments_rewrite",  # segment-granularity family rep (heavier than counts)
     "dedup_clusters",
     "dedup_clusters_unique",
     "corpus_prep_pipeline",

@@ -102,3 +102,46 @@ def test_funnel_agrees_with_standalone_rules(spark):
             n_pass += 1
     funnel = _q(spark, "quality_filter_report").collect()
     assert sum(r.n_pass for r in funnel) == n_pass
+
+
+def test_packing_pipeline_conservation(spark):
+    """Per source: n_input partitions into quality-drop + fully-deduped +
+    packed; tokens never grow across dedup; the sequence count is the exact
+    ceil(tokens_kept / 512)."""
+    rows = _q(spark, "packing_pipeline").collect()
+    assert rows
+    for r in rows:
+        assert r.n_input == r.n_quality_drop + r.n_fully_deduped + r.n_packed_docs, r
+        assert 0 <= r.tokens_kept <= r.tokens_in, r
+        expected_seqs = (r.tokens_kept + 511) // 512 if r.tokens_kept else 0
+        assert r.n_seqs == expected_seqs, r
+
+
+def test_packing_pipeline_dedup_runs_on_survivors_only(spark):
+    """Dedup-after-filter: a quality-dropped doc must not claim a keep-first
+    win. Verified by recomputing kept tokens with the standalone segment
+    machinery restricted to quality-passed docs."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark import registry
+    from wri_data_processing_spark.catalog import table
+    from wri_data_processing_spark.queries.llm_segments import _ranked_segments
+
+    registry.load_all()
+    gopher = {r.doc_id: r for r in _q(spark, "text_gopher_rules").collect()}
+    rep = {r.doc_id: r for r in _q(spark, "text_repetition").collect()}
+    ok_ids = [
+        doc_id
+        for doc_id, g in gopher.items()
+        if g.passes and not (100 * rep[doc_id].top_count > 12 * rep[doc_id].n_tokens)
+    ]
+    d = table(spark, SF_DIR, "documents").filter(F.col("doc_id").isin(ok_ids))
+    kept_tok = (
+        _ranked_segments(d)
+        .filter(F.col("rn") == 1)
+        .select(F.size(F.split("seg", " ")).alias("t"))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    total_kept = sum(r.tokens_kept for r in _q(spark, "packing_pipeline").collect())
+    assert total_kept == kept_tok

@@ -1063,3 +1063,173 @@ def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("repetition").alias("n_fail_repetition"),
         cnt("pass").alias("n_pass"),
     )
+
+
+def _packing_pipeline_oracle() -> str:
+    from wri_data_processing_spark.queries.llm_segments import _SEG_CTES
+
+    seg_ctes = _SEG_CTES.replace("FROM documents", "FROM passed").strip().lstrip()
+    return rf"""
+    WITH tq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM tq),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * len(tok)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                            THEN cnt ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(COUNT(DISTINCT CASE WHEN tok IN
+               ('the','a','of','to','and','in') THEN tok END) AS BIGINT) AS n_stop,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM c GROUP BY doc_id),
+    fate AS (
+      SELECT doc_id,
+             (s.n_tokens BETWEEN 10 AND 100000)
+               AND (s.sum_len BETWEEN 3 * s.n_tokens AND 10 * s.n_tokens)
+               AND (5 * s.n_alpha >= 4 * s.n_tokens)
+               AND (s.n_stop >= 2)
+               AND NOT (100 * s.top > 12 * s.n_tokens) AS ok
+      FROM s),
+    passed AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN fate f ON d.doc_id = f.doc_id WHERE f.ok),
+    {seg_ctes},
+    kd AS (
+      SELECT doc_id,
+             CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS kept_tok
+      FROM ranked WHERE rn = 1 GROUP BY doc_id),
+    pm AS (
+      SELECT p.source,
+             CAST(COUNT(*) AS BIGINT) AS n_passed,
+             CAST(SUM(CASE WHEN k.kept_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fully_deduped,
+             CAST(SUM(len(regexp_split_to_array(trim(p.text), '\s+'))) AS BIGINT)
+               AS tokens_in,
+             CAST(SUM(COALESCE(k.kept_tok, 0)) AS BIGINT) AS tokens_kept
+      FROM passed p LEFT JOIN kd k ON p.doc_id = k.doc_id GROUP BY 1),
+    inp AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_input,
+             CAST(SUM(CASE WHEN f.ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_quality_drop
+      FROM documents d JOIN fate f ON d.doc_id = f.doc_id GROUP BY 1)
+    SELECT i.source, i.n_input, i.n_quality_drop,
+           COALESCE(pm.n_fully_deduped, 0) AS n_fully_deduped,
+           COALESCE(pm.n_passed - pm.n_fully_deduped, 0) AS n_packed_docs,
+           COALESCE(pm.tokens_in, 0) AS tokens_in,
+           COALESCE(pm.tokens_kept, 0) AS tokens_kept,
+           CASE WHEN COALESCE(pm.tokens_kept, 0) > 0
+                THEN (pm.tokens_kept - 1) // 512 + 1 ELSE 0 END AS n_seqs
+    FROM inp i LEFT JOIN pm ON i.source = pm.source
+    """
+
+
+@query("packing_pipeline", oracle=_packing_pipeline_oracle())
+def packing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-dataset manifest as ONE composed plan: quality gate
+    (the quality_filter_report rule cascade, pass/fail only) -> cross-corpus
+    segment dedup with in-place rewrite (dedup_segments_rewrite's keep-first
+    over the SURVIVOR set -- dedup after filtering, so dropped docs can't
+    claim keep-first wins) -> concat-and-chunk packing accounting per
+    source: surviving docs, token counts before/after dedup, and the packed
+    512-token sequence count.
+
+    The manifest is the contract a training run consumes: per source,
+    n_input = n_quality_drop + n_fully_deduped + n_packed_docs and
+    tokens_kept <= tokens_in (both asserted in tests). Every stage reuses
+    the standalone operator's exact arithmetic (integer rule inequalities,
+    keep-first min-(doc_id,seg_idx) ranking, token counts over the
+    space-joined rewrite), so the composed oracle is the standalone oracles
+    chained -- the corpus_prep_pipeline convention at packing granularity.
+
+    Scale shape: one (doc_id, token) count shuffle feeds every quality rule;
+    the survivor frame flows into the segment rank shuffle (16-hex sha256
+    keys); per-doc and per-source rollups are map-side-combined; the final
+    manifest join is per-source (broadcast-sized). No stage widens a row
+    beyond (ids, segment text) and nothing returns to the driver.
+    """
+    from wri_data_processing_spark.queries.llm_segments import _ranked_segments
+
+    d = table(spark, sf_dir, "documents")
+    c = _tokens(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("tok")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("tok").rlike("^[a-z]+$"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("tok").isin("the", "a", "of", "to", "and", "in"), F.col("tok"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.max("cnt").cast("long").alias("top"),
+    )
+    n, sl, na, ns, top = (
+        F.col(x) for x in ("n_tokens", "sum_len", "n_alpha", "n_stop", "top")
+    )
+    ok = (
+        n.between(10, 100000)
+        & sl.between(3 * n, 10 * n)
+        & (5 * na >= 4 * n)
+        & (ns >= 2)
+        & ~(100 * top > 12 * n)
+    )
+    fate = s.select("doc_id", ok.alias("ok"))
+    passed = (
+        d.join(fate, "doc_id")
+        .filter(F.col("ok"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint()  # the pipeline working set: both branches read it
+    )
+    kd = (
+        _ranked_segments(passed)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.size(F.split("seg", " ")).cast("long").alias("seg_tok"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg_tok").cast("long").alias("kept_tok"))
+    )
+    n_tok_in = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    pm = (
+        passed.join(kd, "doc_id", "left")
+        .select("source", n_tok_in.alias("tok_in"), "kept_tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passed"),
+            F.sum(F.col("kept_tok").isNull().cast("int")).cast("long").alias(
+                "n_fully_deduped"
+            ),
+            F.sum("tok_in").cast("long").alias("tokens_in"),
+            F.sum(F.coalesce(F.col("kept_tok"), F.lit(0))).cast("long").alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    inp = (
+        d.join(fate, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_quality_drop"),
+        )
+    )
+    return inp.join(pm, "source", "left").select(
+        "source",
+        "n_input",
+        "n_quality_drop",
+        F.coalesce("n_fully_deduped", F.lit(0)).alias("n_fully_deduped"),
+        F.coalesce(F.col("n_passed") - F.col("n_fully_deduped"), F.lit(0)).alias(
+            "n_packed_docs"
+        ),
+        F.coalesce("tokens_in", F.lit(0)).alias("tokens_in"),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        F.when(
+            F.coalesce("tokens_kept", F.lit(0)) > 0,
+            F.expr("(tokens_kept - 1) DIV 512 + 1"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )

@@ -41,6 +41,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "sim_topk": "single query vector broadcast over the scan",
     "sim_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats row "
     "and the query-vector row — both constant-size regardless of N",
+    "sim_ann_pq": "1-row query-vector broadcast over the 128-row re-rank "
+    "pool (ADC candidates themselves come from broadcast equi-joins on "
+    "(subspace, code) — pinned in test_pq.py)",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

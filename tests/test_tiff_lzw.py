@@ -70,3 +70,27 @@ def test_roundtrip_low_entropy(alphabet, n, seed):
     rng = random.Random(seed)
     data = bytes(rng.randrange(alphabet) for _ in range(n))
     assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_final_code_at_width_boundary_roundtrips():
+    """Regression (r6, found by hypothesis): the decoder builds a table
+    entry for every data code it reads — including the encoder's final
+    flush code, which the encoder's table never uses — so a stream whose
+    LAST data code lands the decoder's next_code exactly on the 2^n - 2
+    early-change boundary made the decoder widen before reading EOI while
+    the encoder emitted it one bit narrower. 256 random bytes (~255 codes,
+    boundary at 510) is the smallest natural trigger; the encoder now
+    mirrors the decoder's virtual final add."""
+    import random
+
+    import numpy as np
+
+    from wri_data_processing_spark.sources.tiff_lzw import lzw_decode, lzw_encode
+
+    raw = np.random.default_rng(0).normal(size=(2, 32)).astype("f4").tobytes()
+    assert lzw_decode(lzw_encode(raw)) == raw
+
+    rnd = random.Random(42)
+    for n in (254, 255, 256, 257, 258, 510, 511, 512, 513):
+        b = bytes(rnd.randrange(256) for _ in range(n))
+        assert lzw_decode(lzw_encode(b)) == b, n

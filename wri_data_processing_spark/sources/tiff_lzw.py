@@ -80,6 +80,16 @@ def lzw_encode(data: bytes) -> bytes:
         w_code = b
     if w_code >= 0:
         emit(w_code, width)
+        # The decoder builds a table entry for EVERY data code it reads —
+        # including this final one, whose entry the encoder never uses — and
+        # may therefore widen before reading EOI. Mirror that virtual add, or
+        # a stream ending exactly at a 2^n-2 boundary (e.g. 256 random bytes
+        # -> 255 codes -> decoder next_code hits 510) emits EOI one bit
+        # narrower than the decoder reads it (found by hypothesis, r6).
+        if next_code < _MAX_TABLE:
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
     emit(_EOI, width)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)

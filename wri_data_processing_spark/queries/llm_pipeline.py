@@ -1177,7 +1177,11 @@ def packing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ns >= 2)
         & ~(100 * top > 12 * n)
     )
-    fate = s.select("doc_id", ok.alias("ok"))
+    # fate is (doc_id, bool) — tiny — and feeds BOTH the survivor frame and
+    # the per-source input rollup; without the checkpoint the whole
+    # (doc, token) aggregation chain executes once per consumer (caught in
+    # the r6 PLANS.md audit: the inp branch replayed nodes 3-16).
+    fate = s.select("doc_id", ok.alias("ok")).localCheckpoint()
     passed = (
         d.join(fate, "doc_id")
         .filter(F.col("ok"))

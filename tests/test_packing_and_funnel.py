@@ -145,3 +145,18 @@ def test_packing_pipeline_dedup_runs_on_survivors_only(spark):
     )
     total_kept = sum(r.tokens_kept for r in _q(spark, "packing_pipeline").collect())
     assert total_kept == kept_tok
+
+
+def test_time_travel_isolation(spark):
+    """The isolation property itself: after v3's delete, a re-read of the v2
+    manifest still returns v2's exact counts (snapshots are immutable), and
+    v3 = v2 minus exactly the deleted keys."""
+    rows = {r.version: r for r in _q(spark, "snapshot_time_travel").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_rows < rows[2].n_rows
+    assert rows[3].n_rows < rows[2].n_rows
+    # appended rows (v2 - v1) survive the v3 delete untouched
+    appended = rows[2].n_rows - rows[1].n_rows
+    deleted_from_base = rows[2].n_rows - rows[3].n_rows
+    assert deleted_from_base <= rows[1].n_rows
+    assert rows[3].n_rows == rows[1].n_rows - deleted_from_base + appended

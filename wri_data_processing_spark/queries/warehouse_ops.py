@@ -145,3 +145,99 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def _tt_version_agg(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.lit(version).alias("version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey < 1500
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+                   OR (o_orderkey >= 1500 AND o_orderkey < 3000)
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot isolation and time travel — the lakehouse
+    table mechanism (Iceberg/Delta) expressed directly, with no format
+    library: every snapshot is an immutable MANIFEST (a text file listing
+    the parquet files it comprises), appends add a manifest that references
+    old files plus new ones, and deletes REPLACE a referenced file with its
+    filtered rewrite. Reading "the table as of v" = read exactly v's file
+    list. Three snapshots are built and read back through their manifests:
+
+      v1: base batch (orderkey < 1500)
+      v2: v1 files + an appended batch (1500 <= orderkey < 3000) — append
+          touches no existing file
+      v3: v2 with the BASE batch replaced by its orderkey % 7 != 0 rewrite
+          (a delete as copy-on-write) — the appended batch's files carry
+          over untouched
+
+    Output: per-version row count and exact decimal-summed total, proving
+    each manifest read sees its snapshot and nothing else (v2 readers are
+    unaffected by v3's delete — the isolation property).
+
+    100 TB notes: the manifest is metadata — bytes scale with FILE COUNT,
+    not data; reading it driver-side is exactly what table formats do, and
+    the data read stays a parquet scan of precisely the listed files (scan
+    pruning by construction — no tombstone filtering at read time).
+    Copy-on-write delete rewrites one file's worth of data, never the
+    table; at scale the rewrite batches by file, embarrassingly parallel.
+    """
+    import os
+
+    from wri_data_processing_spark.queries.io_ops import _scratch_dir
+
+    root = _scratch_dir("time_travel", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def write_batch(name: str, df: DataFrame) -> list[str]:
+        path = os.path.join(root, name)
+        df.write.parquet(path)
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    base = write_batch("base", o.filter(F.col("o_orderkey") < 1500))
+    appended = write_batch(
+        "append",
+        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)),
+    )
+    rewritten = write_batch(
+        "base_rw",
+        spark.read.parquet(*base).filter(F.col("o_orderkey") % 7 != 0),
+    )
+
+    manifests = {1: base, 2: base + appended, 3: rewritten + appended}
+    for v, files in manifests.items():
+        with open(os.path.join(root, f"v{v}.manifest"), "w") as fh:
+            fh.write("\n".join(files) + "\n")
+
+    versions = []
+    for v in (1, 2, 3):
+        with open(os.path.join(root, f"v{v}.manifest")) as fh:
+            files = [line.strip() for line in fh if line.strip()]
+        versions.append(_tt_version_agg(spark.read.parquet(*files), v))
+    out = versions[0]
+    for nxt in versions[1:]:
+        out = out.unionAll(nxt)
+    return out

@@ -85,6 +85,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pack_sequences_spans",  # per-doc chunk-boundary accounting for packing
     "quality_filter_report",  # per-source first-failing-rule funnel
     "packing_pipeline",  # composed quality -> segment dedup -> packing manifest
+    "snapshot_time_travel",  # manifest-based snapshot isolation + time travel
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",

@@ -338,3 +338,39 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir, event_source, tmp
     assert got_null.issubset(want_null)
     # A streamed NULL click must not also have a matched emission.
     assert not {(u, cid) for (u, cid, _) in got_matched} & got_null
+
+
+def test_segment_dedup_stream_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """The streamed keep-first must keep each distinct segment exactly once
+    and the kept-segment SET must equal the batch op's distinct segments
+    (winner identity legitimately differs: arrival order vs global
+    min(doc_id, seg_idx) — see segment_deduped docstring)."""
+    from wri_data_processing_spark.queries.llm_segments import _segments
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_doc_stream,
+        segment_deduped,
+    )
+
+    src = str(tmp_path / "docs_src")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        segment_deduped(read_doc_stream(spark, src)),
+        "seg_dedup_test",
+        str(tmp_path / "ckpt_segdedup"),
+        output_mode="append",
+    )
+    got = spark.sql("SELECT wh FROM seg_dedup_test").collect()
+    got_whs = [r.wh for r in got]
+    assert len(got_whs) == len(set(got_whs))  # exactly one winner per segment
+
+    batch_whs = {
+        r.wh
+        for r in _segments(d)
+        .select(F.substring(F.sha2(F.col("seg"), 256), 1, 16).alias("wh"))
+        .distinct()
+        .collect()
+    }
+    assert set(got_whs) == batch_whs

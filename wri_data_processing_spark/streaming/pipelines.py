@@ -479,3 +479,41 @@ def transform_with_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_doc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source document stream (parquet drops of (doc_id, text))."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
+
+
+def segment_deduped(docs: DataFrame, n_tokens: int = 16) -> DataFrame:
+    """Streaming twin of the C4-style segment dedup (queries/llm_segments):
+    documents explode into n-token segments keyed by the 16-hex sha256
+    prefix, and ``dropDuplicates`` keeps the FIRST ARRIVAL of each distinct
+    segment across the whole stream — state persists across micro-batches,
+    so a segment seen in batch 1 suppresses every later copy.
+
+    Semantics vs the batch op: the batch keep-first winner is the global
+    min (doc_id, seg_idx); the stream's winner is arrival order. The KEPT
+    SEGMENT SET is identical either way (one winner per distinct segment)
+    — the equivalence test pins exactly that, not winner identity.
+
+    State note: keyed dedup state here is unbounded by design (corpus-wide
+    dedup has no expiry); a deployment that can bound re-occurrence lag
+    uses dropDuplicatesWithinWatermark on an ingest-time column instead —
+    same plan, state trimmed at the watermark (the T4 ``deduped`` pattern).
+    """
+    from wri_data_processing_spark.queries.llm_segments import _segments
+
+    segs = _segments(docs, n_tokens)
+    return segs.withColumn(
+        "wh", F.substring(F.sha2(F.col("seg"), 256), 1, 16)
+    ).dropDuplicates(["wh"])

@@ -147,6 +147,51 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_snapshots(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Write the three demo snapshots (base / append / delete-rewrite) and
+    their manifests into a scratch dir; returns the table root. Shared by
+    snapshot_time_travel and snapshot_diff so both read the SAME manifest
+    machinery."""
+    import os
+
+    from wri_data_processing_spark.queries.io_ops import _scratch_dir
+
+    root = _scratch_dir(tag, sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def write_batch(name: str, df: DataFrame) -> list[str]:
+        path = os.path.join(root, name)
+        df.write.parquet(path)
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    base = write_batch("base", o.filter(F.col("o_orderkey") < 1500))
+    appended = write_batch(
+        "append",
+        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)),
+    )
+    rewritten = write_batch(
+        "base_rw",
+        spark.read.parquet(*base).filter(F.col("o_orderkey") % 7 != 0),
+    )
+    manifests = {1: base, 2: base + appended, 3: rewritten + appended}
+    for v, files in manifests.items():
+        with open(os.path.join(root, f"v{v}.manifest"), "w") as fh:
+            fh.write("\n".join(files) + "\n")
+    return root
+
+
+def _read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    import os
+
+    with open(os.path.join(root, f"v{version}.manifest")) as fh:
+        files = [line.strip() for line in fh if line.strip()]
+    return spark.read.parquet(*files)
+
+
 def _tt_version_agg(df: DataFrame, version: int) -> DataFrame:
     return df.agg(
         F.lit(version).alias("version"),
@@ -201,43 +246,60 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Copy-on-write delete rewrites one file's worth of data, never the
     table; at scale the rewrite batches by file, embarrassingly parallel.
     """
-    import os
-
-    from wri_data_processing_spark.queries.io_ops import _scratch_dir
-
-    root = _scratch_dir("time_travel", sf_dir)
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-
-    def write_batch(name: str, df: DataFrame) -> list[str]:
-        path = os.path.join(root, name)
-        df.write.parquet(path)
-        return sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-
-    base = write_batch("base", o.filter(F.col("o_orderkey") < 1500))
-    appended = write_batch(
-        "append",
-        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)),
-    )
-    rewritten = write_batch(
-        "base_rw",
-        spark.read.parquet(*base).filter(F.col("o_orderkey") % 7 != 0),
-    )
-
-    manifests = {1: base, 2: base + appended, 3: rewritten + appended}
-    for v, files in manifests.items():
-        with open(os.path.join(root, f"v{v}.manifest"), "w") as fh:
-            fh.write("\n".join(files) + "\n")
-
-    versions = []
-    for v in (1, 2, 3):
-        with open(os.path.join(root, f"v{v}.manifest")) as fh:
-            files = [line.strip() for line in fh if line.strip()]
-        versions.append(_tt_version_agg(spark.read.parquet(*files), v))
+    root = _build_snapshots(spark, sf_dir, "time_travel")
+    versions = [
+        _tt_version_agg(_read_snapshot(spark, root, v), v) for v in (1, 2, 3)
+    ]
     out = versions[0]
     for nxt in versions[1:]:
         out = out.unionAll(nxt)
     return out
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    SELECT o_orderkey, 'delete' AS change_type
+    FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed DERIVED from snapshots: the row-level diff between
+    two manifest versions, computed as two anti-joins on the key (v_old
+    minus v_new = deletes, v_new minus v_old = inserts; an update surfaces
+    as both under a composite row-identity key). This is how a CDF is
+    reconstructed for a table format that didn't record one — no change
+    log needed, only the two immutable manifests.
+
+    Here v2 -> v3 is the copy-on-write delete, so the feed is exactly the
+    deleted keys (orderkey % 7 == 0 within the base batch) and no inserts;
+    the op emits (key, change_type) rows ordered by key.
+
+    100 TB notes: a naive full-table diff is two sides x full scan, but the
+    manifests make it FILE-PRUNED — only files NOT shared by both versions
+    need scanning (shared file paths are byte-identical by immutability).
+    Here that means the diff reads the base batch and its rewrite, never
+    the appended batch both versions share; the anti-joins then shuffle
+    only the non-shared files' keys.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "snapshot_diff")
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    m_old, m_new = manifest(2), manifest(3)
+    only_old = sorted(m_old - m_new)
+    only_new = sorted(m_new - m_old)
+    old_rows = spark.read.parquet(*only_old).select("o_orderkey")
+    new_rows = spark.read.parquet(*only_new).select("o_orderkey")
+    deletes = old_rows.join(new_rows, "o_orderkey", "left_anti").select(
+        "o_orderkey", F.lit("delete").alias("change_type")
+    )
+    inserts = new_rows.join(old_rows, "o_orderkey", "left_anti").select(
+        "o_orderkey", F.lit("insert").alias("change_type")
+    )
+    return deletes.unionAll(inserts).orderBy("o_orderkey")

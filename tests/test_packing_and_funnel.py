@@ -160,3 +160,30 @@ def test_time_travel_isolation(spark):
     deleted_from_base = rows[2].n_rows - rows[3].n_rows
     assert deleted_from_base <= rows[1].n_rows
     assert rows[3].n_rows == rows[1].n_rows - deleted_from_base + appended
+
+
+def test_emitted_sequences_reconstruct_the_stream(spark):
+    """The emitted sequences, concatenated in seq_id order, must equal the
+    original per-source token stream in doc_id order — the token copy loses
+    and reorders nothing; every sequence but the last is exactly 512."""
+    from wri_data_processing_spark.catalog import table
+
+    emitted = _q(spark, "pack_sequences_emit").collect()
+    by_source: dict[str, list] = {}
+    for r in emitted:
+        by_source.setdefault(r.source, []).append(r)
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    want: dict[str, list[str]] = {}
+    for d in docs:
+        want.setdefault(d.source, []).extend(d.text.strip().split())
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.seq_id)
+        for r in rows[:-1]:
+            assert r.n_tokens == 512, (source, r.seq_id)
+        got_stream = " ".join(r.seq_text for r in rows).split(" ")
+        assert got_stream == want[source], source

@@ -1237,3 +1237,76 @@ def packing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+@query(
+    "pack_sequences_emit",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, toks,
+             SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - len(toks) AS start
+      FROM t),
+    tk AS (
+      SELECT source, start + u.i - 1 AS off, toks[u.i] AS tok
+      FROM c, unnest(generate_series(1, len(toks))) u(i))
+    SELECT source,
+           CAST(off // {_PACK_SEQ_TOKENS} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY off) AS seq_text
+    FROM tk GROUP BY 1, 2
+    """,
+)
+def pack_sequences_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the packed training sequences — the artifact the whole
+    pipeline exists to produce. Each source's documents concatenate in
+    doc_id order; the token stream is cut every 512 tokens; the op emits
+    one row per (source, seq_id) carrying the actual sequence text (the
+    final sequence per source is the only short one).
+
+    pack_sequences_spans is the bookkeeping view of this exact cut; this op
+    performs the token copy itself: documents get their stream offset from
+    the per-source prefix-sum window, tokens posexplode WITH their offset,
+    and each sequence assembles via one ordered aggregation (array_sort
+    over (offset, token) structs — no second window, the segment-rewrite
+    reassembly pattern).
+
+    Scale shape: the token explode is the dominant volume and it is the
+    workload — a packed-dataset writer must touch every token once. Two
+    shuffles: the per-source prefix-sum window (rides the source layout)
+    and the (source, seq_id) assembly aggregation, whose keys are dense
+    integers with ~512 tokens per group — uniform by construction, no skew.
+    Emitting to parquet partitioned by source turns the output into the
+    training-ready layout directly.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "source", toks.alias("toks")).withColumn(
+        "start", F.sum(F.size("toks")).over(w) - F.size("toks")
+    )
+    tk = c.select(
+        "source",
+        "start",
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select(
+        "source",
+        (F.col("start") + F.col("pos")).cast("long").alias("off"),
+        "tok",
+    )
+    parts = F.array_sort(F.collect_list(F.struct("off", "tok")))
+    return (
+        tk.groupBy("source", F.expr(f"off DIV {_PACK_SEQ_TOKENS}").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(F.transform(parts, lambda s: s["tok"]), " ").alias("seq_text"),
+        )
+    )

@@ -110,3 +110,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").alias("feature_dim"),
         *[F.element_at("feature", i + 1).alias(f"feature_{i}") for i in range(8)],
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT sha256(text) AS payload_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_media_id,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY text
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup over the media table — byte-identical
+    images/audio/video collapse on sha256(payload) with keep-lowest-id, the
+    L1 dedup semantics applied to the opaque binary column (the first pass
+    every multimodal corpus runs before any perceptual hashing).
+
+    The shuffle carries 32-byte digests plus counters, never payloads —
+    identical plan shape to dedup_exact, proving the dedup machinery is
+    payload-type-agnostic: the binary column needs no decode to dedup.
+    Perceptual near-dup (pHash over the decode boundary) layers on top the
+    same way dedup_ngram layers on dedup_exact for text.
+    """
+    m = media_from_documents(table(spark, sf_dir, "documents"))
+    return m.groupBy(F.sha2("payload", 256).alias("payload_digest")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("media_id").alias("keeper_media_id"),
+        F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+    )

@@ -40,3 +40,13 @@ def test_pq_scoring_exchanges_carry_codes_not_vectors(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1), m.group(0)
+
+
+def test_sq8_rerank_recovers_exact_topk(spark):
+    """Regression guard for the r6 centering fix: uncentered affine-code
+    scoring ranked the true top-10 nowhere near the 50-pool (recall 0.0 at
+    sf0.1); centered codes put them all within rank 26 at both SFs. Pinned
+    as full overlap on the fixture, same stance as the PQ pin."""
+    exact = [r.vec_id for r in _load(spark, "sim_topk").collect()]
+    sq8 = [r.vec_id for r in _load(spark, "sim_ann_sq8").collect()]
+    assert sq8 == exact

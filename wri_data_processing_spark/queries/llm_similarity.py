@@ -626,7 +626,9 @@ _SQ8_CAND = 50  # candidate pool re-ranked exactly (5x oversampling of k=10)
     q AS (SELECT q8 AS qq, CAST(embedding AS DOUBLE[]) AS qv FROM codes WHERE vec_id = 0),
     cand AS (
       SELECT c.vec_id, c.label, c.embedding,
-             CAST(list_inner_product(c.q8, q.qq) AS BIGINT) AS approx_score
+             CAST(list_inner_product(
+               list_transform(c.q8, x -> 2 * x - 255),
+               list_transform(q.qq, x -> 2 * x - 255)) AS BIGINT) AS approx_score
       FROM codes c, q WHERE c.vec_id != 0
       ORDER BY approx_score DESC, c.vec_id LIMIT 50)
     SELECT cand.vec_id, cand.label, cand.approx_score,
@@ -639,8 +641,19 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (int8) approximate top-k — the memory-compression
     scale path: per-dimension min/max linear quantization to 8-bit codes
     (floor(x*255+0.5) on the normalized value — floor, not round, so both
-    engines agree at midpoints), integer inner-product candidate scoring,
-    then exact fp64 cosine re-rank of a 5x-oversampled pool.
+    engines agree at midpoints), integer inner-product scoring over
+    CENTERED codes (2q - 255), then exact fp64 cosine re-rank of a
+    5x-oversampled pool.
+
+    The centering is load-bearing, not cosmetic (r6 recall measurement):
+    raw affine codes carry a per-vector offset term — dot(qa, qq) expands
+    to sum(a_i q_i) plus sum-of-components bias whose variance SWAMPS the
+    aligned-dot signal on zero-centered embeddings, and the uncentered
+    score ranked the true top-10 nowhere in the top-200 at sf0.1 (recall
+    0.0). Centered codes cancel the bias exactly while staying integer:
+    measured ranks of the exact top-10 under the centered score are all
+    within 26 at both sf0.01 and sf0.1, so the 50-pool re-rank recovers
+    recall 1.0 (experiments/ann_benchmark.py).
 
     Why it matters at 100 TB: fp32x64-dim vectors are 256 B/row; int8 codes
     are 64 B — a 4x cut of scan bytes and shuffle width for the scoring
@@ -650,8 +663,9 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every task (~1 KB), never a shuffle key.
 
     Engine-exact: quantization arithmetic is mirrored double-precision IEEE
-    with a single floor, scores are BIGINT dot products (exact — codes are
-    <= 255 so a 64-dim dot is < 2^22), both orderings tie-break on vec_id,
+    with a single floor, scores are BIGINT dot products (exact — centered
+    codes are within +-255 so a 64-dim dot is < 2^23), both orderings
+    tie-break on vec_id,
     and the re-rank reuses the proven ROUND(cosine, 6) expression from
     sim_topk.
     """
@@ -689,7 +703,7 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q8").alias("qq"), _dvec("embedding").alias("qv")
     )
     score = F.aggregate(
-        F.zip_with("q8", "qq", lambda a, b: a * b),
+        F.zip_with("q8", "qq", lambda a, b: (2 * a - 255) * (2 * b - 255)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

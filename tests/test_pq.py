@@ -50,3 +50,12 @@ def test_sq8_rerank_recovers_exact_topk(spark):
     exact = [r.vec_id for r in _load(spark, "sim_topk").collect()]
     sq8 = [r.vec_id for r in _load(spark, "sim_ann_sq8").collect()]
     assert sq8 == exact
+
+
+def test_batch_topk_prunes_rank_before_exchange(spark):
+    """sim_topk_batch's per-query top-k must carry the WindowGroupLimit
+    rewrite (partial map-side + final), so the shuffle moves at most k rows
+    per (task, query) instead of the full scored fan-out."""
+    df = _load(spark, "sim_topk_batch")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan

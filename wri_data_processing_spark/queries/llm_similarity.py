@@ -982,3 +982,65 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_BATCH_NQ = 20  # query-set size for the batch top-k demo
+_BATCH_K = 3
+
+
+@query(
+    "sim_topk_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_BATCH_NQ}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine_sim
+      FROM embeddings e, q WHERE e.vec_id >= {_BATCH_NQ})
+    SELECT query_id, vec_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {_BATCH_K}
+    """,
+)
+def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN serving: exact top-{_BATCH_K} neighbors for a SET of query
+    vectors in one plan — the shape an embedding-search service runs, as
+    opposed to sim_topk's single query and sim_knn_graph's labeled O(N^2)
+    self-join anchor.
+
+    Plan: the query set broadcasts (20 x 256 B — a real serving batch is
+    MBs, still broadcast-sized), every corpus row scores all queries in
+    the broadcast nested loop, and the per-query top-k is a rank window
+    that Spark 4 rewrites with WindowGroupLimit: each map task keeps only
+    its local top-k per query BEFORE the exchange, so the shuffle carries
+    at most k rows per (task, query) instead of the full 20x fan-out —
+    the same pre-shuffle pruning the segment-rewrite rank gets, pinned in
+    tests. The nq-partition window skew ceiling (20 distinct keys) is
+    capped at k rows per task per key by that prune, so no salting needed.
+
+    At 100 TB: cost is the scan x nq cosine arithmetic — embarrassingly
+    parallel, zero data shuffled beyond k rows per task per query;
+    composing with IVF/SQ8/PQ (score codes instead of fp vectors) drops
+    the per-row arithmetic the same way it does for one query.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= _BATCH_NQ)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(_dvec("embedding"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BATCH_K)
+        .drop("rn")
+    )

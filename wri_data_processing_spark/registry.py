@@ -89,6 +89,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "snapshot_diff",  # change-data-feed derived from two manifests (file-pruned)
     "pack_sequences_emit",  # materialize the packed 512-token sequences
     "multimodal_dedup",  # exact binary-payload dedup (no decode needed)
+    "sim_topk_batch",  # multi-query exact top-k with map-side rank pruning
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",

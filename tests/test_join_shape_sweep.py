@@ -44,6 +44,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "sim_ann_pq": "1-row query-vector broadcast over the 128-row re-rank "
     "pool (ADC candidates themselves come from broadcast equi-joins on "
     "(subspace, code) — pinned in test_pq.py)",
+    "sim_topk_batch": "20-row query-set broadcast over the scan — a "
+    "constant-size serving batch, and the per-query rank prunes to k rows "
+    "per task map-side (WindowGroupLimit, pinned in test_pq.py)",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

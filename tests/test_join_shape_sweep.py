@@ -47,6 +47,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "sim_topk_batch": "20-row query-set broadcast over the scan — a "
     "constant-size serving batch, and the per-query rank prunes to k rows "
     "per task map-side (WindowGroupLimit, pinned in test_pq.py)",
+    "stats_ks_test": "1-row (n1, n2) grand-total broadcast over the "
+    "cumulative ECDF frame",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -187,3 +187,36 @@ def test_emitted_sequences_reconstruct_the_stream(spark):
             assert r.n_tokens == 512, (source, r.seq_id)
         got_stream = " ".join(r.seq_text for r in rows).split(" ")
         assert got_stream == want[source], source
+
+
+def test_ks_matches_independent_python_reference(spark):
+    """Exact KS against a from-the-definition Python reference (bisect over
+    sorted samples), including the scaled-integer statistic."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_type", "value"]
+    )
+    pairs = list(zip(t.column("event_type").to_pylist(), t.column("value").to_pylist()))
+    a = sorted(v for ty, v in pairs if ty == "view")
+    b = sorted(v for ty, v in pairs if ty == "click")
+    xs = sorted(set(a) | set(b))
+    d = max(
+        abs(len(b) * bisect.bisect_right(a, x) - len(a) * bisect.bisect_right(b, x))
+        for x in xs
+    )
+    row = _q(spark, "stats_ks_test").first()
+    assert (row.n1, row.n2) == (len(a), len(b))
+    assert row.d_scaled == d
+    assert row.ks_d == d / (len(a) * len(b))
+
+
+def test_incremental_read_scans_only_new_files(spark):
+    """The increment between v1 and v2 must cover exactly the appended key
+    range and agree with snapshot_time_travel's v2 - v1 row delta."""
+    inc = _q(spark, "snapshot_incremental_read").first()
+    tt = {r.version: r for r in _q(spark, "snapshot_time_travel").collect()}
+    assert inc.n_new_rows == tt[2].n_rows - tt[1].n_rows
+    assert inc.min_key >= 1500 and inc.max_key < 3000

@@ -550,3 +550,109 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs("cusum") == F.max(F.abs("cusum")).over(wa)).alias("is_peak"),
     )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('view', 'click')),
+    n AS (SELECT CAST(SUM(is_a) AS BIGINT) AS n1,
+                 CAST(SUM(1 - is_a) AS BIGINT) AS n2 FROM s),
+    g AS (
+      SELECT value,
+             CAST(SUM(is_a) AS BIGINT) AS a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b
+      FROM s GROUP BY value),
+    c AS (
+      SELECT SUM(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g)
+    SELECT n.n1, n.n2,
+           CAST(MAX(ABS(n.n2 * c.ca - n.n1 * c.cb)) AS BIGINT) AS d_scaled,
+           CAST(MAX(ABS(n.n2 * c.ca - n.n1 * c.cb)) AS DOUBLE)
+             / (n.n1 * n.n2) AS ks_d
+    FROM c, n GROUP BY n.n1, n.n2
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, EXACT: the supremum
+    |F1(x) - F2(x)| over the pooled sample evaluated as the integer
+    max |n2*cum1 - n1*cum2| (cross-multiplied ECDFs — no per-point float
+    division, so ties and summation order can never flip the argmax), with
+    one double division at the end. The nonparametric drift detector a
+    data-quality suite runs between two cohorts / snapshot versions; here
+    'view' vs 'click' event values.
+
+    Plan: one (value, label) pre-aggregation collapses duplicates, then the
+    global ECDF prefix sums run as the TWO-PHASE distributed prefix sum
+    (the ranking.py pattern, generalized from ranks to sums): quantile cuts
+    range-bucket the distinct values (ties share a bucket — the CASE uses
+    >=), each bucket prefix-sums in parallel under a bucket-partitioned
+    window, and the <= nbuckets per-bucket totals collect to the driver to
+    become exclusive offsets. No Exchange SinglePartition anywhere
+    (sweep-enforced); the exact sup costs one extra bounded collect instead
+    of a single-task global sort. A cheaper approximate drift test bins
+    values first (agg_histogram) and compares bin masses.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("view", "click")).select(
+        "value", (F.col("event_type") == "view").cast("int").alias("is_a")
+    )
+    g = s.groupBy("value").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+    )
+    from wri_data_processing_spark.operators.ranking import _bucket_expr
+
+    nb = 32
+    cuts = sorted(
+        set(g.stat.approxQuantile("value", [i / nb for i in range(1, nb)], 0.01))
+    )
+    bucketed = g.withColumn("__b", _bucket_expr(F.col("value").cast("double"), cuts))
+    totals = {
+        r["__b"]: (r["ta"], r["tb"])
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        .collect()
+    }
+    off_a = F.lit(0).cast("long")
+    off_b = F.lit(0).cast("long")
+    run_a = run_b = 0
+    for bkt in sorted(totals):
+        off_a = F.when(F.col("__b") == F.lit(bkt), F.lit(run_a)).otherwise(off_a)
+        off_b = F.when(F.col("__b") == F.lit(bkt), F.lit(run_b)).otherwise(off_b)
+        ta, tb = totals[bkt]
+        run_a += ta
+        run_b += tb
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = bucketed.select(
+        (F.sum("a").over(w) + off_a).alias("ca"),
+        (F.sum("b").over(w) + off_b).alias("cb"),
+    )
+    n = s.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n2"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb")).alias("dd"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("dd").cast("long").alias("d_scaled"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        (F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+    )

@@ -303,3 +303,47 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit("insert").alias("change_type")
     )
     return deletes.unionAll(inserts).orderBy("o_orderkey")
+
+
+@query(
+    "snapshot_incremental_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS new_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000
+    """,
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption between snapshots: read ONLY the files the
+    newer manifest added — how a streaming job tails a lakehouse table
+    (Delta/Iceberg incremental reads are exactly this file-set difference
+    plus commit ordering). v1 -> v2 is the pure append, so the increment is
+    the appended batch and nothing else: zero bytes of the base batch are
+    scanned (the file list proves it before the scan is even planned).
+
+    Contrast with snapshot_diff (row-level CDF, needs anti-joins because a
+    rewrite changes rows inside surviving files): when the writer is
+    append-only, the increment is free — a file-list set difference, no
+    join at all. At 100 TB this is THE pattern for incremental pipelines:
+    consumers checkpoint the last manifest they saw and scan only new
+    files each trigger.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "snapshot_incr")
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    new_files = sorted(manifest(2) - manifest(1))
+    inc = spark.read.parquet(*new_files)
+    return inc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("new_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

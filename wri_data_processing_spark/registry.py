@@ -90,6 +90,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pack_sequences_emit",  # materialize the packed 512-token sequences
     "multimodal_dedup",  # exact binary-payload dedup (no decode needed)
     "sim_topk_batch",  # multi-query exact top-k with map-side rank pruning
+    "stats_ks_test",  # exact two-sample KS via distributed integer ECDF sums
+    "snapshot_incremental_read",  # consume only the files a manifest added
     # -- (c) re-prove headline ops whose modules were touched this round --
     "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
     "dedup_ngram_jaccard",

@@ -656,3 +656,65 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_scaled",
         (F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
     )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT SUM(obs) AS n FROM o),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+    ct AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           ROUND(SUM( (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n)
+              * (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n)
+              / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n) ), 6) AS chi2
+    FROM o JOIN rt USING (event_type) JOIN ct USING (cohort), m
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test on a contingency table — the
+    CATEGORICAL drift detector complementing stats_ks_test's continuous
+    one: is event-type mix independent of user cohort (user_id % 4)?
+    Emits the statistic and degrees of freedom; the consumer compares
+    against its chosen critical value (no p-value: that needs the
+    incomplete gamma, a transcendental this engine's exactness discipline
+    keeps out of oracles).
+
+    All inputs are exact BIGINT counts; expected values and the statistic
+    use the identical division/association order on both engines
+    (row_tot*col_tot stays integer until ONE double division by n), and
+    the final SUM is over a tiny cells frame (|types| x |cohorts| = 20
+    rows), ROUNDed to 6 places because even 20 addends can differ in the
+    last ULP across engines (measured: ...61 vs ...63) —
+    the contingency table is always small even when the events table is
+    100 TB; the only wide work is the first (type, cohort) count, one
+    map-side-combined shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("long").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = o.groupBy("cohort").agg(F.sum("obs").cast("long").alias("col_tot"))
+    m = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(m))
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    dev = F.col("obs").cast("double") - expected
+    nr = rt.count()
+    nc = ct.count()
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        F.round(F.sum(dev * dev / expected), 6).alias("chi2"),
+    )

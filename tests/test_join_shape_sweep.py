@@ -49,6 +49,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "per task map-side (WindowGroupLimit, pinned in test_pq.py)",
     "stats_ks_test": "1-row (n1, n2) grand-total broadcast over the "
     "cumulative ECDF frame",
+    "stats_chi2_independence": "1-row grand-total n broadcast over the "
+    "(types x cohorts) contingency cells frame — same bounded shape as "
+    "stats_ks_test (VERDICT r6 item 1)",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -58,6 +58,12 @@ def _logical_node_names(d: DataFrame) -> list[str]:
     strings, so a column literally named "Sort..." would false-positive a
     substring probe, and plan-text formatting shifts across Spark versions
     while case-class names are the stable public surface (VERDICT r5 item 4).
+
+    Recurses into ``subqueries()`` as well as ``children()``: a plan whose
+    Aggregate/Join lives inside a subquery expression (e.g. a filter on a
+    scalar subquery) shows no shuffle-family node in the children-only walk,
+    and _spread_small_scan's partition probe would execute that subquery
+    stage — the exact cost the gate exists to avoid (ADVICE r6).
     """
     names: list[str] = []
     stack = [d._jdf.queryExecution().optimizedPlan()]
@@ -67,6 +73,9 @@ def _logical_node_names(d: DataFrame) -> list[str]:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            stack.append(subqueries.apply(i))
     return names
 
 

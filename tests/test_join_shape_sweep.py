@@ -41,7 +41,7 @@ NLJ_WHITELIST: dict[str, str] = {
     "sim_topk": "single query vector broadcast over the scan",
     "sim_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats row "
     "and the query-vector row — both constant-size regardless of N",
-    "sim_ann_pq": "1-row query-vector broadcast over the 128-row re-rank "
+    "sim_ann_pq": "1-row query-vector broadcast over the constant-size re-rank "
     "pool (ADC candidates themselves come from broadcast equi-joins on "
     "(subspace, code) — pinned in test_pq.py)",
     "sim_topk_batch": "20-row query-set broadcast over the scan — a "

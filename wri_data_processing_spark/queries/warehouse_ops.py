@@ -147,11 +147,13 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_snapshots(spark: SparkSession, sf_dir: str, tag: str) -> str:
-    """Write the three demo snapshots (base / append / delete-rewrite) and
-    their manifests into a scratch dir; returns the table root. Shared by
-    snapshot_time_travel and snapshot_diff so both read the SAME manifest
-    machinery."""
+def _build_snapshots(
+    spark: SparkSession, sf_dir: str, tag: str, with_update: bool = False
+) -> str:
+    """Write the demo snapshots (base / append / delete-rewrite, plus an
+    UPDATE rewrite as v4 when with_update) and their manifests into a
+    scratch dir; returns the table root. Shared by snapshot_time_travel
+    and the snapshot_diff family so all read the SAME manifest machinery."""
     import os
 
     from wri_data_processing_spark.queries.io_ops import _scratch_dir
@@ -178,6 +180,22 @@ def _build_snapshots(spark: SparkSession, sf_dir: str, tag: str) -> str:
         spark.read.parquet(*base).filter(F.col("o_orderkey") % 7 != 0),
     )
     manifests = {1: base, 2: base + appended, 3: rewritten + appended}
+    if with_update:
+        # v4: the APPEND batch replaced by a rewrite that MODIFIES surviving
+        # rows (a +1.0 price bump on orderkey % 11 == 0) — copy-on-write
+        # update; the base rewrite carries over untouched.
+        append_rw = write_batch(
+            "append_rw",
+            spark.read.parquet(*appended).select(
+                "o_orderkey",
+                F.when(
+                    F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            ),
+        )
+        manifests[4] = rewritten + append_rw
     for v, files in manifests.items():
         with open(os.path.join(root, f"v{v}.manifest"), "w") as fh:
             fh.write("\n".join(files) + "\n")
@@ -303,6 +321,57 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit("insert").alias("change_type")
     )
     return deletes.unionAll(inserts).orderBy("o_orderkey")
+
+
+@query(
+    "snapshot_diff_update",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           'delete' AS change_type
+    FROM orders
+    WHERE o_orderkey >= 1500 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) + 1.0, 'insert'
+    FROM orders
+    WHERE o_orderkey >= 1500 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+    ORDER BY o_orderkey, change_type
+    """,
+)
+def snapshot_diff_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF case snapshot_diff's fixture could not exercise: a rewrite
+    that MODIFIES surviving rows. v3 -> v4 replaces the appended batch with
+    a copy-on-write UPDATE (+1.0 price on orderkey % 11 == 0); under the
+    composite row-identity key (o_orderkey, o_totalprice) every modified
+    row surfaces as a delete+insert PAIR — exactly what Delta/Iceberg CDF
+    emits as update_preimage/update_postimage — while untouched rows in the
+    rewritten file cancel out of both anti-joins (VERDICT r6 item 5: the
+    pure-delete fixture proved only half the contract).
+
+    Same file-pruned plan as snapshot_diff: the base rewrite is SHARED by
+    v3 and v4 so it is never scanned; only the appended batch and its
+    update rewrite feed the two composite-key anti-joins. The +1.0 bump is
+    exact in IEEE doubles, so the oracle reproduces the post-image
+    bit-identically.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "snapshot_diff_upd", with_update=True)
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    m_old, m_new = manifest(3), manifest(4)
+    key = ["o_orderkey", "o_totalprice"]
+    old_rows = spark.read.parquet(*sorted(m_old - m_new)).select(*key)
+    new_rows = spark.read.parquet(*sorted(m_new - m_old)).select(*key)
+    deletes = old_rows.join(new_rows, key, "left_anti").select(
+        *key, F.lit("delete").alias("change_type")
+    )
+    inserts = new_rows.join(old_rows, key, "left_anti").select(
+        *key, F.lit("insert").alias("change_type")
+    )
+    return deletes.unionAll(inserts).orderBy("o_orderkey", "change_type")
 
 
 @query(

@@ -55,6 +55,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- round-7 head: the ONLY oracled op with no driver row yet (r6 item 1),
     #    then ops new or changed this round --
     "stats_chi2_independence",  # categorical drift chi2 (landed post-sample r6)
+    "snapshot_diff_update",  # CDF update case: delete+insert pair per modified row
+    # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)
     "dedup_substring_winnow",  # content-defined fingerprint sampling

@@ -246,3 +246,20 @@ def test_driver_sample_order_front_loads_survey_ops():
     # idempotent under repeated load_all
     registry.load_all()
     assert list(registry.REGISTRY) == names
+
+
+def test_readme_counts_match_registry():
+    """README's inventory line must state the live registry counts — stale
+    counts send the auditor chasing ops that don't exist (VERDICT r6 item 4)."""
+    import re
+
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    n_ops = len(registry.REGISTRY)
+    n_oracled = sum(1 for n in registry.REGISTRY if registry.ORACLE.get(n))
+    with open("README.md") as fh:
+        text = fh.read()
+    m = re.search(r"(\d+) declared engine ops, (\d+) with exact DuckDB oracles", text)
+    assert m, "README inventory line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_ops, n_oracled)

@@ -65,7 +65,14 @@ def main() -> None:
 
     exact = [r.vec_id for r in registry.REGISTRY["sim_topk"](spark, sf).collect()]
     print("variant,median_sec,recall_at_10")
-    for name in ("sim_topk", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_sq8", "sim_ann_pq"):
+    for name in (
+        "sim_topk",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "sim_ann_sq8",
+        "sim_ann_pq",
+        "sim_ann_ivfpq",
+    ):
         fn = registry.REGISTRY[name]
         sec = _time(fn, spark, sf)
         got = [r.vec_id for r in fn(spark, sf).limit(10).collect()]

@@ -44,6 +44,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "sim_ann_pq": "1-row query-vector broadcast over the constant-size re-rank "
     "pool (ADC candidates themselves come from broadcast equi-joins on "
     "(subspace, code) — pinned in test_pq.py)",
+    "sim_ann_ivfpq": "nlist-row coarse-centroid broadcast (assignment + "
+    "probe) and 1-row query broadcast over the constant-size re-rank pool; "
+    "candidates come from the broadcast (cell, subspace, code) LUT "
+    "equi-join which doubles as the probe filter",
     "sim_topk_batch": "20-row query-set broadcast over the scan — a "
     "constant-size serving batch, and the per-query rank prunes to k rows "
     "per task map-side (WindowGroupLimit, pinned in test_pq.py)",

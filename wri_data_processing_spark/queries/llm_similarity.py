@@ -914,31 +914,39 @@ def _pq_update(sub: DataFrame, asg: DataFrame) -> DataFrame:
     )
 
 
-def _pq_train_sql() -> str:
-    """The unrolled-CTE DuckDB twin of _PQ_ROUNDS Lloyd rounds: emits CTEs
-    c0..c{R} where c{R} is the trained codebook (m, c, cv)."""
+def _pq_train_sql(
+    src: str = "sub", prefix: str = "", ksub: int = None, rounds: int = None
+) -> str:
+    """The unrolled-CTE DuckDB twin of the Lloyd codebook training: emits
+    CTEs {prefix}c0..{prefix}c{R} where the last is the trained codebook
+    (m, c, cv) over sub-vector frame ``src`` (vec_id, m, sv). Prefixed so
+    two codebooks (e.g. raw-space PQ and IVFPQ residual-space) can coexist
+    in one oracle."""
+    ksub = _PQ_KSUB if ksub is None else ksub
+    rounds = _PQ_ROUNDS if rounds is None else rounds
+    p = prefix
     parts = [
-        f"tsub AS (SELECT * FROM sub WHERE vec_id % {_PQ_TRAIN_MOD} = 0)",
-        f"c0 AS (SELECT m, vec_id AS c, sv AS cv FROM sub WHERE vec_id < {_PQ_KSUB})",
+        f"{p}tsub AS (SELECT * FROM {src} WHERE vec_id % {_PQ_TRAIN_MOD} = 0)",
+        f"{p}c0 AS (SELECT m, vec_id AS c, sv AS cv FROM {src} WHERE vec_id < {ksub})",
     ]
-    for r in range(_PQ_ROUNDS):
+    for r in range(rounds):
         parts.append(f"""
-    d{r} AS (
+    {p}d{r} AS (
       SELECT s.vec_id, s.m, c.c,
              CAST(SUM((s.sv[u.i] - c.cv[u.i]) * (s.sv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
-      FROM tsub s JOIN c{r} c ON s.m = c.m,
+      FROM {p}tsub s JOIN {p}c{r} c ON s.m = c.m,
            unnest(generate_series(1, {_PQ_DSUB})) u(i)
       GROUP BY 1, 2, 3),
-    a{r} AS (
+    {p}a{r} AS (
       SELECT vec_id, m, c FROM (
         SELECT vec_id, m, c,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        FROM d{r}) WHERE rn = 1),
-    c{r + 1} AS (
+        FROM {p}d{r}) WHERE rn = 1),
+    {p}c{r + 1} AS (
       SELECT m, c, list(cq ORDER BY i) AS cv FROM (
         SELECT a.m, a.c, u.i,
                CAST(floor(CAST(SUM(s.sv[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-        FROM a{r} a JOIN tsub s ON s.vec_id = a.vec_id AND s.m = a.m,
+        FROM {p}a{r} a JOIN {p}tsub s ON s.vec_id = a.vec_id AND s.m = a.m,
              unnest(generate_series(1, {_PQ_DSUB})) u(i)
         GROUP BY 1, 2, 3)
       GROUP BY 1, 2)""")
@@ -1079,6 +1087,206 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(e, "vec_id")
         .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "adc_d2",
+            F.round(cosine(_dvec("embedding"), F.col("qv2")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_IVFPQ_NPROBE = 2  # coarse cells probed (sim_ann_ivf's recall-1.0 setting)
+_IVFPQ_CAND = 128  # ADC pool re-ranked exactly (candidates already cell-pruned)
+_DIM = _PQ_M * _PQ_DSUB
+
+
+@query(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH {ivf_assign_ctes()},
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}), i -> q.qv[i] - c.cv[i]) AS rv
+      FROM assigned a JOIN qt q ON q.vec_id = a.vec_id JOIN cents c ON c.cid = a.cid),
+    rsub AS (
+      SELECT vec_id, cid, CAST(m.i AS BIGINT) AS m,
+             rv[(CAST(m.i AS BIGINT) * {_PQ_DSUB} + 1):
+                (CAST(m.i AS BIGINT) * {_PQ_DSUB} + {_PQ_DSUB})] AS sv
+      FROM res, unnest(generate_series(0, {_PQ_M - 1})) m(i)),
+    {_pq_train_sql(src="rsub", prefix="p")},
+    pcd AS (
+      SELECT s.vec_id, s.m, c.c,
+             CAST(SUM((s.sv[u.i] - c.cv[u.i]) * (s.sv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM rsub s JOIN pc{_PQ_ROUNDS} c ON s.m = c.m,
+           unnest(generate_series(1, {_PQ_DSUB})) u(i)
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM pcd) WHERE rn = 1),
+    qprobe AS (
+      SELECT c.cid,
+             CAST(SUM((q.qv[u.i] - c.cv[u.i]) * (q.qv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+      FROM cents c, qt q, unnest(generate_series(1, {_DIM})) u(i)
+      WHERE q.vec_id = 0 GROUP BY 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY d2, cid) AS rn FROM qprobe)
+      WHERE rn <= {_IVFPQ_NPROBE}),
+    qres AS (
+      SELECT p.cid AS pcid,
+             list_transform(generate_series(1, {_DIM}), i -> q.qv[i] - c.cv[i]) AS rv
+      FROM probes p JOIN cents c ON c.cid = p.cid, qt q WHERE q.vec_id = 0),
+    qsub AS (
+      SELECT pcid, CAST(m.i AS BIGINT) AS m,
+             rv[(CAST(m.i AS BIGINT) * {_PQ_DSUB} + 1):
+                (CAST(m.i AS BIGINT) * {_PQ_DSUB} + {_PQ_DSUB})] AS sv
+      FROM qres, unnest(generate_series(0, {_PQ_M - 1})) m(i)),
+    lut AS (
+      SELECT s.pcid, s.m, c.c,
+             CAST(SUM((s.sv[u.i] - c.cv[u.i]) * (s.sv[u.i] - c.cv[u.i])) AS BIGINT) AS qd2
+      FROM qsub s JOIN pc{_PQ_ROUNDS} c ON s.m = c.m,
+           unnest(generate_series(1, {_PQ_DSUB})) u(i)
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT co.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+      FROM codes co JOIN assigned a ON a.vec_id = co.vec_id
+      JOIN lut l ON l.pcid = a.cid AND l.m = co.m AND l.c = co.code
+      WHERE co.vec_id != 0 GROUP BY 1),
+    cand AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT {_IVFPQ_CAND}),
+    qd AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id, e.label, c.adc_d2,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qd.v), 6)
+             AS cosine_sim
+    FROM cand c JOIN embeddings e USING (vec_id), qd
+    ORDER BY cosine_sim DESC, c.vec_id LIMIT 10
+    """,
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-on-residuals — the FAISS IVFADC architecture (Jegou et al.
+    §VI) composed from this engine's two proven levers: the coarse
+    quantizer prunes WHICH cells are scored (integer ivf_assign, nprobe
+    nearest cells), and a product quantizer codes each vector's RESIDUAL
+    from its cell centroid (residual energy is a fraction of vector energy,
+    so the same 8-byte code spends its 16^8 capacity on a tighter
+    distribution — the reason FAISS defaults to residual encoding). Query
+    time builds one LUT PER PROBED CELL from the cell-specific query
+    residual, sums 8 lookups per candidate, and exactly re-ranks the pool.
+
+    Everything stays integer-exact: residuals are int64 differences of
+    2^20 fixed-point components, codebooks train with the same unrolled
+    Lloyd rounds as sim_ann_pq (deterministic 1/4 sample, seeds = first
+    _PQ_KSUB residual sub-vectors), and the oracle replays assignment,
+    training, coding, probing, LUTs, and ADC as one CTE chain.
+
+    Plan shape at 100 TB: both codebooks broadcast (8-row coarse + 8x64
+    PQ); coding is ingest-time work (the codes/asg frames here); a query
+    touches nprobe/nlist of the corpus at 8 B/vector + a constant-size
+    exact re-rank — the bytes-per-query ledger is 1/nlist x 1/32 of the
+    brute-force scan, the product of the family's two independent
+    reductions. The LUT join doubles as the probe filter: vectors in
+    unprobed cells simply find no LUT row (inner equi-join, no NLJ).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    ccents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    cd2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        qt.crossJoin(F.broadcast(ccents))
+        .select("vec_id", "cid", cd2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    res = (
+        asg.join(qt, "vec_id")
+        .join(F.broadcast(ccents), "cid")
+        .select(
+            "vec_id", "cid", F.zip_with("qv", "cv", lambda a, b: a - b).alias("rv")
+        )
+    )
+    rsub = res.select(
+        "vec_id",
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("rv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("m", "sv"),
+    ).select("vec_id", "cid", F.col("m").cast("long").alias("m"), "sv")
+    pcents = rsub.filter(F.col("vec_id") < _PQ_KSUB).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
+    )
+    tsub = rsub.filter(F.col("vec_id") % _PQ_TRAIN_MOD == 0).select(
+        "vec_id", "m", "sv"
+    )
+    for _ in range(_PQ_ROUNDS):
+        pcents = _pq_update(tsub, _pq_assign(tsub, pcents))
+    pcents = pcents.localCheckpoint()
+    codes = _pq_assign(rsub.select("vec_id", "m", "sv"), pcents).select(
+        "vec_id", "m", F.col("c").alias("code")
+    )
+    q = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+    qd2 = F.aggregate(
+        F.zip_with("qq", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        ccents.crossJoin(F.broadcast(q))
+        .select("cid", "cv", "qq", qd2.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(_IVFPQ_NPROBE)
+    )
+    qres = probes.select(
+        F.col("cid").alias("pcid"),
+        F.zip_with("qq", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    qsub = qres.select(
+        "pcid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("rv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("m", "sv"),
+    ).select("pcid", F.col("m").cast("long").alias("m"), "sv")
+    ld2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(pcents), "m").select(
+        "pcid", F.col("m").alias("lm"), F.col("c").alias("lc"), ld2.alias("qd2")
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(asg, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("cid") == F.col("pcid"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("lc")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", "vec_id").limit(_IVFPQ_CAND)
+    qv2 = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qv2"))
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(qv2))
         .select(
             "vec_id",
             "label",

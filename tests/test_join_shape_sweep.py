@@ -56,6 +56,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_chi2_independence": "1-row grand-total n broadcast over the "
     "(types x cohorts) contingency cells frame — same bounded shape as "
     "stats_ks_test (VERDICT r6 item 1)",
+    "stream_drift_monitor": "1-row reference-total broadcast over the "
+    "per-window PSI frame (one row per 6h window) — the stats_ks_test shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

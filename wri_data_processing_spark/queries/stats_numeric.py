@@ -746,3 +746,105 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@query(
+    "stats_psi",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(LEAST(floor(CAST(value AS DOUBLE) / 10.0), 19) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    b AS (
+      SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+      FROM s GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+             CAST(SUM(ca) AS BIGINT) AS n_ref, CAST(SUM(cb) AS BIGINT) AS n_cur,
+             CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bins_used,
+             CAST(SUM(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bins_skipped,
+             list(struct_pack(bin := bin, ca := ca, cb := cb) ORDER BY bin) AS binrows
+      FROM b)
+    SELECT n_ref, n_cur, n_bins_used, n_bins_skipped,
+           ROUND(list_aggregate(list_transform(binrows, r ->
+             CASE WHEN r.ca > 0 AND r.cb > 0
+                  THEN (CAST(r.ca AS DOUBLE) / na - CAST(r.cb AS DOUBLE) / nb)
+                       * ln((CAST(r.ca AS DOUBLE) / na) / (CAST(r.cb AS DOUBLE) / nb))
+                  ELSE 0.0 END), 'sum'), 6) AS psi
+    FROM t
+    """,
+)
+def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two cohorts' value distributions —
+    the industry-standard BINNED drift metric completing the family:
+    stats_ks_test is the exact continuous detector (sup-norm), chi2 the
+    categorical-mix one, PSI the cheap binned monitor a model-serving
+    pipeline computes per day (<0.1 stable / 0.1-0.25 shifting / >0.25
+    drifted): psi = sum_bins (p_i - q_i) * ln(p_i / q_i).
+
+    Determinism: the statistic NEEDS ln (transcendental), so exactness
+    rests on two measured facts — (a) Spark's JVM Math.log, DuckDB's ln,
+    and libm agree bit-for-bit on this platform (probed over 9 decades;
+    x86-64 glibc log is correctly rounded), and (b) every per-bin term is
+    one mirrored IEEE expression over exact integer counts, summed by an
+    ORDERED fold (array sorted by bin on both engines — the chi2 pattern),
+    so no summation-order ULP exists for ROUND to amplify. Bins with a
+    zero count in either cohort contribute 0 and are reported in
+    n_bins_skipped (no epsilon fudge — the consumer sees exactly what was
+    excluded). Bin edges are literals (width 10, clamp 19): production
+    derives cut points from a reference-snapshot quantile pass and pins
+    them as config, exactly like this.
+
+    Plan: one map-side-combined (bin) count shuffle over an arbitrarily
+    large events table, then a single ~20-row final aggregate; no joins,
+    no NLJ, no second pass (totals and the ordered bin list come out of
+    the same aggregate).
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        F.least(F.floor(F.col("value").cast("double") / 10.0), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+        (F.col("event_type") == "view").cast("int").alias("is_ref"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cb"),
+    )
+    t = b.agg(
+        F.sum("ca").cast("long").alias("n_ref"),
+        F.sum("cb").cast("long").alias("n_cur"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bins_used"),
+        F.sum(F.when((F.col("ca") == 0) | (F.col("cb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bins_skipped"),
+        F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("binrows"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+
+    def _term(r):
+        p = r["ca"].cast("double") / na
+        q = r["cb"].cast("double") / nb
+        return F.when(
+            (r["ca"] > 0) & (r["cb"] > 0), (p - q) * F.log(p / q)
+        ).otherwise(F.lit(0.0))
+
+    return t.select(
+        "n_ref",
+        "n_cur",
+        "n_bins_used",
+        "n_bins_skipped",
+        F.round(
+            F.aggregate(F.transform("binrows", _term), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("psi"),
+    )

@@ -257,3 +257,97 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("purchase_us") - F.col("click_us")).alias("latency_us"),
     )
+
+
+@query(
+    "stream_drift_monitor",
+    oracle=f"""
+    WITH s AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+             CAST(LEAST(floor(CAST(value AS DOUBLE) / 10.0), 19) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL),
+    ref AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cr FROM s GROUP BY 1),
+    rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM s),
+    cur AS (SELECT ws, bin, CAST(COUNT(*) AS BIGINT) AS cq FROM s GROUP BY 1, 2),
+    g AS (
+      SELECT c.ws, CAST(SUM(c.cq) AS BIGINT) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+             list(struct_pack(bin := c.bin, cq := c.cq, cr := r.cr)
+                  ORDER BY c.bin) AS binrows
+      FROM cur c JOIN ref r ON c.bin = r.bin GROUP BY 1)
+    SELECT strftime(g.ws, '{_TS_FMT_DUCK}') AS window_start, g.n_cur, g.n_bins_used,
+           ROUND(list_aggregate(list_transform(binrows, b ->
+             (CAST(b.cr AS DOUBLE) / CAST(rt.n_ref AS DOUBLE)
+                - CAST(b.cq AS DOUBLE) / CAST(g.n_cur AS DOUBLE))
+             * ln((CAST(b.cr AS DOUBLE) / CAST(rt.n_ref AS DOUBLE))
+                  / (CAST(b.cq AS DOUBLE) / CAST(g.n_cur AS DOUBLE)))
+           ), 'sum'), 6) AS psi
+    FROM g, rt
+    ORDER BY window_start
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PSI drift monitor — stats_psi lifted onto the streaming
+    surface: every tumbling 6-hour event-time window's value distribution
+    is scored against the REFERENCE distribution (in streaming, a static
+    baseline table joined stream-static; in this batch twin, the whole
+    table — same plan shape). The op a serving pipeline alerts on: one PSI
+    number per window, rising when the traffic mix shifts.
+
+    Same determinism contract as stats_psi: integer bin counts, mirrored
+    per-bin (p - q) * ln(p / q) IEEE terms (platform-identical ln, see
+    stats_psi), per-window ordered fold over the bin-sorted list. Bins the
+    window never hit are skipped (q = 0) exactly as stats_psi skips them —
+    n_bins_used says how many contributed.
+
+    Plan: one (window, bin) count shuffle over the event scan + one (bin)
+    count for the reference; the per-window fold runs on ~20-row groups;
+    the 1-row reference total broadcasts (bounded NLJ, the stats_ks_test
+    shape). In true streaming this is readStream -> window agg with the
+    reference broadcast — state per window is 20 bin counts, watermark
+    bounds it.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select(
+        F.window("ts", "6 hours").alias("w"),
+        F.least(F.floor(F.col("value").cast("double") / 10.0), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+    )
+    ref = s.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    rt = s.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    cur = s.groupBy("w", "bin").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    g = (
+        cur.join(F.broadcast(ref), "bin")
+        .groupBy("w")
+        .agg(
+            F.sum("cq").cast("long").alias("n_cur"),
+            F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+            F.array_sort(F.collect_list(F.struct("bin", "cq", "cr"))).alias(
+                "binrows"
+            ),
+        )
+    )
+    n_ref = F.col("n_ref").cast("double")
+    n_cur = F.col("n_cur").cast("double")
+
+    def _term(b):
+        p = b["cr"].cast("double") / n_ref
+        q = b["cq"].cast("double") / n_cur
+        return (p - q) * F.log(p / q)
+
+    return (
+        g.crossJoin(F.broadcast(rt))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "n_cur",
+            "n_bins_used",
+            F.round(
+                F.aggregate(
+                    F.transform("binrows", _term), F.lit(0.0), lambda a, x: a + x
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("window_start")
+    )

@@ -374,3 +374,37 @@ def test_segment_dedup_stream_matches_batch_distinct(spark, sf_dir, tmp_path):
         .collect()
     }
     assert set(got_whs) == batch_whs
+
+
+def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-window PSI == the batch stream_drift_monitor op,
+    bit-for-bit per window (same integer bin counts, same ordered-fold ln
+    terms — the unrolled 20-counter state produces the identical sum)."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        drift_monitor,
+        reference_bins,
+    )
+    from wri_data_processing_spark import registry
+
+    src = str(tmp_path / "drift_src")
+    e = table(spark, sf_dir, "events")
+    # single file drop -> one micro-batch -> one update-mode emission/window
+    e.coalesce(1).write.mode("append").parquet(src)
+
+    ref = reference_bins(e)
+    run_available_now(
+        drift_monitor(read_event_stream(spark, src), ref),
+        "drift_test",
+        str(tmp_path / "ckpt_drift"),
+        output_mode="update",
+    )
+    got = {
+        r["window_start"]: (r["n_cur"], r["n_bins_used"], r["psi"])
+        for r in spark.sql("SELECT * FROM drift_test").collect()
+    }
+    registry.load_all()
+    want = {
+        r["window_start"]: (r["n_cur"], r["n_bins_used"], r["psi"])
+        for r in registry.REGISTRY["stream_drift_monitor"](spark, sf_dir).collect()
+    }
+    assert len(want) > 0 and got == want

@@ -517,3 +517,106 @@ def segment_deduped(docs: DataFrame, n_tokens: int = 16) -> DataFrame:
     return segs.withColumn(
         "wh", F.substring(F.sha2(F.col("seg"), 256), 1, 16)
     ).dropDuplicates(["wh"])
+
+
+_N_DRIFT_BINS = 20
+
+
+def drift_monitor(
+    events: DataFrame,
+    reference: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of queries/streaming_batch.stream_drift_monitor: one
+    PSI score per tumbling event-time window, comparing the window's value
+    distribution against a STATIC reference distribution ``reference``
+    (columns bin, cr — the pinned baseline snapshot a serving pipeline
+    ships alongside the model).
+
+    State shape is the point: the 20 bins are unrolled into 20 conditional
+    counters inside ONE windowed aggregation, so the state store holds
+    exactly 20 longs per open window (bounded by the watermark) — never a
+    per-bin row set, never a collect_list of events. The reference side is
+    a stream-static broadcast: pivoted to a single 21-column row at plan
+    build and re-resolved per micro-batch, so a refreshed baseline is
+    picked up on the next trigger with zero state migration.
+
+    Determinism matches the batch twin bit-for-bit: per-bin
+    (p - q) * ln(p / q) terms over exact integer counts, summed in bin
+    order (the unrolled left-to-right chain is the same fold order as the
+    batch op's array_sort fold; skipped bins add literal +0.0, which is
+    bitwise-neutral on the finite non-negative partial sums PSI produces).
+    Bins absent from the reference are excluded from n_cur exactly as the
+    batch op's inner join excludes them.
+    """
+    bins = list(range(_N_DRIFT_BINS))
+    s = events.filter(F.col("value").isNotNull()).select(
+        "ts",
+        F.least(F.floor(F.col("value").cast("double") / 10.0), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+    )
+    cur = (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{i}")
+                for i in bins
+            ]
+        )
+    )
+    ref_row = reference.agg(
+        *[
+            F.sum(F.when(F.col("bin") == i, F.col("cr")))
+            .cast("long")
+            .alias(f"r{i}")
+            for i in bins
+        ],
+        F.sum("cr").cast("long").alias("n_ref"),
+    )
+    joined = cur.join(F.broadcast(ref_row))
+    live = [
+        (F.col(f"c{i}") > 0) & F.col(f"r{i}").isNotNull() & (F.col(f"r{i}") > 0)
+        for i in bins
+    ]
+    n_cur = sum(
+        (F.when(F.col(f"r{i}").isNotNull() & (F.col(f"r{i}") > 0), F.col(f"c{i}")).otherwise(F.lit(0)) for i in bins),
+        F.lit(0),
+    ).cast("long")
+    joined = joined.withColumn("n_cur", n_cur)
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    psi = F.lit(0.0)
+    for i in bins:
+        p = F.col(f"r{i}").cast("double") / na
+        q = F.col(f"c{i}").cast("double") / nb
+        psi = psi + F.when(live[i], (p - q) * F.log(p / q)).otherwise(F.lit(0.0))
+    n_used = sum(
+        (F.when(live[i], 1).otherwise(0) for i in bins), F.lit(0)
+    ).cast("long")
+    return joined.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_cur",
+        n_used.alias("n_bins_used"),
+        F.round(psi, 6).alias("psi"),
+    )
+
+
+def reference_bins(events: DataFrame) -> DataFrame:
+    """Build the (bin, cr) baseline snapshot ``drift_monitor`` consumes —
+    in production this runs once in batch over the reference corpus and is
+    pinned; here it mirrors stream_drift_monitor's whole-table reference."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.least(F.floor(F.col("value").cast("double") / 10.0), F.lit(19))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )

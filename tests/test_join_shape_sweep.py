@@ -58,6 +58,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_ks_test (VERDICT r6 item 1)",
     "stream_drift_monitor": "1-row reference-total broadcast over the "
     "per-window PSI frame (one row per 6h window) — the stats_ks_test shape",
+    "dedup_semantic": "nlist-row centroid table broadcast (ivf_assign "
+    "coarse assignment) — the sim_ann_ivf shape; all pair work is the "
+    "bucketed equi-join",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

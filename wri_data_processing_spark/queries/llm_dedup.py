@@ -879,6 +879,124 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.35  # this table's random-ish vectors top out ~0.51; real
+# near-dup corpora run 0.95+ — the threshold is the deployment's dial.
+
+
+def _dedup_semantic_oracle() -> str:
+    from wri_data_processing_spark.queries.llm_similarity import ivf_assign_ctes
+
+    return f"""
+    WITH {ivf_assign_ctes()},
+    csim AS (
+      SELECT a.vec_id, a.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS csim
+      FROM assigned a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings c ON c.vec_id = a.cid),
+    sp AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) >= {_SEMDEDUP_TAU}),
+    drops AS (
+      SELECT DISTINCT CASE WHEN ka.csim < kb.csim
+                             OR (ka.csim = kb.csim AND sp.vec_a < sp.vec_b)
+                           THEN sp.vec_b ELSE sp.vec_a END AS drop_id
+      FROM sp
+      JOIN csim ka ON ka.vec_id = sp.vec_a
+      JOIN csim kb ON kb.vec_id = sp.vec_b)
+    SELECT c.vec_id, c.cid, ROUND(c.csim, 6) AS centroid_sim,
+           NOT EXISTS (SELECT 1 FROM drops d WHERE d.drop_id = c.vec_id) AS kept
+    FROM csim c
+    """
+
+
+@query("dedup_semantic", oracle=_dedup_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, call same-cluster pairs above cosine tau semantic
+    duplicates, and KEEP THE MEMBER FARTHEST FROM ITS CLUSTER CENTROID —
+    the paper's keep rule (the atypical example carries more training
+    signal than the prototypical one). This is the semantic complement of
+    dedup_embedding's keep-lowest-id: same candidate topology, opposite
+    survivor policy, and the policy is the point of the op.
+
+    Drop rule, fully deterministic: v is dropped iff some same-cluster u
+    with cos(u, v) >= tau precedes it in the keep order
+    (centroid_sim ASC, vec_id ASC) — every duplicate pair loses its
+    more-central member, so each duplicate group's minimum survives.
+    Clusters come from the deterministic fixed-point IVF assignment
+    (ivf_assign — kmeans-shaped, exact across engines), and centroids are
+    corpus vectors, so centroid_sim is one exact cosine.
+
+    Scale: candidate pairs are the fan-out bucket equi-join
+    (bucketed_pair_candidates, ~(N/nlist)^2 per bucket with nlist ~
+    sqrt(N)); centroid sims are one broadcast join of the nlist-row
+    centroid table; the drop set is a small broadcast anti-side. No
+    all-pairs stage anywhere — SemDeDup's own scaling argument, kept.
+    """
+    from wri_data_processing_spark.queries.llm_similarity import (
+        _IVF_NLIST,
+        _dvec,
+        bucketed_pair_candidates,
+        cosine_from_norms,
+        ivf_assign,
+        vec_norm,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e.select("vec_id", "embedding"))
+    c = e.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cid"),
+        _dvec("embedding").alias("cv"),
+        vec_norm(_dvec("embedding")).alias("cn"),
+    )
+    csim = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(c), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            cosine_from_norms(
+                _dvec("embedding"), F.col("cv"), vec_norm(_dvec("embedding")), F.col("cn")
+            ).alias("csim"),
+        )
+    )
+    pairs = bucketed_pair_candidates(e.select("vec_id", "embedding")).filter(
+        cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+        >= _SEMDEDUP_TAU
+    )
+    ka = csim.select(F.col("vec_id").alias("vec_a"), F.col("csim").alias("csim_a"))
+    kb = csim.select(F.col("vec_id").alias("vec_b"), F.col("csim").alias("csim_b"))
+    drops = (
+        pairs.select("vec_a", "vec_b")
+        .join(ka, "vec_a")
+        .join(kb, "vec_b")
+        .select(
+            F.when(
+                (F.col("csim_a") < F.col("csim_b"))
+                | ((F.col("csim_a") == F.col("csim_b")) & (F.col("vec_a") < F.col("vec_b"))),
+                F.col("vec_b"),
+            )
+            .otherwise(F.col("vec_a"))
+            .alias("drop_id")
+        )
+        .distinct()
+    )
+    return csim.join(
+        F.broadcast(drops), csim.vec_id == F.col("drop_id"), "left"
+    ).select(
+        "vec_id",
+        "cid",
+        F.round("csim", 6).alias("centroid_sim"),
+        F.col("drop_id").isNull().alias("kept"),
+    )
+
+
 @query(
     "dedup_incremental",
     oracle="""

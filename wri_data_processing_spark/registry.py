@@ -59,6 +59,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sim_ann_ivfpq",  # IVFADC: coarse cells + PQ on residuals, per-cell LUTs
     "stats_psi",  # binned PSI drift monitor (ordered-fold ln terms)
     "stream_drift_monitor",  # per-window PSI vs reference distribution
+    "dedup_semantic",  # SemDeDup: keep the member farthest from its centroid
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -61,6 +61,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "dedup_semantic": "nlist-row centroid table broadcast (ivf_assign "
     "coarse assignment) — the sim_ann_ivf shape; all pair work is the "
     "bucketed equi-join",
+    "text_lm_score": "1-row (N, V) vocab-total broadcast over doc-level "
+    "term rows — the stats_ks_test shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

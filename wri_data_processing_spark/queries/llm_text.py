@@ -344,3 +344,91 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("ratio"),
         (ratio < 0.3).alias("flag_repetitive"),
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    dt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+    terms AS (
+      SELECT dt.doc_id, dt.w, dt.c_dw,
+             CAST(dt.c_dw AS DOUBLE)
+               * ln((CAST(v.c AS DOUBLE) + 1.0)
+                    / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE))) AS term
+      FROM dt JOIN vocab v ON dt.w = v.w, tot t),
+    g AS (
+      SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             list(term ORDER BY w) AS terms
+      FROM terms GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(-list_aggregate(terms, 'sum') / CAST(n_tokens AS DOUBLE), 6)
+             AS xent
+    FROM g
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM cross-entropy per document — the CCNet-style
+    LM-quality signal (Wenzek et al. 2020 score documents with a KenLM
+    perplexity and keep the low-perplexity head; here the LM is trained on
+    the corpus itself in the same plan, so the op is closed over its
+    input). Low xent = stereotypical text, high xent = rare-token noise;
+    a curation pipeline buckets on this column.
+
+    Model: word unigrams (lowercased [a-z0-9]+ runs), add-one smoothing
+    p(w) = (c(w)+1)/(N+V); per-doc score is the mean negative log prob
+    -(1/n_d) * sum_w c_dw * ln p(w). Exactness: integer counts everywhere,
+    one mirrored IEEE ln-term per (doc, type) summed in token order (the
+    stats_psi ordered-fold contract — platform-identical ln), one division
+    each for p and the mean.
+
+    Plan at 100 TB: tokenize+explode runs in the scan stage; (doc, w)
+    counts then (w) counts are two map-side-combined shuffles; the
+    vocab join back to doc-level counts is a shuffle equi-join on the
+    token (broadcastable when the vocab is small — Catalyst/AQE decides
+    from stats); the 1-row (N, V) total broadcasts (bounded NLJ); the
+    per-doc fold runs over each doc's distinct-token list, bounded by doc
+    length. No all-pairs, no driver actions.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    dt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("c_dw"))
+    vocab = dt.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    lnp = F.log(
+        (F.col("c").cast("double") + F.lit(1.0))
+        / (F.col("n_total").cast("double") + F.col("v_size").cast("double"))
+    )
+    terms = (
+        dt.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "w", "c_dw", (F.col("c_dw").cast("double") * lnp).alias("term"))
+    )
+    g = terms.groupBy("doc_id").agg(
+        F.sum("c_dw").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "term"))), lambda s: s["term"]
+        ).alias("terms"),
+    )
+    fold = F.aggregate("terms", F.lit(0.0), lambda a, x: a + x)
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(-fold / F.col("n_tokens").cast("double"), 6).alias("xent"),
+    )

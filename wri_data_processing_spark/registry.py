@@ -60,6 +60,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_psi",  # binned PSI drift monitor (ordered-fold ln terms)
     "stream_drift_monitor",  # per-window PSI vs reference distribution
     "dedup_semantic",  # SemDeDup: keep the member farthest from its centroid
+    "text_lm_score",  # CCNet-style unigram-LM cross-entropy quality signal
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

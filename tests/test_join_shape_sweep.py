@@ -63,6 +63,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "bucketed equi-join",
     "text_lm_score": "1-row (N, V) vocab-total broadcast over doc-level "
     "term rows — the stats_ks_test shape",
+    "stats_quantiles_exact": "1-row N-total broadcast over the distinct-"
+    "value cumsum frame — the stats_ks_test shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

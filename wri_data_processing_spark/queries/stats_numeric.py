@@ -552,6 +552,52 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_phase_cumsum(
+    g: DataFrame, value_col: str, sum_cols: list[str], nb: int = 32
+) -> DataFrame:
+    """Global cumulative sums over ``value_col`` order WITHOUT a
+    single-partition window — the ranking.py two-phase pattern generalized
+    from ranks to arbitrary sums: approx-quantile cuts range-bucket the
+    rows (ties share a bucket: the CASE chain uses >=), each bucket
+    prefix-sums in parallel under a bucket-partitioned window, and the
+    <= nb per-bucket totals collect to the driver (bounded: nb rows) to
+    become exclusive offsets folded in as literals. Appends ``cum_<c>``
+    for each input sum column; no Exchange SinglePartition anywhere
+    (sweep-enforced on every consumer).
+    """
+    from wri_data_processing_spark.operators.ranking import _bucket_expr
+
+    cuts = sorted(
+        set(g.stat.approxQuantile(value_col, [i / nb for i in range(1, nb)], 0.01))
+    )
+    bucketed = g.withColumn(
+        "__b", _bucket_expr(F.col(value_col).cast("double"), cuts)
+    )
+    totals = {
+        r["__b"]: [r[f"t_{c}"] for c in sum_cols]
+        for r in bucketed.groupBy("__b")
+        .agg(*[F.sum(c).alias(f"t_{c}") for c in sum_cols])
+        .collect()
+    }
+    offs = [F.lit(0).cast("long") for _ in sum_cols]
+    runs = [0] * len(sum_cols)
+    for bkt in sorted(totals):
+        for i in range(len(sum_cols)):
+            offs[i] = (
+                F.when(F.col("__b") == F.lit(bkt), F.lit(runs[i])).otherwise(offs[i])
+            )
+            runs[i] += totals[bkt][i]
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed
+    for i, c in enumerate(sum_cols):
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + offs[i])
+    return out.drop("__b")
+
+
 @query(
     "stats_ks_test",
     oracle="""
@@ -610,36 +656,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("a"),
         F.sum(1 - F.col("is_a")).cast("long").alias("b"),
     )
-    from wri_data_processing_spark.operators.ranking import _bucket_expr
-
-    nb = 32
-    cuts = sorted(
-        set(g.stat.approxQuantile("value", [i / nb for i in range(1, nb)], 0.01))
-    )
-    bucketed = g.withColumn("__b", _bucket_expr(F.col("value").cast("double"), cuts))
-    totals = {
-        r["__b"]: (r["ta"], r["tb"])
-        for r in bucketed.groupBy("__b")
-        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
-        .collect()
-    }
-    off_a = F.lit(0).cast("long")
-    off_b = F.lit(0).cast("long")
-    run_a = run_b = 0
-    for bkt in sorted(totals):
-        off_a = F.when(F.col("__b") == F.lit(bkt), F.lit(run_a)).otherwise(off_a)
-        off_b = F.when(F.col("__b") == F.lit(bkt), F.lit(run_b)).otherwise(off_b)
-        ta, tb = totals[bkt]
-        run_a += ta
-        run_b += tb
-    w = (
-        Window.partitionBy("__b")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = bucketed.select(
-        (F.sum("a").over(w) + off_a).alias("ca"),
-        (F.sum("b").over(w) + off_b).alias("cb"),
+    c = _two_phase_cumsum(g, "value", ["a", "b"]).select(
+        F.col("cum_a").alias("ca"), F.col("cum_b").alias("cb")
     )
     n = s.agg(
         F.sum("is_a").cast("long").alias("n1"),
@@ -847,4 +865,66 @@ def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.transform("binrows", _term), F.lit(0.0), lambda a, x: a + x),
             6,
         ).alias("psi"),
+    )
+
+
+_QUANTILE_PCTS = [25, 50, 75, 90, 99]  # integer percents -> exact int ranks
+
+
+@query(
+    "stats_quantiles_exact",
+    oracle=f"""
+    WITH s AS (SELECT value FROM events WHERE value IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    g AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+    cum AS (
+      SELECT value,
+             SUM(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g)
+    SELECT n.n,
+           {", ".join(
+               f"MIN(CASE WHEN cum.cm >= (n.n * {p} + 99) // 100 "
+               f"THEN cum.value END) AS p{p}"
+               for p in _QUANTILE_PCTS
+           )}
+    FROM cum, n GROUP BY n.n
+    """,
+)
+def stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles (p25/p50/p75/p90/p99) of events.value with
+    no global sort and no single-partition window — the complement of
+    agg_approx_percentile the way stats_ks_test complements agg_histogram:
+    when the SLA is on the exact tail (p99 billing, latency contracts), the
+    sketch's rel-error bound isn't enough.
+
+    Rank arithmetic is pure integer: the q-quantile is the smallest value
+    whose cumulative count reaches ceil(q*N) = (N*k + 99) // 100 for
+    k = 25/50/75/90/99 — no float multiply to disagree on a boundary
+    (matches DuckDB quantile_disc's lower-interpolation semantics, probed
+    over N=4/5/7). Ties collapse in the (value, count) pre-aggregation, so
+    duplicate-heavy columns cost distinct-count rows, not N.
+
+    Plan: one (value) count shuffle, then the TWO-PHASE distributed prefix
+    sum (_two_phase_cumsum — quantile cuts bucket the distinct values,
+    per-bucket windows run in parallel, <= 32 bucket totals collect as
+    offsets), a 1-row N broadcast (bounded NLJ, the stats_ks_test shape),
+    and one final min-CASE aggregate pulling all five ranks in a single
+    pass. At 100 TB the only driver traffic is 32 bucket totals + 31 cuts.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select("value")
+    g = s.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = _two_phase_cumsum(g, "value", ["c"])
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    joined = cum.crossJoin(F.broadcast(n))
+    rank = {p: F.floor((F.col("n") * p + 99) / F.lit(100.0)).cast("long") for p in _QUANTILE_PCTS}
+    return (
+        joined.groupBy("n")
+        .agg(
+            *[
+                F.min(F.when(F.col("cum_c") >= rank[p], F.col("value"))).alias(f"p{p}")
+                for p in _QUANTILE_PCTS
+            ]
+        )
+        .select("n", *[f"p{p}" for p in _QUANTILE_PCTS])
     )

@@ -175,3 +175,18 @@ def test_dedup_semantic_keep_policy(spark, sf_dir):
     for v, k in kept.items():
         if v not in nbrs:
             assert k, v
+
+
+def test_sample_dsir_weights_direction(spark, sf_dir):
+    """Target-domain (en) documents must score a higher mean per-token log
+    importance weight than off-target ones — the direction DSIR selection
+    relies on; and the weights must be finite everywhere (the shared-vocab
+    add-one smoothing can never emit -inf)."""
+    registry.load_all()
+    rows = registry.REGISTRY["sample_dsir_weights"](spark, sf_dir).collect()
+    assert all(math.isfinite(r["log_weight"]) for r in rows)
+    per_tok = lambda r: r["log_weight"] / r["n_tokens"]  # noqa: E731
+    en = [per_tok(r) for r in rows if r["lang"] == "en"]
+    other = [per_tok(r) for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)

@@ -65,6 +65,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "term rows — the stats_ks_test shape",
     "stats_quantiles_exact": "1-row N-total broadcast over the distinct-"
     "value cumsum frame — the stats_ks_test shape",
+    "sample_dsir_weights": "1-row (N_r, N_t, V) totals broadcast over "
+    "doc-level term rows — the text_lm_score shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -1310,3 +1310,118 @@ def pack_sequences_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(parts, lambda s: s["tok"]), " ").alias("seq_text"),
         )
     )
+
+
+@query(
+    "sample_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    dt AS (SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS c_dw
+           FROM tok GROUP BY 1, 2, 3),
+    vocab AS (
+      SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c_r,
+             CAST(SUM(CASE WHEN lang = 'en' THEN c_dw ELSE 0 END) AS BIGINT)
+               AS c_t
+      FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    terms AS (
+      SELECT dt.doc_id, dt.lang, dt.w, dt.c_dw,
+             CAST(dt.c_dw AS DOUBLE)
+               * (ln((CAST(vb.c_t AS DOUBLE) + 1.0)
+                     / (CAST(t.n_t AS DOUBLE) + CAST(t.v AS DOUBLE)))
+                  - ln((CAST(vb.c_r AS DOUBLE) + 1.0)
+                       / (CAST(t.n_r AS DOUBLE) + CAST(t.v AS DOUBLE)))) AS term
+      FROM dt JOIN vocab vb ON dt.w = vb.w, tot t),
+    g AS (
+      SELECT doc_id, lang, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+             list(term ORDER BY w) AS terms
+      FROM terms GROUP BY 1, 2)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(list_aggregate(terms, 'sum'), 6) AS log_weight
+    FROM g
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by how much more likely its tokens are under the
+    TARGET domain's unigram distribution than under the raw corpus's —
+    log w(d) = sum_w c_dw * (ln p_T(w) - ln p_R(w)). Data Selection via
+    Importance Resampling then samples the raw pool with probability
+    proportional to w; this op produces the (deterministic) weights, and
+    selection composes downstream (top_k on log_weight, or
+    sample_token_budget's hash-threshold resampling). Target here is the
+    lang='en' slice — in production the target is the small high-quality
+    corpus (Wikipedia/books) and raw is the web crawl.
+
+    Both distributions are add-one smoothed over the SHARED raw
+    vocabulary, so target-unseen tokens contribute the floor probability
+    rather than -inf, exactly as DSIR's hashed-ngram estimator behaves.
+    Same exactness contract as text_lm_score: integer counts, one mirrored
+    ln-difference term per (doc, type), per-doc fold in token order.
+
+    Plan at 100 TB: the SAME shuffles as text_lm_score — tokenize in the
+    scan stage, (doc, w) then (w) map-side-combined counts (the target
+    counts ride the same aggregate as a conditional sum: no second pass
+    over the corpus for the target side), vocab join back, 1-row totals
+    broadcast (bounded NLJ), per-doc bounded fold.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    dt = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_dw")
+    )
+    vocab = dt.groupBy("w").agg(
+        F.sum("c_dw").cast("long").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c_dw")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+    )
+    tot = vocab.agg(
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ln_t = F.log(
+        (F.col("c_t").cast("double") + F.lit(1.0))
+        / (F.col("n_t").cast("double") + F.col("v").cast("double"))
+    )
+    ln_r = F.log(
+        (F.col("c_r").cast("double") + F.lit(1.0))
+        / (F.col("n_r").cast("double") + F.col("v").cast("double"))
+    )
+    terms = (
+        dt.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            "c_dw",
+            (F.col("c_dw").cast("double") * (ln_t - ln_r)).alias("term"),
+        )
+    )
+    g = terms.groupBy("doc_id", "lang").agg(
+        F.sum("c_dw").cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "term"))), lambda s: s["term"]
+        ).alias("terms"),
+    )
+    return g.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.aggregate("terms", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "log_weight"
+        ),
+    )

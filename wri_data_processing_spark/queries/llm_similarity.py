@@ -914,6 +914,100 @@ def _pq_update(sub: DataFrame, asg: DataFrame) -> DataFrame:
     )
 
 
+def pq_subvectors(qt: DataFrame) -> DataFrame:
+    """Split the quantized-vector frame (vec_id, qv) into the per-subspace
+    frame (vec_id, m, sv) — the input both PQ index-build stages share."""
+    return qt.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("qv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("m", "sv"),
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "sv")
+
+
+def pq_train_codebooks(sub: DataFrame) -> DataFrame:
+    """INDEX-BUILD stage 1: train the per-subspace codebooks — _PQ_ROUNDS
+    unrolled exact Lloyd rounds on the deterministic 1/_PQ_TRAIN_MOD
+    sample, seeded from the first _PQ_KSUB sub-vectors (the
+    embed_kmeans_iterate integer discipline; standard PQ practice trains
+    on a learning subset, Jegou §V — at 100 TB the training pass must not
+    scan the corpus). The trained codebook is tiny (8 x <=64 rows);
+    localCheckpoint cuts the training lineage out of every downstream
+    consumer (measured: the subtree is shared by the codes pass AND the
+    query LUT and costs two shuffles/round if replayed)."""
+    cents = sub.filter(F.col("vec_id") < _PQ_KSUB).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
+    )
+    tsub = sub.filter(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
+    for _ in range(_PQ_ROUNDS):
+        cents = _pq_update(tsub, _pq_assign(tsub, cents))
+    return cents.localCheckpoint()
+
+
+def pq_encode(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """INDEX-BUILD stage 2: code every (vector, subspace) as its nearest
+    trained centroid — at production scale this runs ONCE at ingest and
+    persists 8 B/vector; every query reads codes, never vectors."""
+    return _pq_assign(sub, cents).select("vec_id", "m", F.col("c").alias("code"))
+
+
+def ivfpq_index(qt: DataFrame) -> tuple:
+    """IVFADC index build (sim_ann_ivfpq's ingest-time side): coarse-cell
+    assignment, per-vector residuals from the cell centroid, residual
+    codebook training (the pq_train_codebooks loop on residual
+    sub-vectors), and corpus coding. Returns (ccents, asg, pcents, codes).
+    At 100 TB this whole function runs once at ingest; queries read only
+    the (vec_id, cid) assignment and the 8-byte codes."""
+    ccents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    cd2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        qt.crossJoin(F.broadcast(ccents))
+        .select("vec_id", "cid", cd2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    res = (
+        asg.join(qt, "vec_id")
+        .join(F.broadcast(ccents), "cid")
+        .select(
+            "vec_id", "cid", F.zip_with("qv", "cv", lambda a, b: a - b).alias("rv")
+        )
+    )
+    rsub = res.select(
+        "vec_id",
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice("rv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            )
+        ).alias("m", "sv"),
+    ).select("vec_id", "cid", F.col("m").cast("long").alias("m"), "sv")
+    pcents = rsub.filter(F.col("vec_id") < _PQ_KSUB).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
+    )
+    tsub = rsub.filter(F.col("vec_id") % _PQ_TRAIN_MOD == 0).select(
+        "vec_id", "m", "sv"
+    )
+    for _ in range(_PQ_ROUNDS):
+        pcents = _pq_update(tsub, _pq_assign(tsub, pcents))
+    pcents = pcents.localCheckpoint()
+    codes = _pq_assign(rsub.select("vec_id", "m", "sv"), pcents).select(
+        "vec_id", "m", F.col("c").alias("code")
+    )
+    return ccents, asg, pcents, codes
+
+
 def _pq_train_sql(
     src: str = "sub", prefix: str = "", ksub: int = None, rounds: int = None
 ) -> str:
@@ -1036,54 +1130,43 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     qt = e.select("vec_id", _qvec("embedding").alias("qv"))
-    sub = qt.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: F.slice("qv", m * _PQ_DSUB + 1, _PQ_DSUB),
-            )
-        ).alias("m", "sv"),
-    ).select("vec_id", F.col("m").cast("long").alias("m"), "sv")
-    cents = sub.filter(F.col("vec_id") < _PQ_KSUB).select(
-        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
-    )
-    # codebook training runs on a deterministic 1/_PQ_TRAIN_MOD sample —
-    # standard PQ practice (Jegou §V trains on a learning subset), and at
-    # 100 TB the training pass must not scan the corpus; vec_id % k == 0 is
-    # the RNG-free sample both engines share.
-    tsub = sub.filter(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
-    for _ in range(_PQ_ROUNDS):
-        cents = _pq_update(tsub, _pq_assign(tsub, cents))
-    # the trained codebook is tiny (8 x <=16 rows); localCheckpoint cuts its
-    # training lineage out of the downstream plan so the codes pass and the
-    # query LUT don't each replay two Lloyd rounds (measured: B wins here —
-    # the subtree is shared by two consumers and costs two shuffles/round).
-    cents = cents.localCheckpoint()
+    # INDEX BUILD (ingest-time at scale; timed separately from the query
+    # path in experiments/pq_build_split.py): subspace split, codebook
+    # training on the deterministic sample, corpus coding.
+    sub = pq_subvectors(qt)
+    cents = pq_train_codebooks(sub)
+    codes = pq_encode(sub, cents)
+    # QUERY PATH: per-subspace LUT of query-to-centroid distances, ADC sum
+    # over the codes, exact re-rank of the constant pool.
+    return pq_query(e, sub, cents, codes)
+
+
+def pq_query(
+    e: DataFrame, sub: DataFrame, cents: DataFrame, codes: DataFrame, qid: int = 0
+) -> DataFrame:
+    """PQ query path — what a serving query actually costs once the index
+    exists: one 8x64 LUT of query-to-centroid distances (broadcast), an
+    ADC sum of 8 lookups per candidate, TakeOrdered pool, exact re-rank."""
     d2 = F.aggregate(
         F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    cd = sub.join(F.broadcast(cents), "m").select("vec_id", "m", "c", d2.alias("d2"))
-    codes = (
-        cd.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "c")).alias("best"))
-        .select("vec_id", "m", F.col("best.c").alias("code"))
-    )
     # lut columns renamed so the join condition can never resolve both sides
-    # to the shared cd lineage (Spark warns 'trivially true predicate' there).
-    lut = cd.filter(F.col("vec_id") == 0).select(
-        F.col("m").alias("lm"), F.col("c").alias("lc"), F.col("d2").alias("qd2")
+    # to a shared lineage (Spark warns 'trivially true predicate' there).
+    lut = (
+        sub.filter(F.col("vec_id") == qid)
+        .join(F.broadcast(cents), "m")
+        .select(F.col("m").alias("lm"), F.col("c").alias("lc"), d2.alias("qd2"))
     )
     adc = (
-        codes.filter(F.col("vec_id") != 0)
+        codes.filter(F.col("vec_id") != qid)
         .join(F.broadcast(lut), (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lc")))
         .groupBy("vec_id")
         .agg(F.sum("qd2").cast("long").alias("adc_d2"))
     )
     cand = adc.orderBy("adc_d2", "vec_id").limit(_PQ_CAND)
-    q = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qv2"))
+    q = e.filter(F.col("vec_id") == qid).select(_dvec("embedding").alias("qv2"))
     return (
         cand.join(e, "vec_id")
         .crossJoin(F.broadcast(q))
@@ -1193,51 +1276,28 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     qt = e.select("vec_id", _qvec("embedding").alias("qv"))
-    ccents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    cd2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    asg = (
-        qt.crossJoin(F.broadcast(ccents))
-        .select("vec_id", "cid", cd2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"))
-    )
-    res = (
-        asg.join(qt, "vec_id")
-        .join(F.broadcast(ccents), "cid")
-        .select(
-            "vec_id", "cid", F.zip_with("qv", "cv", lambda a, b: a - b).alias("rv")
-        )
-    )
-    rsub = res.select(
-        "vec_id",
-        "cid",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: F.slice("rv", m * _PQ_DSUB + 1, _PQ_DSUB),
-            )
-        ).alias("m", "sv"),
-    ).select("vec_id", "cid", F.col("m").cast("long").alias("m"), "sv")
-    pcents = rsub.filter(F.col("vec_id") < _PQ_KSUB).select(
-        "m", F.col("vec_id").alias("c"), F.col("sv").alias("cv")
-    )
-    tsub = rsub.filter(F.col("vec_id") % _PQ_TRAIN_MOD == 0).select(
-        "vec_id", "m", "sv"
-    )
-    for _ in range(_PQ_ROUNDS):
-        pcents = _pq_update(tsub, _pq_assign(tsub, pcents))
-    pcents = pcents.localCheckpoint()
-    codes = _pq_assign(rsub.select("vec_id", "m", "sv"), pcents).select(
-        "vec_id", "m", F.col("c").alias("code")
-    )
-    q = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+    # INDEX BUILD (ingest-time at scale; timed separately in
+    # experiments/pq_build_split.py): coarse cells, residuals, residual
+    # codebooks, corpus codes.
+    ccents, asg, pcents, codes = ivfpq_index(qt)
+    # QUERY PATH: probe the nearest cells, one residual LUT per probed
+    # cell, ADC over cell-pruned codes, exact re-rank.
+    return ivfpq_query(e, qt, ccents, asg, pcents, codes)
+
+
+def ivfpq_query(
+    e: DataFrame,
+    qt: DataFrame,
+    ccents: DataFrame,
+    asg: DataFrame,
+    pcents: DataFrame,
+    codes: DataFrame,
+    qid: int = 0,
+) -> DataFrame:
+    """IVFADC query path: nprobe nearest coarse cells, a per-cell LUT from
+    the CELL-SPECIFIC query residual, ADC restricted to probed cells via
+    the LUT equi-join (unprobed vectors find no LUT row), exact re-rank."""
+    q = qt.filter(F.col("vec_id") == qid).select(F.col("qv").alias("qq"))
     qd2 = F.aggregate(
         F.zip_with("qq", "cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -1271,7 +1331,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pcid", F.col("m").alias("lm"), F.col("c").alias("lc"), ld2.alias("qd2")
     )
     adc = (
-        codes.filter(F.col("vec_id") != 0)
+        codes.filter(F.col("vec_id") != qid)
         .join(asg, "vec_id")
         .join(
             F.broadcast(lut),
@@ -1283,7 +1343,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qd2").cast("long").alias("adc_d2"))
     )
     cand = adc.orderBy("adc_d2", "vec_id").limit(_IVFPQ_CAND)
-    qv2 = e.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qv2"))
+    qv2 = e.filter(F.col("vec_id") == qid).select(_dvec("embedding").alias("qv2"))
     return (
         cand.join(e, "vec_id")
         .crossJoin(F.broadcast(qv2))

@@ -67,6 +67,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "value cumsum frame — the stats_ks_test shape",
     "sample_dsir_weights": "1-row (N_r, N_t, V) totals broadcast over "
     "doc-level term rows — the text_lm_score shape",
+    "mixture_temperature_weights": "1-row (N, Z) totals broadcast over "
+    "the |langs|-row share frame — the stats_ks_test shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

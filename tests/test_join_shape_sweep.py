@@ -69,6 +69,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "doc-level term rows — the text_lm_score shape",
     "mixture_temperature_weights": "1-row (N, Z) totals broadcast over "
     "the |langs|-row share frame — the stats_ks_test shape",
+    "stats_winsorize": "two bounded 1-row broadcasts (N total onto the "
+    "cumsum frame; (lo, hi) cuts back onto the scan — the "
+    "events_zscore_outliers second-pass shape)",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -928,3 +928,71 @@ def stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", *[f"p{p}" for p in _QUANTILE_PCTS])
     )
+
+
+@query(
+    "stats_winsorize",
+    oracle="""
+    WITH s AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    g AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+    cum AS (
+      SELECT value,
+             SUM(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g),
+    cuts AS (
+      SELECT MIN(CASE WHEN cum.cm >= (n.n * 1 + 99) // 100
+                      THEN cum.value END) AS lo,
+             MIN(CASE WHEN cum.cm >= (n.n * 99 + 99) // 100
+                      THEN cum.value END) AS hi
+      FROM cum, n)
+    SELECT s.event_id, s.value,
+           CASE WHEN s.value < c.lo THEN c.lo
+                WHEN s.value > c.hi THEN c.hi
+                ELSE s.value END AS value_w,
+           s.value < c.lo OR s.value > c.hi AS clipped
+    FROM s, cuts c
+    """,
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp every value into the exact [p1, p99] band — the
+    standard robust-preprocessing step before training on heavy-tailed
+    features (clip, don't drop: the row survives with its tail influence
+    bounded). Flags which rows were clipped so the rate is auditable.
+
+    The cut points are EXACT discrete quantiles from the same machinery as
+    stats_quantiles_exact (shared _two_phase_cumsum; pure-integer ranks
+    ceil(qN) = (N·k+99)//100) — a sketch-based clip moves the boundary by
+    its error bound, and on a heavy tail that's exactly where the mass
+    is. Clamp comparisons are on raw doubles both engines share
+    bit-for-bit, so no row flips sides.
+
+    Plan: the (value, count) agg + two-phase prefix sum produce a 1-row
+    (lo, hi) frame that broadcasts back onto the scan (bounded NLJ — the
+    events_zscore_outliers second-pass shape); the clamp itself is a
+    map-only expression.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select("event_id", "value")
+    g = s.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = _two_phase_cumsum(g, "value", ["c"])
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rank = lambda k: F.floor((F.col("n") * k + 99) / F.lit(100.0)).cast("long")  # noqa: E731
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.min(F.when(F.col("cum_c") >= rank(1), F.col("value"))).alias("lo"),
+            F.min(F.when(F.col("cum_c") >= rank(99), F.col("value"))).alias("hi"),
+        )
+    )
+    return s.crossJoin(F.broadcast(cuts)).select(
+        "event_id",
+        "value",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("value_w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )

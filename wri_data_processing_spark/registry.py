@@ -64,6 +64,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_quantiles_exact",  # exact p25-p99 via two-phase prefix sum
     "sample_dsir_weights",  # DSIR importance weights vs the target domain
     "mixture_temperature_weights",  # mT5 temperature mixture recipe (sqrt-exact)
+    "stats_winsorize",  # clamp to exact [p1, p99]; third _two_phase_cumsum user
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -84,7 +84,14 @@ HEADLINE = [
     "sim_topk",
     "sim_pairs_threshold",
     "text_stats",
-    "text_fingerprint",
+    # r7: text_lm_score REPLACES text_fingerprint as the text family's
+    # heavy representative (admission rule a: in-plan LM training is the
+    # heaviest text plan — two keyed shuffles + vocab join; fingerprint
+    # was a 0.09 s scan expression, now correctness-only).
+    "text_lm_score",
+    # r7: stats-family representative (admission rule a): the heaviest
+    # consumer of the shared two-phase distributed prefix sum.
+    "stats_quantiles_exact",
 ]
 
 SPREAD_TARGET = 0.20

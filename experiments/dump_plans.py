@@ -78,6 +78,17 @@ SHOWCASE = [
     ("packing_pipeline", "one (doc,token) exchange feeds every quality "
      "rule; survivors checkpoint once then flow into the segment rank; "
      "manifest join is per-source broadcast-sized"),
+    ("stats_quantiles_exact", "two-phase distributed prefix sum: bucket-"
+     "partitioned window, NO Exchange SinglePartition; 1-row N broadcast; "
+     "all five ranks answered by one min-CASE aggregate"),
+    ("stats_psi", "the shuffle carries BIN COUNTS (20 keys), never rows; "
+     "the ordered ln-term fold runs on a single ~20-element array"),
+    ("text_lm_score", "tokenize fused into the scan; (doc,token) then "
+     "(token) map-side-combined aggs; vocab equi-join back; 1-row totals "
+     "broadcast; per-doc bounded fold"),
+    ("dedup_semantic", "ivf_assign centroid broadcast + fan-out bucket "
+     "pair equi-join (the dedup_embedding topology); centroid-sim join "
+     "broadcasts nlist rows; drop set is a broadcast left join"),
 ]
 
 

@@ -78,9 +78,11 @@ SHOWCASE = [
     ("packing_pipeline", "one (doc,token) exchange feeds every quality "
      "rule; survivors checkpoint once then flow into the segment rank; "
      "manifest join is per-source broadcast-sized"),
-    ("stats_quantiles_exact", "two-phase distributed prefix sum: bucket-"
-     "partitioned window, NO Exchange SinglePartition; 1-row N broadcast; "
-     "all five ranks answered by one min-CASE aggregate"),
+    ("stats_quantiles_exact", "two-phase distributed prefix sum: the "
+     "window is BUCKET-partitioned (no single-partition sort); the only "
+     "SinglePartition exchange is the global-N aggregate's one-row-per-"
+     "partition partials; 1-row N broadcast; all five ranks answered by "
+     "one min-CASE aggregate"),
     ("stats_psi", "the shuffle carries BIN COUNTS (20 keys), never rows; "
      "the ordered ln-term fold runs on a single ~20-element array"),
     ("text_lm_score", "tokenize fused into the scan; (doc,token) then "

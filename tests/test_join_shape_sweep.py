@@ -72,6 +72,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_winsorize": "two bounded 1-row broadcasts (N total onto the "
     "cumsum frame; (lo, hi) cuts back onto the scan — the "
     "events_zscore_outliers second-pass shape)",
+    "snapshot_expire": "two 1-row count aggregates cross-joined into the "
+    "single report row — both sides bounded",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

@@ -220,3 +220,37 @@ def test_incremental_read_scans_only_new_files(spark):
     tt = {r.version: r for r in _q(spark, "snapshot_time_travel").collect()}
     assert inc.n_new_rows == tt[2].n_rows - tt[1].n_rows
     assert inc.min_key >= 1500 and inc.max_key < 3000
+
+
+def test_snapshot_expire_never_deletes_live_files(spark):
+    """GC safety: after deleting exactly the files snapshot_expire deems
+    deletable, every RETAINED snapshot still reads completely (and the
+    current row count matches the op's report); the deletable set must be
+    disjoint from every retained manifest."""
+    import os
+    import shutil
+
+    from wri_data_processing_spark.queries.warehouse_ops import (
+        _build_snapshots,
+        _read_snapshot,
+    )
+
+    row = _q(spark, "snapshot_expire").first()
+
+    root = _build_snapshots(spark, SF_DIR, "snapshot_expire_safety", with_update=True)
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    live = manifest(3) | manifest(4)
+    deletable = (manifest(1) | manifest(2)) - live
+    assert deletable and not (deletable & live)
+    reclaimed = spark.read.parquet(*sorted(deletable)).count()
+    for f in deletable:  # actually delete, then prove live reads survive
+        os.remove(f)
+    shutil.rmtree(os.path.join(root, "base"), ignore_errors=True)
+    n3 = _read_snapshot(spark, root, 3).count()
+    n4 = _read_snapshot(spark, root, 4).count()
+    assert n4 == row.n_rows_current and n3 > 0
+    assert reclaimed == row.n_rows_reclaimed

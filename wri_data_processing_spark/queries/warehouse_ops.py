@@ -416,3 +416,67 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "snapshot_expire",
+    oracle="""
+    SELECT 4 AS current_version, 2 AS n_snapshots_expired,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+               OR (o_orderkey >= 1500 AND o_orderkey < 3000)) AS n_rows_current,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey < 1500) AS n_rows_reclaimed
+    """,
+)
+def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention GC — Iceberg's expire_snapshots / Delta's VACUUM:
+    expire every manifest older than the retention window (here: keep the
+    2 most recent of 4), then delete exactly the files referenced ONLY by
+    expired manifests. Completes the snapshot family's lifecycle: write
+    (merge/append) → read (time travel/CDF/incremental) → expire.
+
+    The GC decision is pure manifest set algebra — deletable = union(
+    expired manifests) - union(retained manifests) — so its cost scales
+    with FILE COUNT, never data size (the lakehouse-format contract). The
+    one data-touching step here reads the deletable files to report
+    n_rows_reclaimed, an audit a production VACUUM skips (it trusts the
+    manifests); n_rows_current comes from the live snapshot the same way.
+    On this fixture v1/v2 expire, and the only v1/v2-exclusive files are
+    the original base batch (the append batch survives — v3 still
+    references it; the base REWRITE superseded base in v3): reclaimed =
+    the pre-rewrite base rows, exactly what the oracle recomputes from
+    the predicates.
+
+    Safety property a real VACUUM shares: a file referenced by ANY
+    retained manifest is never deletable, so readers of live snapshots
+    are unaffected (tested: reading v3/v4 after the simulated delete
+    still succeeds).
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "snapshot_expire", with_update=True)
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    retained = {3, 4}
+    expired = {1, 2}
+    live_files = set().union(*(manifest(v) for v in retained))
+    deletable = sorted(set().union(*(manifest(v) for v in expired)) - live_files)
+    cur = _read_snapshot(spark, root, 4).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_current")
+    )
+    rec = spark.read.parquet(*deletable).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_reclaimed")
+    )
+    return (
+        cur.crossJoin(F.broadcast(rec))
+        .select(
+            F.lit(4).alias("current_version"),
+            F.lit(len(expired)).alias("n_snapshots_expired"),
+            "n_rows_current",
+            "n_rows_reclaimed",
+        )
+    )

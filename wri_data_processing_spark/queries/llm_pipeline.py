@@ -1515,3 +1515,74 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_VOCAB_COVERAGE_K = 100  # fixed-vocab size for the coverage audit
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH {{toks}},
+    v AS (SELECT tok FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY 1
+        ORDER BY freq DESC, tok LIMIT {_VOCAB_COVERAGE_K})),
+    g AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_vocab
+      FROM tok t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+    SELECT doc_id, n_tokens, n_in_vocab,
+           ROUND(1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS oov_rate
+    FROM g
+    """.format(toks=_TOKS_CTE.strip()),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against a FIXED top-K vocabulary — the
+    tokenizer-coverage audit run before committing a vocab size: documents
+    whose tokens fall outside the frozen vocabulary fragment into
+    byte-fallback pieces, inflating sequence length and cost. High
+    oov_rate docs are exactly where a BPE vocabulary underserves the
+    corpus (vocab_top_terms builds the candidate vocab; this op scores
+    its coverage; bpe_merge_candidates refines it).
+
+    The vocabulary is the deterministic top-{_VOCAB_COVERAGE_K} slice by
+    (freq DESC, token) — boundary ties resolve identically on both
+    engines, so membership is exact, and oov_rate is one mirrored double
+    division.
+
+    Plan: one (tok) count shuffle builds the vocab, TakeOrdered cuts the
+    top K (no global sort), and the K-row vocab BROADCASTS back onto the
+    token stream — the per-doc aggregate is the only other shuffle. At
+    100 TB with a realistic 100k-token vocab the broadcast is still MBs.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    v = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(_VOCAB_COVERAGE_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    g = (
+        tok.join(F.broadcast(v), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_vocab"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.round(
+            F.lit(1.0) - F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )

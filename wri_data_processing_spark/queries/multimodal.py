@@ -140,3 +140,79 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("keeper_media_id"),
         F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
     )
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_TYPE_SQL} AS media_type, text
+               FROM documents WHERE length(text) > 0),
+    c AS (
+      SELECT doc_id, media_type,
+             sha256(substring(text, (u.i - 1) * 64 + 1, 64)) AS h
+      FROM m, unnest(generate_series(1,
+             CAST(ceil(length(text) / 64.0) AS BIGINT))) u(i))
+    SELECT media_type, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_chunks,
+           ROUND(CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS unique_ratio
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup statistics over opaque binary payloads — the
+    content-addressable-store pattern (fixed 64-byte chunks stand in for
+    content-defined chunking): how much of each modality's byte volume is
+    redundant at sub-file granularity, which whole-payload digests
+    (multimodal_dedup) cannot see. A media lakehouse uses exactly this to
+    size a chunk store and to dedup re-encoded uploads sharing runs.
+
+    The payload is never decoded and never shuffled: chunk slicing and
+    sha256 run JVM-side inside the scan stage, and every exchange after
+    that carries 64-hex digests + ids only. Distinct counts are the
+    standard two-phase exact distinct aggregate. The documents-derived
+    media table is ASCII, so DuckDB's character substring mirrors the
+    engine's byte substring exactly (the multimodal_meta assumption).
+    """
+    m = media_from_documents(table(spark, sf_dir, "documents"))
+    n = F.length("payload")
+    k = F.ceil(n / F.lit(64.0)).cast("long")
+    c = (
+        m.filter(n > 0)
+        .select(
+            "media_id",
+            "media_type",
+            "payload",
+            F.explode(F.sequence(F.lit(1).cast("long"), k)).alias("i"),
+        )
+        .select(
+            "media_id",
+            "media_type",
+            F.sha2(
+                F.col("payload").substr(
+                    (F.col("i") - 1) * 64 + 1, F.lit(64)
+                ),
+                256,
+            ).alias("h"),
+        )
+    )
+    return (
+        c.groupBy("media_type")
+        .agg(
+            F.count_distinct("media_id").cast("long").alias("n_blobs"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("h").cast("long").alias("n_unique_chunks"),
+        )
+        .select(
+            "media_type",
+            "n_blobs",
+            "n_chunks",
+            "n_unique_chunks",
+            F.round(
+                F.col("n_unique_chunks").cast("double") / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("unique_ratio"),
+        )
+        .orderBy("media_type")
+    )

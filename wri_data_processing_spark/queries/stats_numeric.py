@@ -1004,3 +1004,111 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@query(
+    "events_cusum_alarm",
+    oracle="""
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, d, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+      FROM rk WHERE t <= 7 GROUP BY 1),
+    walk AS (
+      SELECT r.event_type, r.t, r.d,
+             greatest(CAST(r.n AS DOUBLE) - m.mu, 0.0) AS s, m.mu
+      FROM rk r JOIN mu m USING (event_type) WHERE r.t = 1
+      UNION ALL
+      SELECT r.event_type, r.t, r.d,
+             greatest(w.s + CAST(r.n AS DOUBLE) - w.mu, 0.0), w.mu
+      FROM walk w JOIN rk r ON r.event_type = w.event_type AND r.t = w.t + 1)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(max_by(s, t), 6) AS s_final,
+           ROUND(MAX(s), 6) AS s_max,
+           CAST(SUM(CASE WHEN s > 2.0 * mu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(MIN(CASE WHEN s > 2.0 * mu THEN d END) AS VARCHAR)
+             AS first_alarm_day
+    FROM walk GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM alarm — the ONLINE changepoint monitor (Page 1954
+    SPC form) complementing events_cusum's offline argmax scan: per event
+    type, S_t = max(0, S_{t-1} + (x_t - mu0)) over the daily count series,
+    alarming when S_t exceeds h = 2*mu0. The reference mean mu0 is the
+    first-7-day window — the production pattern of pinning a baseline from
+    a reference period, computed in-plan here so the op is closed over its
+    input at any SF.
+
+    The recursion is a SEQUENTIAL fold (not a prefix sum — the max-reset
+    breaks linearity), so both engines execute it in identical day order:
+    Spark as an ordered F.aggregate with a struct accumulator over each
+    type's day-sorted series, DuckDB as a recursive CTE stepping t -> t+1.
+    Per-step arithmetic is one mirrored IEEE expression chain; alarms
+    compare against 2*mu0 exactly.
+
+    Scale: the fold runs per KEY over the |days|-row aggregated series
+    (the raw log collapses in the daily rollup — the only full-table
+    shuffle); state per key is one struct. The streaming twin
+    (streaming/pipelines.cusum_alarm) runs the same recursion as
+    applyInPandasWithState with exactly that struct as its state row.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w7 = Window.partitionBy("event_type").orderBy("d")
+    rk = daily.withColumn("t", F.row_number().over(w7).cast("long"))
+    mu = (
+        rk.filter(F.col("t") <= 7)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu")
+        )
+    )
+    series = (
+        rk.join(mu, "event_type")
+        .groupBy("event_type", "mu")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "n"))).alias("days"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(float("-inf")).alias("smax"),
+        F.lit(0).cast("long").alias("nal"),
+        F.lit(None).cast("date").alias("first"),
+    )
+
+    def step(acc, x):
+        s = F.greatest(acc["s"] + x["n"].cast("double") - F.col("mu"), F.lit(0.0))
+        alarm = s > 2.0 * F.col("mu")
+        return F.struct(
+            s.alias("s"),
+            F.greatest(acc["smax"], s).alias("smax"),
+            (acc["nal"] + F.when(alarm, 1).otherwise(0)).cast("long").alias("nal"),
+            F.coalesce(acc["first"], F.when(alarm, x["d"])).alias("first"),
+        )
+
+    folded = series.select(
+        "event_type",
+        "n_days",
+        F.aggregate("days", zero, step).alias("acc"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("acc.s"), 6).alias("s_final"),
+        F.round(F.col("acc.smax"), 6).alias("s_max"),
+        F.col("acc.nal").alias("n_alarms"),
+        F.col("acc.first").cast("string").alias("first_alarm_day"),
+    ).orderBy("event_type")

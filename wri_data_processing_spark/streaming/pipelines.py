@@ -620,3 +620,102 @@ def reference_bins(events: DataFrame) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cr"))
     )
+
+
+DAILY_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("d", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("s_final", DoubleType()),
+        StructField("s_max", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("smax", DoubleType()),
+        StructField("nal", LongType()),
+        StructField("first", StringType()),
+        StructField("ndays", LongType()),
+    ]
+)
+
+
+def read_daily_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of per-day aggregated counts (event_type, d, n) —
+    the shape an upstream watermarked window agg emits in commit order."""
+    return spark.readStream.schema(DAILY_SCHEMA).parquet(source_dir)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's double round (HALF_UP on the shortest decimal repr) —
+    Python's round() is banker's and diverges at exact midpoints."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 2.0) -> DataFrame:
+    """Streaming twin of events_cusum_alarm: per-key one-sided CUSUM
+    S_t = max(0, S_{t-1} + (x_t - mu0[key])) as a custom stateful operator
+    (applyInPandasWithState) over the daily-count stream, alarming when
+    S_t > h_factor * mu0. The baseline mu0 is a PINNED config dict (the
+    production pattern: derived once from a reference window, shipped with
+    the job), so the recursion is closed per key and the state row is one
+    (s, smax, n_alarms, first_alarm_day, n_days) struct — constant bytes
+    per key no matter how long the stream runs.
+
+    Ordering contract: rows are folded in day order WITHIN each
+    micro-batch (sorted here) and batches arrive in commit order (the
+    upstream emitter's guarantee) — identical fold order to the batch
+    op's array_sort, so the final emission per key equals the batch
+    result exactly (equivalence-tested across a mid-series batch split).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        mu = float(mu0.get(et, 0.0))
+        h = h_factor * mu
+        s, smax, nal, first, ndays = (
+            state.get if state.exists else (0.0, float("-inf"), 0, None, 0)
+        )
+        for pdf in pdfs:
+            for row in pdf.sort_values("d").itertuples(index=False):
+                s = max(s + (float(row.n) - mu), 0.0)
+                smax = max(smax, s)
+                if s > h:
+                    nal += 1
+                    if first is None:
+                        first = row.d
+                ndays += 1
+        state.update((s, smax, nal, first, ndays))
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_days": [ndays],
+                "s_final": [_round6_half_up(s)],
+                "s_max": [_round6_half_up(smax)],
+                "n_alarms": [nal],
+                "first_alarm_day": [first],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -750,3 +750,84 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.coalesce("n", F.lit(0).cast("long")).alias("n_orders"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, e.ts, o.o_orderkey AS bk, o.o_orderdate AS bts
+      FROM events e
+      ASOF LEFT JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+    f AS (
+      SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fts
+      FROM events e
+      ASOF LEFT JOIN o1 o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+    SELECT b.event_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           CASE WHEN f.fts IS NULL
+                  OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
+                THEN b.bk ELSE f.fk END AS nearest_orderkey,
+           strftime(CASE WHEN f.fts IS NULL
+                  OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
+                THEN b.bts ELSE f.fts END, '%Y-%m-%d %H:%M:%S')
+             AS nearest_orderdate,
+           CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+                WHEN f.fts IS NULL
+                  OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
+                THEN 'back' ELSE 'fwd' END AS direction
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): each
+    event matched to the user's CLOSEST order in either time direction —
+    completes the as-of family (backward r3, forward r5). Ties at equal
+    distance break BACKWARD (the earlier order), the merge_asof
+    convention; comparisons are on interval values both engines derive
+    from the same timestamps, so no boundary row flips.
+
+    Plan: the backward and forward passes each run the linear union+window
+    as-of (one shuffle per side, no range-join blowup), then one equi-join
+    on event_id stitches the two candidates and a CASE picks the winner —
+    3 keyed shuffles total, still no N x M range explosion.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    right = o1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("rts"),
+        "o_orderkey",
+    )
+    left = e.select("event_id", "user_id", "ts")
+    b = asof_join(
+        left=left, right=right, on="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["o_orderkey", "rts"],
+    ).select("event_id", "ts", F.col("o_orderkey").alias("bk"), F.col("rts").alias("bts"))
+    f = asof_join_forward(
+        left=left, right=right, on="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["o_orderkey", "rts"],
+    ).select("event_id", F.col("o_orderkey").alias("fk"), F.col("rts").alias("fts"))
+    j = b.join(f, "event_id")
+    back_wins = F.col("fts").isNull() | (
+        F.col("bts").isNotNull()
+        & ((F.col("ts") - F.col("bts")) <= (F.col("fts") - F.col("ts")))
+    )
+    return j.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.when(back_wins, F.col("bk")).otherwise(F.col("fk")).alias("nearest_orderkey"),
+        F.date_format(
+            F.when(back_wins, F.col("bts")).otherwise(F.col("fts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("nearest_orderdate"),
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )

@@ -74,6 +74,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "events_zscore_outliers second-pass shape)",
     "snapshot_expire": "two 1-row count aggregates cross-joined into the "
     "single report row — both sides bounded",
+    "dq_benford": "1-row N-total broadcast over the <=9-digit count frame "
+    "— the stats_ks_test shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

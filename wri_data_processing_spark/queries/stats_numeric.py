@@ -1112,3 +1112,150 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acc.nal").alias("n_alarms"),
         F.col("acc.first").cast("string").alias("first_alarm_day"),
     ).orderBy("event_type")
+
+
+# First-digit CASE chain and Benford expectations are authoring-time
+# LITERALS (math.log10 in the generator below) — no runtime log10, whose
+# last-ULP behavior differs between the engines' libm bindings.
+_BENFORD_P = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757}
+_BENFORD_DECADES = [11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) >= 1e11 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e11) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e10 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e10) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e9 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e9) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e8 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e8) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e7 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e7) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e6 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e6) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e5 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e5) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e4 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e4) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e3 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e3) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e2 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e2) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e1 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e1) AS BIGINT) WHEN CAST(o_totalprice AS DOUBLE) >= 1e0 THEN CAST(floor(CAST(o_totalprice AS DOUBLE) / 1e0) AS BIGINT) END AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1)
+    SELECT g.digit, g.cnt,
+           ROUND(CAST(g.cnt AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS p_obs,
+           CASE g.digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS p_benford,
+           ROUND(CAST(g.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)
+                 - CASE g.digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END, 6) AS deviation
+    FROM g, n ORDER BY g.digit
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over the money column — the
+    classic fabricated-data / broken-ETL detector: natural multi-decade
+    amounts follow P(d) = log10(1 + 1/d); a generator that draws amounts
+    uniformly (as synthetic testdata does) or a pipeline bug that
+    truncates a decade shows up as a flat or spiked deviation column.
+    This op REPORTS the per-digit deviation; alerting composes with
+    stats_psi-style thresholds downstream.
+
+    Exactness: the first digit comes from a literal decade CASE chain
+    (floor(x / 10^k) over pinned powers — no runtime log10, whose libm
+    rounding differs between engines), and the Benford expectations are
+    authoring-time literals, so every column is one mirrored expression.
+
+    Plan: one map-side-combined (digit) count shuffle (<= 9 groups), a
+    1-row N broadcast (bounded NLJ), and a 9-row report.
+    """
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    digit = F.lit(None).cast("long")
+    for d in reversed(_BENFORD_DECADES):  # build CASE from smallest decade up
+        digit = F.when(x >= float(10 ** d), F.floor(x / float(10 ** d)).cast("long")).otherwise(digit)
+    s = o.filter(x >= 1).select(digit.alias("digit"))
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = s.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    p_exp = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        p_exp = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_exp)
+    p_obs = F.col("cnt").cast("double") / F.col("n").cast("double")
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            F.round(p_obs, 6).alias("p_obs"),
+            p_exp.alias("p_benford"),
+            F.round(p_obs - p_exp, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "events_holt_forecast",
+    oracle="""
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, d, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily),
+    walk AS (
+      SELECT event_type, t, CAST(n AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b  -- bare 0.0 is DECIMAL(2,1): it would
+             -- quantize the trend to one decimal on every recursive step
+      FROM rk WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, r.t,
+             0.5 * CAST(r.n AS DOUBLE) + 0.5 * (w.l + w.b),
+             0.5 * ((0.5 * CAST(r.n AS DOUBLE) + 0.5 * (w.l + w.b)) - w.l)
+               + 0.5 * w.b
+      FROM walk w JOIN rk r ON r.event_type = w.event_type AND r.t = w.t + 1)
+    SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_days,
+           ROUND(max_by(l, t), 6) AS level,
+           ROUND(max_by(b, t), 6) AS trend,
+           ROUND(max_by(l, t) + 7.0 * max_by(b, t), 6) AS forecast_7d
+    FROM walk GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double) exponential smoothing over the per-type daily
+    count series — the trend-aware forecaster one step up from
+    events_ewma's level-only smoothing: l_t = a*x_t + (1-a)(l+b),
+    b_t = g*(l_t - l_prev) + (1-g)*b, forecast h days out = l + h*b.
+    Emits the fitted (level, trend) and the 7-day-ahead forecast per
+    event type — the capacity-planning number an ops dashboard charts.
+
+    a = g = 0.5 exactly (binary-exact halves: every smoothing multiply is
+    an IEEE-exact scalebyhalf, so the recursion never accumulates a
+    multiplier rounding that could diverge cross-engine); init l_1 = x_1,
+    b_1 = 0. The recursion is the events_cusum_alarm sequential-fold
+    shape: Spark folds each type's day-sorted series with a struct
+    accumulator, DuckDB steps a recursive CTE — identical order, so
+    bit-equal.
+
+    Scale: the raw log collapses in the daily rollup (only full-table
+    shuffle); the fold runs per key over |days| elements.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("days"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, x):
+        xn = x["n"].cast("double")
+        first = acc["l"].isNull()
+        l_new = F.when(first, xn).otherwise(0.5 * xn + 0.5 * (acc["l"] + acc["b"]))
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            0.5 * (l_new - acc["l"]) + 0.5 * acc["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = series.select(
+        "event_type", "n_days", F.aggregate("days", zero, step).alias("acc")
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("acc.l"), 6).alias("level"),
+        F.round(F.col("acc.b"), 6).alias("trend"),
+        F.round(F.col("acc.l") + 7.0 * F.col("acc.b"), 6).alias("forecast_7d"),
+    ).orderBy("event_type")

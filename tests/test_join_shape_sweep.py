@@ -76,6 +76,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "single report row — both sides bounded",
     "dq_benford": "1-row N-total broadcast over the <=9-digit count frame "
     "— the stats_ks_test shape",
+    "stats_weighted_quantiles": "1-row total-weight broadcast over the "
+    "distinct-value cumsum frame — the stats_quantiles_exact shape",
     "sim_ann_lsh": "single query signature broadcast (band-match condition)",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "

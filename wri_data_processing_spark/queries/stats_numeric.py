@@ -1259,3 +1259,58 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acc.b"), 6).alias("trend"),
         F.round(F.col("acc.l") + 7.0 * F.col("acc.b"), 6).alias("forecast_7d"),
     ).orderBy("event_type")
+
+
+@query(
+    "stats_weighted_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM g),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g)
+    SELECT t.tw AS total_weight,
+           MIN(CASE WHEN cum.cw * 100 >= t.tw * 25 THEN cum.v END) AS wp25,
+           MIN(CASE WHEN cum.cw * 100 >= t.tw * 50 THEN cum.v END) AS wp50,
+           MIN(CASE WHEN cum.cw * 100 >= t.tw * 75 THEN cum.v END) AS wp75,
+           MIN(CASE WHEN cum.cw * 100 >= t.tw * 99 THEN cum.v END) AS wp99
+    FROM cum, t GROUP BY t.tw
+    """,
+)
+def stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles of the price distribution, weighted by
+    quantity — the volume-weighted percentiles a price index or a
+    cost-attribution report needs (an unweighted p50 over line items is
+    NOT the median unit's price). Lower-quantile semantics: the smallest
+    value whose cumulative weight reaches k% of total, decided by the
+    all-integer cross-multiplication 100*cumw >= k*W — no per-row float
+    division, no boundary ambiguity (quantities are integral; the cast
+    pins it).
+
+    Fourth consumer of the shared _two_phase_cumsum machinery: same
+    single-scan plan as stats_quantiles_exact (grouped frame
+    checkpointed, totals derived from it, 1-row broadcast, one min-CASE
+    aggregate).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    g = l.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w")
+    )
+    cum = _two_phase_cumsum(g, "v", ["w"])
+    t = cum.agg(F.sum("w").cast("long").alias("tw"))
+    joined = cum.crossJoin(F.broadcast(t))
+    return (
+        joined.groupBy("tw")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("cum_w") * 100 >= F.col("tw") * k, F.col("v"))
+                ).alias(f"wp{k}")
+                for k in (25, 50, 75, 99)
+            ]
+        )
+        .select(F.col("tw").alias("total_weight"), "wp25", "wp50", "wp75", "wp99")
+    )

@@ -72,6 +72,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_asof_nearest",  # merge_asof direction='nearest'; ties break backward
     "dq_benford",  # first-digit law audit (literal decade chain, no log10)
     "events_holt_forecast",  # Holt linear smoothing; binary-exact halves
+    "stats_weighted_quantiles",  # volume-weighted percentiles, all-integer ranks
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -1314,3 +1314,104 @@ def stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("tw").alias("total_weight"), "wp25", "wp50", "wp75", "wp99")
     )
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    g AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(ia) AS BIGINT) AS a
+      FROM s GROUP BY 1),
+    c AS (
+      SELECT v, cnt, a,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g),
+    t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(cnt - a) AS BIGINT) AS n2,
+             CAST(SUM(a * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM c)
+    SELECT n1, n2,
+           r2a - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r2a - n1 * (n1 + 1)) AS u2_x2,
+           ROUND(
+             CAST(r2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+             / (2.0 * sqrt(
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 + n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+                     - CAST(tie3 AS DOUBLE)))
+                 / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                    * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+             6) AS z
+    FROM t
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test: are 'view' and
+    'click' event values drawn from the same distribution? The
+    NONPARAMETRIC drift detector between stats_ks_test (sup-norm ECDF) and
+    stats_welch_ttest (means): rank-based, so it is location-sensitive but
+    robust to the heavy tails that break the t-test.
+
+    Exactness discipline: ranks never materialize as floats. For a
+    distinct value with cnt occurrences after cb smaller samples, the
+    tie-averaged rank is cb + (cnt+1)/2 — a half-integer — so the engine
+    carries DOUBLED rank sums (2r = 2*cb + cnt + 1, always integral) and
+    emits u1_x2 = 2*U1 as exact BIGINT (U1 = R1 - n1(n1+1)/2 in half-unit
+    precision). The tie-corrected z runs division and sqrt only — both
+    exactly-rounded IEEE ops, bit-identical across engines on the mirrored
+    expression tree (pow/exp are the unsafe transcendentals, not used).
+
+    Scale: fifth consumer of _two_phase_cumsum — the pooled ranks come
+    from the distinct-value grouped frame (one map-side-combined shuffle
+    of the 100 TB scan), bucket-parallel prefix sums, then ONE 1-row
+    aggregate. No window over a single partition, no join at all.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+    )
+    g = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ia").cast("long").alias("a"),
+    )
+    cum = _two_phase_cumsum(g, "v", ["cnt"])
+    t = cum.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("a")).cast("long").alias("n2"),
+        F.sum(
+            F.col("a")
+            * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1_x2 = F.col("r2a") - F.col("n1") * (F.col("n1") + 1)
+    var_num = n1d * n2d * ((nd * nd * nd - nd) - F.col("tie3").cast("double"))
+    return t.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).alias("u2_x2"),
+        F.round(
+            (u1_x2 - F.col("n1") * F.col("n2")).cast("double")
+            / (F.lit(2.0) * F.sqrt(var_num / (F.lit(12.0) * nd * (nd - F.lit(1.0))))),
+            6,
+        ).alias("z"),
+    )

@@ -73,6 +73,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dq_benford",  # first-digit law audit (literal decade chain, no log10)
     "events_holt_forecast",  # Holt linear smoothing; binary-exact halves
     "stats_weighted_quantiles",  # volume-weighted percentiles, all-integer ranks
+    "stats_mann_whitney",  # rank-sum U test; doubled-rank integers, tie-corrected z
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -810,13 +810,16 @@ def stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline computes per day (<0.1 stable / 0.1-0.25 shifting / >0.25
     drifted): psi = sum_bins (p_i - q_i) * ln(p_i / q_i).
 
-    Determinism: the statistic NEEDS ln (transcendental), so exactness
-    rests on two measured facts — (a) Spark's JVM Math.log, DuckDB's ln,
-    and libm agree bit-for-bit on this platform (probed over 9 decades;
-    x86-64 glibc log is correctly rounded), and (b) every per-bin term is
-    one mirrored IEEE expression over exact integer counts, summed by an
-    ORDERED fold (array sorted by bin on both engines — the chi2 pattern),
-    so no summation-order ULP exists for ROUND to amplify. Bins with a
+    Determinism: the statistic NEEDS ln (transcendental). JVM Math.log
+    and glibc/DuckDB ln DISAGREE at the last ULP on ~9% of arguments
+    (measured r7: 3610/40000 uniform draws; an earlier probe that found 0
+    sampled too narrowly — only sqrt and +-*/ are exactly rounded), so
+    the defense is layered: every per-bin term is one mirrored IEEE
+    expression over exact integer counts, summed by an ORDERED fold
+    (array sorted by bin on both engines — the chi2 pattern) so
+    summation order adds nothing, and the closing ROUND-6 absorbs the
+    bounded ln ULP drift (bins are few, so the sum is within a handful
+    of ULPs of the oracle — far below 0.5e-6). Bins with a
     zero count in either cohort contribute 0 and are reported in
     n_bins_skipped (no epsilon fudge — the consumer sees exactly what was
     excluded). Bin edges are literals (width 10, clamp 19): production
@@ -1414,4 +1417,98 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.sqrt(var_num / (F.lit(12.0) * nd * (nd - F.lit(1.0))))),
             6,
         ).alias("z"),
+    )
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY x),
+    cx AS (
+      SELECT x,
+             2 * (SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS rx2
+      FROM gx),
+    gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY y),
+    cy AS (
+      SELECT y,
+             2 * (SUM(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS ry2
+      FROM gy),
+    j AS (
+      SELECT CAST(cx.rx2 AS HUGEINT) AS rx2, CAST(cy.ry2 AS HUGEINT) AS ry2
+      FROM r JOIN cx ON r.x = cx.x JOIN cy ON r.y = cy.y),
+    t AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(rx2 * ry2) AS sxy,
+             SUM(rx2 * rx2) AS sxx,
+             SUM(ry2 * ry2) AS syy,
+             SUM(rx2) AS sx,
+             SUM(ry2) AS sy
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+    FROM t
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and extended
+    price — the monotone-association twin of Pearson (stats_corr_matrix):
+    rank-transform both columns (average ranks on ties), then Pearson on
+    the ranks. Robust to outliers and any monotone nonlinearity, so it is
+    the correlation a feature-audit pipeline trusts on heavy-tailed money
+    columns.
+
+    Exactness discipline: like stats_mann_whitney, ranks stay integral by
+    carrying DOUBLED tie-averaged ranks (2r = 2*cum_before + cnt + 1); all
+    five moment sums accumulate in decimal(38,0) (DuckDB HUGEINT) — the
+    per-row product (2r_x)(2r_y) ~ 4n^2 would overflow int64 near n ~ 2e9
+    rows, so the cast happens BEFORE the multiply. The closing rho is one
+    division and one sqrt over mirrored expression trees — both
+    exactly-rounded IEEE ops, bit-identical across engines.
+
+    Scale: sixth _two_phase_cumsum consumer, twice (one global rank frame
+    per column — each a distinct-value grouped shuffle + bucket-parallel
+    prefix sums). The rank frames join back to the fact rows as plain
+    equi-joins: the x side (50 distinct quantities) auto-broadcasts, the
+    y side (~|distinct prices|) is a shuffle equi-join that AQE broadcasts
+    while it fits. Final reduce is ONE 1-row aggregate; no windows over
+    the raw fact table.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    rank2 = lambda cum: (  # noqa: E731 — doubled tie-averaged rank
+        2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+    )
+    gx = li.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rx = _two_phase_cumsum(gx, "x", ["cnt"]).select(
+        "x", rank2("cum_cnt").cast("decimal(38,0)").alias("rx2")
+    )
+    gy = li.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ry = _two_phase_cumsum(gy, "y", ["cnt"]).select(
+        "y", rank2("cum_cnt").cast("decimal(38,0)").alias("ry2")
+    )
+    j = li.join(rx, "x").join(ry, "y")
+    t = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return t.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double"))
+        ).alias("rho"),
     )

@@ -74,6 +74,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "events_holt_forecast",  # Holt linear smoothing; binary-exact halves
     "stats_weighted_quantiles",  # volume-weighted percentiles, all-integer ranks
     "stats_mann_whitney",  # rank-sum U test; doubled-rank integers, tie-corrected z
+    "stats_spearman",  # rank correlation; decimal(38,0) moment sums, div+sqrt close
+    "text_bm25_rank",  # Okapi BM25 top-20; map-side tf, 1-row stats broadcast
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

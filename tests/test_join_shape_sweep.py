@@ -34,6 +34,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "q11_important_stock": "1-row scalar threshold (SUM * fraction) broadcast",
     "q22_global_sales_opportunity": "1-row AVG(acctbal) scalar broadcast",
     "text_tfidf": "1-row corpus-size N broadcast",
+    "text_bm25_rank": "1-row corpus-stats broadcast (N, sum_dl, per-term "
+    "df — constant width for a fixed query) over the scan; tf counts are "
+    "map-side array-filter sizes, no token shuffle at all",
     "stream_watermark": "1-row max-ts watermark scalar broadcast",
     "materialized_reuse": "1-row cached grand-total broadcast",
     "basket_association_rules": "1-row basket-count denominator broadcast",

@@ -448,6 +448,131 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "join", "vector")
+
+
+@query(
+    "text_bm25_rank",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf3
+      FROM t),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM d),
+    sc AS (
+      SELECT d.doc_id, d.dl, d.tf1, d.tf2, d.tf3,
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df1 AS DOUBLE) + 0.5)
+                      / (CAST(s.df1 AS DOUBLE) + 0.5))
+               * (CAST(d.tf1 AS DOUBLE) * 2.2)
+               / (CAST(d.tf1 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df2 AS DOUBLE) + 0.5)
+                      / (CAST(s.df2 AS DOUBLE) + 0.5))
+               * (CAST(d.tf2 AS DOUBLE) * 2.2)
+               / (CAST(d.tf2 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df3 AS DOUBLE) + 0.5)
+                      / (CAST(s.df3 AS DOUBLE) + 0.5))
+               * (CAST(d.tf3 AS DOUBLE) * 2.2)
+               / (CAST(d.tf3 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))
+             AS raw
+      FROM d CROSS JOIN s)
+    SELECT doc_id, dl, tf1, tf2, tf3, ROUND(raw, 6) AS score
+    FROM sc
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring: rank documents against the fixed query
+    {spark, join, vector} with Okapi BM25 (k1=1.2, b=0.75) and return the
+    top 20. The quality-aware cousin of text_tfidf — BM25's tf saturation
+    and length normalization is what query-based data selection (e.g.
+    retrieving pretraining docs relevant to a benchmark) actually uses.
+
+    Cross-engine exactness: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    JVM Math.log and glibc/DuckDB log DISAGREE at the last ULP on ~9% of
+    arguments (measured this round: 3610/40000; sqrt stays exactly
+    rounded per IEEE-754), so the score is ROUND-6 closed like the other
+    ln consumers (text_lm_score, stats_psi) and the top-20 orders by the
+    ROUNDED score with a doc_id tie-break — sub-1e-6 score gaps collapse
+    to deterministic id order on both engines. The 3-term sum is a
+    fixed-order a+b+c chain, never a reorderable SUM aggregate.
+
+    Scale: zero explodes and zero token shuffles — per-term tf counts are
+    array-filter sizes computed inside the scan stage (the
+    bpe_merge_candidates locality trick), so the ONLY exchanges are the
+    1-row corpus-stats aggregate (N, Σdl, per-term df — one reduce),
+    its broadcast back over the scan (bounded: NLJ-whitelisted), and the
+    global top-20 TakeOrdered. Query terms ship as plan literals; a
+    parameterized variant broadcasts a |Q|-row term table instead
+    (the sim_topk_batch shape).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    def _eq(term):
+        # NB: a 2-arg lambda (x, t=term) would make F.filter pass the
+        # ELEMENT INDEX as the second argument — close over the term.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS, 1)
+    ]
+    dd = d.select("doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols)
+    s = dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(0.25) + (F.lit(0.75) * F.col("dl").cast("double")) / avgdl
+
+    def term_score(i: int):
+        tfd = F.col(f"tf{i}").cast("double")
+        dfd = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfd + F.lit(0.5))
+            / (dfd + F.lit(0.5))
+        )
+        return idf * (tfd * F.lit(2.2)) / (tfd + F.lit(1.2) * norm)
+
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        dd.crossJoin(F.broadcast(s))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id", "dl", "tf1", "tf2", "tf3", F.round(score, 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "bpe_merge_candidates",
     oracle=r"""

@@ -385,7 +385,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(w) = (c(w)+1)/(N+V); per-doc score is the mean negative log prob
     -(1/n_d) * sum_w c_dw * ln p(w). Exactness: integer counts everywhere,
     one mirrored IEEE ln-term per (doc, type) summed in token order (the
-    stats_psi ordered-fold contract — platform-identical ln), one division
+    stats_psi ordered-fold contract; JVM-vs-glibc ln can drift a last
+    ULP per term, absorbed by the closing ROUND-6), one division
     each for p and the mean.
 
     Plan at 100 TB: tokenize+explode runs in the scan stage; (doc, w)

@@ -295,8 +295,9 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     number per window, rising when the traffic mix shifts.
 
     Same determinism contract as stats_psi: integer bin counts, mirrored
-    per-bin (p - q) * ln(p / q) IEEE terms (platform-identical ln, see
-    stats_psi), per-window ordered fold over the bin-sorted list. Bins the
+    per-bin (p - q) * ln(p / q) IEEE terms (ln ULP drift absorbed by
+    ROUND-6, see stats_psi), per-window ordered fold over the bin-sorted
+    list. Bins the
     window never hit are skipped (q = 0) exactly as stats_psi skips them —
     n_bins_used says how many contributed.
 

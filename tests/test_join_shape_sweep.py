@@ -38,6 +38,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "df — constant width for a fixed query) over the scan; tf counts are "
     "map-side array-filter sizes, no token shuffle at all",
     "stream_watermark": "1-row max-ts watermark scalar broadcast",
+    "events_rate_test": "1-row integer-midpoint scalar broadcast over the "
+    "scan — the stream_watermark shape",
     "materialized_reuse": "1-row cached grand-total broadcast",
     "basket_association_rules": "1-row basket-count denominator broadcast",
     "events_ewma": "7-day bounded date-range join against per-day aggregates",

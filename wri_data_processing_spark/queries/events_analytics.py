@@ -1057,3 +1057,218 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("d").cast("string").alias("day"), "n_days", "wsum", "wtot", "ewma"
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             list(c ORDER BY event_type) AS cs
+      FROM c GROUP BY 1),
+    h AS (
+      SELECT user_id, n_events, n_types,
+             list_aggregate(
+               list_transform(cs, x ->
+                 -(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+                  * ln(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))),
+               'sum') AS ent
+      FROM t)
+    SELECT user_id, n_events, n_types, ROUND(ent, 6) AS entropy
+    FROM h
+    ORDER BY entropy DESC, user_id
+    LIMIT 100
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the behavioral-
+    diversity score a bot/abuse detector thresholds on (a scripted user
+    hammers one event type: entropy ~ 0; an organic one spreads across
+    the catalog: entropy ~ ln |types|). Returns the 100 most diverse
+    users.
+
+    Exactness: the (user, type) counts are exact integers; each p·ln p
+    term is one mirrored IEEE expression, summed by an ORDERED fold over
+    the type-sorted list (the stats_psi contract — a reorderable SUM
+    aggregate would leak partial-agg order into the low bits), and the
+    closing ROUND-6 absorbs the measured JVM-vs-glibc ln ULP drift. The
+    top-100 orders by the ROUNDED entropy with a user_id tie-break, so
+    sub-1e-6 gaps collapse to deterministic id order on both engines.
+
+    Scale: ONE shuffle — the (user, type) count aggregate (map-side
+    combined; |types| is small so this is ~|users| rows) — then a per-user
+    collect_list bounded by |types| per row and a global top-100
+    TakeOrdered. No windows over the raw log, no joins.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias("rows"),
+    )
+    p = lambda r: r["c"].cast("double") / F.col("n_events").cast("double")  # noqa: E731
+    terms = F.transform("rows", lambda r: -p(r) * F.log(p(r)))
+    ent = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    return (
+        t.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(ent, 6).alias("entropy"),
+        )
+        .orderBy(F.col("entropy").desc(), "user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM r WHERE rn <= 5 GROUP BY 1)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p
+    GROUP BY 1
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common onboarding paths: each user's first five events
+    (by time, event_id tiebreak) joined into a '>' path string, counted
+    across users. The clickstream-path report growth teams run to see
+    where new users actually go — the full-sequence complement of
+    events_transition_matrix's one-step bigrams.
+
+    Determinism: the (ts, event_id) order is total, so every user's path
+    string is unique text — counting strings is exact. Path length caps at
+    5 so the key stays bounded (an unbounded concat would make the
+    shuffle key grow with the worst user's history).
+
+    Scale: one user_id-partitioned window computes ranks in the same
+    shuffle that the per-user collect uses (co-partitioned: Catalyst
+    reuses the exchange), rows past rank 5 drop BEFORE the collect, and
+    the path-count aggregate is map-side combined over short strings. The
+    top-20 is a TakeOrdered, never a global sort materialization.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select("user_id", "event_type", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 5
+    )
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "events_rate_test",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS sec
+      FROM events),
+    m AS (
+      SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+    b AS (
+      SELECT CASE WHEN e.sec < m.mid THEN 0 ELSE 1 END AS half, e.sec
+      FROM e CROSS JOIN m),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(half) AS BIGINT) AS k2,
+             CAST(MAX(CASE WHEN half = 0 THEN sec END)
+                  - MIN(CASE WHEN half = 0 THEN sec END) AS BIGINT) AS t1,
+             CAST(MAX(CASE WHEN half = 1 THEN sec END)
+                  - MIN(CASE WHEN half = 1 THEN sec END) AS BIGINT) AS t2
+      FROM b)
+    SELECT k1, k2, t1, t2,
+           (CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+            - CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+           / sqrt(CAST(k1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                  + CAST(k2 AS DOUBLE)
+                    / (CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))) AS z
+    FROM s
+    """,
+)
+def events_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test: did the event arrival RATE change
+    between the first and second half of the log? z compares k/t per half
+    with variance k/t^2 — the volume-drift alarm that fires when traffic
+    collapses or a client starts flooding, complementing the
+    distribution-drift trio (KS / chi2 / PSI) which all condition on the
+    values and miss pure intensity shifts.
+
+    Exactness: counts and epoch-second spans are exact integers; z is
+    division + sqrt only — the exactly-rounded IEEE ops — over mirrored
+    trees, so NO rounding is needed (ln never appears). The midpoint is
+    (min_sec + max_sec) // 2 in INTEGER epoch seconds — engine interval
+    arithmetic (ts + interval/2) rounds differently across engines and
+    moved 11 of 1000 rows at sf0.001 when probed.
+
+    Scale: one pass for the (min, max) timestamp bounds (1-row broadcast
+    back over the scan — whitelisted bounded NLJ), then ONE map-side-
+    combined aggregate produces all four statistics; zero shuffled rows
+    beyond the two 1-row frames.
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    bounds = e.agg(
+        F.floor((F.min("sec") + F.max("sec")) / 2).cast("long").alias("mid")
+    )
+    b = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("sec") < F.col("mid"), 0).otherwise(1).alias("half"), "sec"
+    )
+    s = b.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("k1"),
+        F.sum("half").cast("long").alias("k2"),
+        (
+            F.max(F.when(F.col("half") == 0, F.col("sec")))
+            - F.min(F.when(F.col("half") == 0, F.col("sec")))
+        )
+        .cast("long")
+        .alias("t1"),
+        (
+            F.max(F.when(F.col("half") == 1, F.col("sec")))
+            - F.min(F.when(F.col("half") == 1, F.col("sec")))
+        )
+        .cast("long")
+        .alias("t2"),
+    )
+    k1d, k2d = F.col("k1").cast("double"), F.col("k2").cast("double")
+    t1d, t2d = F.col("t1").cast("double"), F.col("t2").cast("double")
+    return s.select(
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        ((k1d / t1d - k2d / t2d) / F.sqrt(k1d / (t1d * t1d) + k2d / (t2d * t2d))).alias(
+            "z"
+        ),
+    )

@@ -603,6 +603,122 @@ def _two_phase_cumsum(
     return out.drop("__b")
 
 
+def _grouped_two_phase_cumsum(
+    g: DataFrame, group_col: str, value_col: str, sum_cols: list[str], nb: int = 32
+) -> DataFrame:
+    """_two_phase_cumsum generalized to PER-GROUP cumulative sums, with the
+    driver collect removed entirely: one GLOBAL set of approx-quantile cuts
+    range-buckets every group's values (cuts need not be per-group — any
+    fixed monotone bucketing partitions each group's order), phase 1
+    prefix-sums inside each (group, bucket) window in parallel, and the
+    exclusive offsets come from the tiny |groups| x nb per-(group, bucket)
+    totals frame via a bucket-ordered window partitioned by group plus a
+    broadcast join back — bounded rows end-to-end, nothing returns to the
+    driver. Appends ``cum_<c>`` per input sum column."""
+    from wri_data_processing_spark.operators.ranking import _bucket_expr
+
+    g = g.localCheckpoint()  # feeds the cut probe, btot, and the consumer
+    cuts = sorted(
+        set(g.stat.approxQuantile(value_col, [i / nb for i in range(1, nb)], 0.01))
+    )
+    b = g.withColumn("__b", _bucket_expr(F.col(value_col).cast("double"), cuts))
+    btot = b.groupBy(group_col, "__b").agg(
+        *[F.sum(c).alias(f"t_{c}") for c in sum_cols]
+    )
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        group_col,
+        "__b",
+        *[
+            F.coalesce(F.sum(f"t_{c}").over(wo), F.lit(0))
+            .cast("long")
+            .alias(f"off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = b.join(F.broadcast(offs), [group_col, "__b"])
+    w = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + F.col(f"off_{c}"))
+    return out.drop("__b", *[f"off_{c}" for c in sum_cols])
+
+
+@query(
+    "stats_grouped_quantiles",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+    gd AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    w AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gd GROUP BY 1),
+    cum AS (
+      SELECT g, v,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cm
+      FROM gd)
+    SELECT cum.g AS event_type, w.n,
+           {", ".join(
+               f"MIN(CASE WHEN cum.cm >= (w.n * {p} + 99) // 100 "
+               f"THEN cum.v END) AS p{p}"
+               for p in [25, 50, 75, 90, 99]
+           )}
+    FROM cum JOIN w USING (g)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles: the p25/p50/p75/p90/p99 of events.value
+    within every event_type — the grouped sibling of stats_quantiles_exact
+    (a per-segment latency/price report wants the exact p99 PER SEGMENT,
+    not the global one).
+
+    Ranks are pure integers (ceil(q·N_g) = (N_g·p + 99)//100 against the
+    group's own N_g) and each cut is the MIN value whose within-group
+    cumulative count reaches the rank — value-exact, no interpolation.
+
+    Scale: first consumer of _grouped_two_phase_cumsum, which removes even
+    the global helper's bounded driver collect — ONE global set of
+    approx-quantile cuts buckets every group (any fixed monotone bucketing
+    partitions each group's order), per-(group, bucket) windows prefix-sum
+    in parallel, and exclusive offsets come from the |groups| x nb totals
+    frame via a group-partitioned window + broadcast join. A plain
+    PARTITION BY group window would serialize each group's full distinct-
+    value set through one task; here parallelism is groups x nb and nb
+    scales with the data.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    gd = s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = _grouped_two_phase_cumsum(gd, "g", "v", ["c"])
+    w_ = gd.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    joined = cum.join(F.broadcast(w_), "g")
+    pcts = [25, 50, 75, 90, 99]
+    rank = {
+        p: F.floor((F.col("n") * p + 99) / F.lit(100.0)).cast("long") for p in pcts
+    }
+    return (
+        joined.groupBy("g", "n")
+        .agg(
+            *[
+                F.min(F.when(F.col("cum_c") >= rank[p], F.col("v"))).alias(f"p{p}")
+                for p in pcts
+            ]
+        )
+        .select(F.col("g").alias("event_type"), "n", *[f"p{p}" for p in pcts])
+        .orderBy("event_type")
+    )
+
+
 @query(
     "stats_ks_test",
     oracle="""

@@ -76,6 +76,10 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_mann_whitney",  # rank-sum U test; doubled-rank integers, tie-corrected z
     "stats_spearman",  # rank correlation; decimal(38,0) moment sums, div+sqrt close
     "text_bm25_rank",  # Okapi BM25 top-20; map-side tf, 1-row stats broadcast
+    "stats_grouped_quantiles",  # exact per-group p25..p99; grouped 2-phase cumsum
+    "events_user_entropy",  # behavioral diversity; ordered p·ln p fold, ROUND-6
+    "events_path_analysis",  # top-20 first-5-event paths; one user shuffle
+    "events_rate_test",  # Poisson rate drift z; integers + div/sqrt, no rounding
     # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
     # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
     "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)

@@ -91,6 +91,17 @@ SHOWCASE = [
     ("dedup_semantic", "ivf_assign centroid broadcast + fan-out bucket "
      "pair equi-join (the dedup_embedding topology); centroid-sim join "
      "broadcasts nlist rows; drop set is a broadcast left join"),
+    ("events_user_entropy", "per-(user,type) counts then per-user totals: "
+     "two map-side-combined shuffles on progressively smaller keys; the "
+     "ln-ratio entropy fold runs on each user's bounded type array"),
+    ("events_path_analysis", "user-partitioned rank window (no "
+     "single-partition exchange) whose exchange the per-user collect "
+     "REUSES; rows past rank 5 drop before the collect; path counts are "
+     "map-side combined; top-20 is TakeOrdered, not a global sort"),
+    ("events_rate_test", "1-row midpoint broadcast back over the scan "
+     "(whitelisted bounded NLJ), then ONE map-side-combined aggregate "
+     "yields all four statistics — zero shuffled rows beyond the two "
+     "1-row frames"),
 ]
 
 

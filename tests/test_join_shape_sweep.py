@@ -83,7 +83,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "— the stats_ks_test shape",
     "stats_weighted_quantiles": "1-row total-weight broadcast over the "
     "distinct-value cumsum frame — the stats_quantiles_exact shape",
-    "sim_ann_lsh": "single query signature broadcast (band-match condition)",
+    "sim_ann_lsh": "24-row sign matrix broadcast for signatures; candidate "
+    "generation itself is the (band, bucket) equi-join vs the 36-row "
+    "multi-probe table",
     "sim_ann_ivf": "nlist-row centroid table broadcast (assign + nprobe)",
     "sim_pairs_threshold": "nlist-row centroid broadcast; pair candidates "
     "themselves come from the (cid, blk) equi-join (pinned in "

@@ -233,6 +233,65 @@ def main() -> None:
             max(0.0, timings["dedup_ngram_jaccard"] - sh), 3
         )
 
+    # ANN build/query split (VERDICT r7 item 2): the registered pq/ivfpq
+    # ops fold index build into the query, so their end-to-end timings are
+    # ~80% build (experiments/pq_build_split.py) — the serving-path number
+    # a capacity planner needs would otherwise be invisible here. Build is
+    # timed ONCE (it is inherently a cold, run-once-at-ingest cost; a
+    # median over reruns would time the localCheckpoint cache instead),
+    # the query path gets the standard warmup + n_runs median.
+    ann_split: dict[str, dict] = {}
+    try:
+        from wri_data_processing_spark.catalog import table as _table
+        from wri_data_processing_spark.queries.llm_similarity import (
+            _qvec,
+            ivfpq_index,
+            ivfpq_query,
+            pq_encode,
+            pq_query,
+            pq_subvectors,
+            pq_train_codebooks,
+        )
+
+        e = _table(spark, sf_dir, "embeddings")
+        e.count()  # warm the scan so build_sec is index work, not I/O
+
+        t0 = time.perf_counter()
+        qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+        sub = pq_subvectors(qt)
+        cents = pq_train_codebooks(sub)
+        codes = pq_encode(sub, cents).localCheckpoint()
+        pq_build = time.perf_counter() - t0
+
+        def _pq_q(s, d):
+            return pq_query(e, sub, cents, codes)
+
+        _time_once(_pq_q, spark, sf_dir)  # warmup
+        q_runs = [_time_once(_pq_q, spark, sf_dir) for _ in range(n_runs)]
+        ann_split["sim_ann_pq"] = {
+            "build_sec": round(pq_build, 3),
+            "query_sec": round(statistics.median(q_runs), 3),
+        }
+
+        t0 = time.perf_counter()
+        qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+        ccents, asg, pcents, icodes = ivfpq_index(qt)
+        asg = asg.localCheckpoint()
+        icodes = icodes.localCheckpoint()
+        ivfpq_build = time.perf_counter() - t0
+
+        def _ivfpq_q(s, d):
+            return ivfpq_query(e, qt, ccents, asg, pcents, icodes)
+
+        _time_once(_ivfpq_q, spark, sf_dir)  # warmup
+        q_runs = [_time_once(_ivfpq_q, spark, sf_dir) for _ in range(n_runs)]
+        ann_split["sim_ann_ivfpq"] = {
+            "build_sec": round(ivfpq_build, 3),
+            "query_sec": round(statistics.median(q_runs), 3),
+        }
+    except Exception as exc:  # the split must never sink the headline
+        ann_split = {"error": repr(exc)}
+
     probe_post = _env_probe(spark, n_runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -249,6 +308,7 @@ def main() -> None:
     # environment probe move to BENCH_DETAIL.json next to this script.
     detail_out = dict(out)
     detail_out["queries_detail"] = detail
+    detail_out["ann_split"] = ann_split
     detail_out["env_probe"] = {"pre": probe_pre, "post": probe_post}
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

@@ -40,66 +40,102 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Driver-sample priority: the correctness harness samples the FIRST ~50
 # registered queries, so registration order decides which operators get a
-# hard driver-verified CORRECTNESS row each round.  Round-6 sample
-# (VERDICT r5 item 1: close the inventory):
-# (a) positions 1-24: every oracled registered op that has NEVER received a
-#     driver CORRECTNESS row in r1-r5 — after this round, every oracled op
-#     in the registry has a hard driver-green row in some round,
-# (b) new round-6 ops follow immediately so they get rows in the same round
-#     they land,
-# (c) the tail re-proves headline ops whose modules changed this round.
+# hard driver-verified CORRECTNESS row each round.  Round-8 rotation
+# (VERDICT r7 item 7 — no green row should go more than ~5 rounds stale):
+# (a) ops NEW or whose module CHANGED in r8 go first so they get a row in
+#     the round they land (sim_ann_lsh's multi-probe rewrite leads; new r8
+#     ops are inserted here as they land),
+# (b) the STALEST standing rows re-prove next: the aggregates.py family and
+#     the two r2-era geo ops were last driver-sampled in round 2,
+# (c) then the r3-era scalar/relational/window/set/sort singles (last rows
+#     r3) — together (b)+(c) refresh everything at r2/r3 staleness,
+# (d) the tail keeps recent heads (r6/r7 rows are fresh; they re-enter the
+#     window in r9/r10 under the same rotation rule).
 # Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the
 # sampled window: the driver records them as `no_oracle` ERR rows (r2's
 # agg_freq_items proved it), which reads as red for zero information.
 _DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- round-7 head: the ONLY oracled op with no driver row yet (r6 item 1),
-    #    then ops new or changed this round --
-    "stats_chi2_independence",  # categorical drift chi2 (landed post-sample r6)
-    "snapshot_diff_update",  # CDF update case: delete+insert pair per modified row
-    "sim_ann_ivfpq",  # IVFADC: coarse cells + PQ on residuals, per-cell LUTs
-    "stats_psi",  # binned PSI drift monitor (ordered-fold ln terms)
-    "stream_drift_monitor",  # per-window PSI vs reference distribution
-    "dedup_semantic",  # SemDeDup: keep the member farthest from its centroid
-    "text_lm_score",  # CCNet-style unigram-LM cross-entropy quality signal
-    "stats_quantiles_exact",  # exact p25-p99 via two-phase prefix sum
-    "sample_dsir_weights",  # DSIR importance weights vs the target domain
-    "mixture_temperature_weights",  # mT5 temperature mixture recipe (sqrt-exact)
-    "stats_winsorize",  # clamp to exact [p1, p99]; third _two_phase_cumsum user
-    "snapshot_expire",  # retention GC: manifest set algebra + reclaim audit
-    "vocab_coverage",  # per-doc OOV rate vs the frozen top-K vocabulary
-    "multimodal_chunk_dedup",  # CAS-style sub-file chunk dedup stats
-    "events_cusum_alarm",  # online one-sided CUSUM alarm (sequential fold)
-    "join_asof_nearest",  # merge_asof direction='nearest'; ties break backward
-    "dq_benford",  # first-digit law audit (literal decade chain, no log10)
-    "events_holt_forecast",  # Holt linear smoothing; binary-exact halves
-    "stats_weighted_quantiles",  # volume-weighted percentiles, all-integer ranks
-    "stats_mann_whitney",  # rank-sum U test; doubled-rank integers, tie-corrected z
-    "stats_spearman",  # rank correlation; decimal(38,0) moment sums, div+sqrt close
-    "text_bm25_rank",  # Okapi BM25 top-20; map-side tf, 1-row stats broadcast
-    "stats_grouped_quantiles",  # exact per-group p25..p99; grouped 2-phase cumsum
-    "events_user_entropy",  # behavioral diversity; ordered p·ln p fold, ROUND-6
-    "events_path_analysis",  # top-20 first-5-event paths; one user shuffle
-    "events_rate_test",  # Poisson rate drift z; integers + div/sqrt, no rounding
-    # (sim_ann_pq retains its r6 slot below — codebooks now trained, re-proved there)
-    # -- (a) never-driver-sampled oracled ops: r5-new SURVEY §2 operators --
-    "dedup_substring",  # exact substring-span dedup (Lee et al. ExactSubstr)
-    "dedup_substring_winnow",  # content-defined fingerprint sampling
-    "dedup_substring_spans",  # merged duplicated intervals, the cut list
-    "pipeline_mask_spans",  # per-doc masking decision from the cut list
-    "dedup_clusters_unique",  # duplication-invariant cluster variant
-    "corpus_prep_pipeline",  # composed end-to-end prep with fate report
-    "sim_ann_sq8",  # int8 scalar-quantized ANN + exact re-rank
-    "embed_kmeans_iterate",  # two exact Lloyd rounds, unrolled-CTE oracle
+    # -- (a) r8 new/changed ops --
+    "sim_ann_lsh",  # multi-probe rewrite (r7 verdict item 1): recall 0.4 -> 1.0
+    # -- (b) stalest rows: last driver-sampled in ROUND 2 --
+    "agg_count_by_group",
+    "agg_conditional_count",
+    "agg_distinct_sorted",
+    "agg_duplicate_keys",
+    "agg_first_value",
+    "agg_minmax_stats",
+    "agg_approx_distinct",
+    "validate_assumptions",
+    "geo_overview_pyramid",
+    # -- (c) r3-era rows: the relational/window/sort/set/scalar singles --
+    "filter_exclude_paths",
+    "filter_predicate",
+    "split_by_flag",
+    "project_columns",
+    "join_left_anti",
+    "join_left_semi",
+    "join_full_outer",
+    "window_rank",
+    "window_lag_lead",
+    "sort_order_by",
+    "limit_n",
+    "set_union_all",
+    "set_except",
+    "set_intersect",
+    "scan_file_listing",
+    "scan_csv",
+    "sink_append_table",
+    "sink_overwrite_table",
+    "sink_json_docs",
+    "stream_watermark",
+    # -- (d) recent heads whose modules are likeliest to be touched again;
+    #    all have fresh r6/r7 rows, these slots guard against r8 edits --
+    "stats_chi2_independence",
+    "stats_psi",
+    "stats_quantiles_exact",
+    "stats_winsorize",
+    "stats_weighted_quantiles",
+    "stats_mann_whitney",
+    "stats_spearman",
+    "stats_grouped_quantiles",
+    "stats_ks_test",
+    "events_cusum_alarm",
+    "events_holt_forecast",
+    "events_user_entropy",
+    "events_path_analysis",
+    "events_rate_test",
+    "dq_benford",
+    "sim_ann_ivfpq",
+    "sim_ann_pq",
+    "sim_ann_sq8",
+    "dedup_semantic",
+    "text_lm_score",
+    "text_bm25_rank",
+    "sample_dsir_weights",
+    "mixture_temperature_weights",
+    "vocab_coverage",
+    "multimodal_chunk_dedup",
+    "join_asof_nearest",
+    "snapshot_diff_update",
+    "snapshot_expire",
+    "stream_drift_monitor",
+    # -- beyond the ~50-sample window: fresh r5-r7 rows, unchanged --
+    "dedup_substring",
+    "dedup_substring_winnow",
+    "dedup_substring_spans",
+    "pipeline_mask_spans",
+    "dedup_clusters_unique",
+    "corpus_prep_pipeline",
+    "embed_kmeans_iterate",
     "geo_zonal_stats",
     "geo_focal_mean",
     "geo_slope",
     "geo_hillshade",
     "geo_raster_algebra",
-    "scan_schema_evolution",  # mergeSchema drift handling
-    "sink_cog_lzw_bigtiff",  # LZW/BigTIFF dialect round-trip
+    "scan_schema_evolution",
+    "sink_cog_lzw_bigtiff",
     "geo_layer_cog_pipeline",
-    "stream_join_outer",  # left-outer stream-stream interval join (batch twin)
-    # -- (a) never-driver-sampled oracled ops: pre-r5 tail --
+    "stream_join_outer",
     "materialized_reuse",
     "pandas_grouped_map",
     "pandas_grouped_agg",
@@ -107,22 +143,18 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "skyline_pareto_frontier",
     "stream_static_join",
     "stream_sliding_window",
-    # -- (b) new round-6 ops (driver row in the round they land) --
-    "dedup_segments",  # C4-style cross-corpus segment dedup: coverage counts
-    "dedup_segments_rewrite",  # keep-first rewrite; fully-dup docs removed
-    "sim_ann_pq",  # product-quantization ADC + exact re-rank
-    "pack_sequences_spans",  # per-doc chunk-boundary accounting for packing
-    "quality_filter_report",  # per-source first-failing-rule funnel
-    "packing_pipeline",  # composed quality -> segment dedup -> packing manifest
-    "snapshot_time_travel",  # manifest-based snapshot isolation + time travel
-    "snapshot_diff",  # change-data-feed derived from two manifests (file-pruned)
-    "pack_sequences_emit",  # materialize the packed 512-token sequences
-    "multimodal_dedup",  # exact binary-payload dedup (no decode needed)
-    "sim_topk_batch",  # multi-query exact top-k with map-side rank pruning
-    "stats_ks_test",  # exact two-sample KS via distributed integer ECDF sums
-    "snapshot_incremental_read",  # consume only the files a manifest added
-    # -- (c) re-prove headline ops whose modules were touched this round --
-    "sim_pairs_threshold",  # llm_similarity.py changed (r5 perf-weak, attributed)
+    "dedup_segments",
+    "dedup_segments_rewrite",
+    "pack_sequences_spans",
+    "quality_filter_report",
+    "packing_pipeline",
+    "snapshot_time_travel",
+    "snapshot_diff",
+    "pack_sequences_emit",
+    "multimodal_dedup",
+    "sim_topk_batch",
+    "snapshot_incremental_read",
+    "sim_pairs_threshold",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_exact",

@@ -421,23 +421,7 @@ def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     from wri_data_processing_spark import registry
 
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy("event_type", F.to_date("ts").alias("dd"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select("event_type", F.col("dd").cast("string").alias("d"), "n")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("d")
-    rk = daily.withColumn("t", F.row_number().over(w))
-    mu0 = {
-        r["event_type"]: r["mu"]
-        for r in rk.filter(F.col("t") <= 7)
-        .groupBy("event_type")
-        .agg((F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"))
-        .collect()
-    }
+    rk, mu0 = _daily_and_mu0(spark, sf_dir)
     src = str(tmp_path / "daily_src")
     # two ordered drops: days 1-15, then 16-30 (state must carry over)
     rk.filter(F.col("t") <= 15).select("event_type", "d", "n").coalesce(1)\
@@ -467,3 +451,107 @@ def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in registry.REGISTRY["events_cusum_alarm"](spark, sf_dir).collect()
     }
     assert len(want) > 0 and got == want
+
+def _daily_and_mu0(spark, sf_dir):
+    """Per-day counts with a day rank + the pinned 7-day baseline dict —
+    shared prep for the cusum streaming tests."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", F.col("dd").cast("string").alias("d"), "n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    rk = daily.withColumn("t", F.row_number().over(w))
+    mu0 = {
+        r["event_type"]: r["mu"]
+        for r in rk.filter(F.col("t") <= 7)
+        .groupBy("event_type")
+        .agg((F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"))
+        .collect()
+    }
+    return rk, mu0
+
+
+def test_cusum_alarm_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Checkpoint RECOVERY, not just cross-batch state (VERDICT r7 item 5):
+    the first query instance drains days 1-15 and STOPS; a brand-new query
+    object — new plan, new applyInPandasWithState instance — restarts from
+    the SAME checkpoint dir, consumes only the late-arriving days 16-30
+    (the file-source log must skip the already-committed drop), and its
+    final per-key emission must equal the unbroken batch op exactly. This
+    is the kill/redeploy path every production stateful job exercises: the
+    mid-series fold state (s, smax, n_alarms, first_alarm_day, n_days)
+    survives on disk, not in the stopped query's JVM objects."""
+    from wri_data_processing_spark import registry
+    from wri_data_processing_spark.streaming.pipelines import (
+        cusum_alarm,
+        read_daily_stream,
+    )
+
+    rk, mu0 = _daily_and_mu0(spark, sf_dir)
+    src = str(tmp_path / "daily_src")
+    ckpt = str(tmp_path / "ckpt_cusum_recovery")
+
+    # Incarnation 1: only days 1-15 exist; the query drains them, commits
+    # state + source log to the checkpoint, and terminates (availableNow).
+    # The memory sink refuses checkpoint recovery by design, so emissions
+    # go through foreachBatch — the sink production stateful jobs restart
+    # behind (it replays an uncommitted epoch but never a committed one).
+    def _drain(emitted):
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+        return _sink
+
+    rk.filter(F.col("t") <= 15).select("event_type", "d", "n").coalesce(1)\
+        .write.mode("append").parquet(src)
+    run1_rows: list = []
+    q = (
+        cusum_alarm(read_daily_stream(spark, src), mu0)
+        .writeStream.foreachBatch(_drain(run1_rows))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    mid = {r["event_type"]: r["n_days"] for r in run1_rows}
+    assert mid and all(v == 15 for v in mid.values()), mid
+
+    # Days 16-30 arrive while no query is running.
+    rk.filter(F.col("t") > 15).select("event_type", "d", "n").coalesce(1)\
+        .write.mode("append").parquet(src)
+
+    # Incarnation 2: a NEW query object against the SAME checkpoint. It
+    # must resume — replaying nothing from drop 1 — and fold 16-30 onto
+    # the recovered state.
+    run2_rows: list = []
+    q = (
+        cusum_alarm(read_daily_stream(spark, src), mu0)
+        .writeStream.foreachBatch(_drain(run2_rows))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["s_final"], r["s_max"], r["n_alarms"], r["first_alarm_day"]
+        )
+        for r in run2_rows
+    }
+    # Run 2 saw only drop-2 rows: every key must still show the FULL
+    # series (15 recovered + 15 new), proving state came off disk.
+    assert got and all(v[0] == 30 for v in got.values()), got
+
+    registry.load_all()
+    want = {
+        r["event_type"]: (
+            r["n_days"], r["s_final"], r["s_max"], r["n_alarms"], r["first_alarm_day"]
+        )
+        for r in registry.REGISTRY["events_cusum_alarm"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1,0 +1,77 @@
+"""Pure-Python BMP codec: round-trip + the format's three classic traps
+(4-byte row padding, BGR byte order, bottom-up row storage) + error paths."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from wri_data_processing_spark.sources.bmp_codec import (
+    _row_stride,
+    decode_bmp,
+    write_bmp,
+)
+
+
+def _px(x, y):
+    return ((x * 11 + y * 7) % 256, (x * 3 + y * 5) % 256, (x * 13 + y) % 256)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 6, 7, 8])  # every stride residue
+@pytest.mark.parametrize("h", [1, 3, 5])
+def test_round_trip_all_paddings(w, h):
+    payload = write_bmp(w, h, _px)
+    rw, rh, rows = decode_bmp(payload)
+    assert (rw, rh) == (w, h)
+    assert rows == [[_px(x, y) for x in range(w)] for y in range(h)]
+    # spec size formula: headers + padded rows
+    assert len(payload) == 54 + _row_stride(w) * h
+
+
+def test_rows_are_stored_bottom_up_and_bgr():
+    """Read the raw pixel array directly: file row 0 must be the BOTTOM
+    image row and each pixel must be B,G,R — the decoder's job is exactly
+    to undo both."""
+    w, h = 2, 3
+    payload = write_bmp(w, h, _px)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    b, g, r = payload[offset:offset + 3]
+    assert (r, g, b) == _px(0, h - 1)  # bottom-left image pixel first in file
+
+
+def test_top_down_negative_height_decodes():
+    """Negative biHeight means top-down storage; the decoder must honor it."""
+    w, h = 3, 2
+    payload = bytearray(write_bmp(w, h, _px))
+    # flip to top-down: negate height and reverse the stored row order
+    struct.pack_into("<i", payload, 22, -h)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    stride = _row_stride(w)
+    rows_raw = [bytes(payload[offset + i * stride:offset + (i + 1) * stride])
+                for i in range(h)]
+    payload[offset:] = b"".join(reversed(rows_raw))
+    rw, rh, rows = decode_bmp(bytes(payload))
+    assert (rw, rh) == (w, h)
+    assert rows == [[_px(x, y) for x in range(w)] for y in range(h)]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda p: p[:40], "truncated"),
+        (lambda p: b"XX" + p[2:], "magic"),
+        (lambda p: p[:-1], "truncated pixel array"),
+    ],
+)
+def test_rejects_malformed(mutate, msg):
+    payload = write_bmp(4, 4, _px)
+    with pytest.raises(ValueError, match=msg):
+        decode_bmp(mutate(payload))
+
+
+def test_rejects_unsupported_bpp():
+    payload = bytearray(write_bmp(4, 4, _px))
+    struct.pack_into("<H", payload, 28, 8)  # bpp 24 -> 8
+    with pytest.raises(ValueError, match="bpp=8"):
+        decode_bmp(bytes(payload))

@@ -44,6 +44,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "geo_reproject_bbox_vals": "same reprojection, VALUES-oracle variant",
     "probe_url_exists": "effectful HTTP HEAD probe (connection-pooled pandas UDF)",
     "multimodal_features": "media decode boundary (stubbed decoder, real plumbing)",
+    "multimodal_features_real": "media decode boundary, executed pure-Python "
+    "BMP codec (sources/bmp_codec.py)",
     "pandas_grouped_map": "registered applyInPandas interface demo",
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",

@@ -216,3 +216,125 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# Deterministic BMP fixtures for the REAL decode path: index -> dimensions
+# and a per-index pixel pattern. Widths sweep all four stride-padding
+# residues (w*3 mod 4) and the pattern varies in both axes and per image,
+# so a decoder that mishandles row padding, BGR order, or bottom-up row
+# storage produces different statistics from the stated expectation.
+_BMP_FIXTURES = [(i, f"img_{i:02d}.bmp", 5 + i, 4 + (i % 5)) for i in range(12)]
+
+
+def _bmp_pixel(i: int):
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return ((x * 11 + y * 7 + i) % 256,
+                (x * 3 + y * 5 + 2 * i) % 256,
+                (x * 13 + y + 3 * i) % 256)
+
+    return px
+
+
+def _bmp_expected_values() -> str:
+    """Expected rows from INDEPENDENT arithmetic: direct sums over the
+    pattern + the spec's size formula — never through the codec, so the
+    oracle catches encode AND decode bugs alike."""
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        px = _bmp_pixel(i)
+        pxs = [px(x, y) for y in range(h) for x in range(w)]
+        n = len(pxs)
+        mean = tuple(float(sum(p[c] for p in pxs)) / n for c in range(3))
+        stride = (w * 3 + 3) & ~3
+        n_bytes = 54 + stride * h
+        rows.append(
+            f"(CAST({i} AS BIGINT), '{name}', CAST({n_bytes} AS BIGINT), "
+            f"CAST({w} AS INTEGER), CAST({h} AS INTEGER), "
+            f"CAST({mean[0]!r} AS DOUBLE), CAST({mean[1]!r} AS DOUBLE), "
+            f"CAST({mean[2]!r} AS DOUBLE), CAST({px(0, 0)[0]} AS INTEGER), "
+            f"CAST({px(w - 1, h - 1)[2]} AS INTEGER), TRUE)"
+        )
+    rows.append(
+        "(CAST(12 AS BIGINT), 'corrupt.bmp', CAST(40 AS BIGINT), "
+        "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), "
+        "CAST(NULL AS INTEGER), FALSE)"
+    )
+    return ", ".join(rows)
+
+
+@query(
+    "multimodal_features_real",
+    oracle=f"""
+    SELECT media_id, filename, n_bytes, width, height,
+           mean_r, mean_g, mean_b, first_px_r, last_px_b, success
+    FROM (VALUES {_bmp_expected_values()})
+      AS t(media_id, filename, n_bytes, width, height,
+           mean_r, mean_g, mean_b, first_px_r, last_px_b, success)
+    """,
+)
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 feature extraction with NO stub: real 24-bit BMP payloads encoded
+    and DECODED by the pure-Python codec (sources/bmp_codec.py), pixels
+    recovered inside the Arrow-batched mapInPandas boundary, statistics
+    checked against a VALUES oracle stated from independent arithmetic —
+    the multimodal twin of scan_raster_header_real's executed-TIFF path.
+    The reference behavior is utils.R:175-214's read-real-raster-bytes
+    ingest, re-expressed for the opaque-binary media column family.
+
+    One payload (fixture 12) is a 40-byte truncation: the decoder raises,
+    the op emits success=FALSE with NULL features — the tolerate-and-log
+    contract (bad media must quarantine, not kill the 100 TB job).
+
+    Plan shape at scale: payloads never shuffle — decode runs in the scan
+    stage's mapInPandas and only fixed-width statistics leave it; the
+    output is a separate features table so downstream analytics never
+    rescan media bytes (the operators/multimodal.py scale note).
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        rows.append((i, name, bytearray(write_bmp(w, h, _bmp_pixel(i)))))
+    full = write_bmp(16, 8, _bmp_pixel(0))
+    rows.append((12, "corrupt.bmp", bytearray(full[:40])))
+    media = spark.createDataFrame(rows, "media_id long, filename string, payload binary")
+
+    out_schema = (
+        "media_id long, filename string, n_bytes long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, "
+        "first_px_r int, last_px_b int, success boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "filename", "n_bytes", "width",
+                                   "height", "mean_r", "mean_g", "mean_b",
+                                   "first_px_r", "last_px_b", "success")}
+            for mid, name, payload in zip(pdf["media_id"], pdf["filename"],
+                                          pdf["payload"]):
+                raw = bytes(payload)
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                out["n_bytes"].append(len(raw))
+                try:
+                    w, h, px = decode_bmp(raw)
+                    n = w * h
+                    flat = [p for row in px for p in row]
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for c, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                        out[k].append(float(sum(p[c] for p in flat)) / n)
+                    out["first_px_r"].append(px[0][0][0])
+                    out["last_px_b"].append(px[h - 1][w - 1][2])
+                    out["success"].append(True)
+                except ValueError:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b",
+                              "first_px_r", "last_px_b"):
+                        out[k].append(None)
+                    out["success"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, out_schema)

@@ -75,3 +75,27 @@ def test_rejects_unsupported_bpp():
     struct.pack_into("<H", payload, 28, 8)  # bpp 24 -> 8
     with pytest.raises(ValueError, match="bpp=8"):
         decode_bmp(bytes(payload))
+
+
+def test_dhash_fixture_margins():
+    """The dedup op's design point: sibling fixtures within Hamming 5 and
+    at least one shared 16-bit band; unrelated pairs >= 22 — wide margin
+    on both sides of the threshold (10)."""
+    import itertools
+
+    from wri_data_processing_spark.queries.multimodal import (
+        _DHASH_THRESHOLD,
+        _dhash_expected,
+    )
+
+    hs = {name: dh & ((1 << 64) - 1) for _mid, name, _w, _h, dh in _dhash_expected()}
+    for (na, ha), (nb, hb) in itertools.combinations(sorted(hs.items()), 2):
+        d = bin(ha ^ hb).count("1")
+        if na.split("_")[1] == nb.split("_")[1]:  # base_i vs near_i
+            assert d <= 5, (na, nb, d)
+            assert any(
+                (ha >> (16 * j)) & 0xFFFF == (hb >> (16 * j)) & 0xFFFF
+                for j in range(4)
+            ), (na, nb, "no shared band")
+        else:
+            assert d >= 2 * _DHASH_THRESHOLD, (na, nb, d)

@@ -46,6 +46,10 @@ PYTHON_WHITELIST: dict[str, str] = {
     "multimodal_features": "media decode boundary (stubbed decoder, real plumbing)",
     "multimodal_features_real": "media decode boundary, executed pure-Python "
     "BMP codec (sources/bmp_codec.py)",
+    "multimodal_dhash": "same executed decode boundary; integer dHash of "
+    "decoded pixels",
+    "multimodal_dhash_dedup": "banded pair join over multimodal_dhash "
+    "fingerprints (same decode boundary upstream)",
     "pandas_grouped_map": "registered applyInPandas interface demo",
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",

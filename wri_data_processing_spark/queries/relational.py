@@ -831,3 +831,90 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+_IVL_BUCKET_SEC = 3600  # chunk width; interval length <= 2h => <= 3 chunks
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 20) AS BIGINT) AS e
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+    b AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 20) AS BIGINT) AS e
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+    ov AS (
+      SELECT a.user_id,
+             least(a.e, b.e) - greatest(a.s, b.s) AS sec
+      FROM a JOIN b ON a.user_id = b.user_id
+      WHERE least(a.e, b.e) - greatest(a.s, b.s) > 0)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(sec) AS BIGINT) AS total_overlap_sec,
+           CAST(MAX(sec) AS BIGINT) AS max_overlap_sec
+    FROM ov GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (the genomics/observability
+    classic): per user, every (view interval, click interval) pair with
+    POSITIVE time overlap, aggregated to counts and overlap seconds.
+    Intervals are [ts, ts + floor(value*20) sec] (<= ~2 h), so both sides
+    have variable extents — the case join_range's point-within-delta
+    banding does not cover. Epoch seconds TRUNCATE on both engines:
+    Spark's unix_timestamp floors sub-second timestamps, so the oracle
+    floors epoch() before casting (a bare CAST would round-half-even and
+    drift one second on ~half the sub-second inputs).
+
+    Scale design — chunked equi-join with ASSIGNMENT-BUCKET dedup:
+    each interval explodes to the {_IVL_BUCKET_SEC}-second chunks it
+    spans (<= 3 here), candidates come from the (user_id, chunk)
+    EQUI-join, and a pair spanning several shared chunks is counted
+    exactly once WITHOUT a distinct(): it is claimed only by the chunk
+    containing greatest(s_a, s_b) — a point inside both intervals, so
+    the claiming chunk is always among the candidates. A plain SMJ on
+    user_id alone re-checks the residual against every same-user pair
+    (quadratic in user density, the join_range lesson); the distinct()
+    formulation re-shuffles the full pair set a second time. Both are
+    avoided: one exchange per side, one aggregation.
+
+    Fan-out bound at 100 TB: chunk width should sit near the median
+    interval length — explode factor ~2-3, per-chunk density bounded by
+    concurrent-interval count, and skewed chunks fall under AQE skew
+    splitting since the join key is (user, chunk), not user alone.
+    """
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+
+    def side(et: str, s_name: str, e_name: str) -> DataFrame:
+        return (
+            e.filter((F.col("event_type") == et) & F.col("value").isNotNull())
+            .select(
+                "user_id",
+                sec.alias(s_name),
+                (sec + F.floor(F.col("value") * 20).cast("long")).alias(e_name),
+            )
+        )
+
+    w = _IVL_BUCKET_SEC
+    a = side("view", "sa", "ea").withColumn(
+        "jb", F.explode(F.sequence(F.expr(f"sa div {w}"), F.expr(f"ea div {w}")))
+    )
+    b = side("click", "sb", "eb").withColumn(
+        "jb", F.explode(F.sequence(F.expr(f"sb div {w}"), F.expr(f"eb div {w}")))
+    )
+    ov = F.least("ea", "eb") - F.greatest("sa", "sb")
+    claim = F.expr(f"greatest(sa, sb) div {w}")
+    pairs = (
+        a.join(b, ["user_id", "jb"])
+        .filter((ov > 0) & (F.col("jb") == claim))
+        .select("user_id", ov.alias("sec"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum("sec").cast("long").alias("total_overlap_sec"),
+        F.max("sec").cast("long").alias("max_overlap_sec"),
+    )

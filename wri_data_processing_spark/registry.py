@@ -60,6 +60,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_features_real",  # executed BMP codec decode (r7 item 6)
     "multimodal_dhash",  # perceptual fingerprint over decoded pixels (r8)
     "multimodal_dhash_dedup",  # banded dHash near-dup pairs (r8)
+    "join_interval_overlap",  # chunked interval x interval join (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -1711,3 +1711,151 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+# ---- Canonical-URL dedup (web-corpus L-family, r8) ----------------------
+# Surface-form synthesis: each doc_id group of 4 shares one logical URL;
+# doc_id % 4 picks the mess a crawler actually sees — uppercase
+# scheme/host + fragment, tracking params in shuffled order, an explicit
+# default port + trailing slash. Canonicalization must collapse each
+# group to ONE key while never merging different groups.
+_URL_SQL = """
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://www.site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.example.com/docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '?page='
+                  || CAST((doc_id // 4) % 7 AS VARCHAR) || '&ref=home'
+      WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.EXAMPLE.COM/docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '?page='
+                  || CAST((doc_id // 4) % 7 AS VARCHAR) || '&ref=home#section2'
+      WHEN 2 THEN 'https://www.site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.example.com/docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '?ref=home&utm_source=feed&page='
+                  || CAST((doc_id // 4) % 7 AS VARCHAR) || '&utm_campaign=x'
+      ELSE 'https://www.site' || CAST((doc_id // 4) % 10 AS VARCHAR) || '.example.com:443/docs/'
+                  || CAST(doc_id // 4 AS VARCHAR) || '/?page='
+                  || CAST((doc_id // 4) % 7 AS VARCHAR) || '&ref=home&fbclid=abc'
+    END
+"""
+
+
+def _url_spark(d: DataFrame):
+    gid = F.expr("doc_id div 4").cast("string")
+    site = F.expr("(doc_id div 4) % 10").cast("string")
+    page = F.expr("(doc_id div 4) % 7").cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www.site"), site,
+                     F.lit(".example.com/docs/"), gid, F.lit("?page="), page,
+                     F.lit("&ref=home")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://WWW.SITE"), site,
+                     F.lit(".EXAMPLE.COM/docs/"), gid, F.lit("?page="), page,
+                     F.lit("&ref=home#section2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www.site"), site,
+                     F.lit(".example.com/docs/"), gid,
+                     F.lit("?ref=home&utm_source=feed&page="), page,
+                     F.lit("&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.site"), site,
+                     F.lit(".example.com:443/docs/"), gid, F.lit("/?page="), page,
+                     F.lit("&ref=home&fbclid=abc")),
+        )
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
+    cased AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([^/]*//[^/?]+)', 1))
+               || substring(url, length(regexp_extract(url, '^([^/]*//[^/?]+)', 1)) + 1)
+               AS url
+      FROM nofrag),
+    noport AS (
+      SELECT doc_id, regexp_replace(url, '^(https://[^/:?]+):443', '\\1') AS url
+      FROM cased),
+    split AS (
+      SELECT doc_id,
+             regexp_replace(CASE WHEN instr(url, '?') > 0
+                  THEN substring(url, 1, instr(url, '?') - 1) ELSE url END,
+                  '/$', '') AS path,
+             CASE WHEN instr(url, '?') > 0
+                  THEN substring(url, instr(url, '?') + 1) ELSE '' END AS qs
+      FROM noport),
+    canon AS (
+      SELECT doc_id, path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        SELECT doc_id, path,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS cq
+        FROM split))
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the first dedup pass of every web-crawl
+    corpus (CommonCrawl-style): collapse surface-form URL variants onto
+    one canonical key BEFORE any content hashing, since refetches of the
+    same page differ by tracking params, host case, fragments, default
+    ports, and trailing slashes long before their bytes differ.
+
+    Canonicalization (each rule exercised by a synthesized variant):
+    strip #fragment -> lowercase scheme+host (path case PRESERVED — it is
+    significant per RFC 3986) -> drop the :443 default port -> drop
+    trailing path slash -> drop tracking params (utm_*, fbclid, gclid) ->
+    sort surviving query params. All string expressions: regexp_replace /
+    filter / array_sort run JVM-side inside the scan stage; the only
+    shuffle is the final groupBy on the canonical key (map-side combined),
+    identical topology to dedup_exact. Param sorting is lexicographic on
+    ASCII in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = d.select("doc_id", _url_spark(d).alias("url"))
+    nofrag = F.regexp_replace("url", r"#.*$", "")
+    head = F.regexp_extract(nofrag, r"^([^/]*//[^/?]+)", 1)
+    cased = F.concat(F.lower(head), F.expr(
+        "substring(regexp_replace(url, '#.*$', ''), "
+        "length(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^/]*//[^/?]+)', 1)) + 1)"
+    ))
+    c = u.select("doc_id", cased.alias("url"))
+    noport = F.regexp_replace("url", r"^(https://[^/:?]+):443", r"$1")
+    c = c.select("doc_id", noport.alias("url"))
+    qpos = F.instr(F.col("url"), "?")
+    path = F.regexp_replace(
+        F.when(qpos > 0, F.expr("substring(url, 1, instr(url, '?') - 1)"))
+        .otherwise(F.col("url")),
+        r"/$", "",
+    )
+    qs = F.when(qpos > 0, F.expr("substring(url, instr(url, '?') + 1)")).otherwise(
+        F.lit("")
+    )
+    keep = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike("^(utm_[a-z]+|fbclid|gclid)="),
+        )
+    )
+    cq = F.array_join(keep, "&")
+    canon = c.select(
+        "doc_id",
+        F.concat(path, F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)))
+        .alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

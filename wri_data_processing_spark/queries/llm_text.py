@@ -433,3 +433,102 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.round(-fold / F.col("n_tokens").cast("double"), 6).alias("xent"),
     )
+
+
+_LM_CTE = """
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    dt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+    terms AS (
+      SELECT dt.doc_id, dt.w, dt.c_dw,
+             CAST(dt.c_dw AS DOUBLE)
+               * ln((CAST(v.c AS DOUBLE) + 1.0)
+                    / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE))) AS term
+      FROM dt JOIN vocab v ON dt.w = v.w, tot t),
+    lm AS (
+      SELECT doc_id, n_tokens,
+             ROUND(-list_aggregate(terms, 'sum') / CAST(n_tokens AS DOUBLE), 6)
+               AS xent
+      FROM (SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+                   list(term ORDER BY w) AS terms
+            FROM terms GROUP BY 1))
+"""
+
+
+@query(
+    "quality_perplexity_buckets",
+    oracle=f"""
+    WITH {_LM_CTE},
+    x AS (SELECT d.lang, lm.doc_id, lm.n_tokens, lm.xent
+          FROM lm JOIN documents d USING (doc_id)),
+    gd AS (SELECT lang, xent, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(n_tokens) AS BIGINT) AS tk
+           FROM x GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM gd GROUP BY 1),
+    cum AS (
+      SELECT lang, xent, c, tk,
+             SUM(c) OVER (PARTITION BY lang ORDER BY xent
+                          ROWS UNBOUNDED PRECEDING) - c AS cumb
+      FROM gd),
+    asg AS (
+      SELECT cum.lang, xent, c, tk,
+             CASE (cumb * 3) // n.n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                                    ELSE 'tail' END AS bucket
+      FROM cum JOIN n USING (lang))
+    SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS n_tokens,
+           MIN(xent) AS xent_lo, MAX(xent) AS xent_hi
+    FROM asg GROUP BY 1, 2
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail LM-quality partition (Wenzek et al. 2020):
+    per language, documents split into equal THIRDS by the self-trained
+    unigram-LM cross-entropy (text_lm_score), the bucketing CCNet uses to
+    keep the low-perplexity head of a crawl and drop the tail. Assignment
+    is VALUE-LEVEL and all-integer: each distinct (lang, xent) value's
+    bucket is floor(3 * count_before / n_lang) over the per-lang exact
+    cumulative count — ties share a value, hence a bucket, and no float
+    boundary ever decides membership.
+
+    Scale: composes the two proven primitives end-to-end — the LM plan
+    (two map-side-combined shuffles + vocab equi-join) and
+    _grouped_two_phase_cumsum for the per-lang cumulative counts (global
+    approx cuts, per-(lang, bucket) parallel prefix sums, broadcast
+    offsets — NO per-lang single-reducer sort, so one dominant language
+    cannot serialize the job the way a naive partitionBy(lang) row_number
+    would). Output is |langs| x 3 rows.
+    """
+    from wri_data_processing_spark.queries.llm_text import text_lm_score
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _grouped_two_phase_cumsum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    x = text_lm_score(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    gd = x.groupBy("lang", "xent").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_tokens").cast("long").alias("tk"),
+    )
+    cum = _grouped_two_phase_cumsum(gd, "lang", "xent", ["c"])
+    n = gd.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    asg = (
+        cum.withColumn("cumb", F.col("cum_c") - F.col("c"))
+        .join(F.broadcast(n), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.expr("(cumb * 3) div n") == 0, F.lit("head"))
+            .when(F.expr("(cumb * 3) div n") == 1, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return asg.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("tk").cast("long").alias("n_tokens"),
+        F.min("xent").alias("xent_lo"),
+        F.max("xent").alias("xent_hi"),
+    )

@@ -62,6 +62,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_dhash_dedup",  # banded dHash near-dup pairs (r8)
     "join_interval_overlap",  # chunked interval x interval join (r8)
     "dedup_url_canonical",  # web-corpus canonical-URL dedup (r8)
+    "quality_perplexity_buckets",  # CCNet head/middle/tail thirds (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -70,6 +70,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "term rows — the stats_ks_test shape",
     "quality_perplexity_buckets": "inherits text_lm_score's 1-row (N, V) "
     "vocab-total broadcast (composes that op upstream)",
+    "web_corpus_pipeline": "inherits text_lm_score's 1-row (N, V) "
+    "vocab-total broadcast (survivor-trained LM stage)",
     "stats_quantiles_exact": "1-row N-total broadcast over the distinct-"
     "value cumsum frame — the stats_ks_test shape",
     "sample_dsir_weights": "1-row (N_r, N_t, V) totals broadcast over "

@@ -1769,10 +1769,8 @@ def _url_spark(d: DataFrame):
     )
 
 
-@query(
-    "dedup_url_canonical",
-    oracle=f"""
-    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+_URL_CANON_CTES = f"""
+    u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
     nofrag AS (
       SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
     cased AS (
@@ -1801,6 +1799,13 @@ def _url_spark(d: DataFrame):
                  p -> p <> '' AND NOT regexp_matches(p,
                       '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS cq
         FROM split))
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
     SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_copies,
            MIN(doc_id) AS keeper_doc_id
     FROM canon GROUP BY 1
@@ -1823,7 +1828,16 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical topology to dedup_exact. Param sorting is lexicographic on
     ASCII in both engines.
     """
-    d = table(spark, sf_dir, "documents")
+    canon = _canonical_urls(table(spark, sf_dir, "documents"))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def _canonical_urls(d: DataFrame) -> DataFrame:
+    """(doc_id, canonical_url) — the dedup_url_canonical rule chain over a
+    documents frame; shared with web_corpus_pipeline."""
     u = d.select("doc_id", _url_spark(d).alias("url"))
     nofrag = F.regexp_replace("url", r"#.*$", "")
     head = F.regexp_extract(nofrag, r"^([^/]*//[^/?]+)", 1)
@@ -1850,12 +1864,116 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cq = F.array_join(keep, "&")
-    canon = c.select(
+    return c.select(
         "doc_id",
         F.concat(path, F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)))
         .alias("canonical_url"),
     )
-    return canon.groupBy("canonical_url").agg(
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
-        F.min("doc_id").alias("keeper_doc_id"),
+
+
+def _web_pipeline_oracle() -> str:
+    from wri_data_processing_spark.queries.llm_text import _lm_cte
+
+    return f"""
+    WITH {_URL_CANON_CTES},
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+    surv AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    {_lm_cte("surv")},
+    x AS (SELECT s.lang, lm.doc_id, lm.n_tokens, lm.xent
+          FROM lm JOIN surv s USING (doc_id)),
+    gd AS (SELECT lang, xent, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(n_tokens) AS BIGINT) AS tk
+           FROM x GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM gd GROUP BY 1),
+    cum AS (
+      SELECT lang, xent, c, tk,
+             SUM(c) OVER (PARTITION BY lang ORDER BY xent
+                          ROWS UNBOUNDED PRECEDING) - c AS cumb
+      FROM gd),
+    tails AS (
+      SELECT cum.lang, CAST(SUM(c) AS BIGINT) AS n_tail,
+             CAST(SUM(tk) AS BIGINT) AS tail_tokens
+      FROM cum JOIN n USING (lang)
+      WHERE (cumb * 3) // n.n = 2 GROUP BY 1),
+    inp AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_input
+            FROM documents GROUP BY 1),
+    sv AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_surv,
+                  CAST(SUM(n_tokens) AS BIGINT) AS surv_tokens
+           FROM x GROUP BY 1)
+    SELECT inp.lang, inp.n_input,
+           inp.n_input - sv.n_surv AS n_url_dup,
+           COALESCE(t.n_tail, 0) AS n_tail_dropped,
+           sv.n_surv - COALESCE(t.n_tail, 0) AS n_kept,
+           sv.surv_tokens - COALESCE(t.tail_tokens, 0) AS kept_tokens
+    FROM inp JOIN sv USING (lang) LEFT JOIN tails t USING (lang)
+    """
+
+
+@query("web_corpus_pipeline", oracle=_web_pipeline_oracle())
+def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-crawl curation program — the third flagship pipeline,
+    chaining this round's web ops the way a crawl actually flows:
+    canonical-URL dedup (refetches collapse BEFORE content work) ->
+    survivors re-scored by a unigram LM trained ON THE SURVIVORS (the LM
+    must not learn from the duplicates it just removed — CCNet trains on
+    the deduped crawl) -> per-language tail third dropped -> per-language
+    fate report whose counts PARTITION the input exactly:
+    n_input = n_url_dup + n_tail_dropped + n_kept (the corpus_prep_pipeline
+    accounting invariant; docs the tokenizer finds empty count as kept).
+
+    Scale: each stage is a proven registered plan (dedup_url_canonical's
+    scan-stage canonicalization + one keyed groupBy; text_lm_score's two
+    shuffles + vocab join over survivors only; the grouped two-phase
+    cumsum for per-lang thirds with no single-reducer sort); the stages
+    compose as one lazy DAG — Catalyst pipelines the semi-join into the
+    LM scan, and nothing materializes between stages.
+    """
+    from wri_data_processing_spark.queries.llm_text import _lm_xent
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _grouped_two_phase_cumsum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    keep = (
+        _canonical_urls(d)
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(keep, "doc_id", "left_semi")
+    x = _lm_xent(surv).join(surv.select("doc_id", "lang"), "doc_id")
+    gd = x.groupBy("lang", "xent").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_tokens").cast("long").alias("tk"),
+    )
+    cum = _grouped_two_phase_cumsum(gd, "lang", "xent", ["c"])
+    n = gd.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    tails = (
+        cum.withColumn("cumb", F.col("cum_c") - F.col("c"))
+        .join(F.broadcast(n), "lang")
+        .filter(F.expr("(cumb * 3) div n") == 2)
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tail"),
+            F.sum("tk").cast("long").alias("tail_tokens"),
+        )
+    )
+    inp = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    sv = x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_surv"),
+        F.sum("n_tokens").cast("long").alias("surv_tokens"),
+    )
+    return (
+        inp.join(sv, "lang")
+        .join(tails, "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            (F.col("n_input") - F.col("n_surv")).alias("n_url_dup"),
+            F.coalesce("n_tail", F.lit(0)).cast("long").alias("n_tail_dropped"),
+            (F.col("n_surv") - F.coalesce("n_tail", F.lit(0))).cast("long").alias("n_kept"),
+            (F.col("surv_tokens") - F.coalesce("tail_tokens", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
     )

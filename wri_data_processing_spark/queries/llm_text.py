@@ -397,7 +397,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc fold runs over each doc's distinct-token list, bounded by doc
     length. No all-pairs, no driver actions.
     """
-    d = table(spark, sf_dir, "documents")
+    return _lm_xent(table(spark, sf_dir, "documents"))
+
+
+def _lm_xent(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, xent) — the text_lm_score plan over an
+    arbitrary (doc_id, text) frame; the LM trains on exactly this frame."""
     tok = d.select(
         "doc_id",
         F.explode(
@@ -435,10 +440,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_CTE = """
+def _lm_cte(src: str = "documents") -> str:
+    """The text_lm_score oracle chain over an arbitrary (doc_id, text)
+    relation ``src`` — shared by quality_perplexity_buckets and
+    web_corpus_pipeline so composed oracles train the LM on exactly the
+    corpus their engine twin trains on."""
+    return f"""
     tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-      FROM documents),
+      FROM {src}),
     dt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw FROM tok GROUP BY 1, 2),
     vocab AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c FROM dt GROUP BY 1),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
@@ -462,7 +472,7 @@ _LM_CTE = """
 @query(
     "quality_perplexity_buckets",
     oracle=f"""
-    WITH {_LM_CTE},
+    WITH {_lm_cte()},
     x AS (SELECT d.lang, lm.doc_id, lm.n_tokens, lm.xent
           FROM lm JOIN documents d USING (doc_id)),
     gd AS (SELECT lang, xent, CAST(COUNT(*) AS BIGINT) AS c,

@@ -63,6 +63,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_interval_overlap",  # chunked interval x interval join (r8)
     "dedup_url_canonical",  # web-corpus canonical-URL dedup (r8)
     "quality_perplexity_buckets",  # CCNet head/middle/tail thirds (r8)
+    "web_corpus_pipeline",  # composed: url dedup -> survivor LM -> tail drop (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -72,6 +72,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "vocab-total broadcast (composes that op upstream)",
     "web_corpus_pipeline": "inherits text_lm_score's 1-row (N, V) "
     "vocab-total broadcast (survivor-trained LM stage)",
+    "text_bigram_lm": "1-row (N, V) totals broadcast over doc-level "
+    "bigram rows — the text_lm_score shape",
     "stats_quantiles_exact": "1-row N-total broadcast over the distinct-"
     "value cumsum frame — the stats_ks_test shape",
     "sample_dsir_weights": "1-row (N_r, N_t, V) totals broadcast over "

@@ -542,3 +542,130 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("xent").alias("xent_lo"),
         F.max("xent").alias("xent_hi"),
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_d
+           FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(SUM(c_d) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+    terms AS (
+      SELECT db.doc_id, db.w1, db.w2,
+             CAST(db.c_d AS DOUBLE) * ln(
+               0.75 * ((CAST(cb.c12 AS DOUBLE) + 1.0)
+                       / (CAST(cu.c1 AS DOUBLE) + CAST(t.v_size AS DOUBLE)))
+               + 0.25 * ((CAST(u2.c AS DOUBLE) + 1.0)
+                         / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE)))
+             ) AS term
+      FROM db
+      JOIN cb USING (w1, w2)
+      JOIN cu USING (w1)
+      JOIN uni u2 ON db.w2 = u2.w, tot t),
+    g AS (
+      SELECT doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
+             list(term ORDER BY w1, w2) AS terms
+      FROM (SELECT db.doc_id, db.w1, db.w2, db.c_d, terms.term
+            FROM db JOIN terms USING (doc_id, w1, w2)) GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           ROUND(-list_aggregate(terms, 'sum') / CAST(n_bigrams AS DOUBLE), 6)
+             AS xent2
+    FROM g
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — the next rung
+    above text_lm_score's unigram model: p(w2|w1) = 0.75 * add-one bigram
+    + 0.25 * add-one unigram (Jelinek-Mercer interpolation with exact
+    binary-fraction weights, so the mix is two IEEE multiplies + one add,
+    identical cross-engine). A repetition-heavy document scores LOW here
+    even when its unigram mix looks natural — the signal Gopher's
+    repetition rules approximate, derived from the corpus itself.
+
+    Exactness: integer counts everywhere; one mirrored ln term per
+    (doc, bigram type) summed in (w1, w2) order (the ordered-fold
+    contract); ROUND-6 closes the JVM-vs-glibc ln ULP drift.
+
+    Plan at 100 TB: bigram pairs are zipped adjacent positions INSIDE the
+    token array (F.transform over indices — JVM-side, no posexplode +
+    self-join, no per-doc window); then the text_lm_score topology twice:
+    map-side-combined (doc, w1, w2) counts, corpus rollups, equi-joins
+    back (vocab sides broadcastable under AQE), 1-row totals broadcast,
+    bounded per-doc ordered fold.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("toks", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    db = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_d")
+    )
+    cb = db.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c12"))
+    cu = cb.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    p_bi = (F.col("c12").cast("double") + F.lit(1.0)) / (
+        F.col("c1").cast("double") + F.col("v_size").cast("double")
+    )
+    p_uni = (F.col("c").cast("double") + F.lit(1.0)) / (
+        F.col("n_total").cast("double") + F.col("v_size").cast("double")
+    )
+    term = F.col("c_d").cast("double") * F.log(
+        F.lit(0.75) * p_bi + F.lit(0.25) * p_uni
+    )
+    terms = (
+        db.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "w1", "w2", "c_d", term.alias("term"))
+    )
+    g = terms.groupBy("doc_id").agg(
+        F.sum("c_d").cast("long").alias("n_bigrams"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w1", "w2", "term"))),
+            lambda s: s["term"],
+        ).alias("terms"),
+    )
+    fold = F.aggregate("terms", F.lit(0.0), lambda a, x: a + x)
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-fold / F.col("n_bigrams").cast("double"), 6).alias("xent2"),
+    )

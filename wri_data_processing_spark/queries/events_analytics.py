@@ -1272,3 +1272,102 @@ def events_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+@query(
+    "events_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, d, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    full7 AS (
+      SELECT event_type, d, n, sum7, 7 * n - sum7 AS det7
+      FROM tr WHERE k7 = 7),
+    season AS (
+      SELECT event_type, CAST(isodow(d) AS BIGINT) AS dow,
+             CAST(SUM(det7) AS BIGINT) AS snum,
+             CAST(COUNT(*) AS BIGINT) AS scnt
+      FROM full7 GROUP BY 1, 2)
+    SELECT f.event_type, strftime(f.d, '%Y-%m-%d') AS d, f.n,
+           CAST(f.sum7 AS DOUBLE) / 7.0 AS trend,
+           CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.scnt AS DOUBLE)) AS seasonal,
+           CAST(f.det7 * s.scnt - s.snum AS DOUBLE)
+             / (7.0 * CAST(s.scnt AS DOUBLE)) AS residual
+    FROM full7 f
+    JOIN season s ON f.event_type = s.event_type AND isodow(f.d) = s.dow
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the per-type daily series:
+    trend (centered 7-day moving average, full windows only) + weekly
+    seasonal (per-ISO-dow mean of the detrended series) + residual — the
+    STL-shaped diagnostic behind 'is Monday low or is traffic dropping'.
+
+    EXACTNESS BY CONSTRUCTION: the decomposition is kept RATIONAL until
+    the final step — trend numerator sum7 and the 7x-scaled detrended
+    series det7 = 7n - sum7 are integers, the seasonal numerator/count
+    are integer sums of det7, and residual = (det7*scnt - snum)/(7*scnt)
+    is one integer expression over one correctly-rounded IEEE division.
+    No double is ever accumulated, so summation order cannot move a ULP
+    and the op needs no ROUND.
+
+    Scale: the window runs over the DAILY frame — already reduced to
+    |types| x |days| rows by a map-side-combined aggregate of the raw
+    scan — partitioned by event_type (never a single global partition);
+    the seasonal join-back broadcasts the |types| x 7 frame.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k7"),
+    )
+    full7 = tr.filter(F.col("k7") == 7).withColumn(
+        "det7", 7 * F.col("n") - F.col("sum7")
+    )
+    dow = (F.weekday(F.col("d")) + 1).cast("long")
+    season = (
+        full7.groupBy("event_type", dow.alias("dow"))
+        .agg(
+            F.sum("det7").cast("long").alias("snum"),
+            F.count(F.lit(1)).cast("long").alias("scnt"),
+        )
+        .select(
+            F.col("event_type").alias("et2"), F.col("dow").alias("dow2"),
+            "snum", "scnt"
+        )
+    )
+    out = full7.withColumn("dow", dow).join(
+        F.broadcast(season),
+        (F.col("event_type") == F.col("et2")) & (F.col("dow") == F.col("dow2")),
+    ).select(
+        "event_type",
+        F.date_format(F.col("d"), "yyyy-MM-dd").alias("d"),
+        "n",
+        (F.col("sum7").cast("double") / F.lit(7.0)).alias("trend"),
+        (F.col("snum").cast("double") / (F.lit(7.0) * F.col("scnt").cast("double"))).alias(
+            "seasonal"
+        ),
+        (
+            (F.col("det7") * F.col("scnt") - F.col("snum")).cast("double")
+            / (F.lit(7.0) * F.col("scnt").cast("double"))
+        ).alias("residual"),
+    )
+    return out

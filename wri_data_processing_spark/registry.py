@@ -65,6 +65,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "quality_perplexity_buckets",  # CCNet head/middle/tail thirds (r8)
     "web_corpus_pipeline",  # composed: url dedup -> survivor LM -> tail drop (r8)
     "text_bigram_lm",  # interpolated bigram LM xent (r8)
+    "events_stl_decompose",  # rational trend/seasonal/residual split (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

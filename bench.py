@@ -84,14 +84,20 @@ HEADLINE = [
     "sim_topk",
     "sim_pairs_threshold",
     "text_stats",
-    # r7: text_lm_score REPLACES text_fingerprint as the text family's
-    # heavy representative (admission rule a: in-plan LM training is the
-    # heaviest text plan — two keyed shuffles + vocab join; fingerprint
-    # was a 0.09 s scan expression, now correctness-only).
-    "text_lm_score",
+    # r8: text_bigram_lm REPLACES text_lm_score as the text family's heavy
+    # representative (admission rule a: the bigram LM is the unigram plan
+    # twice over — distinct-bigram shuffles dominate; measured 1.15 s vs
+    # 0.9 s at sf0.1). The unigram plan stays timed inside
+    # web_corpus_pipeline's survivor-LM stage.
+    "text_bigram_lm",
     # r7: stats-family representative (admission rule a): the heaviest
     # consumer of the shared two-phase distributed prefix sum.
     "stats_quantiles_exact",
+    # r8: the web-curation composed program (admission rule c): one slot
+    # covering three r8 families end-to-end — scan-stage URL
+    # canonicalization, survivor-trained unigram LM, grouped two-phase
+    # cumsum thirds (measured 2.9 s at sf0.1).
+    "web_corpus_pipeline",
 ]
 
 SPREAD_TARGET = 0.20

@@ -102,6 +102,23 @@ SHOWCASE = [
      "(whitelisted bounded NLJ), then ONE map-side-combined aggregate "
      "yields all four statistics — zero shuffled rows beyond the two "
      "1-row frames"),
+    ("join_interval_overlap", "both interval sides chunk-explode in the "
+     "scan stage; ONE (user, chunk) equi-join; the claim-bucket filter "
+     "dedups pairs with no distinct(), then one aggregation"),
+    ("dedup_url_canonical", "the whole canonicalization rule chain as "
+     "scan-stage string expressions inside WholeStageCodegen; one "
+     "map-side-combined groupBy on the canonical key"),
+    ("text_bigram_lm", "bigrams zipped inside the token array (no "
+     "posexplode self-join, no per-doc window); two map-side-combined "
+     "count shuffles; vocab equi-joins back; 1-row totals broadcast; "
+     "bounded per-doc ordered fold"),
+    ("web_corpus_pipeline", "three stages as ONE DAG: the semi-join on "
+     "URL keepers pipelines into the LM scan; grouped two-phase cumsum "
+     "for per-lang thirds (no single-reducer sort); fate report joins "
+     "are |langs|-row broadcasts"),
+    ("events_stl_decompose", "window over the reduced |types| x |days| "
+     "daily frame partitioned by event_type; integer sum7/det7 core; "
+     "|types| x 7 seasonal frame broadcasts for the join-back"),
 ]
 
 

@@ -918,3 +918,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sec").cast("long").alias("total_overlap_sec"),
         F.max("sec").cast("long").alias("max_overlap_sec"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    m AS (
+      SELECT e.event_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+             o.o_orderkey, o.o_orderdate,
+             e.ts - o.o_orderdate <= INTERVAL 30 DAY AS in_tol
+      FROM events e
+      ASOF LEFT JOIN o1 o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+    SELECT event_id, event_ts,
+           CASE WHEN in_tol THEN o_orderkey END AS last_orderkey,
+           CASE WHEN in_tol
+                THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END
+             AS last_orderdate
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-window TOLERANCE (pandas merge_asof's
+    ``tolerance=``): the user's most recent order at/before the event, but
+    only if it is at most 30 days old — staler state must read as NO match
+    (NULL), the semantics every feature-store point-in-time lookup needs
+    so a years-old attribute cannot leak into a fresh training row.
+
+    Because backward as-of picks the NEAREST previous match, nulling a
+    beyond-tolerance winner is exactly equivalent to restricting the match
+    set up front — no second pass needed. Implementation: the proven
+    union+window as-of core (operators/asof.py — one shuffle per side, no
+    range explosion), then one scan-stage CASE on the matched timestamp.
+    Tie-break and dedup contract identical to join_asof.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    joined = asof_join(
+        left=e.select("event_id", "user_id", "ts"),
+        right=o1.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("rts"),
+            "o_orderkey",
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["o_orderkey", "rts"],
+    )
+    in_tol = F.col("rts") >= F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.when(in_tol, F.col("o_orderkey")).alias("last_orderkey"),
+        F.when(in_tol, F.date_format("rts", "yyyy-MM-dd HH:mm:ss")).alias(
+            "last_orderdate"
+        ),
+    )

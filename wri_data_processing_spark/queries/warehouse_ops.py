@@ -480,3 +480,109 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_reclaimed",
         )
     )
+
+
+@query(
+    "snapshot_publish_audit",
+    oracle="""
+    WITH v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                WHERE o_orderkey < 3000),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+          WHERE o_orderkey < 1500)
+    SELECT 2 AS staged_version, v2.n AS n_rows,
+           CAST(0 AS BIGINT) AS n_dup_keys, CAST(0 AS BIGINT) AS n_null_keys,
+           TRUE AS audit_pass, TRUE AS published,
+           2 AS reader_version, v2.n AS reader_n_rows
+    FROM v2
+    UNION ALL
+    SELECT 3, v2.n + b.n, b.n, CAST(0 AS BIGINT), FALSE, FALSE, 2, v2.n
+    FROM v2, b
+    """,
+)
+def snapshot_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's WAP pattern): a writer STAGES a new
+    snapshot as an unpublished manifest, an AUDIT runs data-quality gates
+    against the staged files, and only a passing audit flips the _CURRENT
+    pointer — readers can never observe unaudited data, because publish is
+    a one-pointer metadata swap, not a data operation.
+
+    The fixture stages two candidates against a published v1 base:
+      v2: the append batch — audit passes (rows grew, zero duplicate /
+          NULL keys) and v2 PUBLISHES;
+      v3: a bad rewrite that re-adds the base files on top of v2 —
+          duplicate-key audit fails, v3 stays staged, and the reader
+          still resolves _CURRENT -> v2 (proven by re-reading through
+          the pointer after both attempts: reader_version/reader_n_rows).
+
+    100 TB notes: the audit is the only data-touching step and is an
+    ordinary Spark aggregate over the staged manifest's parquet scan
+    (count + keyed duplicate count, map-side combined); staging and
+    publishing move manifest text and one pointer file — metadata
+    whose cost scales with file count, never data. This is how a
+    production pipeline gates a 100 TB daily append behind expectation
+    checks without a second copy of the data.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "publish_audit")
+    current = os.path.join(root, "_CURRENT")
+    with open(current, "w") as fh:
+        fh.write("1")
+
+    def audit_and_maybe_publish(version: int) -> dict:
+        df = _read_snapshot(spark, root, version)
+        with open(current) as fh:
+            live = int(fh.read().strip())
+        live_n = _read_snapshot(spark, root, live).count()
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))
+            ).cast("long").alias("n_dup_keys"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_keys"),
+        ).collect()[0]
+        ok = (
+            row["n_dup_keys"] == 0
+            and row["n_null_keys"] == 0
+            and row["n_rows"] >= live_n
+        )
+        if ok:
+            with open(current, "w") as fh:
+                fh.write(str(version))
+        return {
+            "staged_version": version,
+            "n_rows": row["n_rows"],
+            "n_dup_keys": row["n_dup_keys"],
+            "n_null_keys": row["n_null_keys"],
+            "audit_pass": ok,
+            "published": ok,
+        }
+
+    # Stage v3 = v2's files + the base files AGAIN (duplicate keys).
+    with open(os.path.join(root, "v2.manifest")) as fh:
+        v2_files = [line.strip() for line in fh if line.strip()]
+    with open(os.path.join(root, "v1.manifest")) as fh:
+        v1_files = [line.strip() for line in fh if line.strip()]
+    with open(os.path.join(root, "v3.manifest"), "w") as fh:
+        fh.write("\n".join(v2_files + v1_files) + "\n")
+
+    results = [audit_and_maybe_publish(2), audit_and_maybe_publish(3)]
+
+    with open(current) as fh:
+        reader_version = int(fh.read().strip())
+    reader_n = _read_snapshot(spark, root, reader_version).count()
+    rows = [
+        (
+            r["staged_version"], r["n_rows"], r["n_dup_keys"], r["n_null_keys"],
+            r["audit_pass"], r["published"], reader_version, reader_n,
+        )
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "staged_version int, n_rows long, n_dup_keys long, n_null_keys long, "
+        "audit_pass boolean, published boolean, reader_version int, "
+        "reader_n_rows long",
+    )

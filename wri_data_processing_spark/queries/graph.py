@@ -170,3 +170,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    undirected AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u AS node, v AS nb FROM undirected
+      UNION ALL
+      SELECT v AS node, u AS nb FROM undirected),
+    reach(node, lab) AS (
+      SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nb AS node, r.lab
+      FROM reach r JOIN edges e ON e.node = r.node),
+    labels AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM labels GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph — the general-graph
+    registration of the pointer-jumping min-label machinery dedup_clusters
+    applies to near-dup edges (llm_dedup.propagate_min_labels), completing
+    the graph family: PageRank (centrality), triangles (clustering),
+    degrees (shape), components (reachability). Output: one row per
+    component with its min-part-id label and node count.
+
+    Exactness: min-label propagation converges to the per-component
+    MINIMUM regardless of iteration strategy, so the engine's
+    O(log diameter) pointer-jumping fixpoint and the oracle's recursive-
+    CTE reachability closure (min over reachable labels on the
+    symmetrized edge set) agree exactly — the closure is the semantic
+    spec, the jumping is the distributed algorithm.
+
+    Scale: the engine side is the proven bounded loop — one equi-join +
+    min-aggregate + label-pointer hop per round, localCheckpoint per
+    round, exact fixpoint test, cap raises rather than mislabeling. The
+    oracle's O(V·E) closure is DuckDB-side verification at fixture scale
+    only; the Spark plan never materializes reachability pairs.
+    """
+    from wri_data_processing_spark.queries.llm_dedup import propagate_min_labels
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels, _rounds = propagate_min_labels(edges)
+    return (
+        labels.groupBy(F.col("lbl").alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("component")
+    )

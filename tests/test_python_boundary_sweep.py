@@ -50,6 +50,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "decoded pixels",
     "multimodal_dhash_dedup": "banded pair join over multimodal_dhash "
     "fingerprints (same decode boundary upstream)",
+    "multimodal_resize_real": "same executed decode boundary; integer NN "
+    "resize of decoded pixels",
     "pandas_grouped_map": "registered applyInPandas interface demo",
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",

@@ -548,3 +548,94 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _DHASH_THRESHOLD).select(
         "media_a", "media_b", hamming.cast("int").alias("hamming")
     )
+
+
+_RESIZE_TARGET = 8  # 8x8 nearest-neighbor thumbnail
+
+
+def _resize_expected():
+    """Expected 8x8-thumbnail statistics from INDEPENDENT arithmetic:
+    nearest-neighbor source index src = dst * src_dim // dst_dim applied
+    to the pattern function directly — never through the codec."""
+    rows = []
+    t = _RESIZE_TARGET
+    for mid, name, w, h, pxf in _dhash_fixtures():
+        px = [[pxf(x * w // t, y * h // t) for x in range(t)] for y in range(t)]
+        flat = [p for row in px for p in row]
+        rows.append((
+            mid, name,
+            sum(p[0] for p in flat), sum(p[1] for p in flat),
+            sum(p[2] for p in flat),
+            px[0][0][0], px[t - 1][t - 1][2],
+        ))
+    return rows
+
+
+_RESIZE_VALUES = ", ".join(
+    f"(CAST({mid} AS BIGINT), '{name}', CAST({sr} AS BIGINT), "
+    f"CAST({sg} AS BIGINT), CAST({sb} AS BIGINT), CAST({c0} AS INTEGER), "
+    f"CAST({c7} AS INTEGER))"
+    for mid, name, sr, sg, sb, c0, c7 in _resize_expected()
+)
+
+
+@query(
+    "multimodal_resize_real",
+    oracle=f"""
+    SELECT media_id, filename, sum_r, sum_g, sum_b, tl_r, br_b
+    FROM (VALUES {_RESIZE_VALUES})
+      AS t(media_id, filename, sum_r, sum_g, sum_b, tl_r, br_b)
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the executed decode boundary — the third of
+    the four L5 media operations (decode / feature-extract / RESIZE /
+    frame-sample) made real: payloads decode with the pure-Python BMP
+    codec inside mapInPandas, downsample to an 8x8 nearest-neighbor
+    thumbnail with the integer index map src = dst * src_dim // dst_dim
+    (the standard NN resize, all-integer so there is nothing to round),
+    and emit integer channel sums + the two corner pixels. The VALUES
+    oracle applies the same index map to the fixture pattern DIRECTLY, so
+    a resize bug (transposed axes, off-by-one index scaling, channel
+    order) diverges even when the decode is correct.
+
+    Plan shape at scale: decode + resize fuse into the scan stage's Arrow
+    boundary; the thumbnail statistics (5 scalars) are all that leave it.
+    A production variant emitting thumbnail BYTES writes them to a
+    separate table in the same pass — media bytes still never shuffle.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    t = _RESIZE_TARGET
+    rows = [
+        (mid, name, bytearray(write_bmp(w, h, pxf)))
+        for mid, name, w, h, pxf in _dhash_fixtures()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, filename string, payload binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "filename", "sum_r", "sum_g",
+                                   "sum_b", "tl_r", "br_b")}
+            for mid, name, payload in zip(pdf["media_id"], pdf["filename"],
+                                          pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                thumb = [[px[y * h // t][x * w // t] for x in range(t)]
+                         for y in range(t)]
+                flat = [p for row in thumb for p in row]
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                out["sum_r"].append(sum(p[0] for p in flat))
+                out["sum_g"].append(sum(p[1] for p in flat))
+                out["sum_b"].append(sum(p[2] for p in flat))
+                out["tl_r"].append(thumb[0][0][0])
+                out["br_b"].append(thumb[t - 1][t - 1][2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, filename string, sum_r long, sum_g long, sum_b long, "
+        "tl_r int, br_b int",
+    )

@@ -99,3 +99,56 @@ def test_dhash_fixture_margins():
             ), (na, nb, "no shared band")
         else:
             assert d >= 2 * _DHASH_THRESHOLD, (na, nb, d)
+
+
+# ---- WAV codec (same executed-decode precedent, audio modality) --------
+
+
+def test_wav_round_trip_and_chunk_walk():
+    import struct as st
+
+    from wri_data_processing_spark.sources.wav_codec import decode_wav, write_wav
+
+    samples = [((k * 13) % 4001) - 2000 for k in range(200)]
+    payload = write_wav(samples, sample_rate=16000)
+    rate, ch, got = decode_wav(payload)
+    assert (rate, ch, got) == (16000, 1, samples)
+    # splice a LIST chunk before data: the parser must skip it by size
+    data_at = payload.find(b"data")
+    extra = b"LIST" + st.pack("<I", 10) + b"INFOhello "
+    spliced = payload[:data_at] + extra + payload[data_at:]
+    spliced = spliced[:4] + st.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)[2] == samples
+    # odd-size chunk pads to word alignment
+    odd = b"JUNK" + st.pack("<I", 3) + b"abc\x00"
+    spliced2 = payload[:data_at] + odd + payload[data_at:]
+    spliced2 = spliced2[:4] + st.pack("<I", len(spliced2) - 8) + spliced2[8:]
+    assert decode_wav(spliced2)[2] == samples
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda p: p[: len(p) // 2], "truncated"),
+        (lambda p: b"XXXX" + p[4:], "magic"),
+        (lambda p: p[:12], "missing fmt"),
+    ],
+)
+def test_wav_rejects_malformed(mutate, msg):
+    from wri_data_processing_spark.sources.wav_codec import decode_wav, write_wav
+
+    payload = write_wav([0, 100, -100, 2000], sample_rate=8000)
+    with pytest.raises(ValueError, match=msg):
+        decode_wav(mutate(payload))
+
+
+def test_wav_rejects_non_pcm16():
+    import struct as st
+
+    from wri_data_processing_spark.sources.wav_codec import decode_wav, write_wav
+
+    payload = bytearray(write_wav([1, 2, 3, 4]))
+    fmt_at = payload.find(b"fmt ")
+    st.pack_into("<H", payload, fmt_at + 8, 3)  # audio_format 1 -> 3 (float)
+    with pytest.raises(ValueError, match="format=3"):
+        decode_wav(bytes(payload))

@@ -52,6 +52,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "fingerprints (same decode boundary upstream)",
     "multimodal_resize_real": "same executed decode boundary; integer NN "
     "resize of decoded pixels",
+    "multimodal_audio_features_real": "audio decode boundary, executed "
+    "pure-Python WAV codec (sources/wav_codec.py)",
     "pandas_grouped_map": "registered applyInPandas interface demo",
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",

@@ -1646,3 +1646,98 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(denx.cast("double") * deny.cast("double"))
         ).alias("rho"),
     )
+
+
+@query(
+    "stats_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,6)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(38,12)) AS syy
+      FROM s GROUP BY 1)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS of value against epoch day — closed-form simple linear
+    regression (slope / intercept / R²), the trend-estimation primitive
+    between events_ewma's smoothing and events_holt_forecast's recursion.
+
+    Exactness (the stats_spearman recipe): the five moment sums are EXACT
+    — x and x² are integers; y carries ≤ 2 decimal digits so decimal(18,6)
+    holds it exactly, x·y and y² accumulate in decimal(38,·) — then each
+    output is a fixed tree of IEEE double products/divisions over the
+    same exact inputs on both engines, closed by ROUND-6. No double is
+    ever accumulated, so partitioning cannot move a bit. Bounds: |x| ~
+    2×10⁴ (epoch days), so n·Sxx stays under 2⁵³ through n ~ 10⁹ rows per
+    group and the decimal(38) sums clear int64 overflow the way
+    stats_spearman's do.
+
+    Scale: ONE map-side-combined aggregate over the scan — |types| rows
+    out; nothing else.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .cast("decimal(38,6)")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,12)").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    denx = n_d * sxx_d - sx_d * sx_d
+    deny = n_d * syy_d - sy_d * sy_d
+    slope = num / denx
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy_d - slope * sx_d) / n_d, 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    ).orderBy("event_type")

@@ -71,6 +71,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "graph_connected_components",  # pointer-jumping CC, closure oracle (r8)
     "multimodal_resize_real",  # NN-resize through the executed decode (r8)
     "multimodal_audio_features_real",  # executed WAV decode + stats (r8)
+    "stats_linear_regression",  # per-type OLS, exact decimal moments (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

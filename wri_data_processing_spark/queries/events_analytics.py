@@ -1371,3 +1371,102 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("residual"),
     )
     return out
+
+
+@query(
+    "events_changepoint_binary",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, d, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS k
+      FROM daily),
+    tot AS (
+      SELECT event_type, CAST(MAX(k) AS BIGINT) AS t,
+             CAST(MAX(sk) AS BIGINT) AS st
+      FROM cum GROUP BY 1),
+    scored AS (
+      SELECT c.event_type, c.d, c.k, t.t,
+             CAST((c.sk * t.t - c.k * t.st)
+                  * (c.sk * t.t - c.k * t.st) AS DOUBLE)
+               / CAST(c.k * (t.t - c.k) AS DOUBLE) AS score
+      FROM cum c JOIN tot t USING (event_type)
+      WHERE c.k < t.t),
+    best AS (
+      SELECT event_type, d, k, t, score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, k ASC) AS rn
+      FROM scored)
+    SELECT event_type, t AS n_days, k AS split_k,
+           strftime(d, '%Y-%m-%d') AS split_day,
+           ROUND(score, 6) AS score
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint detection (the first step of binary
+    segmentation): per event type, the day split k maximizing the
+    between-segment sum of squares of the daily-count series — the
+    post-hoc twin of events_cusum_alarm's online detector. With
+    D_k = S_k*T - k*S_T (an INTEGER — cumulative count scaled by total
+    count), BSS(k) ∝ D_k² / (k(T-k)); the argmax is ordered by one
+    double division from exact integers, ties broken by earliest k, so
+    both engines pick the same split deterministically. |D_k| ≤ S_T·T
+    bounds the int64 square at S_T·T < 3×10⁹ — far above any daily-count
+    series; beyond that the products move to decimal like stats_spearman.
+
+    Scale: the series is the already-reduced |types| × |days| daily
+    frame; cumsum + argmax windows run per type over that frame, and the
+    per-type totals join is a |types|-row broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sk"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    tot = cum.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("t"), F.max("sk").cast("long").alias("st")
+    )
+    dterm = F.col("sk") * F.col("t") - F.col("k") * F.col("st")
+    scored = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("k") < F.col("t"))
+        .select(
+            "event_type",
+            "d",
+            "k",
+            "t",
+            (
+                (dterm * dterm).cast("double")
+                / (F.col("k") * (F.col("t") - F.col("k"))).cast("double")
+            ).alias("score"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("t").alias("n_days"),
+            F.col("k").alias("split_k"),
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("event_type")
+    )

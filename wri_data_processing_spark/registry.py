@@ -72,6 +72,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_resize_real",  # NN-resize through the executed decode (r8)
     "multimodal_audio_features_real",  # executed WAV decode + stats (r8)
     "stats_linear_regression",  # per-type OLS, exact decimal moments (r8)
+    "events_changepoint_binary",  # offline BSS-argmax changepoint (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -98,6 +98,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "test_plan_shapes)",
     "dedup_embedding": "same IVF centroid broadcast as sim_pairs_threshold",
     "embed_kmeans_assign": "k-row centroid table broadcast",
+    "embed_pca_power": "1-row max|y| renormalizer broadcast per power-"
+    "iteration round (3 rounds, each bounded)",
     "embed_kmeans_iterate": "k-row centroid table broadcast, twice (one "
     "per unrolled Lloyd round)",
     "graph_triangle_count": "1-row edge-count denominator broadcast",

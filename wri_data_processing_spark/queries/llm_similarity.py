@@ -1470,3 +1470,98 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BATCH_K)
         .drop("rn")
     )
+
+
+_PCA_ROUNDS = 3
+_PCA_Q = 1048576  # 2^20 fixed-point, the _qvec scale
+
+
+def _pca_oracle() -> str:
+    parts = [f"""
+    q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings),
+    cm AS (
+      SELECT ui.i AS i, uj.j AS j,
+             CAST(SUM(qv[ui.i] * qv[uj.j]) AS BIGINT) AS c
+      FROM q,
+           unnest(generate_series(1, 64)) ui(i),
+           unnest(generate_series(1, 64)) uj(j)
+      GROUP BY 1, 2),
+    x0 AS (SELECT i AS j, CAST({_PCA_Q} AS HUGEINT) AS xq
+           FROM (SELECT unnest(generate_series(1, 64)) AS i))"""]
+    for r in range(1, _PCA_ROUNDS + 1):
+        parts.append(f"""
+    y{r} AS (
+      SELECT cm.i, SUM(CAST(c AS HUGEINT) * x.xq) AS y
+      FROM cm JOIN x{r - 1} x ON cm.j = x.j GROUP BY 1),
+    m{r} AS (SELECT MAX(ABS(y)) AS m FROM y{r}),
+    x{r} AS (SELECT i AS j, (y * {_PCA_Q}) // m AS xq FROM y{r}, m{r})""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT j - 1 AS component, CAST(xq AS BIGINT) AS loading_q
+    FROM x{_PCA_ROUNDS} ORDER BY 1"""
+    )
+
+
+@query("embed_pca_power", oracle=_pca_oracle())
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via {n} unrolled
+    power-iteration rounds in PURE INTEGER arithmetic — the graph_pagerank
+    fixed-point trick applied to eigenvectors, so the iteration is
+    bit-identical across partitionings and engines (a float power method
+    is NOT: its matvec sums reorder under shuffle).
+
+    Pipeline: fp32 components quantize to the established 2^20 fixed
+    point (_qvec); the 64x64 uncentered second-moment matrix accumulates
+    as integer products (|C_ij| <= N*2^40 — int64-safe through N ~ 8M
+    vectors, decimal beyond); each round is one integer matvec
+    accumulated in decimal(38,0) (|y| <= 64*|C|*2^20 ~ 10^24) followed by
+    renormalization to Q20 via integer division by max|y| — Spark's
+    decimal `div` and DuckDB's HUGEINT `//` both truncate toward zero
+    (probed, including negatives), and the quotient is <= 2^20 by
+    construction so it can never overflow the long. Uncentered moments =
+    the direction of maximal raw second moment; center upstream if the
+    mean is far from zero (unit-norm embedding tables like this one are
+    near-centered by construction).
+
+    Scale: the covariance explode is N x 64^2 rows but ONE map-side-
+    combined shuffle into 4096 groups; each round's matvec joins the
+    4096-row C (broadcastable) to the 64-row x and the 1-row max
+    broadcasts back — bounded rows everywhere after the first aggregate.
+
+    Output: (component, loading_q) — the Q20 fixed-point loadings of the
+    dominant eigenvector after round {n}.
+    """.format(n=_PCA_ROUNDS)
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select(_qvec("embedding").alias("qv"))
+    t1 = qt.select(F.posexplode("qv").alias("i", "qi"), F.col("qv"))
+    t2 = t1.select("i", "qi", F.posexplode("qv").alias("j", "qj"))
+    cm = t2.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).cast("long").alias("c")
+    )
+    x = spark.range(64).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_Q).cast("long").alias("xq"),
+    )
+    for _ in range(_PCA_ROUNDS):
+        y = (
+            cm.join(F.broadcast(x), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,0)") * F.col("xq")).alias("y")
+            )
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"(y * {_PCA_Q}) div m").cast("long").alias("xq"),
+            )
+        )
+    return x.select(
+        F.col("j").cast("long").alias("component"),
+        F.col("xq").alias("loading_q"),
+    ).orderBy("component")

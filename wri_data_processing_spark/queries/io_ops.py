@@ -682,3 +682,67 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_before, n_after, rows_dst, rows_src == rows_dst)],
         "n_files_before int, n_files_after int, n_rows long, rows_preserved boolean",
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH first_write AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    second_write AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source = 'src0' AND doc_id % 40 = 0 GROUP BY 1)
+    SELECT f.source,
+           CASE WHEN s.n IS NOT NULL THEN s.n ELSE f.n END AS n_rows,
+           s.n IS NOT NULL AS was_overwritten
+    FROM first_write f LEFT JOIN second_write s USING (source)
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (Spark's partitionOverwriteMode=dynamic;
+    Delta's replaceWhere): a partitioned table is written, then a second
+    overwrite carrying only HALF of src0 (doc_id % 40 == 0 — src0 ids are
+    the multiples of 20, so % 2 would keep them all) replaces ONLY the
+    src0 partition —
+    untouched partitions must survive byte-for-byte. This is the daily
+    idempotent-backfill primitive: re-running one day's job must never
+    truncate the other 364 partitions the way static overwrite mode does.
+
+    The mode is set per-write via the DataFrameWriter option (not on the
+    session), so the engine session posture is untouched. The readback
+    proves both halves of the contract: src0 carries the second write's
+    filtered rows, every other source carries the first write's counts.
+
+    100 TB notes: dynamic overwrite commits by swapping partition
+    directories — the data moved is the NEW partitions only, and the
+    read-side partition pruning this layout enables is tested separately
+    (test_partition_pruning). Partition count, not data size, bounds the
+    commit's metadata work.
+    """
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    root = _scratch_dir("dyn_overwrite", sf_dir)
+    path = os.path.join(root, "docs")
+    d.select("doc_id", "source").write.partitionBy("source").parquet(path)
+    (
+        d.filter((F.col("source") == "src0") & (F.col("doc_id") % 40 == 0))
+        .select("doc_id", "source")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    first = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    return (
+        back.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .join(first, "source")
+        .select(
+            "source",
+            "n_rows",
+            (F.col("n_rows") != F.col("n_first")).alias("was_overwritten"),
+        )
+    )

@@ -74,6 +74,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_linear_regression",  # per-type OLS, exact decimal moments (r8)
     "events_changepoint_binary",  # offline BSS-argmax changepoint (r8)
     "embed_pca_power",  # integer power-iteration top PC (r8)
+    "sink_dynamic_partition_overwrite",  # idempotent partition backfill (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

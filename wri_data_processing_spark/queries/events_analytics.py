@@ -1470,3 +1470,83 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s0.t0 AND e.ts <= s0.t0 + INTERVAL 24 HOUR
+      GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1)
+    SELECT 'signup' AS stage, CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click_24h', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase_24h', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel: signup -> first click within 24 h of the
+    signup -> first purchase within 24 h of THAT click. The conversion
+    question funnel_stages (unconstrained ordering) cannot answer:
+    product funnels expire, and a purchase a month later is churn-and-
+    return, not conversion.
+
+    Semantics are GREEDY-EARLIEST (the product-analytics standard): each
+    stage anchors on the EARLIEST qualifying event of the previous stage.
+    Greedy can miss exotic chains a backtracking search would find (a
+    later click whose window covers the purchase) — that exhaustive
+    variant is a per-user sequence scan, deliberately not this op.
+
+    Plan shape: identical to funnel_stages — each stage is a map-side-
+    combined per-user MIN (|users| rows) broadcast-joined onto the next
+    stage's filtered scan, so the raw event log never shuffles; the time
+    windows ride the join as scan-stage predicates.
+    """
+    e = table(spark, sf_dir, "events")
+    s0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s0), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    rows = [
+        s0.agg(F.lit("signup").alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")),
+        s1.agg(F.lit("click_24h").alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")),
+        s2.agg(F.lit("purchase_24h").alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")),
+    ]
+    out = rows[0]
+    for nxt in rows[1:]:
+        out = out.unionAll(nxt)
+    return out

@@ -75,6 +75,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "events_changepoint_binary",  # offline BSS-argmax changepoint (r8)
     "embed_pca_power",  # integer power-iteration top PC (r8)
     "sink_dynamic_partition_overwrite",  # idempotent partition backfill (r8)
+    "events_funnel_windowed",  # greedy-earliest 24h-window funnel (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

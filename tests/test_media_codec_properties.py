@@ -1,0 +1,71 @@
+"""Property-based round-trips for the executed media codecs (BMP + WAV) —
+the test_tiff_properties precedent: random dimensions/content through the
+writer and back through the parser must recover every pixel/sample, and a
+random truncation must raise, never return garbage."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+from wri_data_processing_spark.sources.wav_codec import decode_wav, write_wav
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.integers(1, 40),
+    height=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_round_trip_random(width, height, seed):
+    def px(x, y):
+        v = (x * 2654435761 + y * 40503 + seed) & 0xFFFFFFFF
+        return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+    payload = write_bmp(width, height, px)
+    w, h, rows = decode_bmp(payload)
+    assert (w, h) == (width, height)
+    assert rows == [[px(x, y) for x in range(width)] for y in range(height)]
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.integers(1, 20),
+    height=st.integers(1, 15),
+    cut=st.integers(1, 53),
+)
+def test_bmp_truncation_raises(width, height, cut):
+    payload = write_bmp(width, height, lambda x, y: (x & 255, y & 255, 7))
+    with pytest.raises(ValueError):
+        decode_bmp(payload[: min(cut, len(payload) - 1)])
+
+
+@settings(**_SETTINGS)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_wav_round_trip_random(samples, rate):
+    payload = write_wav(samples, sample_rate=rate)
+    got_rate, ch, got = decode_wav(payload)
+    assert (got_rate, ch) == (rate, 1)
+    assert got == samples
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 100),
+    cut=st.integers(0, 43),
+)
+def test_wav_truncation_raises(n, cut):
+    payload = write_wav([((k * 997) % 65536) - 32768 for k in range(n)])
+    with pytest.raises(ValueError):
+        decode_wav(payload[: min(cut, len(payload) - 1)])

@@ -1925,8 +1925,10 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-stage canonicalization + one keyed groupBy; text_lm_score's two
     shuffles + vocab join over survivors only; the grouped two-phase
     cumsum for per-lang thirds with no single-reducer sort); the stages
-    compose as one lazy DAG — Catalyst pipelines the semi-join into the
-    LM scan, and nothing materializes between stages.
+    compose as one lazy DAG up to the survivor-score frame, which is
+    localCheckpoint-ed because two consumers (the bucket frame and the
+    per-lang tallies) would otherwise each re-run the survivor LM chain
+    (measured: -32% at sf0.1).
     """
     from wri_data_processing_spark.queries.llm_text import _lm_xent
     from wri_data_processing_spark.queries.stats_numeric import (
@@ -1941,7 +1943,15 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = d.join(keep, "doc_id", "left_semi")
-    x = _lm_xent(surv).join(surv.select("doc_id", "lang"), "doc_id")
+    # x feeds TWO consumers (the bucket frame gd and the per-lang survivor
+    # tallies sv); without a checkpoint each re-runs the whole survivor LM
+    # chain. Measured at sf0.1: 2.33 -> 1.58 s (-32%) — the same
+    # shared-frame rule _two_phase_cumsum applies internally.
+    x = (
+        _lm_xent(surv)
+        .join(surv.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+    )
     gd = x.groupBy("lang", "xent").agg(
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("n_tokens").cast("long").alias("tk"),

@@ -520,10 +520,14 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     x = text_lm_score(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    # gd feeds TWO consumers (the cumsum helper — which checkpoints its
+    # own reference, not this one — and the per-lang totals n); without a
+    # checkpoint each re-runs the whole LM chain. Measured at sf0.1:
+    # 4.01 -> 2.47 s (-38%).
     gd = x.groupBy("lang", "xent").agg(
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("n_tokens").cast("long").alias("tk"),
-    )
+    ).localCheckpoint()
     cum = _grouped_two_phase_cumsum(gd, "lang", "xent", ["c"])
     n = gd.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     asg = (

@@ -119,6 +119,13 @@ SHOWCASE = [
     ("events_stl_decompose", "window over the reduced |types| x |days| "
      "daily frame partitioned by event_type; integer sum7/det7 core; "
      "|types| x 7 seasonal frame broadcasts for the join-back"),
+    ("embed_pca_power", "one map-side-combined covariance shuffle into "
+     "4096 groups, REUSED by all three power rounds (ReusedExchange — "
+     "measured faster than checkpointing); bounded-row broadcasts after"),
+    ("snapshot_publish_audit", "audit = one aggregate over the staged "
+     "manifest's scan; publish = a pointer write, no data motion"),
+    ("events_changepoint_binary", "cumsum + argmax windows over the "
+     "reduced daily frame; |types|-row totals broadcast"),
 ]
 
 

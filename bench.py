@@ -298,6 +298,37 @@ def main() -> None:
     except Exception as exc:  # the split must never sink the headline
         ann_split = {"error": repr(exc)}
 
+    # web_corpus_pipeline attribution: the localCheckpoint after the
+    # survivor-LM score frame is a natural stage boundary — time the
+    # url-dedup + survivor-LM half alone so a regression is attributable
+    # to the LM stage vs the thirds/report stage (the dedup_clusters
+    # pairgen/propagation protocol).
+    if "web_corpus_pipeline" in timings:
+        from wri_data_processing_spark.catalog import table as _tbl
+        from wri_data_processing_spark.queries.llm_pipeline import _canonical_urls
+        from wri_data_processing_spark.queries.llm_text import _lm_xent
+
+        def _lm_half(s, d):
+            doc = _tbl(s, d, "documents")
+            keep = (
+                _canonical_urls(doc)
+                .groupBy("canonical_url")
+                .agg(F_bench.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            surv = doc.join(keep, "doc_id", "left_semi")
+            return _lm_xent(surv).join(surv.select("doc_id", "lang"), "doc_id")
+
+        from pyspark.sql import functions as F_bench
+
+        _time_once(_lm_half, spark, sf_dir)  # warmup
+        lm_runs = [_time_once(_lm_half, spark, sf_dir) for _ in range(n_runs)]
+        lm_sec = statistics.median(lm_runs)
+        detail["web_corpus_pipeline"]["lm_stage_sec"] = round(lm_sec, 3)
+        detail["web_corpus_pipeline"]["thirds_report_residual_sec"] = round(
+            timings["web_corpus_pipeline"] - lm_sec, 3
+        )
+
     probe_post = _env_probe(spark, n_runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

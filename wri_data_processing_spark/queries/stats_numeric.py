@@ -1741,3 +1741,138 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy_d - slope * sx_d) / n_d, 6).alias("intercept"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+_BOOT_B = 32  # Poisson-bootstrap replicates
+# Poisson(1) inverse-CDF thresholds as PINNED floor(cdf * 2^30) literals —
+# no exp()/factorial at runtime, so both engines draw identical weights.
+_BOOT_CDF_Q30 = [
+    (0, 395007542), (1, 790015084), (2, 987518855),
+    (3, 1053353445), (4, 1069812093), (5, 1073103822),
+]
+
+
+def _bootstrap_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in _BOOT_CDF_Q30
+    )
+    return f"""
+    WITH r AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS y,
+             u.b AS b,
+             CAST(('0x' || substring(sha256(CAST(event_id AS VARCHAR)
+                    || ':' || CAST(u.b AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u
+      FROM events, unnest(generate_series(0, {_BOOT_B - 1})) u(b)
+      WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, b, y,
+             CASE {w_case} ELSE 6 END AS w
+      FROM r),
+    reps AS (
+      SELECT event_type, b,
+             CAST(SUM(w * y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+      FROM w WHERE w > 0 GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, list(m ORDER BY m, b) AS ms FROM reps GROUP BY 1),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT base.event_type, base.n, ROUND(base.mean, 6) AS mean,
+           ROUND(ms[2], 6) AS ci_lo, ROUND(ms[{_BOOT_B - 1}], 6) AS ci_hi
+    FROM base JOIN agg USING (event_type) ORDER BY 1
+    """
+
+
+@query("stats_bootstrap_ci", oracle=_bootstrap_oracle())
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed confidence interval for the per-type mean via the
+    POISSON BOOTSTRAP (Chamandy et al., the resampling scheme that
+    actually works on a cluster: classical bootstrap needs a global
+    sample-with-replacement pass per replicate; Poissonization gives each
+    row an independent Poisson(1) multiplicity per replicate, computable
+    row-locally in the scan).
+
+    Determinism: the per-(row, replicate) uniform is a sha256 slice (the
+    minhash base-hash pattern) reduced mod 2^30, and the Poisson(1)
+    inverse CDF is applied via PINNED floor(cdf·2^30) integer literals —
+    no exp() at runtime, no RNG state, so every weight is bit-identical
+    cross-engine and across partitionings. Replicate means are exact
+    decimal sums with one final double division; the CI is the 2nd/31st
+    of the 32 sorted replicate means (~94% coverage at B=32; B is a
+    constant to raise, not a semantic).
+
+    Scale: the explode is B× the scan but collapses map-side into
+    |types|×B groups; the CI step sorts 32 numbers per type. No global
+    resample pass, no driver-side randomness — the whole point of the
+    Poisson formulation.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("y"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "y",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1073741824).cast("long")
+        ).alias("u"),
+    )
+    w = F.lit(6)
+    for k, t in reversed(_BOOT_CDF_Q30):
+        w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
+    reps = (
+        r.select("event_type", "b", "y", w.alias("w"))
+        .filter(F.col("w") > 0)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    agg = reps.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "b"))), lambda s: s["m"]
+        ).alias("ms")
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+    return (
+        base.join(agg, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
+            F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -76,6 +76,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "embed_pca_power",  # integer power-iteration top PC (r8)
     "sink_dynamic_partition_overwrite",  # idempotent partition backfill (r8)
     "events_funnel_windowed",  # greedy-earliest 24h-window funnel (r8)
+    "stats_bootstrap_ci",  # deterministic Poisson bootstrap CI (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

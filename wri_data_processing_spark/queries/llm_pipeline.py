@@ -1987,3 +1987,40 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+_RESERVOIR_K = 100
+
+
+@query(
+    "sample_reservoir_global",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL k-sample: the k documents with the smallest
+    keyed hash — equivalent in distribution to a uniform reservoir sample
+    but reproducible (same corpus -> same sample, any partitioning) and
+    mergeable (the global top-k over hash of a union is the sample of the
+    union; classic bottom-k sketch property, which also makes it the
+    basis of set-similarity-over-samples).
+
+    Plan: ORDER BY hash LIMIT k compiles to TakeOrderedAndProject —
+    per-partition heaps of k rows, one k-row-per-partition gather, NO
+    global sort materialization (the top_k plan shape, pinned there).
+    The 'rsv:' salt keys this sample's hash stream independently of
+    every other hash-derived decision on the same ids (split assignment,
+    stratified sampling) — unsalted reuse would correlate them.
+    """
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", key.alias("__k"))
+        .orderBy("__k", "doc_id")
+        .limit(_RESERVOIR_K)
+        .drop("__k")
+    )

@@ -981,3 +981,37 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_orderdate"
         ),
     )
+
+
+@query(
+    "join_left_mark",
+    oracle="""
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 100000) AS has_big_order
+    FROM customer c
+    """,
+)
+def join_left_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (EXISTS as a COLUMN, not a filter): every left row kept,
+    annotated with whether a qualifying match exists — the shape feature
+    engineering needs (the flag is the feature; a semi join would drop
+    the negatives, an outer join would duplicate on multiple matches).
+
+    Plan: the match side pre-aggregates to DISTINCT keys under the
+    predicate (map-side combined, one shuffle of bare keys), then a left
+    join + null-check materializes the mark with at most one match per
+    left row — no row duplication, no second dedup pass. At 100 TB the
+    aggregated key set is the join's build side and usually broadcasts.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    keys = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return c.select("c_custkey").join(keys, "c_custkey", "left").select(
+        "c_custkey", F.col("__hit").isNotNull().alias("has_big_order")
+    )

@@ -77,6 +77,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sink_dynamic_partition_overwrite",  # idempotent partition backfill (r8)
     "events_funnel_windowed",  # greedy-earliest 24h-window funnel (r8)
     "stats_bootstrap_ci",  # deterministic Poisson bootstrap CI (r8)
+    "sample_reservoir_global",  # bottom-k hash sample, TakeOrdered plan (r8)
+    "join_left_mark",  # EXISTS as a column; no row duplication (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

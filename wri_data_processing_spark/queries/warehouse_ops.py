@@ -586,3 +586,55 @@ def snapshot_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "audit_pass boolean, published boolean, reader_version int, "
         "reader_n_rows long",
     )
+
+
+@query(
+    "snapshot_rollback",
+    oracle="""
+    WITH v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                WHERE o_orderkey < 3000),
+    v3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+           WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+              OR (o_orderkey >= 1500 AND o_orderkey < 3000))
+    SELECT 3 AS version_before, v3.n AS n_rows_before,
+           2 AS version_after, v2.n AS n_rows_after,
+           TRUE AS files_intact
+    FROM v2, v3
+    """,
+)
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK — Iceberg's rollback_to_snapshot / Delta's
+    RESTORE: reverting a table is re-pointing _CURRENT at an older
+    manifest, a pure metadata operation, because copy-on-write snapshots
+    never mutate the files an old manifest references. The fixture
+    publishes v3 (the delete-rewrite), rolls back to v2, and proves
+    (a) the reader now sees exactly v2's content — including the rows
+    v3's delete had removed, resurrected with zero data movement — and
+    (b) v3's manifest and files are untouched (files_intact re-reads v3
+    through its own manifest post-rollback), so a roll-FORWARD remains
+    possible until retention GC (snapshot_expire) reclaims it.
+
+    Lifecycle now closed end-to-end: write (merge/append) -> read
+    (time travel/CDF/incremental) -> gate (publish-audit) -> revert
+    (rollback) -> reclaim (expire).
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "rollback")
+    current = os.path.join(root, "_CURRENT")
+    with open(current, "w") as fh:
+        fh.write("3")
+    n_before = _read_snapshot(spark, root, 3).count()
+
+    with open(current, "w") as fh:  # the rollback: one pointer write
+        fh.write("2")
+    with open(current) as fh:
+        v_after = int(fh.read().strip())
+    n_after = _read_snapshot(spark, root, v_after).count()
+    intact = _read_snapshot(spark, root, 3).count() == n_before
+
+    return spark.createDataFrame(
+        [(3, n_before, v_after, n_after, intact)],
+        "version_before int, n_rows_before long, version_after int, "
+        "n_rows_after long, files_intact boolean",
+    )

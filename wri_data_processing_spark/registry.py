@@ -79,6 +79,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_bootstrap_ci",  # deterministic Poisson bootstrap CI (r8)
     "sample_reservoir_global",  # bottom-k hash sample, TakeOrdered plan (r8)
     "join_left_mark",  # EXISTS as a column; no row duplication (r8)
+    "snapshot_rollback",  # RESTORE as a pointer write; files intact (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -48,7 +48,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (b) the STALEST standing rows re-prove next: the aggregates.py family and
 #     the two r2-era geo ops were last driver-sampled in round 2,
 # (c) then the r3-era scalar/relational/window/set/sort singles (last rows
-#     r3) — together (b)+(c) refresh everything at r2/r3 staleness,
+#     r3) — the 24 r8 ops + 9 r2-era rows leave ~17 of these in the
+#     ~50-sample window this round; the remainder rotate in r9,
 # (d) the tail keeps recent heads (r6/r7 rows are fresh; they re-enter the
 #     window in r9/r10 under the same rotation rule).
 # Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the

@@ -1876,3 +1876,96 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s) AS DECIMAL(38,6)) AS s_tot,
+             CAST(SUM(ss) AS DECIMAL(38,12)) AS ss_tot,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 ORDER BY event_type) AS sq_over_n
+      FROM g)
+    SELECT k, n_tot,
+           ROUND(sq_over_n
+                 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                   / CAST(n_tot AS DOUBLE), 6) AS ss_between,
+           ROUND(CAST(ss_tot AS DOUBLE) - sq_over_n, 6) AS ss_within,
+           ROUND(((sq_over_n
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                 / ((CAST(ss_tot AS DOUBLE) - sq_over_n)
+                    / CAST(n_tot - k AS DOUBLE)), 6) AS f_stat
+    FROM t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: does the mean of `value` differ
+    by type — the k-group generalization of stats_welch_ttest, closing
+    the classical-inference set (t, chi², KS, Mann-Whitney, Spearman,
+    ANOVA).
+
+    Exactness: per-group (n, Σy, Σy²) are EXACT (decimal sums of ≤2-dp
+    values); the one order-sensitive reduction — Σ_g s_g²/n_g, a sum of k
+    DOUBLES — is an ORDERED fold over event_type (array_sort + aggregate
+    on the Spark side mirroring DuckDB's SUM(... ORDER BY), the stats_psi
+    contract), so the float summation order is pinned. Everything after
+    is a fixed double tree closed by ROUND-6.
+
+    Scale: one map-side-combined aggregate to |types| rows, one ordered
+    k-term fold — nothing else.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("decimal(38,6)").alias("s"),
+        F.sum(y * y).cast("decimal(38,12)").alias("ss"),
+    )
+    sq_term = (
+        F.col("x.s").cast("double")
+        * F.col("x.s").cast("double")
+        / F.col("x.n").cast("double")
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("decimal(38,6)").alias("s_tot"),
+        F.sum("ss").cast("decimal(38,12)").alias("ss_tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "n", "s"))
+                ),
+                lambda x: x["s"].cast("double") * x["s"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("sq_over_n"),
+    )
+    ssb = F.col("sq_over_n") - F.col("s_tot").cast("double") * F.col("s_tot").cast(
+        "double"
+    ) / F.col("n_tot").cast("double")
+    ssw = F.col("ss_tot").cast("double") - F.col("sq_over_n")
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_tot") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )

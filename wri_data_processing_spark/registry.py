@@ -81,6 +81,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sample_reservoir_global",  # bottom-k hash sample, TakeOrdered plan (r8)
     "join_left_mark",  # EXISTS as a column; no row duplication (r8)
     "snapshot_rollback",  # RESTORE as a pointer write; files intact (r8)
+    "stats_anova_oneway",  # k-group F test; ordered k-term fold (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -295,10 +295,12 @@ _MINHASH_BANDS = 4  # 4 bands x 4 rows over the 16 minhashes
 _MINHASH_EST_MIN = 0.25  # drop single-band coincidences
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash candidate/estimate CTE chain (reps -> est), shared by
+    the pair oracle and the cluster-closure oracle."""
     perms_values = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MINHASH_PERMS))
     return rf"""
-    WITH reps AS (
+    reps AS (
       SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
     ),
     tk AS (
@@ -339,6 +341,12 @@ def _minhash_oracle() -> str:
       JOIN sig sa ON c.doc_a = sa.doc_id
       JOIN sig sb ON c.doc_b = sb.doc_id
     )
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
     SELECT doc_a, doc_b, ROUND(e, 4) AS jaccard_est
     FROM est WHERE e >= {_MINHASH_EST_MIN}
     """
@@ -1562,4 +1570,50 @@ def pipeline_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("n_masked"),
         (F.length("text") - masked).alias("n_kept"),
         (masked == F.length("text")).alias("fully_duplicated"),
+    )
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairsm AS (
+      SELECT doc_a, doc_b FROM est WHERE e >= {_MINHASH_EST_MIN}),
+    edgesm AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairsm
+      UNION
+      SELECT doc_b, doc_a FROM pairsm),
+    nodesm AS (SELECT DISTINCT a AS n FROM edgesm),
+    reachm(n, m) AS (
+      SELECT n, n FROM nodesm
+      UNION
+      SELECT r.n, e.b FROM reachm r JOIN edgesm e ON r.m = e.a)
+    SELECT n AS doc_id, MIN(m) AS cluster_id, COUNT(*) AS cluster_size
+    FROM reachm GROUP BY n
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MINHASH near-dup graph — the
+    sub-quadratic sibling of dedup_clusters (whose edges come from the
+    exact posting-list Jaccard join): at corpus scale the candidate pairs
+    come from LSH banding, never an all-shingle self-join, so the edge
+    generation cost is bucket collisions, not pairs-squared. Clusters are
+    over exact-dup representatives (the minhash pipeline's rep space) and
+    the closure machinery is the proven pointer-jumping fixpoint.
+
+    Oracle: the shared MinHash CTE chain (exact sha-derived permutations,
+    value-identical candidates including banding false positives) feeding
+    the same recursive-CTE closure dedup_clusters verifies against — the
+    closure is the spec, the jumping is the algorithm.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels, _rounds = propagate_min_labels(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
     )

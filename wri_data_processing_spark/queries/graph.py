@@ -175,24 +175,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_connected_components",
     oracle="""
-    WITH RECURSIVE items AS (
+    WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     undirected AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT u AS node, v AS nb FROM undirected
       UNION ALL
       SELECT v AS node, u AS nb FROM undirected),
-    reach(node, lab) AS (
-      SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
-      UNION
-      SELECT e.nb AS node, r.lab
-      FROM reach r JOIN edges e ON e.node = r.node),
-    labels AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
-    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
-    FROM labels GROUP BY 1 ORDER BY 1
+    l0 AS MATERIALIZED (SELECT node AS n, node AS m
+      FROM (SELECT DISTINCT node FROM edges)),
+    l1 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l0 l
+      JOIN l0 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l0 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n),
+    l2 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l1 l
+      JOIN l1 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l1 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n),
+    l3 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l2 l
+      JOIN l2 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l2 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n),
+    l4 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l3 l
+      JOIN l3 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l3 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n),
+    l5 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l4 l
+      JOIN l4 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l4 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n),
+    l6 AS MATERIALIZED (
+      SELECT l.n,
+             LEAST(l.m, pj.m, nbmin.m) AS m
+      FROM l5 l
+      JOIN l5 pj ON l.m = pj.n
+      JOIN (SELECT e.node AS n, MIN(l2.m) AS m
+            FROM edges e JOIN l5 l2 ON e.nb = l2.n GROUP BY 1) nbmin
+        ON l.n = nbmin.n)
+    SELECT m AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l6 GROUP BY 1 ORDER BY 1
     """,
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,16 +249,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: min-label propagation converges to the per-component
     MINIMUM regardless of iteration strategy, so the engine's
-    O(log diameter) pointer-jumping fixpoint and the oracle's recursive-
-    CTE reachability closure (min over reachable labels on the
-    symmetrized edge set) agree exactly — the closure is the semantic
-    spec, the jumping is the distributed algorithm.
+    pointer-jumping fixpoint (measured: 3 rounds at both test SFs) and
+    the oracle's SIX unrolled pointer-jumping rounds (covering component
+    diameter up to 2^6; a bigger-diameter fixture would mismatch LOUDLY,
+    not silently pass) reach the same labels. The first oracle draft was
+    a recursive-CTE reachability closure — semantically cleaner but
+    O(V·E): 59 s at sf0.01 on this graph's giant component, a
+    driver-timeout risk; the unrolled form runs in under a second.
 
     Scale: the engine side is the proven bounded loop — one equi-join +
     min-aggregate + label-pointer hop per round, localCheckpoint per
-    round, exact fixpoint test, cap raises rather than mislabeling. The
-    oracle's O(V·E) closure is DuckDB-side verification at fixture scale
-    only; the Spark plan never materializes reachability pairs.
+    round, exact fixpoint test, cap raises rather than mislabeling.
     """
     from wri_data_processing_spark.queries.llm_dedup import propagate_min_labels
 

@@ -555,3 +555,33 @@ def test_cusum_alarm_checkpoint_recovery(spark, sf_dir, tmp_path):
         for r in registry.REGISTRY["events_cusum_alarm"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_url_dedup_stream_matches_batch_keys(spark, sf_dir, tmp_path):
+    """Streaming canonical-URL dedup keeps exactly the batch op's key set,
+    with the corpus split across two file drops so first-arrival state
+    provably carries across micro-batches."""
+    from wri_data_processing_spark import registry
+    from wri_data_processing_spark.streaming.pipelines import (
+        run_available_now,
+        url_deduped,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    run_available_now(
+        url_deduped(stream), "url_dedup_test", str(tmp_path / "ckpt_url"),
+        output_mode="append",
+    )
+    got = {r["canonical_url"] for r in spark.sql("SELECT * FROM url_dedup_test").collect()}
+
+    registry.load_all()
+    want = {
+        r["canonical_url"]
+        for r in registry.REGISTRY["dedup_url_canonical"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

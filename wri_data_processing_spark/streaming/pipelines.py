@@ -727,3 +727,25 @@ def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 2.0) 
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def url_deduped(docs: DataFrame) -> DataFrame:
+    """Streaming twin of dedup_url_canonical: the canonicalization rule
+    chain (fragment strip, scheme+host lowercase, :443 drop, trailing
+    slash, tracking-param filter + sort — all stateless scan expressions,
+    llm_pipeline._canonical_urls) runs on the stream, then
+    ``dropDuplicates`` keeps the FIRST ARRIVAL per canonical key across
+    micro-batches — the crawl-frontier dedup that suppresses refetch
+    variants the moment they arrive, instead of batching the whole crawl
+    first.
+
+    Semantics vs the batch op: batch keeps min doc_id per canonical URL;
+    the stream keeps arrival order. The KEPT KEY SET is identical (one
+    winner per canonical key) — the equivalence test pins that, the
+    segment_deduped contract. State is unbounded by design (frontier
+    dedup has no expiry); bound it with dropDuplicatesWithinWatermark on
+    fetch time when refetch lag has a bound.
+    """
+    from wri_data_processing_spark.queries.llm_pipeline import _canonical_urls
+
+    return _canonical_urls(docs).dropDuplicates(["canonical_url"])

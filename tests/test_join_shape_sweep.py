@@ -87,6 +87,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "single report row — both sides bounded",
     "dq_benford": "1-row N-total broadcast over the <=9-digit count frame "
     "— the stats_ks_test shape",
+    "stats_proportion_ztest": "1-row epoch-midpoint broadcast back over "
+    "the scan — the events_rate_test shape",
     "stats_weighted_quantiles": "1-row total-weight broadcast over the "
     "distinct-value cumsum frame — the stats_quantiles_exact shape",
     "sim_ann_lsh": "24-row sign matrix broadcast for signatures; candidate "

@@ -1969,3 +1969,92 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@query(
+    "stats_proportion_ztest",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)
+               >= (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                     + (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                        - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 2
+                   FROM events) AS late,
+             event_type = 'purchase' AS hit
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    g AS (
+      SELECT late, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM b GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN NOT late THEN n END) AS n1,
+             MAX(CASE WHEN NOT late THEN x END) AS x1,
+             MAX(CASE WHEN late THEN n END) AS n2,
+             MAX(CASE WHEN late THEN x END) AS x2
+      FROM g)
+    SELECT n1, x1, n2, x2,
+           ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+           ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                 / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 / CAST(n1 AS DOUBLE)
+                           + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z
+    FROM w
+    """,
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the purchase rate, first half of the time
+    range vs second half — the A/B-test primitive (pooled-variance z),
+    here as a before/after drift check on conversion.
+
+    Exactness: the epoch midpoint split is ALL-INTEGER (floored epoch
+    seconds, integer // 2 — Spark's unix_timestamp floors identically);
+    the four cell counts are exact; z is one fixed tree of IEEE double
+    divisions and a sqrt (ln/sqrt are the cross-engine-safe
+    transcendentals) closed by ROUND-6. One map-side-combined aggregate
+    plus a 1-row min/max broadcast — the events_rate_test shape.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    sec = F.unix_timestamp("ts")
+    # integer midpoint: min + (max - min) div 2, computed exactly
+    mm = e.agg(
+        F.min(sec).cast("long").alias("lo"), F.max(sec).cast("long").alias("hi")
+    ).select((F.col("lo") + F.expr("(hi - lo) div 2")).alias("mid"))
+    g = (
+        e.crossJoin(F.broadcast(mm))
+        .select(
+            (sec >= F.col("mid")).alias("late"),
+            (F.col("event_type") == "purchase").alias("hit"),
+        )
+        .groupBy("late")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("x"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(~F.col("late"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("late"), F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("late"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("late"), F.col("x"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1").cast("double") + F.lit(1.0) / F.col("n2").cast("double"))
+    )
+    return w.select(
+        "n1", "x1", "n2", "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+    )

@@ -330,3 +330,56 @@ def test_logical_node_walk_recurses_into_subqueries(spark):
     names = _logical_node_names(df)
     assert any(n.startswith("Aggregate") for n in names), names
     assert _spread_small_scan(df) is df
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """sample_reservoir_global must compile to TakeOrderedAndProject
+    (per-partition heaps + one k-row gather) — a refactor to
+    orderBy-without-limit-pushdown would plan a global range-partitioned
+    sort."""
+    plan = _plan(spark, sf_dir, "sample_reservoir_global")
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_url_canonical_single_shuffle(spark, sf_dir):
+    """dedup_url_canonical's whole rule chain is scan-stage string
+    expressions: exactly ONE shuffle (the canonical-key groupBy), no
+    joins."""
+    plan = _plan(spark, sf_dir, "dedup_url_canonical")
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """join_interval_overlap's candidates must come from the (user, chunk)
+    EQUI-join — a refactor that drops the chunk key degrades to a same-user
+    theta join (quadratic in user density)."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    # the chunk key must be part of the join key
+    m = re.search(r"Join [^\n]*jb", plan)
+    assert m, plan
+
+
+def test_funnel_windowed_broadcasts_stages(spark, sf_dir):
+    """events_funnel_windowed repeats funnel_stages' topology: per-stage
+    user MINs broadcast onto the next stage's filtered scan — no
+    sort-merge joins of raw events."""
+    plan = _plan(spark, sf_dir, "events_funnel_windowed")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_lm_no_self_join_for_pairs(spark, sf_dir):
+    """text_bigram_lm's bigrams are zipped inside the token array — the
+    pair derivation itself must not plan a join (the corpus-rollup
+    equi-joins come later and are fine); pin: no nested-loop anywhere and
+    no window (a posexplode+lag formulation would add one)."""
+    plan = _plan(spark, sf_dir, "text_bigram_lm")
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "WHITELISTED", 1
+    ), plan  # the single 1-row totals broadcast is the whitelisted NLJ
+    assert "Window" not in plan, plan

@@ -35,7 +35,10 @@ from wri_data_processing_spark.sources.tables import scan_csv, sink_append_table
 from wri_data_processing_spark.operators.probe import with_hosted_flag
 from wri_data_processing_spark.steps.step01_cog import status_counts, step01_cog
 
-_SCRATCH = "/tmp/wri_engine_scratch"
+# Per-PID root: two concurrent harness processes (e.g. the test suite run
+# as parallel chunks) must not rmtree each other's staged layouts mid-read —
+# a shared root made maintenance_compaction flaky under concurrent pytest.
+_SCRATCH = f"/tmp/wri_engine_scratch_{os.getpid()}"
 
 
 def _scratch_dir(name: str, sf_dir: str) -> str:

@@ -89,6 +89,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "— the stats_ks_test shape",
     "stats_proportion_ztest": "1-row epoch-midpoint broadcast back over "
     "the scan — the events_rate_test shape",
+    "stats_kruskal_wallis": "1-row (n_tot, tie3) totals broadcast onto "
+    "the k-row group frame — the stats_ks_test shape",
     "stats_weighted_quantiles": "1-row total-weight broadcast over the "
     "distinct-value cumsum frame — the stats_quantiles_exact shape",
     "sim_ann_lsh": "24-row sign matrix broadcast for signatures; candidate "

@@ -2058,3 +2058,133 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p2"),
         F.round(z, 6).alias("z"),
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v, event_type AS et
+      FROM events WHERE value IS NOT NULL),
+    gv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+    cv AS (
+      SELECT v, cnt,
+             2 * (SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS rank2
+      FROM gv),
+    ga AS (
+      SELECT et, v, CAST(COUNT(*) AS BIGINT) AS a FROM s GROUP BY 1, 2),
+    rg AS (
+      SELECT ga.et, CAST(SUM(ga.a) AS BIGINT) AS n,
+             SUM(CAST(ga.a AS HUGEINT) * cv.rank2) AS r2
+      FROM ga JOIN cv ON ga.v = cv.v GROUP BY 1),
+    tv AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM gv),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                 / CAST(n AS DOUBLE) ORDER BY et) AS s4
+      FROM rg),
+    f AS (
+      SELECT t.k, tv.n_tot,
+             3.0 * t.s4 / (CAST(tv.n_tot AS DOUBLE)
+                           * (CAST(tv.n_tot AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(tv.n_tot AS DOUBLE) + 1.0) AS h,
+             1.0 - CAST(tv.tie3 AS DOUBLE)
+                   / (CAST(tv.n_tot AS DOUBLE) * CAST(tv.n_tot AS DOUBLE)
+                      * CAST(tv.n_tot AS DOUBLE)
+                      - CAST(tv.n_tot AS DOUBLE)) AS c
+      FROM t, tv)
+    SELECT k, n_tot, ROUND(h, 6) AS h, ROUND(h / c, 6) AS h_tie
+    FROM f
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-group generalization of stats_mann_whitney
+    — are the `value` distributions across ALL event types drawn from one
+    population? Rank-based, so robust where stats_anova_oneway's F (means)
+    is not; together they close the k-group pair (parametric + rank).
+
+    Exactness: pooled tie-averaged ranks never materialize as floats —
+    the DOUBLED rank 2r = 2*cum_before + cnt + 1 is integral, so each
+    group's doubled rank-sum R2_g accumulates EXACTLY in decimal(38,0)
+    (DuckDB HUGEINT). The one order-sensitive float reduction — the
+    k-term sum Σ_g R2_g²/n_g — is an ORDERED fold over event_type
+    (array_sort + aggregate mirroring SUM(.. ORDER BY et), the stats_psi
+    contract). With R_g = R2_g/2, H = 12/(N(N+1))·ΣR²/n − 3(N+1)
+    = 3·(ΣR2²/n)/(N(N+1)) − 3(N+1): a fixed double tree after exact
+    integers, closed by ROUND-6; the tie correction 1 − Σ(t³−t)/(N³−N)
+    divides once more. sqrt/ln unneeded; pow/exp (the unsafe
+    transcendentals) never appear.
+
+    Scale: the pooled ranks come from the distinct-value grouped frame
+    (one map-side-combined shuffle), bucket-parallel prefix sums
+    (_two_phase_cumsum — no single-partition window), one (et, v)
+    aggregate joined back on v (sort-merge on distinct values), then a
+    k-row and a 1-row aggregate. The per-(et,v) counts shuffle is the
+    only addition over Mann-Whitney's binary-indicator trick, which does
+    not generalize to k groups.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(F.col("value").alias("v"), F.col("event_type").alias("et"))
+    gv = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = _two_phase_cumsum(gv, "v", ["cnt"])
+    cv = cum.select(
+        "v",
+        "cnt",
+        (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1).alias("rank2"),
+    )
+    ga = s.groupBy("et", "v").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    rg = (
+        ga.join(cv.select("v", "rank2"), "v")
+        .groupBy("et")
+        .agg(
+            F.sum("a").cast("long").alias("n"),
+            # ~2N^2-magnitude: accumulate in decimal(38,0) like
+            # stats_mann_whitney (DuckDB's SUM(BIGINT) is HUGEINT).
+            F.sum(F.col("a").cast("decimal(38,0)") * F.col("rank2")).alias("r2"),
+        )
+    )
+    tv = cum.agg(
+        F.sum("cnt").cast("long").alias("n_tot"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    t = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("et", "n", "r2"))),
+                lambda x: x["r2"].cast("double")
+                * x["r2"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("s4"),
+    )
+    nd = F.col("n_tot").cast("double")
+    f = t.crossJoin(F.broadcast(tv)).select(
+        "k",
+        "n_tot",
+        (
+            F.lit(3.0) * F.col("s4") / (nd * (nd + F.lit(1.0)))
+            - F.lit(3.0) * (nd + F.lit(1.0))
+        ).alias("h"),
+        (
+            F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+        ).alias("c"),
+    )
+    return f.select(
+        "k",
+        "n_tot",
+        F.round("h", 6).alias("h"),
+        F.round(F.col("h") / F.col("c"), 6).alias("h_tie"),
+    )

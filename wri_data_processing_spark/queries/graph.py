@@ -285,3 +285,104 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("component")
     )
+
+
+@query(
+    "graph_jaccard_linkpred",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS MATERIALIZED (
+      SELECT pa AS node, pb AS nb FROM e
+      UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    cn AS (
+      SELECT a1.node AS u, a2.node AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM adj a1 JOIN adj a2 ON a1.nb = a2.nb AND a1.node < a2.node
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    cand AS (
+      SELECT cn.u, cn.v, cn.cn, du.d AS du, dv.d AS dv
+      FROM cn JOIN deg du ON cn.u = du.node JOIN deg dv ON cn.v = dv.node
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cn.u AND e.pb = cn.v))
+    SELECT u, v, cn, du, dv,
+           ROUND(CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE), 6)
+             AS jaccard
+    FROM cand
+    ORDER BY CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE) DESC, u, v
+    LIMIT 10
+    """,
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the 10 NON-adjacent part
+    pairs with the highest neighbor-set Jaccard — "these two parts are
+    never co-ordered, but their co-purchase neighborhoods overlap most".
+    The classic common-neighbors/Jaccard recommender primitive, and the
+    graph-native twin of dedup_ngram_jaccard's set similarity.
+
+    Semantics: candidates are non-adjacent pairs with >= 2 common
+    neighbors (the cn floor drops the degree-1 tail whose Jaccard is a
+    vacuous 1.0 and bounds the wedge output); NOT-an-edge is a left_anti
+    on the canonical pa<pb edge list — one check suffices since both
+    sides store u<v.
+    jaccard = cn / (du + dv - cn) with all three terms exact BIGINTs, so
+    the score is ONE IEEE division — the top-10 ordering compares those
+    exact quotients (tie-broken by (u, v)), bit-identical across engines.
+
+    Scale: the wedge self-join on the shared-neighbor key is the classic
+    common-neighbor enumeration — the >=2-support edge threshold prunes
+    hub explosion before it (same guard as graph_triangle_count; at
+    100 TB the standard refinement is capping/degree-ordering hub
+    neighbor lists). Degree attachment is two equi-joins on the bounded
+    candidate frame; top-10 is a TakeOrdered, never a global sort. The
+    edge survivor set is localCheckpointed once and feeds adjacency,
+    degrees, and the anti-join from memory (AQE breaks ReusedExchange on
+    self-joins — the triangle-count lesson).
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    adj = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionAll(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a1 = adj.select(F.col("node").alias("u"), F.col("nb").alias("w"))
+    a2 = adj.select(F.col("node").alias("v"), F.col("nb").alias("w"))
+    cn = (
+        a1.join(a2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    cand = (
+        cn.join(
+            e.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    jac = F.col("cn").cast("double") / (
+        F.col("du") + F.col("dv") - F.col("cn")
+    ).cast("double")
+    return (
+        cand.orderBy(jac.desc(), "u", "v")
+        .limit(10)
+        .select("u", "v", "cn", "du", "dv", F.round(jac, 6).alias("jaccard"))
+    )

@@ -85,6 +85,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dedup_minhash_clusters",  # CC over the LSH candidate graph (r8)
     "stats_proportion_ztest",  # A/B two-proportion z; integer midpoint (r8)
     "stats_kruskal_wallis",  # k-group rank H; doubled-rank fold (r8)
+    "graph_jaccard_linkpred",  # common-neighbor Jaccard top-10 (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

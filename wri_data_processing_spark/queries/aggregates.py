@@ -611,3 +611,101 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH exact AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    h AS (
+      SELECT k, cnt, 0 AS j,
+             ((k % 2147483647) * 99371 + 12345) % 2147483647 % 1024 AS b
+      FROM exact
+      UNION ALL SELECT k, cnt, 1,
+             ((k % 2147483647) * 50923 + 67891) % 2147483647 % 1024
+      FROM exact
+      UNION ALL SELECT k, cnt, 2,
+             ((k % 2147483647) * 76031 + 24683) % 2147483647 % 1024
+      FROM exact
+      UNION ALL SELECT k, cnt, 3,
+             ((k % 2147483647) * 85247 + 13579) % 2147483647 % 1024
+      FROM exact),
+    cells AS (
+      SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS cell FROM h GROUP BY 1, 2),
+    top5 AS (SELECT k, cnt FROM exact ORDER BY cnt DESC, k LIMIT 5),
+    probe AS (SELECT t.k, t.cnt, h.j, h.b FROM top5 t JOIN h ON h.k = t.k),
+    est AS (
+      SELECT p.k, p.cnt, MIN(c.cell) AS est_cnt
+      FROM probe p JOIN cells c ON p.j = c.j AND p.b = c.b GROUP BY 1, 2)
+    SELECT k AS l_partkey, cnt AS exact_cnt, est_cnt, est_cnt - cnt AS overest
+    FROM est ORDER BY exact_cnt DESC, l_partkey
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=1024 buckets) over part frequencies,
+    audited against truth: the 5 true-heaviest parts with their exact
+    count, the sketch's point estimate, and the collision overestimate
+    (always >= 0 — CMS never undercounts). The frequency-sketch sibling
+    of agg_approx_distinct's HLL: constant memory per executor, and
+    MERGE is cell-wise sum — exactly what the (j, bucket) groupBy-sum
+    shuffle performs, so map-side partial sketches combine into the
+    global sketch with no extra machinery (same story for cross-day or
+    streaming sketch unions at 100 TB).
+
+    Exactness: the d hash functions are pinned affine literals
+    h_j(k) = ((k mod p) · a_j + b_j) mod p mod w with p = 2^31 − 1 —
+    pure int64 arithmetic on both engines ((k mod p) · a_j < ~2e15, no
+    overflow for any BIGINT key), so cells, estimates, and the error
+    column are all exact integers; there is no float anywhere.
+
+    Scale: ONE aggregate to the distinct-key frame (summing per-key
+    counts into buckets is row-for-row identical to per-row increments),
+    a 4096-cell sketch, a TakeOrdered top-5, and a broadcast probe join.
+    The sketch size is independent of N and of key cardinality — the
+    point of carrying a sketch instead of the exact frame.
+    """
+    P, W = 2147483647, 1024
+    A = (99371, 50923, 76031, 85247)
+    B = (12345, 67891, 24683, 13579)
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # Feeds the sketch cells, the top-5 probe, and the probe's hash
+    # re-expansion — three distinct subplans, so materialize once.
+    exact = exact.localCheckpoint()
+
+    def hashes():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        (((F.col("k") % P) * A[j] + B[j]) % P % W).alias("b"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("h")
+
+    h = exact.select("k", "cnt", hashes()).select(
+        "k", "cnt", F.col("h.j").alias("j"), F.col("h.b").alias("b")
+    )
+    cells = h.groupBy("j", "b").agg(F.sum("cnt").cast("long").alias("cell"))
+    top5 = exact.orderBy(F.col("cnt").desc(), "k").limit(5)
+    probe = top5.select("k", "cnt", hashes()).select(
+        "k", "cnt", F.col("h.j").alias("j"), F.col("h.b").alias("b")
+    )
+    est = (
+        probe.join(cells, ["j", "b"])
+        .groupBy("k", "cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("cnt").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("cnt")).alias("overest"),
+    ).orderBy(F.col("exact_cnt").desc(), "l_partkey")

@@ -86,6 +86,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_proportion_ztest",  # A/B two-proportion z; integer midpoint (r8)
     "stats_kruskal_wallis",  # k-group rank H; doubled-rank fold (r8)
     "graph_jaccard_linkpred",  # common-neighbor Jaccard top-10 (r8)
+    "agg_count_min_sketch",  # CMS heavy-hitter audit; int64 hashes (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -54,6 +54,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "resize of decoded pixels",
     "multimodal_audio_features_real": "audio decode boundary, executed "
     "pure-Python WAV codec (sources/wav_codec.py)",
+    "multimodal_audio_vad": "same executed audio decode boundary; integer "
+    "frame-energy voice-activity detection",
     "pandas_grouped_map": "registered applyInPandas interface demo",
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",

@@ -763,3 +763,127 @@ def multimodal_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFram
         "success boolean",
     )
 
+
+# ---- Frame-energy VAD over the EXECUTED WAV decode (r8) ------------------
+# Fixtures alternate loud / 16x-attenuated blocks (2 frames per block) so
+# the detector has real structure to find; samples stay full-range i16.
+_VAD_FR = 64  # frame length in samples; trailing partial frame dropped
+
+
+def _vad_samples(n: int, a: int) -> list:
+    out = []
+    for k in range(n):
+        v = ((k * a + 37 * a) % 4001) - 2000
+        if (k // (2 * _VAD_FR)) % 2 == 1:
+            v //= 16  # Python floor division, mirrored in the oracle arithmetic
+        out.append(v)
+    return out
+
+
+_VAD_FIXTURES = [
+    (i, f"vad_{i:02d}.wav", 8000 * (1 + i % 3), 512 + 32 * i, (7 + 2 * i))
+    for i in range(8)
+]
+
+
+def _vad_expected():
+    rows = []
+    for i, name, rate, n, a in _VAD_FIXTURES:
+        s = _vad_samples(n, a)
+        nf = n // _VAD_FR
+        en = [
+            sum(x * x for x in s[f * _VAD_FR:(f + 1) * _VAD_FR])
+            for f in range(nf)
+        ]
+        tot = sum(en)
+        sp = [e * nf * 2 > tot for e in en]
+        best = cur = 0
+        for b in sp:
+            cur = cur + 1 if b else 0
+            best = max(best, cur)
+        first = next((f for f, b in enumerate(sp) if b), -1)
+        rows.append((i, name, nf, sum(sp), best, first))
+    return rows
+
+
+_VAD_VALUES = ", ".join(
+    f"(CAST({mid} AS BIGINT), '{name}', CAST({nf} AS BIGINT), "
+    f"CAST({nsp} AS BIGINT), CAST({run} AS BIGINT), CAST({first} AS BIGINT))"
+    for mid, name, nf, nsp, run, first in _vad_expected()
+)
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    SELECT media_id, filename, n_frames, speech_frames, longest_run,
+           first_speech
+    FROM (VALUES {_VAD_VALUES})
+      AS t(media_id, filename, n_frames, speech_frames, longest_run,
+           first_speech)
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection through the executed WAV decode path: real
+    PCM16 payloads decode inside mapInPandas, split into 64-sample frames
+    (trailing partial frame dropped), and a frame is "speech" iff its
+    energy exceeds HALF the mean frame energy — the comparison is kept
+    ALL-INTEGER as E_f · n_frames · 2 > Σ E (no division, nothing to
+    round). Emits frames / speech frames / longest speech run / first
+    speech frame per clip. Fixtures alternate loud and 16x-attenuated
+    two-frame blocks, so the detector must find real structure; the
+    VALUES oracle states the answer from the waveform arithmetic
+    directly, never through the codec — a framing off-by-one, an energy
+    overflow, or a threshold-side error diverges loudly.
+
+    This is the audio curation primitive for training pipelines: silence
+    trimming and speech-ratio quality gates both reduce to these frame
+    statistics. Plan shape at scale: decode + framing + the energy fold
+    fuse into the scan stage's Arrow boundary; four integers per clip
+    are all that leave it, audio bytes never shuffle; the per-clip state
+    is one frame-energy list bounded by clip length, never the corpus.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.wav_codec import decode_wav, write_wav
+
+    rows = [
+        (i, name, bytearray(write_wav(_vad_samples(n, a), sample_rate=rate)))
+        for i, name, rate, n, a in _VAD_FIXTURES
+    ]
+    media = spark.createDataFrame(rows, "media_id long, filename string, payload binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "filename", "n_frames",
+                                   "speech_frames", "longest_run",
+                                   "first_speech")}
+            for mid, name, payload in zip(pdf["media_id"], pdf["filename"],
+                                          pdf["payload"]):
+                _rate, _ch, s = decode_wav(bytes(payload))
+                nf = len(s) // _VAD_FR
+                en = [
+                    sum(x * x for x in s[f * _VAD_FR:(f + 1) * _VAD_FR])
+                    for f in range(nf)
+                ]
+                tot = sum(en)
+                sp = [e * nf * 2 > tot for e in en]
+                best = cur = 0
+                for b in sp:
+                    cur = cur + 1 if b else 0
+                    best = max(best, cur)
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                out["n_frames"].append(nf)
+                out["speech_frames"].append(sum(sp))
+                out["longest_run"].append(best)
+                out["first_speech"].append(
+                    next((f for f, b in enumerate(sp) if b), -1)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, filename string, n_frames long, speech_frames long, "
+        "longest_run long, first_speech long",
+    )

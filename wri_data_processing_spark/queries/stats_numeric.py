@@ -2188,3 +2188,97 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 6).alias("h"),
         F.round(F.col("h") / F.col("c"), 6).alias("h_tie"),
     )
+
+
+@query(
+    "stats_jensen_shannon",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cat,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    b AS (
+      SELECT cat, CAST(SUM(is_ref) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+      FROM s GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_ref, CAST(SUM(cb) AS BIGINT) AS n_cur,
+             CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS k_cats,
+             list(struct_pack(cat := cat, ca := ca, cb := cb) ORDER BY cat)
+               AS catrows
+      FROM b)
+    SELECT n_ref, n_cur, k_cats,
+           ROUND(list_aggregate(list_transform(catrows, r ->
+             (CASE WHEN r.ca > 0
+                   THEN (CAST(r.ca AS DOUBLE) / na)
+                        * ln(2.0 * (CAST(r.ca AS DOUBLE) / na)
+                             / (CAST(r.ca AS DOUBLE) / na
+                                + CAST(r.cb AS DOUBLE) / nb))
+                   ELSE 0.0 END
+              + CASE WHEN r.cb > 0
+                   THEN (CAST(r.cb AS DOUBLE) / nb)
+                        * ln(2.0 * (CAST(r.cb AS DOUBLE) / nb)
+                             / (CAST(r.ca AS DOUBLE) / na
+                                + CAST(r.cb AS DOUBLE) / nb))
+                   ELSE 0.0 END) * 0.5), 'sum'), 6) AS jsd
+    FROM t
+    """,
+)
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type MIX of two user
+    cohorts (even vs odd user_id) — the bounded, symmetric member of the
+    drift family: PSI blows up on empty bins, KL is asymmetric, JSD is
+    always finite in [0, ln 2] and symmetric, which is why it is the
+    default categorical drift metric in ML monitoring.
+
+    Determinism: the stats_psi discipline verbatim — exact integer cell
+    counts, each per-category term one mirrored IEEE expression (JSD
+    needs ln; the 2p/(p+q) form evaluates KL-to-midpoint without ever
+    materializing m = (p+q)/2, and a category absent from one cohort
+    contributes its p·ln2 term from the other alone — no epsilon fudge),
+    an ORDERED fold over category, closing ROUND-6 absorbing the bounded
+    ln ULP drift.
+
+    Plan: one map-side-combined (event_type) count shuffle, then a single
+    |types|-row aggregate emitting totals AND the ordered category list —
+    no joins, no broadcast, no second pass.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        F.col("event_type").alias("cat"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_ref"),
+    )
+    b = s.groupBy("cat").agg(
+        F.sum("is_ref").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cb"),
+    )
+    t = b.agg(
+        F.sum("ca").cast("long").alias("n_ref"),
+        F.sum("cb").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("k_cats"),
+        F.array_sort(F.collect_list(F.struct("cat", "ca", "cb"))).alias("catrows"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+
+    def _term(r):
+        p = r["ca"].cast("double") / na
+        q = r["cb"].cast("double") / nb
+        t1 = F.when(r["ca"] > 0, p * F.log(F.lit(2.0) * p / (p + q))).otherwise(
+            F.lit(0.0)
+        )
+        t2 = F.when(r["cb"] > 0, q * F.log(F.lit(2.0) * q / (p + q))).otherwise(
+            F.lit(0.0)
+        )
+        return (t1 + t2) * F.lit(0.5)
+
+    return t.select(
+        "n_ref",
+        "n_cur",
+        "k_cats",
+        F.round(
+            F.aggregate(F.transform("catrows", _term), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("jsd"),
+    )

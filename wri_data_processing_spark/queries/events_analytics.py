@@ -1550,3 +1550,159 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in rows[1:]:
         out = out.unionAll(nxt)
     return out
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS fd,
+             MAX(CAST(ts AS DATE)) AS ld,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS pd
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT CASE WHEN pd IS NOT NULL THEN date_diff('day', fd, pd)
+                  ELSE date_diff('day', fd, ld) END AS dur,
+             CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    g AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM f GROUP BY 1),
+    one AS (
+      SELECT CAST(SUM(d + c) AS BIGINT) AS ntot,
+             list(struct_pack(dur := dur, d := d, c := c) ORDER BY dur) AS rs
+      FROM g),
+    enr AS (
+      SELECT ntot, rs,
+             list_transform(rs, (r, i) ->
+               ntot - CAST(COALESCE(list_aggregate(
+                 list_transform(rs[1:i-1], x -> x.d + x.c), 'sum'), 0)
+                 AS BIGINT)) AS atrisk
+      FROM one),
+    t AS (
+      SELECT rs, atrisk,
+             list_transform(rs, (r, i) ->
+               CASE WHEN r.d > 0 AND atrisk[i] > r.d
+                    THEN ln(CAST(atrisk[i] - r.d AS DOUBLE)
+                            / CAST(atrisk[i] AS DOUBLE))
+                    WHEN r.d > 0 THEN NULL
+                    ELSE 0.0 END) AS terms
+      FROM enr)
+    SELECT rs[i].dur AS dur,
+           atrisk[i] AS n_risk,
+           rs[i].d AS n_event,
+           rs[i].c AS n_censor,
+           CASE WHEN terms[i] IS NULL THEN NULL
+                ELSE ROUND(list_aggregate(terms[1:i], 'sum'), 6)
+           END AS ln_surv
+    FROM t, UNNEST(range(1, len(rs) + 1)) AS ix(i)
+    ORDER BY dur
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion life table — the estimator every
+    retention/conversion dashboard ultimately plots. A user's duration
+    is days from first activity to FIRST PURCHASE (the event); a user
+    who never purchases is RIGHT-CENSORED at their last active day. KM
+    is the standard way to use the censored users' partial information
+    ("still hasn't converted after 20 days") instead of dropping them,
+    which naive conversion-latency averages get wrong.
+
+    Determinism: ln(S(t)) is emitted instead of S(t) — ln is the
+    cross-engine-exact transcendental (probed r7; exp is not), and each
+    per-duration hazard term ln((n_i - d_i)/n_i) is one exact division
+    plus one ln. The ordered prefix fold over duration uses the
+    jensen_shannon list discipline in BOTH engines (identical
+    association order), closed with ROUND-6. If every remaining at-risk
+    user converts at the final duration (S hits exactly 0), that row's
+    ln_surv is NULL by explicit CASE in both engines — never a fold
+    over a NULL term, which the two engines' sums treat differently
+    (Spark propagates, DuckDB list-sum skips).
+
+    Plan: ONE per-user conditional min/max shuffle (the event and censor
+    dates come out of the same aggregate — no second scan, no join),
+    one per-duration count shuffle bounded by the calendar span rather
+    than |users|, then a single-row ordered-array fold and posexplode.
+    The O(k^2) slice sums run over k <= span-days elements inside one
+    row — never a global window — so the shape is unchanged at 100 TB
+    where |users| grows but the calendar does not.
+    """
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.max(F.to_date("ts")).alias("ld"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("pd"),
+    )
+    f = u.select(
+        F.when(
+            F.col("pd").isNotNull(), F.datediff("pd", "fd")
+        )
+        .otherwise(F.datediff("ld", "fd"))
+        .alias("dur"),
+        F.when(F.col("pd").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = f.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    one = g.agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("ntot"),
+        F.array_sort(F.collect_list(F.struct("dur", "d", "c"))).alias("rs"),
+    )
+    enr = one.select(
+        "ntot",
+        "rs",
+        F.transform(
+            "rs",
+            lambda r, i: F.col("ntot")
+            - F.coalesce(
+                F.aggregate(
+                    F.slice("rs", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x["d"] + x["c"],
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("atrisk"),
+    )
+    t = enr.select(
+        "rs",
+        "atrisk",
+        F.transform(
+            "rs",
+            lambda r, i: F.when(
+                (r["d"] > 0) & (F.element_at("atrisk", i + 1) > r["d"]),
+                F.log(
+                    (F.element_at("atrisk", i + 1) - r["d"]).cast("double")
+                    / F.element_at("atrisk", i + 1).cast("double")
+                ),
+            ).when(r["d"] > 0, F.lit(None).cast("double")).otherwise(F.lit(0.0)),
+        ).alias("terms"),
+    )
+    ex = t.select(F.posexplode("rs").alias("p", "r"), "atrisk", "terms")
+    return ex.select(
+        F.col("r.dur").alias("dur"),
+        F.element_at("atrisk", F.col("p") + 1).alias("n_risk"),
+        F.col("r.d").alias("n_event"),
+        F.col("r.c").alias("n_censor"),
+        F.when(
+            F.element_at("terms", F.col("p") + 1).isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.aggregate(
+                    F.slice("terms", F.lit(1), F.col("p") + 1),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            )
+        )
+        .alias("ln_surv"),
+    ).orderBy("dur")

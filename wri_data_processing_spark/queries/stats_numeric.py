@@ -2282,3 +2282,109 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type AND a.x < b.x),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             list(slope ORDER BY slope) AS sl
+      FROM p GROUP BY 1),
+    d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM g GROUP BY 1)
+    SELECT m.event_type, d.n_days, m.n_pairs,
+           CASE WHEN m.n_pairs % 2 = 1 THEN sl[CAST((m.n_pairs + 1) // 2 AS INT)]
+                ELSE (sl[CAST(m.n_pairs // 2 AS INT)]
+                      + sl[CAST(m.n_pairs // 2 + 1 AS INT)]) / 2.0
+           END AS slope
+    FROM m JOIN d ON m.event_type = d.event_type
+    ORDER BY m.event_type
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: per event type, the MEDIAN of all pairwise
+    slopes of the daily-count series — the estimator that shrugs off the
+    outlier days that wreck OLS (stats_linear_regression is its fragile
+    twin; a single logging-glitch spike day moves OLS but not this).
+
+    Determinism: every slope is ONE exact IEEE division of two integer
+    differences (day counts and epoch-day indices), so both engines hold
+    bit-identical doubles; the median is an exact element pick (odd n)
+    or one addition + one halving of two exact doubles (even n) — no
+    transcendentals, no rounding needed, the output doubles are exact.
+    Sorting equal doubles is value-stable by definition, so engine sort
+    ties cannot change the pick.
+
+    Plan: one (type, day) count shuffle bounds the series at |types| x
+    calendar-span rows regardless of event volume — the O(span^2)
+    pairwise self-join is an EQUI-join on event_type with the x1 < x2
+    range as a post-join predicate, never a cartesian, and its output
+    (<= |types| * C(span, 2) rows) is calendar-bounded, not data-bounded.
+    The per-type sorted-list median materializes <= C(span, 2) doubles
+    per group inside one row. At 100 TB only the first count shuffle
+    grows; everything after is fixed-size.
+    """
+    e = table(spark, sf_dir, "events")
+    g = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"),
+            "c",
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("et"),
+        F.col("x").alias("x1"),
+        F.col("c").alias("c1"),
+    )
+    b = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("c").alias("c2"),
+    )
+    p = a.join(b, (F.col("et") == F.col("et2")) & (F.col("x1") < F.col("x2"))).select(
+        "et",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    m = p.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.array_sort(F.collect_list("slope")).alias("sl"),
+    )
+    d = (
+        g.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+        .select(F.col("event_type").alias("et2"), "n_days")
+    )
+    half = (F.col("n_pairs") / 2).cast("int")
+    med = F.when(
+        F.col("n_pairs") % 2 == 1,
+        F.element_at("sl", ((F.col("n_pairs") + 1) / 2).cast("int")),
+    ).otherwise((F.element_at("sl", half) + F.element_at("sl", half + 1)) / F.lit(2.0))
+    return (
+        m.join(d, F.col("et") == F.col("et2"))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            "n_pairs",
+            med.alias("slope"),
+        )
+        .orderBy("event_type")
+    )

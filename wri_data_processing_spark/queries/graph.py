@@ -386,3 +386,115 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("u", "v", "cn", "du", "dv", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled 6-round k-core peel. Every CTE is AS MATERIALIZED: each
+    round references the previous edge set THREE times (degree filter +
+    both endpoint joins), so without the hint DuckDB inlines the chain
+    3^6 times — the graph_connected_components lesson verbatim."""
+    parts = [
+        """
+    items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    sup AS MATERIALIZED (SELECT u, v FROM und WHERE w >= 2),
+    e0 AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM sup
+      UNION ALL SELECT v AS node, u AS nb FROM sup)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+    k{r} AS MATERIALIZED (
+      SELECT node FROM e{r - 1} GROUP BY node HAVING COUNT(*) >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.node, e.nb FROM e{r - 1} e
+      JOIN k{r} a ON e.node = a.node JOIN k{r} b ON e.nb = b.node)"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"(SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM e{r}) AS n_nodes, "
+        f"(SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return ",".join(parts) + "\n    " + sel + "\n    ORDER BY round"
+
+
+@query("graph_kcore", oracle=f"WITH {_kcore_oracle()}")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=4, 6 synchronous rounds) over the support-2
+    co-purchase graph: repeatedly delete every node with degree < k and
+    the edges it carries, emitting the (n_nodes, n_edges) trajectory per
+    round. The k-core is the standard "dense backbone" extractor —
+    spam-farm detection, community seeding, and the usual prefilter
+    before expensive clique mining.
+
+    The TRUE k-core is the peel's fixpoint; 6 rounds is the bounded
+    algorithm (the graph_connected_components contract: closure is the
+    spec, a fixed unrolled round count is the implementation, and the
+    trajectory itself shows convergence — two equal consecutive rows
+    mean the fixpoint was reached). Support >= 2 (parts co-purchased in
+    at least two orders) keeps the graph from being the near-clique the
+    raw co-purchase graph is, so the peel has real work to do.
+
+    Determinism: pure integer degree counts and semi-join survivals —
+    no floats anywhere, bit-identical under any partitioning. Plan: per
+    round one map-side-combined degree count plus two survivor
+    equi-joins (never a cartesian); the edge set only shrinks, so round
+    cost is monotonically decreasing. At 100 TB the first-round degree
+    count dominates and is exactly the shape AQE skew-handles; each
+    round's frame would take a localCheckpoint every few rounds to cap
+    lineage, as graph_pagerank documents.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    edges = sup.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        sup.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    out = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            edges.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        # Each round references the previous edge frame three times
+        # (degree filter + both endpoint joins): without a lineage cut
+        # the logical plan grows 3^R copies of the base scan — the same
+        # exponential the oracle's AS MATERIALIZED hints kill — and the
+        # driver OOMs on plan size alone. localCheckpoint materializes
+        # the shrinking edge set once per round (consumers' subplans
+        # DIFFER, the case where checkpointing wins — see SCALE.md).
+        edges = (
+            edges.join(keep, "node")
+            .join(keep.select(F.col("node").alias("nb")), "nb")
+            .select("node", "nb")
+            .localCheckpoint()
+        )
+        row = edges.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+            F.expr("count(1) div 2").cast("long").alias("n_edges"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

@@ -91,6 +91,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_jensen_shannon",  # bounded symmetric categorical drift (r8)
     "events_survival_km",  # censoring-aware KM time-to-conversion (r8)
     "stats_theil_sen",  # outlier-immune median-of-slopes trend (r8)
+    "graph_kcore",  # dense-backbone k-core peel trajectory (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -92,6 +92,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "events_survival_km",  # censoring-aware KM time-to-conversion (r8)
     "stats_theil_sen",  # outlier-immune median-of-slopes trend (r8)
     "graph_kcore",  # dense-backbone k-core peel trajectory (r8)
+    "recsys_item_similar",  # item-item cosine top-3 serving table (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

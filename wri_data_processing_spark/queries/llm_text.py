@@ -8,7 +8,7 @@ language-ID heuristic, document fingerprint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -673,3 +673,137 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(-fold / F.col("n_bigrams").cast("double"), 6).alias("xent2"),
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM d, UNNEST(range(1, len(toks) + 1)) AS ix(i)),
+    f AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END AS st,
+             SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS pid
+      FROM tok),
+    runs AS (
+      SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen,
+             list(tok ORDER BY i) AS members
+      FROM f WHERE st = 0 GROUP BY 1, 2),
+    kept AS (SELECT * FROM runs WHERE plen <= 4),
+    wordocc AS (
+      SELECT u.w AS tok, k.plen
+      FROM kept k, UNNEST(k.members) AS u(w)),
+    wscore AS (
+      SELECT tok, CAST(SUM(plen) AS BIGINT) AS deg,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ws
+      FROM wordocc GROUP BY 1),
+    phr AS (
+      SELECT list_aggregate(members, 'string_agg', ' ') AS phrase,
+             ANY_VALUE(plen) AS plen,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             ANY_VALUE(members) AS members
+      FROM kept GROUP BY list_aggregate(members, 'string_agg', ' ')),
+    memsc AS (
+      SELECT p.phrase, p.plen, p.n_occ, j,
+             (SELECT ws FROM wscore w WHERE w.tok = p.members[j]) AS ws
+      FROM phr p, UNNEST(range(1, len(p.members) + 1)) AS ix(j)),
+    scored AS (
+      SELECT phrase, ANY_VALUE(plen) AS plen, ANY_VALUE(n_occ) AS n_occ,
+             list_aggregate(list(ws ORDER BY j), 'sum') AS score
+      FROM memsc GROUP BY phrase)
+    SELECT phrase, plen, n_occ, score
+    FROM scored
+    ORDER BY score DESC, phrase
+    LIMIT 10
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) lifted from its
+    per-document origin to the corpus: candidate phrases are maximal
+    stopword-free token runs of length <= 4, each word is scored
+    degree/frequency over all candidate occurrences (degree = summed
+    length of the phrases it appears in — words that travel in long
+    company outrank loners), and a phrase scores the sum of its member
+    words. Top-10 distinct phrases corpus-wide. This is the classic
+    unsupervised keyword extractor — no model, no IDF table, one pass.
+
+    Determinism: degree and frequency are exact integers; each word
+    score is ONE exact IEEE division; a phrase score folds <= 4 such
+    doubles in member order (ordered-list discipline in both engines);
+    ties in the top-10 cut break on the phrase string itself. No
+    rounding — every double is exact.
+
+    Plan: tokenize -> posexplode -> per-doc prefix count of stopwords
+    (a PARTITIONED window, never global) assigns run ids; runs group
+    map-side per (doc, run); word scores are one count shuffle over
+    candidate occurrences; the distinct-phrase score re-join is an
+    equi-join on the word key; final cut is a 10-row TakeOrdered. At
+    100 TB phrase cardinality, not doc count, bounds the tail — and the
+    run-length cap bounds phrase cardinality linearly in token count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("i0", "tok"),
+    )
+    stop = F.col("tok").isin("the", "a")
+    f = tok.select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        stop.cast("int").alias("st"),
+    ).withColumn(
+        "pid",
+        F.sum("st").over(
+            Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    runs = (
+        f.filter(F.col("st") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("plen"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ).alias("members"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    wordocc = runs.select(F.explode("members").alias("tok"), "plen")
+    wscore = wordocc.groupBy("tok").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        (F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double")).alias("ws"),
+    )
+    phr = runs.groupBy(F.array_join("members", " ").alias("phrase")).agg(
+        F.first("plen").alias("plen"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.first("members").alias("members"),
+    )
+    memsc = phr.select(
+        "phrase", "plen", "n_occ", F.posexplode("members").alias("j0", "tok")
+    ).join(wscore.select("tok", "ws"), "tok")
+    scored = memsc.groupBy("phrase").agg(
+        F.first("plen").alias("plen"),
+        F.first("n_occ").alias("n_occ"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j0", "ws"))),
+                lambda s: s["ws"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score"),
+    )
+    return scored.select("phrase", "plen", "n_occ", "score").orderBy(
+        F.col("score").desc(), "phrase"
+    ).limit(10)

@@ -102,6 +102,7 @@ NLJ_WHITELIST: dict[str, str] = {
     "test_plan_shapes)",
     "dedup_embedding": "same IVF centroid broadcast as sim_pairs_threshold",
     "embed_kmeans_assign": "k-row centroid table broadcast",
+    "sample_coreset_kcenter": "<=5-row chosen-center broadcast per greedy round — the embed_kmeans_assign shape, K times",
     "embed_pca_power": "1-row max|y| renormalizer broadcast per power-"
     "iteration round (3 rounds, each bounded)",
     "embed_kmeans_iterate": "k-row centroid table broadcast, twice (one "

@@ -1572,3 +1572,108 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("component"),
         F.col("xq").alias("loading_q"),
     ).orderBy("component")
+
+
+_KC_K = 5  # coreset size: seed + 4 greedy farthest-first rounds
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center. Every CTE is AS MATERIALIZED — each
+    round references the growing chosen set and the point table again,
+    and DuckDB otherwise re-inlines the whole prefix chain per round
+    (the graph_connected_components lesson)."""
+    parts = [
+        """
+    pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    s1 AS MATERIALIZED (
+      SELECT 1 AS round, vec_id, qv, CAST(0 AS BIGINT) AS d2
+      FROM pts WHERE vec_id = 0)"""
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f"""
+    n{r} AS MATERIALIZED (
+      SELECT p.vec_id, ANY_VALUE(p.qv) AS qv,
+             CAST(MIN(list_aggregate(list_transform(
+               range(1, len(p.qv) + 1),
+               i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])), 'sum'))
+               AS BIGINT) AS dmin
+      FROM pts p, s{r - 1} c GROUP BY p.vec_id),
+    p{r} AS MATERIALIZED (
+      SELECT {r} AS round, vec_id, qv, dmin AS d2
+      FROM n{r} ORDER BY dmin DESC, vec_id LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT * FROM s{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    return ",".join(parts) + f"""
+    SELECT round, vec_id, d2 AS d2_sel FROM s{_KC_K} ORDER BY round"""
+
+
+@query("sample_coreset_kcenter", oracle=f"WITH {_kcenter_oracle()}")
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-first traversal, Gonzalez 1985)
+    over the embedding table: seed with vec_id 0, then 4 rounds of "add
+    the point farthest from everything chosen so far". The classic
+    diversity-sampling primitive for training-data selection — the
+    2-approximation to optimal k-center cover, and the seeding inside
+    k-means++ and active-learning batch pickers. Emits each center with
+    its selection round and its distance-to-cover at selection time (the
+    monotonically shrinking coverage radius).
+
+    Determinism: the embed_kmeans_iterate fixed point verbatim —
+    components quantize to floor(x * 2^20) int64, squared distances
+    accumulate in BIGINT (order-insensitive integer sums, no float
+    anywhere), and the per-round argmax breaks distance ties on vec_id.
+    The oracle unrolls the identical greedy rounds as MATERIALIZED CTEs.
+
+    Plan per round: the chosen set (<= 5 rows of 64 longs) broadcasts
+    across the point table, per-point min-distance is a map-side
+    zip_with/aggregate fold, and the pick is a 1-row TakeOrdered — so a
+    round is one scan + one tiny reduction, K rounds total. The chosen
+    frame localCheckpoints per round (it is referenced by both the next
+    round's distances and the union, the subplans-differ case). At
+    100 TB: identical shape — the only growing cost is the K broadcast
+    scans, which is the textbook distributed k-center schedule.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv")).localCheckpoint()
+    chosen = qt.filter(F.col("vec_id") == 0).select(
+        F.lit(1).alias("round"),
+        "vec_id",
+        "qv",
+        F.lit(0).cast("long").alias("d2"),
+    )
+    for r in range(2, _KC_K + 1):
+        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        dmin = (
+            qt.crossJoin(F.broadcast(cc))
+            .select(
+                "vec_id",
+                "qv",
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.first("qv").alias("qv"), F.min("d2").alias("dmin"))
+        )
+        pick = (
+            dmin.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "vec_id",
+                "qv",
+                F.col("dmin").alias("d2"),
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint()
+    return chosen.select("round", "vec_id", F.col("d2").alias("d2_sel")).orderBy(
+        "round"
+    )

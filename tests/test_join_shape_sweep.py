@@ -61,6 +61,9 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_chi2_independence": "1-row grand-total n broadcast over the "
     "(types x cohorts) contingency cells frame — same bounded shape as "
     "stats_ks_test (VERDICT r6 item 1)",
+    "stats_cramers_v": "1-row grand-total n broadcast over the "
+    "(langs x sources) contingency cells frame — the "
+    "stats_chi2_independence shape",
     "stream_drift_monitor": "1-row reference-total broadcast over the "
     "per-window PSI frame (one row per 6h window) — the stats_ks_test shape",
     "dedup_semantic": "nlist-row centroid table broadcast (ivf_assign "

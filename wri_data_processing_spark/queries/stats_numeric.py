@@ -2388,3 +2388,103 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2),
+    m AS (SELECT SUM(obs) AS n FROM o),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+    cells AS (
+      SELECT (CAST(o.obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
+             * (CAST(o.obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
+               AS term
+      FROM o JOIN rt USING (lang) JOIN ct USING (source), m),
+    s AS (
+      SELECT CAST((SELECT n FROM m) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_sources,
+             list_aggregate(list(term ORDER BY term), 'sum') AS chi2
+      FROM cells)
+    SELECT n, n_cells, n_langs, n_sources,
+           (n_langs - 1) * (n_sources - 1) AS dof,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(LEAST(n_langs - 1, n_sources - 1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM s
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V over the documents lang x source contingency — the
+    EFFECT SIZE the chi-squared statistic refuses to be: chi2 grows
+    linearly with n (at 100 TB everything is "significant"), while
+    V = sqrt(chi2 / (n * min(r-1, c-1))) stays in [0, 1] and answers the
+    question that matters at scale — HOW associated are language and
+    source, not whether n is big.
+
+    Exactness is stats_chi2_independence verbatim: exact BIGINT cell
+    counts, each cell term one mirrored IEEE sequence (integer
+    row_tot*col_tot until the single division by n), the term sum folded
+    in ASCENDING SORTED order on both engines before any rounding, and V
+    derived from the UNROUNDED chi2 with one exact division and one
+    sqrt (the IEEE-exact transcendental) — ROUND-6 only on the two
+    emitted doubles.
+
+    Plan: one (lang, source) count shuffle (the table stays |langs| x
+    |sources| cells no matter the corpus size), two bounded dimension
+    broadcasts, a 1-row grand-total broadcast (the stats_ks_test shape,
+    whitelisted), and a single small aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("long").alias("col_tot"))
+    m = o.agg(F.sum("obs").alias("n"))
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    dev = F.col("obs").cast("double") - expected
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(m))
+        .select("lang", "source", "n", (dev * dev / expected).alias("term"))
+    )
+    s = cells.agg(
+        F.first("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.aggregate(
+            F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("chi2"),
+    )
+    return s.select(
+        "n",
+        "n_cells",
+        "n_langs",
+        "n_sources",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -2488,3 +2488,177 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+_PERM_B = 32  # permutation replicates
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS y, event_id,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE value IS NOT NULL),
+    obs AS (
+      SELECT event_type,
+             CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN is_a = 1 THEN y END) AS DOUBLE)
+               / CAST(SUM(is_a) AS DOUBLE)
+             - CAST(SUM(CASE WHEN is_a = 0 THEN y END) AS DOUBLE)
+               / CAST(SUM(1 - is_a) AS DOUBLE) AS diff_obs
+      FROM b0 GROUP BY 1),
+    r AS (
+      SELECT b0.event_type, y, u.b,
+             CAST(('0x' || substring(sha256('p:' || CAST(event_id AS VARCHAR)
+                    || ':' || CAST(u.b AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u
+      FROM b0, unnest(generate_series(0, {_PERM_B - 1})) u(b)),
+    j AS (
+      SELECT r.event_type, r.b, r.y,
+             CASE WHEN CAST(r.u AS HUGEINT) * (o.n_a + o.n_b)
+                       < CAST(o.n_a AS HUGEINT) * 1073741824
+                  THEN 1 ELSE 0 END AS a2
+      FROM r JOIN obs o USING (event_type)),
+    reps AS (
+      SELECT event_type, b,
+             CASE WHEN SUM(a2) = 0 OR SUM(1 - a2) = 0 THEN NULL
+                  ELSE CAST(SUM(CASE WHEN a2 = 1 THEN y END) AS DOUBLE)
+                         / CAST(SUM(a2) AS DOUBLE)
+                       - CAST(SUM(CASE WHEN a2 = 0 THEN y END) AS DOUBLE)
+                         / CAST(SUM(1 - a2) AS DOUBLE)
+             END AS diff_b
+      FROM j GROUP BY 1, 2),
+    x AS (
+      SELECT r.event_type,
+             CAST(SUM(CASE WHEN r.diff_b IS NOT NULL
+                            AND abs(r.diff_b) >= abs(o.diff_obs)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM reps r JOIN obs o USING (event_type) GROUP BY 1)
+    SELECT o.event_type, o.n_a, o.n_b, ROUND(o.diff_obs, 6) AS diff_obs,
+           x.n_extreme,
+           (1.0 + CAST(x.n_extreme AS DOUBLE)) / {_PERM_B + 1}.0 AS p_value
+    FROM obs o JOIN x USING (event_type) ORDER BY 1
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the cohort mean-value gap per event type —
+    the assumption-free alternative to the z/t tests: instead of a
+    normal approximation, re-label rows at random B=32 times and ask how
+    often a relabeled gap is as extreme as the observed one. p =
+    (1 + #extreme) / (B + 1), the add-one estimator that can never claim
+    p = 0 from finite replicates.
+
+    Relabeling is the stats_bootstrap_ci determinism scheme: the
+    per-(row, replicate) uniform is a salted sha256 slice mod 2^30 — no
+    RNG state, bit-identical cross-engine — and a row joins pseudo-A
+    when u * n < n_a * 2^30, comparing in decimal(38,0)/HUGEINT so the
+    proportion threshold is exact at any n (row-level relabeling is the
+    cluster-computable randomization; a fixed-margin permutation needs a
+    global shuffle by design). Replicate means are exact decimal sums
+    with one double division each; the observed gap stays UNROUNDED for
+    the extremity comparison and is ROUND-6 only on emission; an
+    empty-side replicate yields NULL and is excluded by the same CASE in
+    both engines. p_value is one exact division of small integers.
+
+    Plan: the B-way explode collapses map-side into |types| x B groups
+    (the bootstrap shape); obs is a |types|-row broadcast joined twice;
+    nothing global, nothing driver-side.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b0 = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("y"),
+        "event_id",
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+    )
+    obs = b0.groupBy("event_type").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        (
+            F.sum(F.when(F.col("is_a") == 1, F.col("y"))).cast("double")
+            / F.sum("is_a").cast("double")
+            - F.sum(F.when(F.col("is_a") == 0, F.col("y"))).cast("double")
+            / F.sum(1 - F.col("is_a")).cast("double")
+        ).alias("diff_obs"),
+    )
+    r = b0.select(
+        "event_type",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("p:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    ).withColumn("u", F.col("u") % F.lit(1073741824).cast("long"))
+    j = r.join(F.broadcast(obs), "event_type").select(
+        "event_type",
+        "b",
+        "y",
+        F.when(
+            F.col("u").cast("decimal(38,0)")
+            * (F.col("n_a") + F.col("n_b")).cast("decimal(38,0)")
+            < F.col("n_a").cast("decimal(38,0)") * F.lit(1073741824).cast("decimal(38,0)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("a2"),
+    )
+    reps = j.groupBy("event_type", "b").agg(
+        F.when(
+            (F.sum("a2") == 0) | (F.sum(1 - F.col("a2")) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.sum(F.when(F.col("a2") == 1, F.col("y"))).cast("double")
+            / F.sum("a2").cast("double")
+            - F.sum(F.when(F.col("a2") == 0, F.col("y"))).cast("double")
+            / F.sum(1 - F.col("a2")).cast("double")
+        )
+        .alias("diff_b"),
+    )
+    x = (
+        reps.join(F.broadcast(obs.select("event_type", "diff_obs")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("diff_b").isNotNull()
+                    & (F.abs("diff_b") >= F.abs("diff_obs")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    return (
+        obs.join(x, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("diff_obs", 6).alias("diff_obs"),
+            "n_extreme",
+            ((F.lit(1.0) + F.col("n_extreme").cast("double")) / F.lit(float(_PERM_B + 1))).alias(
+                "p_value"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1706,3 +1706,98 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ln_surv"),
     ).orderBy("dur")
+
+
+@query(
+    "events_attribution_position",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'purchase' GROUP BY 1),
+    t AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN p ON e.user_id = p.user_id
+      WHERE e.ts < p.t0 AND e.event_type <> 'purchase'),
+    r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+      FROM t),
+    c AS (
+      SELECT user_id, event_type,
+             CASE
+               WHEN k = 1 THEN 1000000
+               WHEN k = 2 THEN 500000
+               WHEN rn = 1 OR rn = k THEN 400000
+               ELSE 200000 // (k - 2)
+             END AS credit_ppm
+      FROM r)
+    SELECT event_type AS channel,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every touch
+    before a user's first purchase earns credit — 40% to the first
+    touch, 40% to the last, the middle 20% split evenly — the industry
+    default between last-touch (events_attribution_join) and linear,
+    because discovery and closing both matter.
+
+    Credits are EXACT INTEGERS in parts-per-million: first/last earn
+    400000 ppm (single-touch paths 1000000, two-touch 500000 each),
+    each middle touch earns 200000 div (k-2) with the integer remainder
+    deliberately truncated — a documented quirk that buys order-
+    independent exact integer sums, so the per-channel totals are
+    bit-identical under ANY partitioning with no float anywhere and no
+    ordered folds needed. (The float version of this op would need a
+    per-channel ordered fold over |users| rows — unbounded. Integers
+    make the commutative sum safe.)
+
+    Plan: the first-purchase anchor is one per-user MIN; the touch scan
+    joins it on the user key with the time window as a scan predicate
+    (the funnel shape); position and path length are ONE partitioned
+    window pass (per-user, never global); the final rollup is a
+    map-side-combined channel aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    t = (
+        e.join(p, "user_id")
+        .filter((F.col("ts") < F.col("t0")) & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    r = t.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("k"),
+    )
+    c = r.select(
+        "user_id",
+        "event_type",
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(400000))
+        .otherwise(F.expr("200000 div (k - 2)"))
+        .cast("long")
+        .alias("credit_ppm"),
+    )
+    return (
+        c.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )

@@ -97,6 +97,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sample_coreset_kcenter",  # farthest-first diversity coreset (r8)
     "stats_cramers_v",  # bounded effect size over lang x source (r8)
     "stats_permutation_test",  # sha-relabeled randomization test (r8)
+    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -638,3 +638,76 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_before int, n_rows_before long, version_after int, "
         "n_rows_after long, files_intact boolean",
     )
+
+
+@query(
+    "snapshot_orphan_files",
+    oracle="""
+    SELECT 3 AS n_snapshots,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+               OR (o_orderkey >= 1500 AND o_orderkey < 3000)) AS n_rows_current,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey >= 3000 AND o_orderkey < 4500) AS n_rows_orphan,
+           1 AS n_orphan_batches
+    """,
+)
+def snapshot_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file detection — Iceberg's remove_orphan_files: find data
+    files sitting under the table root that NO manifest references. The
+    classic source is a failed commit: a writer lands its batch
+    directory, dies before the manifest pointer swap, and the files
+    remain on disk forever — invisible to every reader (the WAP property
+    snapshot_publish_audit proves) but billed by the object store until
+    a GC like this one removes them.
+
+    The fixture stages exactly that: the standard v1..v3 snapshot build,
+    plus one uncommitted batch (orderkeys 3000..4499) written under the
+    root with no manifest entry. Detection is pure set algebra over
+    metadata — files-on-disk MINUS union(all manifests) — so cost scales
+    with file count, never data size. The one data-touching step reads
+    the orphans to report reclaimable rows (the audit a production GC
+    skips). Safety property, tested by construction: a file referenced
+    by ANY manifest — even one only the OLDEST snapshot holds, like the
+    pre-rewrite base batch v1 alone references — is never an orphan;
+    age-based expiry is snapshot_expire's job, not this op's.
+
+    Row counts (not file counts) are the emitted audit: file counts
+    depend on writer partitioning, row counts only on the predicates the
+    oracle replays against the orders table.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "orphan_files")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # The failed commit: files land, no manifest ever points at them.
+    failed_path = os.path.join(root, "failed_commit")
+    o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 4500)).write.parquet(
+        failed_path
+    )
+
+    def manifest(version: int) -> set[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+
+    referenced = set().union(*(manifest(v) for v in (1, 2, 3)))
+    on_disk = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.join(dirpath, f))
+    orphans = sorted(on_disk - referenced)
+    assert not (referenced - on_disk), "manifest references a missing file"
+    n_batches = len({os.path.dirname(p) for p in orphans})
+    cur = _read_snapshot(spark, root, 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_current")
+    )
+    orph = spark.read.parquet(*orphans).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_orphan")
+    )
+    return cur.crossJoin(F.broadcast(orph)).select(
+        F.lit(3).alias("n_snapshots"),
+        "n_rows_current",
+        "n_rows_orphan",
+        F.lit(n_batches).alias("n_orphan_batches"),
+    )

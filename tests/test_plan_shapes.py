@@ -383,3 +383,41 @@ def test_bigram_lm_no_self_join_for_pairs(spark, sf_dir):
         "BroadcastNestedLoopJoin BuildRight, Cross", "WHITELISTED", 1
     ), plan  # the single 1-row totals broadcast is the whitelisted NLJ
     assert "Window" not in plan, plan
+
+
+def test_recsys_topn_is_window_group_limit(spark, sf_dir):
+    """recsys_item_similar's per-item top-3 must plan a WindowGroupLimit
+    (rows pruned to 3 per item map-side BEFORE the final shuffle) — a
+    refactor to filter-after-rank without the limit pushdown ships the
+    whole pair space through the window exchange."""
+    plan = _plan(spark, sf_dir, "recsys_item_similar")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rake_cut_is_take_ordered(spark, sf_dir):
+    """text_rake_keyphrases' top-10 must compile to TakeOrderedAndProject,
+    and the only window allowed is the per-doc PARTITIONED prefix count —
+    no single-partition exchange anywhere."""
+    plan = _plan(spark, sf_dir, "text_rake_keyphrases")
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_theil_sen_pairs_are_equi_join(spark, sf_dir):
+    """stats_theil_sen's O(span^2) pair generation must ride the
+    event_type EQUI-join with x1 < x2 as a predicate — a refactor that
+    loses the key degrades to an all-types cartesian."""
+    plan = _plan(spark, sf_dir, "stats_theil_sen")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_survival_km_no_window_no_join(spark, sf_dir):
+    """events_survival_km folds the life table inside ONE row: no window
+    operator and no join may appear — the prefix sums are array slices,
+    not a global cumsum exchange."""
+    plan = _plan(spark, sf_dir, "events_survival_km")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan

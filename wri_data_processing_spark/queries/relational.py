@@ -20,7 +20,7 @@ the join key instead of a quadratic range join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import register_views, table
@@ -1014,4 +1014,79 @@ def join_left_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select("c_custkey").join(keys, "c_custkey", "left").select(
         "c_custkey", F.col("__hit").isNotNull().alias("has_big_order")
+    )
+
+
+@query(
+    "join_scd2_pit",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type AS state,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    chg AS (SELECT user_id, ts, state FROM ch
+            WHERE prev IS NULL OR prev <> state),
+    f AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT COALESCE(c.state, 'none') AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM f ASOF LEFT JOIN chg c
+      ON f.user_id = c.user_id AND f.ts >= c.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the feature-store join: every
+    purchase is enriched with the SCD2 state the user was in AT THAT
+    MOMENT (their latest preceding non-purchase event type), never a
+    later state. This is the composition a warehouse runs constantly —
+    scd2_user_state builds the history, this op reads it correctly;
+    doing it with a plain latest-state join silently leaks the future
+    into training features, the classic offline/online skew bug.
+
+    The dimension side is the SCD2 change stream (LAG-compressed state
+    changes per user, the scd2_user_state machinery); the lookup is the
+    union+window as-of from operators/asof.py — ONE shuffle per side,
+    no interval join, no range explosion; purchases with no preceding
+    state land in the 'none' bucket instead of dropping (LEFT as-of).
+    Output is the per-state purchase rollup: bounded at |states| rows.
+
+    Determinism: state changes tie-break on (ts, event_id); the as-of
+    itself needs no tie-break on this data (a purchase and a change
+    never share an event row); sums are exact decimal with one final
+    double cast. DuckDB validates with its native ASOF LEFT JOIN.
+    """
+    e = table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("state")
+        )
+        .withColumn("prev", F.lag("state").over(wlag))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .select("user_id", F.col("ts").alias("rts"), "state")
+    )
+    f = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        left=f,
+        right=chg,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["state"],
+    )
+    return (
+        joined.groupBy(F.coalesce("state", F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("state")
     )

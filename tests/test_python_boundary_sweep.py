@@ -46,6 +46,8 @@ PYTHON_WHITELIST: dict[str, str] = {
     "multimodal_features": "media decode boundary (stubbed decoder, real plumbing)",
     "multimodal_features_real": "media decode boundary, executed pure-Python "
     "BMP codec (sources/bmp_codec.py)",
+    "multimodal_image_histogram": "media decode boundary, executed pure-Python "
+    "BMP codec inside mapInPandas — the multimodal_features_real shape",
     "multimodal_dhash": "same executed decode boundary; integer dHash of "
     "decoded pixels",
     "multimodal_dhash_dedup": "banded pair join over multimodal_dhash "

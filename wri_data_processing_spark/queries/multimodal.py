@@ -887,3 +887,93 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, filename string, n_frames long, speech_frames long, "
         "longest_run long, first_speech long",
     )
+
+
+def _hist_expected_values() -> str:
+    """Expected 8-bin luminance histograms from INDEPENDENT arithmetic —
+    the pattern summed directly, never through the codec."""
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        px = _bmp_pixel(i)
+        bins = [0] * 8
+        for y in range(h):
+            for x in range(w):
+                r, g, b = px(x, y)
+                bins[((r * 299 + g * 587 + b * 114) // 1000) // 32] += 1
+        cells = ", ".join(f"CAST({c} AS BIGINT)" for c in bins)
+        rows.append(f"(CAST({i} AS BIGINT), '{name}', {cells}, TRUE)")
+    rows.append(
+        "(CAST(12 AS BIGINT), 'corrupt.bmp', "
+        + ", ".join(["CAST(NULL AS BIGINT)"] * 8)
+        + ", FALSE)"
+    )
+    return ", ".join(rows)
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle=f"""
+    SELECT media_id, filename, b0, b1, b2, b3, b4, b5, b6, b7, success
+    FROM (VALUES {_hist_expected_values()})
+      AS t(media_id, filename, b0, b1, b2, b3, b4, b5, b6, b7, success)
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 8-bin LUMINANCE histogram through the EXECUTED decode
+    path — the feature a vision-data curator actually computes first
+    (exposure/contrast screening, black-frame and blown-white detection
+    before spending GPU time). Luminance is the integer Rec.601 weighting
+    (r*299 + g*587 + b*114) // 1000, binned by // 32 into 8 bins — pure
+    integer arithmetic, so the histogram is bit-exact and the VALUES
+    oracle is stated from independent arithmetic over the pattern, never
+    through the codec (the multimodal_features_real contract; encode and
+    decode bugs both get caught).
+
+    The truncated payload (fixture 12) quarantines as success=FALSE with
+    NULL bins — tolerate-and-log, bad media must not kill the job.
+
+    Plan: payloads never shuffle — decode and the whole histogram fold
+    run inside the scan stage's Arrow-batched mapInPandas, and only 8
+    fixed-width longs per image leave the boundary. At 100 TB histogram
+    width, not image size, is the shuffle budget.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        rows.append((i, name, bytearray(write_bmp(w, h, _bmp_pixel(i)))))
+    full = write_bmp(16, 8, _bmp_pixel(0))
+    rows.append((12, "corrupt.bmp", bytearray(full[:40])))
+    media = spark.createDataFrame(rows, "media_id long, filename string, payload binary")
+
+    bin_cols = [f"b{k}" for k in range(8)]
+    out_schema = "media_id long, filename string, " + ", ".join(
+        f"{c} long" for c in bin_cols
+    ) + ", success boolean"
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "filename", *bin_cols, "success")}
+            for mid, name, payload in zip(
+                pdf["media_id"], pdf["filename"], pdf["payload"]
+            ):
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                    bins = [0] * 8
+                    for row in px:
+                        for r, g, b in row:
+                            bins[((r * 299 + g * 587 + b * 114) // 1000) // 32] += 1
+                    for k, c in enumerate(bin_cols):
+                        out[c].append(bins[k])
+                    out["success"].append(True)
+                except ValueError:
+                    for c in bin_cols:
+                        out[c].append(None)
+                    out["success"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, out_schema)

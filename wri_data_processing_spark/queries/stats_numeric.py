@@ -2662,3 +2662,102 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    dl AS (
+      SELECT event_type, d, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS pc
+      FROM g),
+    s AS (
+      SELECT event_type, d,
+             CASE WHEN c > pc THEN 1 ELSE 0 END AS up
+      FROM dl WHERE pc IS NOT NULL AND c <> pc),
+    r AS (
+      SELECT event_type, up,
+             LAG(up) OVER (PARTITION BY event_type ORDER BY d) AS pup
+      FROM s),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(SUM(1 - up) AS BIGINT) AS n_down,
+             CAST(1 + SUM(CASE WHEN pup IS NOT NULL AND up <> pup
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM r GROUP BY 1)
+    SELECT event_type, n_up, n_down, n_runs,
+           (CAST(n_runs AS DOUBLE)
+            - (CAST(2 * n_up * n_down AS DOUBLE)
+               / CAST(n_up + n_down AS DOUBLE) + 1.0))
+           / sqrt(CAST(2 * n_up * n_down * (2 * n_up * n_down - n_up - n_down)
+                       AS DOUBLE)
+                  / CAST((n_up + n_down) * (n_up + n_down)
+                         * (n_up + n_down - 1) AS DOUBLE)) AS z
+    FROM agg ORDER BY event_type
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-count DELTA sequence per
+    event type — the randomness check a monitoring pipeline runs before
+    trusting any trend op: too FEW runs means the series is trending or
+    sticky (deltas clump), too MANY means oscillation (negative
+    autocorrelation); |z| > 1.96 rejects "the ups and downs are random".
+    Complements stats_theil_sen (which estimates the trend this test
+    detects) and events_autocorr_lag1 (the parametric cousin).
+
+    Tie days (equal consecutive counts) are DISCARDED before runs are
+    counted — the standard treatment, identical CASE in both engines.
+
+    Determinism: n_up/n_down/n_runs are pure integers off two partitioned
+    LAG passes; mu = 2ab/n + 1 and sigma are each one exact division
+    (integer numerators — at calendar-bounded n the 2ab(2ab-a-b) product
+    tops out ~10^14, far inside int64) plus one exact sqrt; z is exact
+    with NO rounding anywhere.
+
+    Plan: one (type, day) count shuffle bounds everything downstream at
+    |types| x span rows; the two LAGs share one partitioned sort; the
+    rollup is map-side-combined. Unchanged at 100 TB — the calendar,
+    not the event volume, is the series length.
+    """
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    dl = g.withColumn("pc", F.lag("c").over(w))
+    s = dl.filter(F.col("pc").isNotNull() & (F.col("c") != F.col("pc"))).select(
+        "event_type", "d", (F.col("c") > F.col("pc")).cast("int").alias("up")
+    )
+    r = s.withColumn("pup", F.lag("up").over(w))
+    agg = r.groupBy("event_type").agg(
+        F.sum("up").cast("long").alias("n_up"),
+        F.sum(1 - F.col("up")).cast("long").alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("pup").isNotNull() & (F.col("up") != F.col("pup")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    a, b = F.col("n_up"), F.col("n_down")
+    n = a + b
+    mu = (2 * a * b).cast("double") / n.cast("double") + F.lit(1.0)
+    var = (2 * a * b * (2 * a * b - a - b)).cast("double") / (
+        n * n * (n - 1)
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((F.col("n_runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    ).orderBy("event_type")

@@ -807,3 +807,97 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("phrase", "plen", "n_occ", "score").orderBy(
         F.col("score").desc(), "phrase"
     ).limit(10)
+
+
+@query(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1),
+    one AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             list(struct_pack(f := f, tok := tok) ORDER BY f DESC, tok) AS rs
+      FROM tf),
+    t AS (
+      SELECT v, n_tokens,
+             list_transform(rs, (r, i) -> ln(CAST(i AS DOUBLE))) AS lx,
+             list_transform(rs, (r, i) -> ln(CAST(r.f AS DOUBLE))) AS ly
+      FROM one),
+    s AS (
+      SELECT v, n_tokens,
+             list_aggregate(lx, 'sum') AS sx,
+             list_aggregate(ly, 'sum') AS sy,
+             list_aggregate(list_transform(lx, x -> x * x), 'sum') AS sxx,
+             list_aggregate(list_transform(range(1, len(lx) + 1),
+               i -> lx[i] * ly[i]), 'sum') AS sxy
+      FROM t)
+    SELECT v AS n_vocab, n_tokens,
+           ROUND((CAST(v AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(v AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (CAST(v AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(v AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(v AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope of
+    ln(freq) against ln(rank) — natural text sits near -1, and deviation
+    is a cheap corpus-health fingerprint (too flat = templated/synthetic
+    boilerplate, too steep = degenerate repetition), which is why
+    corpus-quality papers report it next to perplexity.
+
+    Determinism: ranks are exact by construction (freq DESC, token asc —
+    no window, the rank IS the position in the ordered one-row array);
+    ln is the cross-engine-exact transcendental; the four OLS moment
+    sums fold the SAME ordered list in both engines (jensen_shannon
+    discipline), and slope/intercept are closed with ROUND-6 after one
+    mirrored expression tree. The fold array is VOCABULARY-bounded —
+    corpus growth adds token count, not vocabulary, long before 100 TB
+    (Heaps' law), the same boundedness argument vocab_coverage documents.
+
+    Plan: one token-count shuffle (map-side combined), then a single
+    one-row ordered aggregate — no joins, no windows, no broadcast.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    one = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("f")).alias("nf"), "tok"))
+        ).alias("rs"),
+    )
+    t = one.select(
+        "v",
+        "n_tokens",
+        F.transform("rs", lambda r, i: F.log((i + 1).cast("double"))).alias("lx"),
+        F.transform("rs", lambda r, i: F.log((-r["nf"]).cast("double"))).alias("ly"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    s = t.select(
+        "v",
+        "n_tokens",
+        fold("lx").alias("sx"),
+        fold("ly").alias("sy"),
+        fold(F.transform("lx", lambda x: x * x)).alias("sxx"),
+        fold(F.zip_with("lx", "ly", lambda x, y: x * y)).alias("sxy"),
+    )
+    vd = F.col("v").cast("double")
+    slope = (vd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        vd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("v").alias("n_vocab"),
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / vd, 6).alias("intercept"),
+    )

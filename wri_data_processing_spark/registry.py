@@ -102,6 +102,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_scd2_pit",  # point-in-time SCD2 feature lookup (r8)
     "multimodal_image_histogram",  # Rec.601 luminance bins, executed decode (r8)
     "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
+    "text_zipf_slope",  # rank-frequency OLS corpus fingerprint (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -118,6 +118,7 @@ NLJ_WHITELIST: dict[str, str] = {
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "
     "dedup_embedding",
     "sim_knn_graph": "labeled O(N^2) anchor; scale path is sim_ann_*",
+    "embed_knn_outliers": "labeled O(N^2) anchor (the sim_knn_graph topology); scale path is sim_ann_*",
 }
 
 

@@ -1677,3 +1677,84 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chosen.select("round", "vec_id", F.col("d2").alias("d2_sel")).orderBy(
         "round"
     )
+
+
+@query(
+    "embed_knn_outliers",
+    oracle="""
+    SELECT vec_id, label, knn3_sim,
+           ROUND(1.0 - knn3_sim, 6) AS outlier_score
+    FROM (
+      SELECT a.vec_id, ANY_VALUE(a.label) AS label,
+             ROUND(1.0 - knn3_sim, 6) AS s0, knn3_sim
+      FROM (SELECT vec_id, label FROM embeddings) a
+      JOIN (
+        SELECT vec_a AS vec_id, cosine_sim AS knn3_sim FROM (
+          SELECT a.vec_id AS vec_a,
+                 ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])),
+                       6) AS cosine_sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                              CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ) WHERE rn = 3
+      ) k USING (vec_id)
+      GROUP BY a.vec_id, knn3_sim
+    ) ORDER BY outlier_score DESC, vec_id LIMIT 10
+    """,
+)
+def embed_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: a vector's anomaly score is the
+    distance to its 3rd nearest neighbor (1 - cosine), the standard
+    kNN-distance detector — points whose third-closest companion is
+    still far away sit in no cluster, and in a training corpus they are
+    the mislabeled/garbage/exotic rows a curator reviews first. Emits
+    the top-10 with labels so the review starts from the worst.
+
+    Ranking compares ROUNDED similarity (6 dp) with vec_id tie-break —
+    the sim_knn_graph contract, so neighbor choice can never diverge on
+    a last-ulp double. The final cut orders by the same rounded score.
+
+    Plan: the sim_knn_graph topology verbatim — brute-force pairs with
+    the broadcast small side and a per-node WindowGroupLimit (rn <= 3
+    pruned map-side), then a 10-row TakeOrdered. The labeled O(N^2)
+    anchor; at 100 TB the candidate generator swaps to the sim_ann_*
+    bucket joins while the kth-distance cut stays identical.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        _dvec("embedding").alias("ea"),
+        vec_norm(_dvec("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        _dvec("embedding").alias("eb"),
+        vec_norm(_dvec("embedding")).alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") != F.col("vec_b"))
+    sim = F.round(
+        cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), "vec_b")
+    k3 = (
+        pairs.select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 3)
+        .select(F.col("vec_a").alias("vec_id"), F.col("cosine_sim").alias("knn3_sim"))
+    )
+    return (
+        k3.join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "knn3_sim",
+            F.round(F.lit(1.0) - F.col("knn3_sim"), 6).alias("outlier_score"),
+        )
+        .orderBy(F.col("outlier_score").desc(), "vec_id")
+        .limit(10)
+    )

@@ -103,6 +103,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_image_histogram",  # Rec.601 luminance bins, executed decode (r8)
     "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
     "text_zipf_slope",  # rank-frequency OLS corpus fingerprint (r8)
+    "embed_knn_outliers",  # 3rd-NN-distance anomaly review queue (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

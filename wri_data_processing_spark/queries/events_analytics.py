@@ -1801,3 +1801,68 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    cov AS (
+      SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS t
+      FROM ud, UNNEST(range(0, 7)) AS u(i)),
+    wau AS (
+      SELECT t AS d, CAST(COUNT(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the product-health ratio every growth
+    team tracks (what share of this week's actives showed up today;
+    1/7 = everyone visits weekly, 1.0 = everyone visits daily). Joining
+    days only present in the data keeps the first six days' partial
+    trailing windows, the standard dashboard convention.
+
+    The trailing-7-day DISTINCT is the interesting distributed problem:
+    a windowed COUNT(DISTINCT) does not compose, and a date-RANGE join
+    is a nested loop. This op instead EXPLODES each (user, day) into the
+    7 future days it covers and de-dups — turning WAU into a plain
+    (user, coverage-day) distinct + count, ALL equi-shuffles that
+    map-side combine (the explode factor is a constant 7, and the
+    distinct collapses it back before anything wide moves). Pure integer
+    counts; stickiness is one exact IEEE division, emitted unrounded.
+
+    At 100 TB: the (user, day) distinct is the only data-sized shuffle;
+    coverage rows are 7x that but fixed-width and pre-aggregated
+    map-side. No window, no range join, no broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cov = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d"
+        )
+        .select("user_id", F.expr("date_add(d, i)").alias("t"))
+        .distinct()
+    )
+    wau = cov.groupBy(F.col("t").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

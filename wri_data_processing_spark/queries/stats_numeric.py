@@ -2761,3 +2761,138 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         ((F.col("n_runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
     ).orderBy("event_type")
+
+
+@query(
+    "stats_levene_bf",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+    gd AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+    w AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gd GROUP BY 1),
+    cum AS (
+      SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cm
+      FROM gd),
+    med AS (
+      SELECT cum.g, MIN(v) AS med
+      FROM cum JOIN w USING (g)
+      WHERE cm >= (w.n * 50 + 99) // 100 GROUP BY 1),
+    z AS (
+      SELECT s.g AS event_type,
+             CAST(abs(CAST(s.v AS DECIMAL(18,6))
+                      - CAST(med.med AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM s JOIN med ON s.g = med.g),
+    gr AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(38,6)) AS sm,
+             CAST(SUM(y * y) AS DECIMAL(38,12)) AS ss
+      FROM z GROUP BY 1),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(sm) AS DECIMAL(38,6)) AS s_tot,
+             CAST(SUM(ss) AS DECIMAL(38,12)) AS ss_tot,
+             SUM(CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                 ORDER BY event_type) AS sq_over_n
+      FROM gr)
+    SELECT k, n_tot,
+           ROUND(sq_over_n
+                 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                   / CAST(n_tot AS DOUBLE), 6) AS ss_between,
+           ROUND(CAST(ss_tot AS DOUBLE) - sq_over_n, 6) AS ss_within,
+           ROUND(((sq_over_n
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                 / ((CAST(ss_tot AS DOUBLE) - sq_over_n)
+                    / CAST(n_tot - k AS DOUBLE)), 6) AS w_stat
+    FROM t
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with MEDIAN centers) for
+    equality of variances across event types — the check that gates
+    stats_anova_oneway: ANOVA assumes equal group variances, and when
+    spreads differ you switch to Welch. Median centering (vs Levene's
+    original mean) is the robust variant every stats package defaults
+    to. The statistic is one-way ANOVA's F applied to the absolute
+    deviations z = |y - median_g|.
+
+    Exactness: the group median is a VALUE-EXACT pick — the established
+    (N*50+99)//100 integer rank against the per-group distinct-value
+    cumulative frame (the stats_grouped_quantiles machinery, a
+    partitioned-window cumsum in the oracle and the scalable
+    _grouped_two_phase_cumsum in the engine — integer cumsums, so both
+    orderings agree exactly); deviations are exact decimal subtractions;
+    the ANOVA tail is stats_anova_oneway verbatim — exact decimal
+    (n, Σz, Σz²) per group, ONE ordered k-term double fold, ROUND-6.
+
+    Plan: the distinct-value frame + grouped cumsum (no global window,
+    parallelism = groups x buckets), a |types|-row median broadcast back
+    onto the scan, then one map-side-combined aggregate to |types| rows
+    and the k-term fold.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    gd = s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = _grouped_two_phase_cumsum(gd, "g", "v", ["c"])
+    w_ = gd.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.join(F.broadcast(w_), "g")
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_c") >= F.expr("(n * 50 + 99) div 100").cast("long"),
+                    F.col("v"),
+                )
+            ).alias("med")
+        )
+    )
+    z = s.join(F.broadcast(med), "g").select(
+        F.col("g").alias("event_type"),
+        F.abs(
+            F.col("v").cast("decimal(18,6)") - F.col("med").cast("decimal(18,6)")
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    gr = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,6)").alias("sm"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,12)").alias("ss"),
+    )
+    t = gr.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("sm").cast("decimal(38,6)").alias("s_tot"),
+        F.sum("ss").cast("decimal(38,12)").alias("ss_tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "n", "sm"))),
+                lambda x: x["sm"].cast("double")
+                * x["sm"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("sq_over_n"),
+    )
+    ssb = F.col("sq_over_n") - F.col("s_tot").cast("double") * F.col("s_tot").cast(
+        "double"
+    ) / F.col("n_tot").cast("double")
+    ssw = F.col("ss_tot").cast("double") - F.col("sq_over_n")
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_tot") - F.col("k")).cast("double")),
+            6,
+        ).alias("w_stat"),
+    )

@@ -126,6 +126,21 @@ SHOWCASE = [
      "manifest's scan; publish = a pointer write, no data motion"),
     ("events_changepoint_binary", "cumsum + argmax windows over the "
      "reduced daily frame; |types|-row totals broadcast"),
+    ("recsys_item_similar", "order-key equi self-join pair counts, two "
+     "part-key join-backs, WindowGroupLimit prunes to 3 rows per item "
+     "map-side before the final exchange"),
+    ("graph_kcore", "six peel rounds, each one degree aggregate + two "
+     "survivor equi-joins over a localCheckpointed shrinking edge set — "
+     "the 3^R plan blowup cut per round"),
+    ("events_survival_km", "per-user conditional-min aggregate, "
+     "calendar-bounded duration agg, then the whole life table folds "
+     "inside ONE row (array slices) — no window, no join"),
+    ("sample_coreset_kcenter", "per greedy round: <=5-row chosen-set "
+     "broadcast over the quantized scan, BIGINT distance fold, 1-row "
+     "TakeOrdered pick"),
+    ("events_stickiness", "trailing-7-day DISTINCT as a coverage "
+     "explode: (user,day) distinct, constant 7x fan-out collapsed "
+     "map-side, two equi aggregates — no range join, no window"),
 ]
 
 

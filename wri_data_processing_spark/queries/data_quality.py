@@ -233,3 +233,79 @@ def dq_day_over_day_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.alias("pct_change"),
         (F.abs(pct) > 0.5).alias("anomaly"),
     )
+
+
+@query(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH p AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS band,
+             o_totalprice, o_orderkey, o_orderdate
+      FROM orders),
+    d AS (
+      SELECT a.o_custkey AS custkey, a.band,
+             a.o_orderkey AS k1, b.o_orderkey AS k2,
+             a.o_totalprice AS amount1, b.o_totalprice AS amount2,
+             CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate))
+                  AS BIGINT) AS gap_days
+      FROM p a JOIN p b
+        ON a.o_custkey = b.o_custkey AND a.band = b.band
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 365)
+    SELECT custkey, band, k1, k2, amount1, amount2, gap_days
+    FROM d ORDER BY custkey, band, k1, k2 LIMIT 50
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-payment audit — the classic payables sweep: two
+    orders from the SAME customer in the SAME $1000 price band within a
+    year are double-submit/retry/fraud candidates a reviewer should eye.
+    (Exact-amount equality finds nothing on realistic data — amounts are
+    near-unique — so the band IS the operator: block on a coarse key,
+    review the block, the same blocking idea fuzzy_match_levenshtein
+    uses for names.) Emits the first 50 suspect pairs with both amounts
+    for review.
+
+    Plan: pair generation is an EQUI self-join on (custkey, band) — the
+    band keeps blocks tiny (a customer rarely repeats a price band), so
+    join output stays near-linear at 100 TB; the 365-day window and the
+    k1 < k2 de-mirror ride as post-join predicates. floor(price/1000) is
+    one exact IEEE division + floor, identical in both engines; gaps are
+    integer day diffs; the 50-row cut is a TakeOrdered on the full key.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey", "o_orderdate"
+    )
+    band = F.floor(F.col("o_totalprice") / 1000.0).cast("long")
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        band.alias("band"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("amount1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        band.alias("band"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("amount2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    return (
+        a.join(b, ["custkey", "band"])
+        .filter(
+            (F.col("k1") < F.col("k2")) & (F.abs(F.datediff("d2", "d1")) <= 365)
+        )
+        .select(
+            "custkey",
+            "band",
+            "k1",
+            "k2",
+            "amount1",
+            "amount2",
+            F.abs(F.datediff("d2", "d1")).cast("long").alias("gap_days"),
+        )
+        .orderBy("custkey", "band", "k1", "k2")
+        .limit(50)
+    )

@@ -106,6 +106,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "embed_knn_outliers",  # 3rd-NN-distance anomaly review queue (r8)
     "events_stickiness",  # DAU/WAU via 7-day coverage explode (r8)
     "stats_levene_bf",  # median-centered variance-equality gate (r8)
+    "dq_duplicate_payments",  # banded double-payment sweep (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -1866,3 +1866,102 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_cooccurrence_pmi",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ctx
+          FROM (SELECT DISTINCT user_id, d FROM ut)),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+          FROM ut GROUP BY 1),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+           ROUND(ln(CAST(p.n_ab AS DOUBLE) * CAST(n.n_ctx AS DOUBLE)
+                    / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE))), 6)
+             AS pmi
+    FROM p JOIN m ma ON p.type_a = ma.event_type
+           JOIN m mb ON p.type_b = mb.event_type, n
+    ORDER BY type_a, type_b
+    """,
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type PAIRS within a
+    (user, day) context: PMI = ln(P(a,b) / (P(a)P(b))) over "this user
+    did both a and b on the same day" — the association measure behind
+    feature co-occurrence analysis and word-embedding objectives (SGNS
+    factorizes exactly this matrix). Positive = the behaviors travel
+    together beyond chance, negative = they repel; raw co-counts can't
+    tell those apart because popular types co-occur with everything.
+    (The context must be NARROW to carry signal — at user granularity
+    every active user eventually does everything and all PMIs collapse
+    to 0; a day of one user's activity is the natural session-scale
+    context, the same windowing choice word2vec makes.)
+
+    Determinism: all counts are exact integers off (user, day, type)
+    DISTINCT frames; PMI is one mirrored expression — integer products
+    cast to double, one division, one ln (the cross-engine-exact
+    transcendental), closed with ROUND-6. The 1-row context-count
+    denominator rides a bounded broadcast (the stats_ks_test shape).
+
+    Plan: the (user, day, type) distinct is the only data-sized shuffle;
+    the pair join is an equi self-join on (user, day) whose fan-out is
+    bounded by |types|² per context; marginals are |types|-row broadcast
+    join-backs. At 100 TB: unchanged — type cardinality bounds
+    everything after the distinct.
+    """
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", F.to_date("ts").alias("d"), "event_type").distinct()
+    n = (
+        ut.select("user_id", "d")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ctx"))
+    )
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = ut.select("user_id", "d", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", "d", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out = (
+        p.join(
+            F.broadcast(
+                m.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                m.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("n_ctx").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    ).orderBy("type_a", "type_b")

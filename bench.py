@@ -93,6 +93,12 @@ HEADLINE = [
     # r7: stats-family representative (admission rule a): the heaviest
     # consumer of the shared two-phase distributed prefix sum.
     "stats_quantiles_exact",
+    # r8 late: the graph/co-occurrence family (pagerank, CC, k-core,
+    # triangles, link prediction, item-item CF) had NO headline
+    # representative; admission rule a admits its heaviest driver-green
+    # member — 5-round integer PageRank, measured 4.6 s at sf0.1 vs
+    # recsys_item_similar 2.8 / graph_kcore 2.7 / linkpred 2.1.
+    "graph_pagerank",
     # r8: the web-curation composed program (admission rule c): one slot
     # covering three r8 families end-to-end — scan-stage URL
     # canonicalization, survivor-trained unigram LM, grouped two-phase

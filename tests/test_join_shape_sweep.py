@@ -66,6 +66,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_chi2_independence shape",
     "events_cooccurrence_pmi": "1-row context-count broadcast over "
     "the <=C(|types|,2)-row pair frame — the stats_ks_test shape",
+    "text_heaps_law": "1-row corpus-bound (max doc_id) broadcast "
+    "onto the type/token frames — the stats_ks_test shape, twice",
     "stream_drift_monitor": "1-row reference-total broadcast over the "
     "per-window PSI frame (one row per 6h window) — the stats_ks_test shape",
     "dedup_semantic": "nlist-row centroid table broadcast (ivf_assign "

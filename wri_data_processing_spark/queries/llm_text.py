@@ -901,3 +901,121 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / vd, 6).alias("intercept"),
     )
+
+
+@query(
+    "text_heaps_law",
+    oracle=r"""
+    WITH mx AS (
+      SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents),
+    fs AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(COUNT(*) AS BIGINT) AS occ
+      FROM tok GROUP BY 1),
+    dec AS (
+      SELECT CAST(LEAST(first_doc * 10 // nd, 9) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM fs, mx GROUP BY 1),
+    tokdec AS (
+      SELECT CAST(LEAST(doc_id * 10 // nd, 9) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok, mx GROUP BY 1),
+    one AS (
+      SELECT t.decile, CAST(COALESCE(d.new_types, 0) AS BIGINT) AS new_types,
+             t.n_tokens
+      FROM tokdec t LEFT JOIN dec d ON d.decile = t.decile),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list(struct_pack(decile := decile, new_types := new_types,
+                              n_tokens := n_tokens) ORDER BY decile) AS rs
+      FROM one)
+    SELECT rs[i].decile AS decile,
+           rs[i].n_tokens AS n_tokens,
+           rs[i].new_types AS new_types,
+           CAST(COALESCE(list_aggregate(
+             list_transform(rs[1:i], x -> x.new_types), 'sum'), 0)
+             AS BIGINT) AS vocab_cum,
+           CAST(COALESCE(list_aggregate(
+             list_transform(rs[1:i], x -> x.n_tokens), 'sum'), 0)
+             AS BIGINT) AS tokens_cum
+    FROM agg, UNNEST(range(1, len(rs) + 1)) AS ix(i)
+    ORDER BY decile
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    after each DECILE of the corpus (doc_id order) against cumulative
+    tokens — the curve that tells a data buyer whether more of the same
+    corpus still buys new vocabulary (V ~ K·nᵝ, β≈0.5 for natural text;
+    a flat tail means the source is mined out, the companion diagnostic
+    to text_zipf_slope's rank-frequency view).
+
+    The cumulative distinct rides the FIRST-SEEN rewrite
+    (events_cumulative_distinct's trick): a type joins the decile where
+    its MIN(doc_id) falls, so "vocabulary after decile k" is a prefix
+    sum of first-seen counts — two hash aggregates plus a 10-row fold,
+    never a windowed COUNT(DISTINCT). Deciles are pure integer
+    arithmetic (doc_id·10 // n_docs against the max-key+1 bound).
+
+    Determinism: everything is exact integers; the prefix sums fold a
+    10-element ordered array inside one row.
+
+    Plan: one token shuffle for first-seen mins (map-side combined), one
+    for per-decile token counts — both collapse to ≤10 rows; the 1-row
+    corpus-bound broadcast is the stats_ks_test shape.
+    """
+    docs = table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).cast("long").alias("nd"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    fs = tok.groupBy("tok").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    dec = (
+        fs.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(F.expr("first_doc * 10 div nd"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    tokdec = (
+        tok.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(F.expr("doc_id * 10 div nd"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    one = tokdec.join(dec, "decile", "left").select(
+        "decile",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        "n_tokens",
+    )
+    agg = one.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct("decile", "new_types", "n_tokens"))
+        ).alias("rs"),
+    )
+    ex = agg.select(F.posexplode("rs").alias("p", "r"), "rs")
+    pre = lambda fld: F.coalesce(  # noqa: E731
+        F.aggregate(
+            F.slice(F.transform("rs", lambda x: x[fld]), F.lit(1), F.col("p") + 1),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0).cast("long"),
+    )
+    return ex.select(
+        F.col("r.decile").alias("decile"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.new_types").alias("new_types"),
+        pre("new_types").alias("vocab_cum"),
+        pre("n_tokens").alias("tokens_cum"),
+    ).orderBy("decile")

@@ -108,6 +108,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_levene_bf",  # median-centered variance-equality gate (r8)
     "dq_duplicate_payments",  # banded double-payment sweep (r8)
     "events_cooccurrence_pmi",  # same-day type-pair PMI (r8)
+    "text_heaps_law",  # first-seen vocab growth by decile (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -1965,3 +1965,141 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "events_velocity_alert",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+             CAST(SUM(n) AS BIGINT) AS total_events,
+             CAST(COUNT(*) AS BIGINT) AS active_hours
+      FROM h GROUP BY 1)
+    SELECT user_id, peak_hour_events, total_events, active_hours,
+           CAST(peak_hour_events * 100 AS DOUBLE)
+             / CAST(total_events AS DOUBLE) AS peak_pct
+    FROM u
+    ORDER BY peak_hour_events DESC, user_id
+    LIMIT 10
+    """,
+)
+def events_velocity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screening — the rate-limiting / bot-detection primitive:
+    each user's PEAK events-in-one-hour, with their total volume and how
+    concentrated that peak is. A human's activity spreads across hours;
+    a script's collapses into one — the top-10 by peak hour is the
+    review queue an abuse team actually works.
+
+    Determinism: tumbling-hour buckets (date_trunc is exact integer time
+    arithmetic in both engines), pure integer counts, max/sum/count per
+    user, and one exact division for the concentration percentage —
+    no rounding needed. Ties in the cut break on user_id.
+
+    Plan: two map-side-combined aggregates — (user, hour) then user —
+    and a 10-row TakeOrdered; no window, no join, no broadcast. The
+    (user, hour) count is the only data-sized shuffle, and a tumbling
+    bucket (unlike a sliding one) needs no self-join: at 100 TB this is
+    the cheapest alert that catches the dumbest — and most common —
+    abuse pattern.
+    """
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = h.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_hour_events"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.count(F.lit(1)).cast("long").alias("active_hours"),
+    )
+    return (
+        u.select(
+            "user_id",
+            "peak_hour_events",
+            "total_events",
+            "active_hours",
+            (
+                (F.col("peak_hour_events") * 100).cast("double")
+                / F.col("total_events").cast("double")
+            ).alias("peak_pct"),
+        )
+        .orderBy(F.col("peak_hour_events").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS asof FROM orders),
+    o AS (
+      SELECT o_orderstatus,
+             CAST(date_diff('day', o_orderdate, mx.asof) AS BIGINT) AS age,
+             o_totalprice
+      FROM orders, mx
+      WHERE o_orderstatus <> 'F'),
+    b AS (
+      SELECT o_orderstatus,
+             CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 90 THEN '31-90'
+                  WHEN age <= 365 THEN '91-365'
+                  ELSE '365+' END AS bucket,
+             o_totalprice
+      FROM o)
+    SELECT o_orderstatus, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS open_value
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report — the receivables/fulfilment classic: every
+    NON-FULFILLED order bucketed by how long it has sat open (as of the
+    newest order date in the table), with count and tied-up value per
+    (status, age-bucket). The 365+ bucket is where a fulfilment team
+    finds the orders everyone forgot.
+
+    Determinism: the as-of anchor is MAX(o_orderdate) (a 1-row broadcast,
+    the stream_watermark shape); ages are integer day diffs; bucket edges
+    are integer comparisons; value sums are exact decimal with one final
+    double cast — no rounding.
+
+    Plan: the status filter prunes at the scan (pushed predicate), the
+    1-row anchor broadcasts back, and one map-side-combined aggregate
+    lands |statuses| x 4 rows. Nothing else.
+    """
+    allo = table(spark, sf_dir, "orders")
+    # The as-of anchor is the newest order date in the WHOLE table — the
+    # report's "today" — not the newest open order (which would silently
+    # shrink every age when recent orders happen to be fulfilled).
+    mx = allo.agg(F.max("o_orderdate").alias("asof"))
+    o = allo.filter(F.col("o_orderstatus") != "F")
+    aged = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        F.datediff("asof", "o_orderdate").cast("long").alias("age"),
+        "o_totalprice",
+    )
+    b = aged.select(
+        "o_orderstatus",
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 90, "31-90")
+        .when(F.col("age") <= 365, "91-365")
+        .otherwise("365+")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return (
+        b.groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )

@@ -109,6 +109,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dq_duplicate_payments",  # banded double-payment sweep (r8)
     "events_cooccurrence_pmi",  # same-day type-pair PMI (r8)
     "text_heaps_law",  # first-seen vocab growth by decile (r8)
+    "events_velocity_alert",  # peak-hour bot/rate screening (r8)
+    "orders_backlog_aging",  # open-order aging value report (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -2896,3 +2896,152 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w_stat"),
     )
+
+
+@query(
+    "stats_auc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM s GROUP BY 1),
+    c AS (
+      SELECT v, cnt, p,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g),
+    t AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - p) AS BIGINT) AS n_neg,
+             CAST(SUM(CAST(p AS HUGEINT)
+                      * (2 * (cm - cnt) + cnt + 1)) AS BIGINT) AS r2pos
+      FROM c)
+    SELECT n_pos, n_neg,
+           CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC, exactly, from the Mann-Whitney identity — the model-eval
+    primitive: AUC = P(score_pos > score_neg) + P(=)/2 = (R_pos -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg), with R_pos the rank-sum of
+    positives under midrank ties. Here the "model" is events.value
+    scoring purchase vs non-purchase rows — swap in any score column and
+    this is the distributed AUC every offline eval needs without
+    sampling or sklearn.
+
+    Exactness: the stats_mann_whitney machinery verbatim — DOUBLED
+    tie-averaged ranks (2r = 2·cum_before + cnt + 1, always integral)
+    off the distinct-value cumulative frame, rank-sums accumulated in
+    decimal(38,0)/HUGEINT (silent int64 wrap is the 100 TB failure), and
+    AUC = (2R_pos - n_pos(n_pos+1)) / (2·n_pos·n_neg) — integers into
+    ONE exact division, emitted unrounded. The engine's cumsum is the
+    two-phase distributed prefix (no single-partition window); the
+    oracle's integer window cumsum agrees under any ordering.
+
+    Plan: one distinct-value shuffle, bucket-parallel prefix sums, one
+    1-row aggregate. No joins.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    cum = _two_phase_cumsum(g, "v", ["cnt"])
+    t = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2pos"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@query(
+    "stats_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substring(sha256('cal:'
+                   || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    b AS (
+      SELECT CAST(u * 10 // 1073741824 AS BIGINT) AS bin, u, pos FROM s)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(u) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1073741824.0) AS mean_score,
+           CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram — the model-eval companion to
+    stats_auc: bin predictions into score deciles and compare each bin's
+    mean predicted score against its observed outcome rate; a calibrated
+    model sits on the diagonal, and the gap pattern (over-confident
+    head, under-confident tail) is what temperature scaling fixes. The
+    stand-in score is a deterministic sha-slice uniform per event (an
+    UNINFORMATIVE model — so the correct output is flat bin rates at the
+    base rate with mean scores at bin centers, a known-answer shape);
+    swap in any real score column and the operator is unchanged.
+
+    Determinism: the score is the bootstrap/permutation sha discipline
+    (salted sha256 slice mod 2^30, no RNG state); bins are integer
+    u*10 // 2^30; per-bin sums are exact integers; the two per-bin
+    ratios are one mirrored division tree each, emitted unrounded.
+
+    Plan: one map-side-combined aggregate to exactly 10 rows. Nothing
+    else — the cheapest eval in the suite.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit("cal:"), F.col("event_id").cast("string")), 256),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1073741824).cast("long")
+        ).alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    b = s.select(F.expr("CAST(u * 10 div 1073741824 AS BIGINT)").alias("bin"), "u", "pos")
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum("u").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1073741824.0))
+            ).alias("mean_score"),
+            (F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )

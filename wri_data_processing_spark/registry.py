@@ -111,6 +111,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "text_heaps_law",  # first-seen vocab growth by decile (r8)
     "events_velocity_alert",  # peak-hour bot/rate screening (r8)
     "orders_backlog_aging",  # open-order aging value report (r8)
+    "stats_auc",  # exact Mann-Whitney ROC AUC (r8)
+    "stats_calibration_bins",  # reliability-diagram deciles (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

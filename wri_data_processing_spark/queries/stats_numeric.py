@@ -3045,3 +3045,90 @@ def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "stats_pr_curve",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substring(sha256('cal:'
+                   || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    th AS (SELECT unnest(range(1, 10)) AS k),
+    c AS (
+      SELECT th.k,
+             CAST(SUM(CASE WHEN s.u * 10 >= th.k * 1073741824
+                           THEN s.pos ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.u * 10 >= th.k * 1073741824
+                           THEN 1 - s.pos ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(s.pos) AS BIGINT) AS n_pos
+      FROM s, th GROUP BY 1)
+    SELECT k AS threshold_decile, tp, fp, n_pos - tp AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+             AS precision,
+           CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+    FROM c ORDER BY threshold_decile
+    """,
+)
+def stats_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep — the third model-eval op (with
+    stats_auc and stats_calibration_bins): TP/FP/FN and precision/recall
+    at the nine decile thresholds of the score, the table behind every
+    PR curve and threshold-picking decision. Uses the same deterministic
+    sha-uniform stand-in score as the calibration op (uninformative
+    model — the known-answer is precision ≈ base rate at every cut and
+    recall stepping down ~0.1 per decile); swap in a real score column
+    and the operator is unchanged.
+
+    Determinism: thresholds compare in pure integers (u*10 >= k*2^30 —
+    no float boundary can disagree); counts are exact; the two ratios
+    are one mirrored division each, unrounded; an empty predicted-
+    positive set yields NULL precision by identical CASE.
+
+    Plan: the 9-threshold fan-out is a tiny broadcast cross of the scan
+    collapsed by ONE map-side-combined aggregate to 9 rows (the
+    stats_permutation_test explode shape, constant factor 9).
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit("cal:"), F.col("event_id").cast("string")), 256),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1073741824).cast("long")
+        ).alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    th = s.select("u", "pos", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"))
+    hit = F.col("u") * 10 >= F.col("k").cast("long") * F.lit(1073741824).cast("long")
+    c = th.groupBy("k").agg(
+        F.sum(F.when(hit, F.col("pos")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(hit, 1 - F.col("pos")).otherwise(0)).cast("long").alias("fp"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    return (
+        c.select(
+            F.col("k").alias("threshold_decile"),
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+            )
+            .alias("precision"),
+            (F.col("tp").cast("double") / F.col("n_pos").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("threshold_decile")
+    )

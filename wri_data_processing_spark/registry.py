@@ -113,6 +113,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "orders_backlog_aging",  # open-order aging value report (r8)
     "stats_auc",  # exact Mann-Whitney ROC AUC (r8)
     "stats_calibration_bins",  # reliability-diagram deciles (r8)
+    "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -114,6 +114,7 @@ NLJ_WHITELIST: dict[str, str] = {
     "dedup_embedding": "same IVF centroid broadcast as sim_pairs_threshold",
     "embed_kmeans_assign": "k-row centroid table broadcast",
     "sample_coreset_kcenter": "<=5-row chosen-center broadcast per greedy round — the embed_kmeans_assign shape, K times",
+    "sim_mmr_rerank": "1-row query broadcast for the pool cut, then <=5-row chosen broadcasts over a 20-row checkpointed frame — the kcenter shape on a constant pool",
     "embed_pca_power": "1-row max|y| renormalizer broadcast per power-"
     "iteration round (3 rounds, each bounded)",
     "embed_kmeans_iterate": "k-row centroid table broadcast, twice (one "

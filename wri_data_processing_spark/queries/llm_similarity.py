@@ -1758,3 +1758,132 @@ def embed_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("outlier_score").desc(), "vec_id")
         .limit(10)
     )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (lambda = 1/2, so argmax(rel - maxsim)); every
+    CTE AS MATERIALIZED — each round references the pool and the growing
+    chosen set repeatedly (the k-center oracle discipline)."""
+    dot = (
+        "CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1), "
+        "i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT)"
+    )
+    parts = [
+        f"""
+    pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    q AS MATERIALIZED (SELECT qv FROM pts WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id, p.qv,
+             CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS rel
+      FROM pts p, (SELECT qv FROM q) c
+      WHERE p.vec_id <> 0),
+    pool AS MATERIALIZED (
+      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+    s1 AS MATERIALIZED (
+      SELECT 1 AS pick, vec_id, qv, rel, CAST(0 AS BIGINT) AS maxsim
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""
+    n{r} AS MATERIALIZED (
+      SELECT p.vec_id, ANY_VALUE(p.qv) AS qv, ANY_VALUE(p.rel) AS rel,
+             CAST(MAX({dot}) AS BIGINT) AS maxsim
+      FROM pool p, s{r - 1} c
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+      GROUP BY p.vec_id),
+    p{r} AS MATERIALIZED (
+      SELECT {r} AS pick, vec_id, qv, rel, maxsim
+      FROM n{r} ORDER BY rel - maxsim DESC, vec_id LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT * FROM s{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT pick, vec_id, rel, maxsim FROM s{_MMR_K} ORDER BY pick"""
+    )
+
+
+@query("sim_mmr_rerank", oracle=f"WITH {_mmr_oracle()}")
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversity pass every RAG retriever runs after similarity search:
+    from the top-20 pool for query vec_id 0, greedily pick 5 results
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-already-
+    picked. At lambda = 1/2 the argmax reduces to rel - maxsim, which
+    keeps the WHOLE objective in exact BIGINT fixed-point — near-
+    duplicate pool entries (the thing plain top-k serves three of) get
+    crushed by their similarity to an earlier pick.
+
+    Determinism: the k-center discipline — floor(x*2^20) int64
+    components, integer dot products (64 terms of ~1e12 top out ~6e13,
+    inside int64), argmax ties on vec_id, the chosen set excluded by
+    anti-join each round (self-similarity must not reach the argmax).
+
+    Plan: ONE data-sized stage — the 1-row query broadcast + BIGINT
+    dot + 20-row TakeOrdered pool cut (the sim_topk shape); the greedy
+    rounds then run on a 20-row localCheckpointed frame with <=5-row
+    broadcasts — free at any corpus size. The serving-path story of
+    sim_ann_*: candidates from an index, rerank bounded by the pool.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    q0 = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        qt.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", "qv", idot(F.col("qv"), F.col("q0")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    chosen = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "vec_id",
+            "qv",
+            "rel",
+            F.lit(0).cast("long").alias("maxsim"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        cands = pool.join(
+            chosen.select(F.col("vec_id").alias("vid")),
+            pool["vec_id"] == F.col("vid"),
+            "left_anti",
+        )
+        scored = (
+            cands.crossJoin(F.broadcast(cc))
+            .select("vec_id", "qv", "rel", idot(F.col("qv"), F.col("cv")).alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.first("rel").alias("rel"),
+                F.max("s").cast("long").alias("maxsim"),
+            )
+        )
+        pick = (
+            scored.orderBy((F.col("rel") - F.col("maxsim")).desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(r).alias("pick"), "vec_id", "qv", "rel", "maxsim")
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint()
+    return chosen.select("pick", "vec_id", "rel", "maxsim").orderBy("pick")

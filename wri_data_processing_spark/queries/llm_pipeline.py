@@ -2024,3 +2024,85 @@ def sample_reservoir_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RESERVOIR_K)
         .drop("__k")
     )
+
+
+@query(
+    "pack_epoch_shuffle",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars, u.epoch,
+             CAST(('0x' || substring(sha256('ep:' || CAST(u.epoch AS VARCHAR)
+                    || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u
+      FROM documents, unnest(generate_series(0, 1)) u(epoch))
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(u % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(MIN(u) AS BIGINT) AS min_u
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle shard manifest — the dataloader contract a training
+    job actually needs from its data engine: every document gets a
+    DETERMINISTIC pseudo-random position per epoch (a salted sha slice;
+    epoch in the salt means a DIFFERENT but reproducible shuffle each
+    epoch), the low bits pick one of 8 shards, and ordering by the slice
+    within a shard IS the shuffle — any worker can recompute its own
+    read order from (epoch, shard) alone, no coordination, no stored
+    permutation, resumable mid-epoch. Emits the per-(epoch, shard)
+    manifest: doc count, payload size, and the min slice as the
+    determinism witness the loader can assert against.
+
+    Determinism: the bootstrap sha discipline — no RNG state, every
+    assignment bit-identical cross-engine and across partitionings; all
+    emitted values are exact integers.
+
+    Plan: one 2-way epoch explode collapsed by ONE map-side-combined
+    aggregate to 16 rows; the full shuffle ORDER never materializes
+    anywhere — it is a sort key workers derive lazily, which is the
+    entire point at 100 TB (a stored permutation of 10^11 docs is
+    itself a dataset).
+    """
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        "epoch",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("ep:"),
+                            F.col("epoch").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1073741824).cast("long")
+        ).alias("u"),
+    )
+    return (
+        s.groupBy(
+            F.col("epoch").cast("long").alias("epoch"),
+            (F.col("u") % 8).cast("long").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("u").cast("long").alias("min_u"),
+        )
+        .orderBy("epoch", "shard")
+    )

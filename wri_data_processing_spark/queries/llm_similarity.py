@@ -1764,30 +1764,67 @@ _MMR_POOL = 20
 _MMR_K = 5
 
 
-def _mmr_oracle() -> str:
-    """Unrolled greedy MMR (lambda = 1/2, so argmax(rel - maxsim)); every
-    CTE AS MATERIALIZED — each round references the pool and the growing
-    chosen set repeatedly (the k-center oracle discipline)."""
+def _idot(a, b):
+    """Exact BIGINT dot product of two quantized component arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _mmr_greedy(pool: DataFrame) -> DataFrame:
+    """Greedy lambda=1/2 MMR over a small checkpointed pool frame with
+    columns (vec_id, qv, rel) — the engine twin of _mmr_tail_sql()."""
+    chosen = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "vec_id",
+            "qv",
+            "rel",
+            F.lit(0).cast("long").alias("maxsim"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        cands = pool.join(
+            chosen.select(F.col("vec_id").alias("vid")),
+            pool["vec_id"] == F.col("vid"),
+            "left_anti",
+        )
+        scored = (
+            cands.crossJoin(F.broadcast(cc))
+            .select("vec_id", "qv", "rel", _idot(F.col("qv"), F.col("cv")).alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.first("rel").alias("rel"),
+                F.max("s").cast("long").alias("maxsim"),
+            )
+        )
+        pick = (
+            scored.orderBy((F.col("rel") - F.col("maxsim")).desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(r).alias("pick"), "vec_id", "qv", "rel", "maxsim")
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint()
+    return chosen.select("pick", "vec_id", "rel", "maxsim").orderBy("pick")
+
+
+def _mmr_tail_sql() -> str:
+    """Unrolled greedy MMR rounds over an existing MATERIALIZED ``pool``
+    CTE with columns (vec_id, qv, rel) — shared by sim_mmr_rerank (full
+    exact pool) and retrieval_pipeline (IVF-probed pool). lambda = 1/2,
+    so the argmax is rel - maxsim; every CTE AS MATERIALIZED (each round
+    references the pool and the growing chosen set repeatedly)."""
     dot = (
         "CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1), "
         "i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT)"
     )
     parts = [
-        f"""
-    pts AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-      FROM embeddings),
-    q AS MATERIALIZED (SELECT qv FROM pts WHERE vec_id = 0),
-    rel AS MATERIALIZED (
-      SELECT p.vec_id, p.qv,
-             CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
-               i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS rel
-      FROM pts p, (SELECT qv FROM q) c
-      WHERE p.vec_id <> 0),
-    pool AS MATERIALIZED (
-      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+        """
     s1 AS MATERIALIZED (
       SELECT 1 AS pick, vec_id, qv, rel, CAST(0 AS BIGINT) AS maxsim
       FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"""
@@ -1812,6 +1849,25 @@ def _mmr_oracle() -> str:
         + f"""
     SELECT pick, vec_id, rel, maxsim FROM s{_MMR_K} ORDER BY pick"""
     )
+
+
+def _mmr_oracle() -> str:
+    """sim_mmr_rerank's oracle: exact full-scan pool + the shared tail."""
+    return f"""
+    pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    q AS MATERIALIZED (SELECT qv FROM pts WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id, p.qv,
+             CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS rel
+      FROM pts p, (SELECT qv FROM q) c
+      WHERE p.vec_id <> 0),
+    pool AS MATERIALIZED (
+      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),""" + _mmr_tail_sql()
 
 
 @query("sim_mmr_rerank", oracle=f"WITH {_mmr_oracle()}")
@@ -1839,51 +1895,89 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     qt = e.select("vec_id", _qvec("embedding").alias("qv"))
     q0 = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
-    idot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     pool = (
         qt.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q0))
-        .select("vec_id", "qv", idot(F.col("qv"), F.col("q0")).alias("rel"))
+        .select("vec_id", "qv", _idot(F.col("qv"), F.col("q0")).alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
         .localCheckpoint()
     )
-    chosen = (
-        pool.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("pick"),
-            "vec_id",
-            "qv",
-            "rel",
-            F.lit(0).cast("long").alias("maxsim"),
-        )
+    return _mmr_greedy(pool)
+
+_RP_NPROBE = 3  # probed coarse cells (of _IVF_NLIST = 8)
+
+
+@query(
+    "retrieval_pipeline",
+    oracle=f"""
+    WITH {ivf_assign_ctes()},
+    probes AS MATERIALIZED (
+      SELECT cid FROM cdist WHERE vec_id = 0
+      ORDER BY d2, cid LIMIT {_RP_NPROBE}),
+    qv0 AS MATERIALIZED (SELECT qv FROM qt WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id, p.qv,
+             CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS rel
+      FROM qt p
+      JOIN assigned a ON p.vec_id = a.vec_id
+      JOIN probes pr ON a.cid = pr.cid, (SELECT qv FROM qv0) c
+      WHERE p.vec_id <> 0),
+    pool AS MATERIALIZED (
+      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),{_mmr_tail_sql()}
+    """,
+)
+def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth composed flagship — the RAG SERVING PATH end-to-end in
+    ONE program: IVF coarse index (assignment + 3-of-8 cell probe) ->
+    exact BIGINT dot-product re-rank of the probed candidates into a
+    top-20 pool -> greedy lambda=1/2 MMR down to the 5 results actually
+    returned. This is the query-time composition every vector store
+    runs; the other flagships cover curation (corpus_prep,
+    web_corpus_pipeline) and packing — this one covers serving.
+
+    Each stage is the already-proven machinery composed, not re-stated:
+    ivf_assign (the 2^20 fixed-point integer assignment + its exact CTE
+    twin), the sim_topk pool-cut shape, and the _mmr_greedy /
+    _mmr_tail_sql pair shared with sim_mmr_rerank — so the pipeline's
+    oracle replays the exact same integer arithmetic stage by stage.
+
+    Scale story: the index prunes the scan to nprobe/nlist of the
+    corpus BEFORE the only data-sized work (the dot re-rank); the MMR
+    rounds run on a 20-row checkpointed frame. nlist grows ~sqrt(N) at
+    real scale (ivf_nlist), keeping both the probe fraction and the
+    centroid broadcast bounded — the sim_ann_ivf scale note, now as the
+    front half of a full serving program.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    cents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    for r in range(2, _MMR_K + 1):
-        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-        cands = pool.join(
-            chosen.select(F.col("vec_id").alias("vid")),
-            pool["vec_id"] == F.col("vid"),
-            "left_anti",
-        )
-        scored = (
-            cands.crossJoin(F.broadcast(cc))
-            .select("vec_id", "qv", "rel", idot(F.col("qv"), F.col("cv")).alias("s"))
-            .groupBy("vec_id")
-            .agg(
-                F.first("qv").alias("qv"),
-                F.first("rel").alias("rel"),
-                F.max("s").cast("long").alias("maxsim"),
-            )
-        )
-        pick = (
-            scored.orderBy((F.col("rel") - F.col("maxsim")).desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(r).alias("pick"), "vec_id", "qv", "rel", "maxsim")
-        )
-        chosen = chosen.unionByName(pick).localCheckpoint()
-    return chosen.select("pick", "vec_id", "rel", "maxsim").orderBy("pick")
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        qt.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select("cid", d2.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(_RP_NPROBE)
+        .select("cid")
+    )
+    assigned = ivf_assign(e)
+    q0 = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    pool = (
+        qt.filter(F.col("vec_id") != 0)
+        .join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", "qv", _idot(F.col("qv"), F.col("q0")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    return _mmr_greedy(pool)

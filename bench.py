@@ -99,6 +99,11 @@ HEADLINE = [
     # member — 5-round integer PageRank, measured 4.6 s at sf0.1 vs
     # recsys_item_similar 2.8 / graph_kcore 2.7 / linkpred 2.1.
     "graph_pagerank",
+    # r8 late: the fourth composed flagship (admission rule c) — the RAG
+    # serving path (IVF probe -> exact integer re-rank -> greedy MMR),
+    # measured 2.8 s at sf0.1; serving-path latency regressions should be
+    # visible in the headline, not hidden behind curation pipelines.
+    "retrieval_pipeline",
     # r8: the web-curation composed program (admission rule c): one slot
     # covering three r8 families end-to-end — scan-stage URL
     # canonicalization, survivor-trained unigram LM, grouped two-phase

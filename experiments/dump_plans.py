@@ -141,6 +141,13 @@ SHOWCASE = [
     ("events_stickiness", "trailing-7-day DISTINCT as a coverage "
      "explode: (user,day) distinct, constant 7x fan-out collapsed "
      "map-side, two equi aggregates — no range join, no window"),
+    ("retrieval_pipeline", "the serving flagship: nlist-row centroid "
+     "broadcast (assign + probe) prunes the scan to 3/8 of the corpus "
+     "BEFORE the BIGINT dot re-rank; the 20-row pool checkpoints and "
+     "the MMR rounds run on it alone"),
+    ("stats_auc", "Mann-Whitney AUC: distinct-value two-phase prefix "
+     "sums (no single-partition window), decimal(38,0) rank-sums, one "
+     "1-row aggregate — no joins"),
 ]
 
 

@@ -2103,3 +2103,65 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "bucket")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT epoch_us(ts + INTERVAL 5 MINUTE) AS t, -1 AS d FROM events),
+    g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM b GROUP BY 1),
+    c AS (
+      SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g)
+    SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+           CAST(MAX(cum) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the capacity-planning sweep-line: treat
+    each event as a 5-minute activity window, +1 at start, -1 at the
+    EXCLUSIVE end, and the running boundary sum at any instant is the
+    number of concurrently active windows; the daily max is the number a
+    capacity planner provisions for. Grouping boundaries by timestamp
+    BEFORE the prefix sum nets same-instant starts against ends, which
+    IS the exclusive-end convention — no ordering-within-tie subtlety
+    survives the net.
+
+    Determinism: boundary times are exact integer microseconds, deltas
+    and running sums are pure integers, and the global prefix runs on
+    _two_phase_cumsum (bucket-parallel, no single-partition window — the
+    engine's cumsum and the oracle's integer window agree under any
+    ordering). Peak-per-day is a plain max.
+
+    Plan: one boundary union (two scan projections), one map-side
+    combined net per timestamp, the two-phase prefix, and a |days|-row
+    max. The sweep line is THE way to answer concurrency at scale — the
+    interval self-join alternative is quadratic in overlap density
+    (measured for join_interval_overlap).
+    """
+    from wri_data_processing_spark.queries.stats_numeric import _two_phase_cumsum
+
+    e = table(spark, sf_dir, "events")
+    b = e.select(F.unix_micros("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        e.select(
+            F.unix_micros(F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    g = b.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
+    cum = _two_phase_cumsum(g, "t", ["net"])
+    return (
+        cum.groupBy(
+            F.date_format(F.timestamp_micros(F.col("t")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.max("cum_net").cast("long").alias("peak_concurrent"),
+            F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+        )
+        .orderBy("day")
+    )

@@ -1943,6 +1943,11 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mmr_tail_sql pair shared with sim_mmr_rerank — so the pipeline's
     oracle replays the exact same integer arithmetic stage by stage.
 
+    Measured (experiments/ann_log.csv, *_pool20_r8 rows): the 3-of-8
+    probe recovers 19/20 of the exact top-20 pool at BOTH sf0.01 and
+    sf0.1 (pool recall 0.95), and the one missed member is never an MMR
+    pick on this data — the served 5 equal the full-scan MMR's exactly.
+
     Scale story: the index prunes the scan to nprobe/nlist of the
     corpus BEFORE the only data-sized work (the dot re-rank); the MMR
     rounds run on a 20-row checkpointed frame. nlist grows ~sqrt(N) at

@@ -117,6 +117,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sim_mmr_rerank",  # BIGINT greedy MMR over the top-20 pool (r8)
     "pack_epoch_shuffle",  # sha epoch-shuffle dataloader manifest (r8)
     "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
+    "events_peak_concurrency",  # sweep-line capacity planning (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -95,15 +95,27 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "recsys_item_similar",  # item-item cosine top-3 serving table (r8)
     "text_rake_keyphrases",  # RAKE unsupervised keyword extraction (r8)
     "sample_coreset_kcenter",  # farthest-first diversity coreset (r8)
-    "stats_cramers_v",  # bounded effect size over lang x source (r8)
     "stats_permutation_test",  # sha-relabeled randomization test (r8)
-    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
     "snapshot_orphan_files",  # failed-commit leftover GC audit (r8)
     "join_scd2_pit",  # point-in-time SCD2 feature lookup (r8)
     "multimodal_image_histogram",  # Rec.601 luminance bins, executed decode (r8)
-    "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
     "text_zipf_slope",  # rank-frequency OLS corpus fingerprint (r8)
     "embed_knn_outliers",  # 3rd-NN-distance anomaly review queue (r8)
+    "stats_auc",  # exact Mann-Whitney ROC AUC (r8)
+    "sim_mmr_rerank",  # BIGINT greedy MMR over the top-20 pool (r8)
+    "pack_epoch_shuffle",  # sha epoch-shuffle dataloader manifest (r8)
+    "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
+    "events_peak_concurrency",  # sweep-line capacity planning (r8)
+    # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
+    # added 62 new/changed ops, more than one driver sample can cover.
+    # The 12 deferred here are the mechanically-derivative ones (each a
+    # re-composition of already-driver-green machinery: the chi2 frame,
+    # simple lags/aggregates, the sha-score family, sampled cumsum
+    # consumers) — locally oracle-proven at both SFs; they are r9's
+    # front-load so no op is ever never-sampled for more than one round.
+    "stats_cramers_v",  # bounded effect size over lang x source (r8)
+    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
+    "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
     "events_stickiness",  # DAU/WAU via 7-day coverage explode (r8)
     "stats_levene_bf",  # median-centered variance-equality gate (r8)
     "dq_duplicate_payments",  # banded double-payment sweep (r8)
@@ -111,13 +123,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "text_heaps_law",  # first-seen vocab growth by decile (r8)
     "events_velocity_alert",  # peak-hour bot/rate screening (r8)
     "orders_backlog_aging",  # open-order aging value report (r8)
-    "stats_auc",  # exact Mann-Whitney ROC AUC (r8)
     "stats_calibration_bins",  # reliability-diagram deciles (r8)
     "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
-    "sim_mmr_rerank",  # BIGINT greedy MMR over the top-20 pool (r8)
-    "pack_epoch_shuffle",  # sha epoch-shuffle dataloader manifest (r8)
-    "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
-    "events_peak_concurrency",  # sweep-line capacity planning (r8)
     # -- (b) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -3132,3 +3132,82 @@ def stats_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_decile")
     )
+
+
+@query(
+    "stats_power_sample_size",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events),
+    p AS (
+      SELECT n, conv,
+             CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p0
+      FROM b),
+    mde AS (SELECT unnest([5, 10, 20]) AS mde_pct)
+    SELECT p.n AS n_events, p.conv AS n_conversions, p.p0 AS baseline_rate,
+           mde.mde_pct,
+           CAST(ceil(
+             (1.959963984540054 + 0.8416212335729143)
+             * (1.959963984540054 + 0.8416212335729143)
+             * 2.0 * p.p0 * (1.0 - p.p0)
+             / ((p.p0 * CAST(mde.mde_pct AS DOUBLE) / 100.0)
+                * (p.p0 * CAST(mde.mde_pct AS DOUBLE) / 100.0))
+           ) AS BIGINT) AS n_per_arm
+    FROM p, mde
+    ORDER BY mde.mde_pct
+    """,
+)
+def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner — the question that comes BEFORE
+    stats_proportion_ztest: at the observed baseline conversion rate, how
+    many subjects per arm does a two-proportion test need to detect a
+    5/10/20% relative lift at alpha = 0.05 (two-sided) and 80% power?
+    n = (z_{a/2} + z_b)^2 * 2 p(1-p) / (p*mde)^2 — the planner every
+    experimentation platform runs against live baselines before opening
+    an experiment.
+
+    Determinism: the two normal quantiles are PINNED literals (1.96...,
+    0.8416... — transcendental inverse-CDFs do NOT belong in plans, the
+    stats_bootstrap_ci lesson), the baseline is one exact division of
+    exact counts, the formula is one mirrored IEEE expression tree, and
+    ceil of an identical double is identical. The 3-row MDE grid is a
+    constant unnest.
+
+    Plan: ONE 1-row count aggregate and a 3-row constant fan-out —
+    after the scan this is free, which is the point: planners run on
+    every metric every day.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    p0 = F.col("conv").cast("double") / F.col("n").cast("double")
+    za, zb = 1.959963984540054, 0.8416212335729143
+    grid = b.select(
+        F.col("n").alias("n_events"),
+        F.col("conv").alias("n_conversions"),
+        p0.alias("baseline_rate"),
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("mde_pct"),
+    )
+    delta = F.col("baseline_rate") * F.col("mde_pct").cast("double") / F.lit(100.0)
+    return grid.select(
+        "n_events",
+        "n_conversions",
+        "baseline_rate",
+        "mde_pct",
+        F.ceil(
+            F.lit((za + zb) * (za + zb))
+            * F.lit(2.0)
+            * F.col("baseline_rate")
+            * (F.lit(1.0) - F.col("baseline_rate"))
+            / (delta * delta)
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    ).orderBy("mde_pct")

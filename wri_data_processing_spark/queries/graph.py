@@ -498,3 +498,105 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+_MKV_ITERS = 6
+_MKV_Q = 1_073_741_824  # Q30, matching the PageRank fixed point
+
+
+def _markov_oracle() -> str:
+    """Unrolled 6-step integer power iteration over the event-type
+    transition matrix; MATERIALIZED per round (each round re-reads the
+    cells and the previous vector)."""
+    parts = [
+        f"""
+    seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS MATERIALIZED (
+      SELECT prev AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    rt AS MATERIALIZED (
+      SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM m GROUP BY 1),
+    cells AS MATERIALIZED (
+      SELECT m.i, m.j, m.c, rt.r FROM m JOIN rt USING (i)),
+    v0 AS MATERIALIZED (
+      SELECT i AS t, CAST({_MKV_Q} // (SELECT COUNT(*) FROM rt) AS BIGINT) AS q
+      FROM rt)"""
+    ]
+    for k in range(1, _MKV_ITERS + 1):
+        parts.append(
+            f"""
+    v{k} AS MATERIALIZED (
+      SELECT cells.j AS t,
+             CAST(SUM(v.q * cells.c // cells.r) AS BIGINT) AS q
+      FROM cells JOIN v{k - 1} v ON cells.i = v.t
+      GROUP BY 1)"""
+        )
+    return (
+        ",".join(parts)
+        + f""",
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS s FROM v{_MKV_ITERS})
+    SELECT t AS event_type, q AS visits_q,
+           CAST(q AS DOUBLE) / CAST(tot.s AS DOUBLE) AS share
+    FROM v{_MKV_ITERS}, tot ORDER BY t"""
+    )
+
+
+@query("graph_markov_steady", oracle=f"WITH {_markov_oracle()}")
+def graph_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state of the user-journey Markov chain: 6 synchronous power
+    iterations of the event-type transition matrix from a uniform start —
+    "where does a session settle?", the long-run occupancy that ranks
+    journey states by structural importance rather than raw frequency
+    (events_transition_matrix gives the one-step view; this is its
+    fixpoint, and removal-effect attribution is built on exactly this
+    chain).
+
+    Determinism: the graph_pagerank fixed point on a |types|² matrix —
+    Q30 integer occupancy, each step's contribution floor((q·c)/r) pure
+    integer multiply/divide (q·c tops out ~2^44, far inside int64),
+    integer sums commutative under any partitioning. The share column is
+    one exact division by the vector's own total (the floors make it sum
+    just under 2^30; normalizing by the actual total is exact).
+
+    Plan: ONE data-sized stage (the per-user LAG + transition count);
+    the matrix is |types|² cells and every iteration is a broadcast join
+    + tiny aggregate over it. At 100 TB the matrix is still 25 cells —
+    the chain math is free, the transition count is the only work.
+    """
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    m = seq.groupBy(F.col("prev").alias("i"), F.col("event_type").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rt = m.groupBy("i").agg(F.sum("c").cast("long").alias("r"))
+    cells = m.join(F.broadcast(rt), "i").localCheckpoint()
+    k_types = rt.count()
+    v = rt.select(
+        F.col("i").alias("t"), F.lit(_MKV_Q // k_types).cast("long").alias("q")
+    )
+    for _ in range(_MKV_ITERS):
+        v = (
+            cells.join(F.broadcast(v), cells["i"] == v["t"])
+            .select("j", F.expr("q * c div r").alias("contrib"))
+            .groupBy(F.col("j").alias("t"))
+            .agg(F.sum("contrib").cast("long").alias("q"))
+        )
+    tot = v.agg(F.sum("q").cast("long").alias("s"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("q").alias("visits_q"),
+            (F.col("q").cast("double") / F.col("s").cast("double")).alias("share"),
+        )
+        .orderBy("event_type")
+    )

@@ -1019,3 +1019,127 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre("new_types").alias("vocab_cum"),
         pre("n_tokens").alias("tokens_cum"),
     ).orderBy("decile")
+
+
+@query(
+    "text_source_divergence",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.tok, a.c AS ca, b.c AS cb, na.n AS na, nb.n AS nb
+      FROM tf a
+      JOIN tf b ON a.tok = b.tok AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source),
+    shared AS (
+      SELECT src_a, src_b, ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb,
+             list(struct_pack(tok := tok, ca := ca, cb := cb)
+                  ORDER BY tok) AS rs,
+             CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb
+      FROM pairs GROUP BY 1, 2),
+    scored AS (
+      SELECT src_a, src_b,
+             ROUND(0.5 * (
+               list_aggregate(list_transform(rs, r ->
+                 (CAST(r.ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 * ln(2.0 * (CAST(r.ca AS DOUBLE) / CAST(na AS DOUBLE))
+                      / (CAST(r.ca AS DOUBLE) / CAST(na AS DOUBLE)
+                         + CAST(r.cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 'sum')
+               + CAST(na - sa AS DOUBLE) / CAST(na AS DOUBLE) * ln(2.0)
+               + list_aggregate(list_transform(rs, r ->
+                 (CAST(r.cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * ln(2.0 * (CAST(r.cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / (CAST(r.ca AS DOUBLE) / CAST(na AS DOUBLE)
+                         + CAST(r.cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 'sum')
+               + CAST(nb - sb AS DOUBLE) / CAST(nb AS DOUBLE) * ln(2.0)
+             ), 6) AS jsd
+      FROM shared)
+    SELECT src_a, src_b, jsd FROM scored
+    ORDER BY jsd DESC, src_a, src_b
+    LIMIT 10
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions, top-10 most-divergent pairs — the mixture
+    auditor's question ("which feeds are actually different corpora?")
+    that decides dedup scope and mixture weights before training. JSD
+    because it is finite and symmetric on disjoint vocabularies —
+    exactly where KL and PSI blow up.
+
+    The disjoint-vocabulary mass is handled EXACTLY, not epsilon-fudged:
+    tokens present in only one source contribute p·ln2 apiece (their
+    midpoint is p/2), so those terms sum to (1 - shared_mass)·ln2 per
+    side — two closed-form terms from exact integer totals, no per-token
+    work for the disjoint tail. Shared tokens fold in token order (the
+    stats_jensen_shannon discipline: 2p/(p+q) form, ordered list,
+    ROUND-6 at the end).
+
+    Plan: one (source, token) count shuffle; the pair generation is an
+    equi-join on the TOKEN key (vocabulary-bounded, never a source
+    cross-product of documents); per-pair folds run over the shared
+    vocabulary inside one row each; 10-row TakeOrdered cut. |sources|²
+    pairs bound the output, vocabulary bounds the fold — both Heaps-flat
+    at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = tf.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok2"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, (F.col("tok") == F.col("tok2")) & (F.col("src_a") < F.col("src_b")))
+        .join(F.broadcast(n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))), "src_a")
+        .join(F.broadcast(n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))), "src_b")
+    )
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.array_sort(F.collect_list(F.struct("tok", "ca", "cb"))).alias("rs"),
+        F.sum("ca").cast("long").alias("sa"),
+        F.sum("cb").cast("long").alias("sb"),
+    )
+
+    def _terms(side):
+        def term(r):
+            pa = r["ca"].cast("double") / F.col("na").cast("double")
+            pb = r["cb"].cast("double") / F.col("nb").cast("double")
+            p = pa if side == "a" else pb
+            return p * F.log(F.lit(2.0) * p / (pa + pb))
+
+        return F.aggregate(
+            F.transform("rs", term), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    ln2 = F.log(F.lit(2.0))
+    jsd = F.round(
+        F.lit(0.5)
+        * (
+            _terms("a")
+            + (F.col("na") - F.col("sa")).cast("double") / F.col("na").cast("double") * ln2
+            + _terms("b")
+            + (F.col("nb") - F.col("sb")).cast("double") / F.col("nb").cast("double") * ln2
+        ),
+        6,
+    )
+    return (
+        shared.select("src_a", "src_b", jsd.alias("jsd"))
+        .orderBy(F.col("jsd").desc(), "src_a", "src_b")
+        .limit(10)
+    )

@@ -96,6 +96,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "single report row — both sides bounded",
     "snapshot_orphan_files": "two 1-row count aggregates cross-joined "
     "into the single report row — the snapshot_expire shape",
+    "snapshot_forget_user": "two 1-row audit aggregates cross-joined "
+    "into the single report row — the snapshot_expire shape",
     "dq_benford": "1-row N-total broadcast over the <=9-digit count frame "
     "— the stats_ks_test shape",
     "stats_proportion_ztest": "1-row epoch-midpoint broadcast back over "

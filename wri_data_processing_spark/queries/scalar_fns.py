@@ -366,3 +366,63 @@ def fn_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).alias("iso_dow"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey,
+             substring(sha256(CAST(o_custkey AS VARCHAR) || '|'
+                       || strftime(o_orderdate, '%Y-%m-%d') || '|'
+                       || CAST(o_totalprice AS VARCHAR)), 1, 16) AS sk,
+             CAST(o_custkey AS VARCHAR) || '|'
+               || strftime(o_orderdate, '%Y-%m-%d') || '|'
+               || CAST(o_totalprice AS VARCHAR) AS nat
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT nat) AS BIGINT) AS n_natural,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT nat) - COUNT(DISTINCT sk) AS BIGINT)
+             AS n_collisions,
+           MIN(sk) AS sample_key
+    FROM k
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting + collision audit — the
+    warehouse pattern that replaces sequence generators (which cannot be
+    recomputed, coordinated across writers, or backfilled idempotently):
+    the key is a 16-hex sha256 slice of the canonicalized natural key,
+    so any writer anywhere mints the SAME id for the same business
+    entity, and re-running a backfill is a no-op instead of a dup
+    explosion. The audit emits exactly what a key registry monitors:
+    rows, distinct naturals, distinct keys, and collisions (distinct
+    naturals that hash to the same slice — at 16 hex chars the birthday
+    bound is ~2^32 naturals, and the audit is the tripwire).
+
+    Determinism: canonicalization is explicit ('|'-joined string forms,
+    date formatted not cast — engine-dependent timestamp casts are the
+    classic silent divergence); sha256 is sha256; counts are exact.
+
+    Plan: one scan projection plus one aggregate with three
+    partial-aggregated distincts. MIN(sample_key) pins an actual value
+    cross-engine.
+    """
+    o = table(spark, sf_dir, "orders")
+    nat = F.concat_ws(
+        "|",
+        F.col("o_custkey").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_totalprice").cast("string"),
+    )
+    k = o.select(nat.alias("nat"), F.substring(F.sha2(nat, 256), 1, 16).alias("sk"))
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("nat").cast("long").alias("n_natural"),
+        F.countDistinct("sk").cast("long").alias("n_keys"),
+        (F.countDistinct("nat") - F.countDistinct("sk"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.min("sk").alias("sample_key"),
+    )

@@ -711,3 +711,99 @@ def snapshot_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_orphan",
         F.lit(n_batches).alias("n_orphan_batches"),
     )
+
+
+@query(
+    "snapshot_forget_user",
+    oracle="""
+    WITH v3 AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+         OR (o_orderkey >= 1500 AND o_orderkey < 3000)),
+    f AS (SELECT * FROM v3 WHERE o_custkey % 50 = 0)
+    SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM f) AS BIGINT)
+             AS n_forgotten_users,
+           CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS n_rows_before,
+           CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_rows_purged,
+           CAST((SELECT COUNT(*) FROM v3) - (SELECT COUNT(*) FROM f)
+                AS BIGINT) AS n_rows_after,
+           CAST(0 AS BIGINT) AS n_residual_after,
+           3 AS n_snapshots_expired
+    """,
+)
+def snapshot_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure — the compliance op every lakehouse
+    needs and naive time travel BREAKS: deleting a user from the live
+    snapshot is not erasure while older snapshots still reference the
+    files that contain them. This op does the whole protocol: (1)
+    copy-on-write rewrite of the live snapshot WITHOUT the forgotten
+    users (custkey % 50 == 0 stands in for the request list) published
+    as v4; (2) EXPIRY of every prior snapshot, because GDPR and time
+    travel are mutually exclusive for erased subjects; (3) a residual
+    audit that re-reads the published snapshot and asserts zero
+    forgotten rows remain reachable.
+
+    The audit row carries what a DPO actually signs: how many subjects,
+    how many rows purged, rows before/after (they must reconcile — the
+    oracle recomputes all four from predicates), the residual count
+    (must be 0), and how many history snapshots were expired.
+
+    Plan: erasure is ONE anti-filter scan-and-rewrite of live files (at
+    scale: only files whose min/max custkey ranges overlap the request
+    list — manifest pruning makes forgetting cheap); the audit is two
+    count scans. Metadata (manifest pointer swap + expiry) costs file
+    count, never data size.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "forget_user")
+    o = table(spark, sf_dir, "orders")
+    v3 = _read_snapshot(spark, root, 3)
+    live = v3.join(
+        o.select("o_orderkey", "o_custkey"), "o_orderkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    forget = F.col("o_custkey") % 50 == 0
+    before = live.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_before"),
+        F.countDistinct(F.when(forget, F.col("o_custkey"))).cast("long").alias(
+            "n_forgotten_users"
+        ),
+        F.sum(forget.cast("long")).cast("long").alias("n_rows_purged"),
+    )
+    # (1) copy-on-write rewrite without the forgotten users -> v4.
+    clean_path = os.path.join(root, "v4_clean")
+    live.filter(~forget).select("o_orderkey", "o_totalprice").write.parquet(
+        clean_path
+    )
+    files = sorted(
+        os.path.join(clean_path, f)
+        for f in os.listdir(clean_path)
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(root, "v4.manifest"), "w") as fh:
+        fh.write("\n".join(files) + "\n")
+    # (2) expire all prior snapshots: erasure and time travel are mutually
+    # exclusive for the erased subjects.
+    expired = 0
+    for v in (1, 2, 3):
+        os.rename(
+            os.path.join(root, f"v{v}.manifest"),
+            os.path.join(root, f"v{v}.manifest.expired"),
+        )
+        expired += 1
+    # (3) residual audit: re-read the PUBLISHED snapshot.
+    v4 = _read_snapshot(spark, root, 4).join(
+        o.select("o_orderkey", "o_custkey"), "o_orderkey"
+    )
+    after = v4.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.sum(forget.cast("long")).cast("long").alias("n_residual_after"),
+    )
+    return before.crossJoin(F.broadcast(after)).select(
+        "n_forgotten_users",
+        "n_rows_before",
+        "n_rows_purged",
+        "n_rows_after",
+        "n_residual_after",
+        F.lit(expired).alias("n_snapshots_expired"),
+    )

@@ -109,6 +109,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_power_sample_size",  # pinned-quantile A/B planner (r8)
     "text_source_divergence",  # pairwise source JSD mixture audit (r8)
     "graph_markov_steady",  # Q30 journey-chain steady state (r8)
+    "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
+    "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
     # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
     # added 62 new/changed ops, more than one driver sample can cover.
     # The 12 deferred here are the mechanically-derivative ones (each a

@@ -2165,3 +2165,85 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT cur.event_type, cur.d, cur.c,
+             lag1.c AS f_naive, lag7.c AS f_seasonal
+      FROM g cur
+      JOIN g lag1 ON lag1.event_type = cur.event_type
+                 AND lag1.d = cur.d - INTERVAL 1 DAY
+      JOIN g lag7 ON lag7.event_type = cur.event_type
+                 AND lag7.d = cur.d - INTERVAL 7 DAY)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_origins,
+           CAST(SUM(abs(c - f_naive)) AS BIGINT) AS ae_naive,
+           CAST(SUM(abs(c - f_seasonal)) AS BIGINT) AS ae_seasonal,
+           CAST(SUM(abs(c - f_naive)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+           CAST(SUM(abs(c - f_seasonal)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the evaluation that should gate
+    any forecaster before a dashboard trusts it: at every day with both
+    baselines available, score yesterday's value (naive) and
+    last-same-weekday's value (seasonal naive) against the actual, and
+    report MAE per event type. These two baselines are the published
+    floor every fancier model must beat (the M-competitions' enduring
+    lesson); events_holt_forecast produces the model — this op produces
+    the bar.
+
+    Determinism: daily counts and absolute errors are pure integers
+    (exact BIGINT sums emitted alongside), MAE is one exact division
+    each. The lag joins are date-key EQUI-joins on the calendar-bounded
+    daily frame — no window needed, no ordering sensitivity at all.
+
+    Plan: one (type, day) count shuffle; two self equi-joins on
+    (type, date-k) over |types| x span rows; one rollup to |types| rows.
+    """
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    l1 = g.select(
+        F.col("event_type").alias("et1"),
+        F.date_add("d", 1).alias("d1"),
+        F.col("c").alias("f_naive"),
+    )
+    l7 = g.select(
+        F.col("event_type").alias("et7"),
+        F.date_add("d", 7).alias("d7"),
+        F.col("c").alias("f_seasonal"),
+    )
+    j = g.join(
+        l1, (F.col("event_type") == F.col("et1")) & (F.col("d") == F.col("d1"))
+    ).join(l7, (F.col("event_type") == F.col("et7")) & (F.col("d") == F.col("d7")))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_origins"),
+            F.sum(F.abs(F.col("c") - F.col("f_naive"))).cast("long").alias("ae_naive"),
+            F.sum(F.abs(F.col("c") - F.col("f_seasonal")))
+            .cast("long")
+            .alias("ae_seasonal"),
+            (
+                F.sum(F.abs(F.col("c") - F.col("f_naive"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae_naive"),
+            (
+                F.sum(F.abs(F.col("c") - F.col("f_seasonal"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae_seasonal"),
+        )
+        .orderBy("event_type")
+    )

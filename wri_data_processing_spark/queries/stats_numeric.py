@@ -3211,3 +3211,155 @@ def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     ).orderBy("mde_pct")
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type AS et,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    one AS (
+      SELECT list(struct_pack(et := et, n := n, s := s, ss := ss)
+                  ORDER BY et) AS rs
+      FROM g),
+    w AS (
+      SELECT rs,
+             list_transform(rs, r ->
+               CAST(r.n AS DOUBLE) * sqrt(
+                 (CAST(r.n AS DOUBLE) * CAST(r.ss AS DOUBLE)
+                  - CAST(r.s AS DOUBLE) * CAST(r.s AS DOUBLE))
+                 / (CAST(r.n AS DOUBLE) * CAST(r.n - 1 AS DOUBLE)))) AS ws
+      FROM one),
+    t AS (
+      SELECT rs, ws, list_aggregate(ws, 'sum') AS wt FROM w),
+    fl AS (
+      SELECT rs, ws, wt,
+             list_transform(ws, x ->
+               CAST(floor({_NEYMAN_BUDGET}.0 * x / wt) AS BIGINT)) AS fs,
+             list_transform(ws, x ->
+               {_NEYMAN_BUDGET}.0 * x / wt
+               - floor({_NEYMAN_BUDGET}.0 * x / wt)) AS fr
+      FROM t),
+    rk AS (
+      SELECT rs, ws, fs, fr,
+             CAST({_NEYMAN_BUDGET} - list_aggregate(fs, 'sum') AS BIGINT)
+               AS rem,
+             list_transform(fr, (x, i) ->
+               CAST(len(list_filter(range(1, len(fr) + 1), j ->
+                 fr[j] > x OR (fr[j] = x AND j < i))) AS BIGINT)) AS pos
+      FROM fl)
+    SELECT rs[i].et AS event_type,
+           rs[i].n AS n_pop,
+           ROUND(ws[i] / CAST(rs[i].n AS DOUBLE), 6) AS sigma,
+           fs[i] + CASE WHEN pos[i] < rem THEN 1 ELSE 0 END AS n_alloc
+    FROM rk, UNNEST(range(1, len(rs) + 1)) AS ix(i)
+    ORDER BY event_type
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation — HOW MANY samples each
+    stratum deserves, the question sample_stratified (which takes rates
+    as given) does not answer: n_h proportional to N_h * sigma_h puts
+    budget where the variance is, the textbook-optimal design for
+    estimating the overall mean. A 1000-sample budget splits by exact
+    largest-remainder rounding (floor allocations + the leftovers to the
+    largest fractional parts, ties to the earlier stratum) so the
+    allocations sum to EXACTLY the budget — the off-by-a-few bug every
+    naive proportional rounder ships.
+
+    Determinism: per-stratum (n, Σy, Σy²) are exact decimal sums; sigma
+    is one mirrored division tree + sqrt (IEEE-exact); weights fold in
+    stratum order (jensen_shannon discipline); floors and the remainder
+    ranking are computed inside ONE row over the |strata|-element arrays
+    — the fractional-part comparisons see bit-identical doubles in both
+    engines, so the largest-remainder ranking can never diverge.
+
+    Plan: one map-side-combined aggregate to |strata| rows, one 1-row
+    ordered fold, posexplode. Nothing data-sized after the scan.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("decimal(38,6)").alias("s"),
+        F.sum(y * y).cast("decimal(38,12)").alias("ss"),
+    )
+    one = g.agg(
+        F.array_sort(F.collect_list(F.struct("et", "n", "s", "ss"))).alias("rs")
+    )
+    B = float(_NEYMAN_BUDGET)
+
+    def w_of(r):
+        nd = r["n"].cast("double")
+        return nd * F.sqrt(
+            (nd * r["ss"].cast("double") - r["s"].cast("double") * r["s"].cast("double"))
+            / (nd * (r["n"] - 1).cast("double"))
+        )
+
+    w = one.select("rs", F.transform("rs", w_of).alias("ws"))
+    t = w.select(
+        "rs",
+        "ws",
+        F.aggregate("ws", F.lit(0.0), lambda a, x: a + x).alias("wt"),
+    )
+    fl = t.select(
+        "rs",
+        "ws",
+        "wt",
+        F.transform(
+            "ws", lambda x: F.floor(F.lit(B) * x / F.col("wt")).cast("long")
+        ).alias("fs"),
+        F.transform(
+            "ws",
+            lambda x: F.lit(B) * x / F.col("wt")
+            - F.floor(F.lit(B) * x / F.col("wt")),
+        ).alias("fr"),
+    )
+    rk = fl.select(
+        "rs",
+        "ws",
+        "fs",
+        "fr",
+        (
+            F.lit(_NEYMAN_BUDGET)
+            - F.aggregate("fs", F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+        .cast("long")
+        .alias("rem"),
+        F.transform(
+            "fr",
+            lambda x, i: F.size(
+                F.filter(
+                    F.transform(
+                        "fr",
+                        lambda y2, j: (y2 > x)
+                        | ((y2 == x) & (j < i)),
+                    ),
+                    lambda b: b,
+                )
+            ).cast("long"),
+        ).alias("pos"),
+    )
+    ex = rk.select(F.posexplode("rs").alias("p", "r"), "ws", "fs", "pos", "rem")
+    i1 = F.col("p") + 1
+    return ex.select(
+        F.col("r.et").alias("event_type"),
+        F.col("r.n").alias("n_pop"),
+        F.round(
+            F.element_at("ws", i1) / F.col("r.n").cast("double"), 6
+        ).alias("sigma"),
+        (
+            F.element_at("fs", i1)
+            + F.when(F.element_at("pos", i1) < F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    ).orderBy("event_type")

@@ -111,6 +111,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "graph_markov_steady",  # Q30 journey-chain steady state (r8)
     "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
     "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
+    "events_forecast_backtest",  # naive/seasonal-naive MAE floor (r8)
+    "sample_stratified_neyman",  # variance-optimal budget split (r8)
     # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
     # added 62 new/changed ops, more than one driver sample can cover.
     # The 12 deferred here are the mechanically-derivative ones (each a

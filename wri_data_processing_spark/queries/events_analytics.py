@@ -2247,3 +2247,91 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_interarrival_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY event_type, user_id
+                                                ORDER BY ts, event_id)))
+                      AS BIGINT) AS gap
+      FROM events),
+    gd AS (
+      SELECT event_type AS g, gap AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s WHERE gap IS NOT NULL GROUP BY 1, 2),
+    w AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gd GROUP BY 1),
+    cum AS (
+      SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cm
+      FROM gd)
+    SELECT cum.g AS event_type, w.n AS n_gaps,
+           MIN(CASE WHEN cm >= (w.n * 50 + 99) // 100 THEN v END) AS p50_sec,
+           MIN(CASE WHEN cm >= (w.n * 90 + 99) // 100 THEN v END) AS p90_sec,
+           MIN(CASE WHEN cm >= (w.n * 99 + 99) // 100 THEN v END) AS p99_sec
+    FROM cum JOIN w USING (g)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-arrival latency distribution per event type — p50/p90/
+    p99 of the gap between a user's consecutive events of that type, THE
+    operational metric shape (tail latencies, not means, are what pages
+    fire on). The per-(type, user) LAG keeps gaps within one user's
+    stream — mixing users would measure traffic volume, not behavior.
+
+    Determinism: gaps are exact integer seconds (floored epochs — the
+    stats_proportion_ztest convention: Spark's unix_timestamp truncates
+    where a bare CAST rounds half-even); quantiles are the established
+    VALUE-EXACT (N·p + 99)//100 rank picks against the per-group
+    distinct-gap cumulative frame — the engine runs the scalable
+    _grouped_two_phase_cumsum, the oracle an integer window cumsum, and
+    integer prefix sums agree under any ordering.
+
+    Plan: one partitioned LAG (per type+user, never global), one
+    distinct-gap count shuffle, grouped two-phase prefix, one rank-pick
+    aggregate to |types| rows.
+    """
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _grouped_two_phase_cumsum,
+    )
+
+    e = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts").cast("long")
+            - F.unix_timestamp(F.lag("ts").over(w_lag)).cast("long")
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gd = s.groupBy(F.col("event_type").alias("g"), F.col("gap").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = _grouped_two_phase_cumsum(gd, "g", "v", ["c"])
+    w_ = gd.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    joined = cum.join(F.broadcast(w_), "g")
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("cum_c") >= F.expr(f"(n * {p} + 99) div 100").cast("long"),
+            F.col("v"),
+        )
+    )
+    return (
+        joined.groupBy("g", "n")
+        .agg(
+            pick(50).alias("p50_sec"),
+            pick(90).alias("p90_sec"),
+            pick(99).alias("p99_sec"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_gaps"),
+            "p50_sec",
+            "p90_sec",
+            "p99_sec",
+        )
+        .orderBy("event_type")
+    )

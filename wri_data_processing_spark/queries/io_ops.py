@@ -749,3 +749,66 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("n_rows") != F.col("n_first")).alias("was_overwritten"),
         )
     )
+
+
+@query(
+    "scan_jsonl_quarantine",
+    oracle="""
+    WITH d AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(d.n + 3 AS BIGINT) AS n_lines,
+           CAST(d.n AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT)
+             AS total_chars_good
+    FROM d
+    """,
+)
+def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on JSONL ingest — the production
+    posture for reading feeds you don't control: PERMISSIVE mode routes
+    every unparseable line into the _corrupt_record column instead of
+    killing the job (FAILFAST) or silently dropping it (DROPMALFORMED —
+    the dangerous default people reach for). The fixture appends three
+    classic poison lines to a clean export — truncated JSON, a bare
+    string, and a schema-violating type — and the op reports the ingest
+    triage: total lines, parsed rows, quarantined rows, and a checksum
+    aggregate over the good rows proving the poison didn't corrupt
+    neighbors.
+
+    The oracle states the expected triage from the CLEAN table plus the
+    three known-bad lines — so a parser that drops good rows, parses bad
+    ones, or miscounts fails the compare.
+
+    Plan: one single-pass schema'd read (no inference pass); the corrupt
+    column is only materialized for the counting aggregate. At 100 TB
+    quarantined lines land in a dead-letter table for replay — here the
+    count stands in for that sink.
+    """
+    import os
+
+    path = _scratch_dir("scan_jsonl_quarantine", sf_dir)
+    d = table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(path)
+    poison = [
+        '{"doc_id": 999999, "lang": "en", "n_chars":',  # truncated
+        '"not an object"',  # bare string
+        '{"doc_id": "NaN-ish", "lang": 7, "n_chars": {"nested": true}}',
+    ]
+    with open(os.path.join(path, "poison.json"), "w") as fh:
+        fh.write("\n".join(poison) + "\n")
+    schema = (
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~bad).cast("long")).cast("long").alias("n_good"),
+        F.sum(bad.cast("long")).cast("long").alias("n_quarantined"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("total_chars_good"),
+    )

@@ -113,6 +113,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
     "events_forecast_backtest",  # naive/seasonal-naive MAE floor (r8)
     "sample_stratified_neyman",  # variance-optimal budget split (r8)
+    "events_interarrival_quantiles",  # exact per-type gap tails (r8)
+    "scan_jsonl_quarantine",  # PERMISSIVE poison-line triage (r8)
     # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
     # added 62 new/changed ops, more than one driver sample can cover.
     # The 12 deferred here are the mechanically-derivative ones (each a

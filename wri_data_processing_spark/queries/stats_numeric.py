@@ -3363,3 +3363,101 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alloc"),
     ).orderBy("event_type")
+
+
+_BH_Q = 0.10  # FDR level
+
+
+def _bh_oracle() -> str:
+    from wri_data_processing_spark.registry import ORACLE
+
+    base = ORACLE["stats_permutation_test"]
+    return f"""
+    WITH base AS ({base}),
+    one AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             list(struct_pack(et := event_type, p := p_value)
+                  ORDER BY p_value, event_type) AS rs
+      FROM base),
+    th AS (
+      SELECT m, rs,
+             list_transform(rs, (r, i) ->
+               CAST(i AS DOUBLE) * {_BH_Q} / CAST(m AS DOUBLE)) AS thr
+      FROM one),
+    k AS (
+      SELECT m, rs, thr,
+             CAST(COALESCE(list_max(list_filter(
+               list_transform(rs, (r, i) ->
+                 CASE WHEN r.p <= thr[i] THEN i ELSE 0 END),
+               x -> x > 0)), 0) AS BIGINT) AS kstar
+      FROM th)
+    SELECT rs[i].et AS event_type,
+           rs[i].p AS p_value,
+           CAST(i AS BIGINT) AS rank,
+           thr[i] AS bh_threshold,
+           i <= kstar AS rejected
+    FROM k, UNNEST(range(1, len(rs) + 1)) AS ix(i)
+    ORDER BY rank
+    """
+
+
+@query("stats_fdr_bh", oracle=_bh_oracle())
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-type permutation
+    p-values — the multiple-testing step every metrics platform skips at
+    its peril: run the cohort gap test on five metrics and at alpha 0.05
+    you expect a false positive every fourth experiment; BH controls the
+    FALSE DISCOVERY RATE instead (here q = 0.10): sort p ascending,
+    find the largest k with p_k <= k*q/m, reject exactly ranks 1..k —
+    including the non-significant-alone members below a significant one,
+    which is the part naive per-test thresholds get wrong in both
+    directions.
+
+    COMPOSES stats_permutation_test verbatim (the engine calls the
+    registered op; the oracle embeds its SQL as a CTE), so the p-values
+    are the sha-deterministic exact ones already driver-proven. The BH
+    step itself is pure comparisons of exact doubles against rank*q/m
+    (one exact division each) inside a one-row |tests|-element fold —
+    ties in p break on the type name in both engines.
+
+    Plan: the permutation plan unchanged, then a 5-row ordered fold.
+    """
+    base = stats_permutation_test(spark, sf_dir).select("event_type", "p_value")
+    one = base.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("p_value").alias("p"), F.col("event_type").alias("et")))
+        ).alias("rs"),
+    )
+    th = one.select(
+        "m",
+        "rs",
+        F.transform(
+            "rs",
+            lambda r, i: (i + 1).cast("double") * F.lit(_BH_Q) / F.col("m").cast("double"),
+        ).alias("thr"),
+    )
+    k = th.select(
+        "m",
+        "rs",
+        "thr",
+        F.aggregate(
+            F.transform(
+                "rs",
+                lambda r, i: F.when(
+                    r["p"] <= F.element_at("thr", i + 1), (i + 1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: F.greatest(a, x),
+        ).alias("kstar"),
+    )
+    ex = k.select(F.posexplode("rs").alias("p0", "r"), "thr", "kstar")
+    rank = (F.col("p0") + 1).cast("long")
+    return ex.select(
+        F.col("r.et").alias("event_type"),
+        F.col("r.p").alias("p_value"),
+        rank.alias("rank"),
+        F.element_at("thr", F.col("p0") + 1).alias("bh_threshold"),
+        (rank <= F.col("kstar")).alias("rejected"),
+    ).orderBy("rank")

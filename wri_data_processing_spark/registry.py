@@ -115,6 +115,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sample_stratified_neyman",  # variance-optimal budget split (r8)
     "events_interarrival_quantiles",  # exact per-type gap tails (r8)
     "scan_jsonl_quarantine",  # PERMISSIVE poison-line triage (r8)
+    "stats_fdr_bh",  # BH multiple-testing over permutation ps (r8)
     # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
     # added 62 new/changed ops, more than one driver sample can cover.
     # The 12 deferred here are the mechanically-derivative ones (each a

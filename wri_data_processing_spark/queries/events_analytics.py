@@ -2335,3 +2335,150 @@ def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+    j AS (
+      SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+               AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', f.first_ts),
+                            date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_n,
+             CAST(e.value AS DECIMAL(18,6)) AS y
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL),
+    w AS (
+      SELECT cohort_week, week_n,
+             CAST(SUM(y) AS DECIMAL(38,6)) AS rev
+      FROM j GROUP BY 1, 2),
+    c AS (
+      SELECT cohort_week, week_n, rev,
+             CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_n
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum_rev
+      FROM w)
+    SELECT cohort_week, week_n,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum_rev AS DOUBLE) AS ltv_cum
+    FROM c ORDER BY cohort_week, week_n
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — the money twin of events_retention_cohorts:
+    purchase revenue per signup-week cohort per week-since-signup, plus
+    the running cumulative (the LTV curve payback models are fit to).
+    Retention says WHO comes back; this says what their return is WORTH
+    — the pair every growth model needs together.
+
+    Determinism: the retention op's integer week arithmetic verbatim
+    (date_trunc to Monday both engines, day-diff // 7); revenue
+    accumulates in exact DECIMAL through both the weekly sum AND the
+    running window (decimal window sums are order-independent — no float
+    enters until the final double cast per emitted cell).
+
+    Plan: one per-user MIN, a first-ts join back onto the filtered
+    purchase scan (the retention shape), a (cohort, week) aggregate
+    bounded by weeks², and a cohort-PARTITIONED running window (never
+    global; each cohort's frame is |weeks| rows).
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(f, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.date_trunc("week", "first_ts"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+            F.col("value").cast("decimal(18,6)").alias("y"),
+        )
+    )
+    w = j.groupBy("cohort_week", "week_n").agg(
+        F.sum("y").cast("decimal(38,6)").alias("rev")
+    )
+    win = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        w.withColumn("cum_rev", F.sum("rev").over(win).cast("decimal(38,6)"))
+        .select(
+            "cohort_week",
+            "week_n",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("ltv_cum"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@query(
+    "orders_priority_sla",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship0
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, f.ship0) AS BIGINT)
+               AS days_to_ship
+      FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_30d,
+           CAST(SUM(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sla_rate,
+           CAST(MAX(days_to_ship) AS BIGINT) AS worst_days
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA compliance by order priority — the fulfilment scorecard: what
+    fraction of each priority class got its FIRST shipment out within 30
+    days, and the worst case. The first-shipment anchor matters (an
+    order ships in parts; the SLA clock stops at the first line out the
+    door, which is MIN over lineitems, not a join against every line).
+
+    If the urgent classes don't beat the low ones here, the priority
+    field is decorative — the exact dashboard a TPC-H-shaped business
+    would run daily.
+
+    Determinism: integer day diffs, integer threshold compares, one
+    exact division per class. Plan: one map-side-combined MIN per order
+    (collapses lineitem before the join — the agg-below-join shape q18
+    pins), one equi-join to orders, one rollup to |priorities| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    j = o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("ship0", "o_orderdate").cast("long").alias("days_to_ship"),
+    )
+    within = (F.col("days_to_ship") <= 30).cast("long")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(within).cast("long").alias("n_within_30d"),
+            (F.sum(within).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "sla_rate"
+            ),
+            F.max("days_to_ship").cast("long").alias("worst_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -70,6 +70,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "onto the type/token frames — the stats_ks_test shape, twice",
     "orders_backlog_aging": "1-row as-of max-date broadcast over the "
     "filtered scan — the stream_watermark shape",
+    "events_absence_alert": "1-row max-date broadcast over the scan "
+    "— the stream_watermark shape",
     "stream_drift_monitor": "1-row reference-total broadcast over the "
     "per-window PSI frame (one row per 6h window) — the stats_ks_test shape",
     "dedup_semantic": "nlist-row centroid table broadcast (ivf_assign "

@@ -2482,3 +2482,83 @@ def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "events_absence_alert",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    u AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) <= maxd - 7
+                                      THEN CAST(ts AS DATE) END) AS BIGINT)
+               AS days_before,
+             CAST(COUNT(CASE WHEN CAST(ts AS DATE) > maxd - 7
+                             THEN 1 END) AS BIGINT) AS events_last7,
+             MAX(CAST(ts AS DATE)) AS last_seen,
+             ANY_VALUE(maxd) AS maxd
+      FROM events, mx GROUP BY 1, 2)
+    SELECT user_id, event_type, days_before,
+           strftime(last_seen, '%Y-%m-%d') AS last_seen,
+           CAST(date_diff('day', last_seen, maxd) AS BIGINT) AS days_silent
+    FROM u
+    WHERE days_before >= 10 AND events_last7 = 0
+    ORDER BY days_silent DESC, user_id, event_type
+    """,
+)
+def events_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence alert — the win-back/regression list: (user, behavior)
+    pairs where the user was REGULAR at that event type (>= 10 distinct
+    active days before the final week) and then went completely silent
+    in it for the last 7 days. Dashboards fire on what happened; this
+    fires on what STOPPED happening — churn is an absence, not an event
+    — and the per-BEHAVIOR granularity is what makes it actionable (a
+    user who still clicks but stopped purchasing is a different alert
+    than one who vanished; whole-user absence is also invisible on any
+    corpus where everyone shows up weekly, which this fixture probes
+    proved the hard way).
+
+    Determinism: one whole-table max date via the 1-row broadcast, exact
+    integer distinct-day and event counts split at the maxd - 7 boundary
+    inside ONE conditional aggregate — no second scan, no anti-join of
+    two time slices (the naive spelling); days_silent is an integer date
+    diff; ordering ties on (user, type).
+
+    Plan: one scan, the stream_watermark-shape broadcast back, one
+    (user, type) conditional aggregate, and a filtered sort of the tiny
+    alert set. At 100 TB the alert list, not the log, is the output.
+    """
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    u = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.to_date("ts") <= F.date_sub(F.col("maxd"), 7),
+                    F.to_date("ts"),
+                )
+            )
+            .cast("long")
+            .alias("days_before"),
+            F.count(
+                F.when(F.to_date("ts") > F.date_sub(F.col("maxd"), 7), 1)
+            )
+            .cast("long")
+            .alias("events_last7"),
+            F.max(F.to_date("ts")).alias("last_seen"),
+            F.first("maxd").alias("maxd"),
+        )
+    )
+    return (
+        u.filter((F.col("days_before") >= 10) & (F.col("events_last7") == 0))
+        .select(
+            "user_id",
+            "event_type",
+            "days_before",
+            F.date_format("last_seen", "yyyy-MM-dd").alias("last_seen"),
+            F.datediff("maxd", "last_seen").cast("long").alias("days_silent"),
+        )
+        .orderBy(F.col("days_silent").desc(), "user_id", "event_type")
+    )

@@ -118,6 +118,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_fdr_bh",  # BH multiple-testing over permutation ps (r8)
     "events_cohort_ltv",  # decimal-exact cohort revenue curves (r8)
     "orders_priority_sla",  # first-shipment SLA scorecard (r8)
+    "events_absence_alert",  # stopped-behavior win-back list (r8)
     # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
     # added 62 new/changed ops, more than one driver sample can cover.
     # The 12 deferred here are the mechanically-derivative ones (each a

@@ -127,6 +127,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "graph_triangle_count": "1-row edge-count denominator broadcast",
     "graph_markov_steady": "1-row occupancy-total broadcast onto the "
     "|types|-row steady vector — the stats_ks_test shape",
+    "graph_hits": "1-row score-total broadcast per renormalized half-step "
+    "(three, each bounded) — the graph_markov_steady shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

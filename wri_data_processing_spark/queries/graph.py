@@ -600,3 +600,380 @@ def graph_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BFS_ROUNDS = 6
+_BFS_INF = 1_048_576  # 2^20 "unreached" sentinel, far above any 6-hop distance
+
+
+def _bfs_oracle() -> str:
+    """Unrolled 6-round BFS relaxation. MATERIALIZED per round: each round
+    references the previous label frame twice (self distance + neighbor
+    min), so the unhinted chain inlines 2^6 copies."""
+    parts = [
+        f"""
+    items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e0 AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM sup
+      UNION ALL SELECT v AS node, u AS nb FROM sup),
+    src AS (SELECT MIN(u) AS s FROM sup),
+    b0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node = (SELECT s FROM src)
+                  THEN CAST(0 AS BIGINT) ELSE CAST({_BFS_INF} AS BIGINT)
+             END AS d
+      FROM (SELECT DISTINCT node FROM e0))"""
+    ]
+    for k in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"""
+    b{k} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.d, nbmin.m + 1) AS d
+      FROM b{k - 1} l
+      JOIN (SELECT e.node, MIN(l2.d) AS m
+            FROM e0 e JOIN b{k - 1} l2 ON e.nb = l2.node GROUP BY 1) nbmin
+        ON l.node = nbmin.node)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT CASE WHEN d > {_BFS_ROUNDS} THEN CAST(-1 AS BIGINT) ELSE d END AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM b{_BFS_ROUNDS} GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@query("graph_bfs_layers", oracle=f"WITH {_bfs_oracle()}")
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS layer census over the support-2 co-purchase graph:
+    hop distance from the minimum-keyed part, bucketed into layers 0..6
+    plus a -1 "not reached within 6 hops" bucket (at sf0.01 the graph's
+    eccentricity is ~10 with a handful of disconnected nodes, so the
+    sentinel bucket is non-empty — probed before designing, per the
+    degenerate-fixture rule; the raw support-1 graph is a near-clique
+    where every node sits at hop 1).
+
+    Semantics: 6 synchronous Bellman-Ford-style relaxations
+    d'(n) = min(d(n), 1 + min_nb d(nb)) from d0 = 0 at the source and an
+    integer-infinity sentinel elsewhere. After R rounds every true
+    distance <= R is exact (relaxation can only improve toward BFS
+    truth), and anything still above R is reported as the -1 horizon
+    bucket — the graph_kcore contract: the closure is the spec, a fixed
+    round count is the implementation, and the horizon bucket makes the
+    truncation explicit instead of silent.
+
+    Determinism: pure integer mins over equi-joins — bit-identical under
+    any partitioning; no floats anywhere.
+
+    Plan: per round one map-side-combined min-aggregate on the edge key
+    plus one equi-join back to the label frame; the label frame is
+    localCheckpointed per round because each round consumes it TWICE
+    (self + neighbor min) — the graph_kcore 3^R plan-size lesson, here
+    2^R. At 100 TB this is exactly Pregel-on-DataFrames: frontier work
+    shrinks as distances settle, and the iteration count bounds cost.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    edges = sup.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        sup.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    src = sup.agg(F.min("u").alias("s")).collect()[0]["s"]  # 1 scalar, bounded
+    labels = (
+        edges.select("node")
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == F.lit(src), F.lit(0))
+            .otherwise(F.lit(_BFS_INF))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_ROUNDS):
+        nbmin = (
+            edges.join(
+                labels.select(F.col("node").alias("nb"), F.col("d").alias("nd")), "nb"
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("m"))
+        )
+        labels = (
+            labels.join(nbmin, "node")
+            .select("node", F.least(F.col("d"), F.col("m") + F.lit(1)).alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        labels.select(
+            F.when(F.col("d") > _BFS_ROUNDS, F.lit(-1))
+            .otherwise(F.col("d"))
+            .cast("long")
+            .alias("hop"),
+            "node",
+        )
+        .groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS MATERIALIZED (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb),
+    pertri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY 1),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+      GROUP BY 1)
+    SELECT deg.node, deg.d, COALESCE(pertri.tri, 0) AS tri,
+           ROUND(CAST(2 * COALESCE(pertri.tri, 0) AS DOUBLE)
+                 / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+    FROM deg LEFT JOIN pertri USING (node)
+    WHERE deg.d >= 2
+    ORDER BY CAST(2 * COALESCE(pertri.tri, 0) AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE) DESC, deg.node
+    LIMIT 20
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the support-2 co-purchase graph:
+    the 20 parts (degree >= 2) whose neighborhoods are most tightly
+    interlinked — coeff = 2*tri / (d*(d-1)), the fraction of a node's
+    neighbor pairs that are themselves co-purchased. The per-node
+    refinement of graph_triangle_count's global census: ego-density is
+    the standard community-core / spam-ring signal.
+
+    Triangles come from the same canonical oriented wedge join as
+    graph_triangle_count (pa < pb storage finds each triangle a<b<c
+    exactly once), then each triangle credits ALL THREE corners via a
+    3-way unionAll explode — no /3 correction needed because the
+    canonical triple is already unique. Degree-1 nodes are excluded
+    (their coefficient is 0/0); triangle-free nodes keep coeff 0 through
+    the LEFT join + coalesce.
+
+    Determinism: tri and d are exact BIGINTs; coeff is ONE IEEE division
+    of exact integers (bit-identical across engines — the
+    graph_jaccard_linkpred contract), and the top-20 ordering ties break
+    on the node key.
+
+    Plan: the localCheckpointed survivor edge set feeds the two wedge
+    sides, the closing join, and the degree count (the AQE-breaks-
+    ReusedExchange-on-self-joins lesson); top-20 is a TakeOrdered, never
+    a global sort. At 100 TB degree-ordering the orientation bounds the
+    wedge fan-out, as graph_triangle_count documents.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(
+        e.select(F.col("pa").alias("x"), F.col("pb").alias("z")), ["x", "z"]
+    )
+    pertri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    joined = (
+        deg.join(pertri, "node", "left")
+        .select("node", "d", F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"))
+        .filter(F.col("d") >= 2)
+    )
+    coeff = (2 * F.col("tri")).cast("double") / (
+        F.col("d") * (F.col("d") - 1)
+    ).cast("double")
+    return (
+        joined.orderBy(coeff.desc(), "node")
+        .limit(20)
+        .select("node", "d", "tri", F.round(coeff, 6).alias("coeff"))
+    )
+
+
+_HITS_Q = 1_073_741_824  # Q30 fixed point, matching graph_pagerank
+
+
+def _hits_oracle() -> str:
+    """Mutually-renormalized authority/hub half-steps a1 -> h1 -> a2 over
+    the bipartite customer->part purchase graph, in HUGEINT Q30."""
+    return f"""
+    edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a1r AS MATERIALIZED (
+      SELECT p, CAST(COUNT(*) AS BIGINT) * {_HITS_Q} AS raw
+      FROM edges GROUP BY 1),
+    a1 AS MATERIALIZED (
+      SELECT p, CAST(CAST(raw AS HUGEINT) * {_HITS_Q}
+                     // (SELECT SUM(raw) FROM a1r) AS BIGINT) AS q
+      FROM a1r),
+    h1r AS MATERIALIZED (
+      SELECT e.c, CAST(SUM(a1.q) AS BIGINT) AS raw
+      FROM edges e JOIN a1 ON e.p = a1.p GROUP BY 1),
+    h1 AS MATERIALIZED (
+      SELECT c, CAST(CAST(raw AS HUGEINT) * {_HITS_Q}
+                     // (SELECT SUM(raw) FROM h1r) AS BIGINT) AS q
+      FROM h1r),
+    a2r AS MATERIALIZED (
+      SELECT e.p, CAST(SUM(h1.q) AS BIGINT) AS raw
+      FROM edges e JOIN h1 ON e.c = h1.c GROUP BY 1),
+    a2 AS MATERIALIZED (
+      SELECT p, CAST(CAST(raw AS HUGEINT) * {_HITS_Q}
+                     // (SELECT SUM(raw) FROM a2r) AS BIGINT) AS q
+      FROM a2r),
+    tops AS (
+      (SELECT 'authority' AS side, CAST(p AS BIGINT) AS id, q AS score_q
+       FROM a2 ORDER BY q DESC, p LIMIT 15)
+      UNION ALL
+      (SELECT 'hub' AS side, CAST(c AS BIGINT) AS id, q AS score_q
+       FROM h1 ORDER BY q DESC, c LIMIT 15))
+    SELECT side, id, score_q,
+           CAST(score_q AS DOUBLE) / {_HITS_Q} AS score
+    FROM tops ORDER BY side, score_q DESC, id
+    """
+
+
+@query("graph_hits", oracle=f"WITH {_hits_oracle()}")
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the bipartite customer->part
+    purchase graph (Kleinberg 1999): hub score of a customer = sum of
+    the authority of the parts they buy; authority of a part = sum of
+    the hubs buying it. Three mutually-renormalized half-steps
+    (a1 <- uniform hubs, h1 <- a1, a2 <- h1) — the "important buyers buy
+    important parts" fixpoint after one full mutual reinforcement, the
+    catalog-curation / whale-detection twin of graph_pagerank's
+    centrality. Output: top-15 authorities and top-15 hubs.
+
+    Determinism: the graph_pagerank Q30 contract extended with SUM
+    renormalization — each half-step's raw scores are exact BIGINT sums,
+    then q = raw * 2^30 // total(raw) in DECIMAL(38,0) (Spark `div` /
+    DuckDB HUGEINT `//` truncate identically — probed in
+    embed_pca_power); the quotient is back under 2^30 so it always fits
+    long. The top-15 cut orders on the INTEGER score (ties break on the
+    id), and the float projection divides by the exact binary 2^30.
+
+    Plan: the distinct (customer, part) edge list is ONE orders-lineitem
+    equi-join, localCheckpointed because three half-steps re-consume it
+    (consumers differ — the graph_kcore rule); each half-step is a
+    broadcast join of the current score vector onto the edges, a
+    map-side-combined sum, and a 1-row total broadcast for the
+    renormalization (whitelisted, the stats_ks_test shape). At 100 TB
+    the edge build dominates; the score vectors stay dimension-table
+    sized and broadcastable.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    edges = o.join(li, "ok").select("c", "p").distinct().localCheckpoint()
+
+    def _normalize(raw: DataFrame, key: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").cast("decimal(38,0)").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(f"CAST(CAST(raw AS DECIMAL(38,0)) * {_HITS_Q} div tot AS BIGINT)")
+            .alias("q"),
+        )
+
+    a1r = edges.groupBy("p").agg(
+        (F.count(F.lit(1)) * F.lit(_HITS_Q)).cast("long").alias("raw")
+    )
+    a1 = _normalize(a1r, "p")
+    h1r = (
+        edges.join(F.broadcast(a1), "p")
+        .groupBy("c")
+        .agg(F.sum("q").cast("long").alias("raw"))
+    )
+    h1 = _normalize(h1r, "c").localCheckpoint()  # feeds a2 AND the hub top-15
+    a2r = (
+        edges.join(F.broadcast(h1), "c")
+        .groupBy("p")
+        .agg(F.sum("q").cast("long").alias("raw"))
+    )
+    a2 = _normalize(a2r, "p")
+    auth_top = (
+        a2.orderBy(F.col("q").desc(), "p")
+        .limit(15)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").cast("long").alias("id"),
+            F.col("q").alias("score_q"),
+        )
+    )
+    hub_top = (
+        h1.orderBy(F.col("q").desc(), "c")
+        .limit(15)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").cast("long").alias("id"),
+            F.col("q").alias("score_q"),
+        )
+    )
+    return (
+        auth_top.unionAll(hub_top)
+        .select(
+            "side",
+            "id",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(_HITS_Q))).alias("score"),
+        )
+        .orderBy("side", F.col("score_q").desc(), "id")
+    )

@@ -40,23 +40,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Driver-sample priority: the correctness harness samples the FIRST ~50
 # registered queries, so registration order decides which operators get a
-# hard driver-verified CORRECTNESS row each round.  Round-8 rotation
-# (VERDICT r7 item 7 — no green row should go more than ~5 rounds stale):
-# (a) ops NEW or whose module CHANGED in r8 go first so they get a row in
-#     the round they land (sim_ann_lsh's multi-probe rewrite leads; new r8
-#     ops are inserted here as they land),
-# (b) the STALEST standing rows re-prove next: the aggregates.py family and
-#     the two r2-era geo ops were last driver-sampled in round 2,
-# (c) then the r3-era scalar/relational/window/set/sort singles (last rows
-#     r3) — the 24 r8 ops + 9 r2-era rows leave ~17 of these in the
-#     ~50-sample window this round; the remainder rotate in r9,
-# (d) the tail keeps recent heads (r6/r7 rows are fresh; they re-enter the
-#     window in r9/r10 under the same rotation rule).
+# hard driver-verified CORRECTNESS row each round.  Round-9 rotation
+# (continuing the VERDICT r7 item-7 rule — no op stays never-sampled for
+# more than one round, no green row goes stale for more than ~5 rounds):
+# (a) the 24 r8 ops that landed BEYOND r8's 50-slot sample window (the 12
+#     late-session adds + the 12 deliberately deferred derivative ops) go
+#     FIRST — each is locally oracle-proven at both SFs but has no driver
+#     row yet; this is the mandatory front-load,
+# (b) new r9 ops are inserted next as they land so they get a row in the
+#     round they land,
+# (c) remaining slots re-prove the stalest standing rows (the r2-era
+#     aggregates family, then the r3-era relational/window/sort singles),
+# (d) the tail keeps r8-sampled and r6/r7-fresh heads; they re-enter the
+#     window in later rounds under the same rotation rule.
 # Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the
 # sampled window: the driver records them as `no_oracle` ERR rows (r2's
 # agg_freq_items proved it), which reads as red for zero information.
 _DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- (a) r8 new/changed ops --
+    # -- (a) r8 ops with NO driver row yet: the mandatory r9 front-load --
+    "text_source_divergence",  # pairwise source JSD mixture audit (r8)
+    "graph_markov_steady",  # Q30 journey-chain steady state (r8)
+    "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
+    "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
+    "events_forecast_backtest",  # naive/seasonal-naive MAE floor (r8)
+    "sample_stratified_neyman",  # variance-optimal budget split (r8)
+    "events_interarrival_quantiles",  # exact per-type gap tails (r8)
+    "scan_jsonl_quarantine",  # PERMISSIVE poison-line triage (r8)
+    "stats_fdr_bh",  # BH multiple-testing over permutation ps (r8)
+    "events_cohort_ltv",  # decimal-exact cohort revenue curves (r8)
+    "orders_priority_sla",  # first-shipment SLA scorecard (r8)
+    "events_absence_alert",  # stopped-behavior win-back list (r8)
+    "stats_cramers_v",  # bounded effect size over lang x source (r8)
+    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
+    "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
+    "events_stickiness",  # DAU/WAU via 7-day coverage explode (r8)
+    "stats_levene_bf",  # median-centered variance-equality gate (r8)
+    "dq_duplicate_payments",  # banded double-payment sweep (r8)
+    "events_cooccurrence_pmi",  # same-day type-pair PMI (r8)
+    "text_heaps_law",  # first-seen vocab growth by decile (r8)
+    "events_velocity_alert",  # peak-hour bot/rate screening (r8)
+    "orders_backlog_aging",  # open-order aging value report (r8)
+    "stats_calibration_bins",  # reliability-diagram deciles (r8)
+    "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
+    # -- (b) new r9 ops are inserted HERE as they land --
+    "graph_bfs_layers",  # single-source BFS layer census, horizon bucket (r9)
+    "graph_clustering_coefficient",  # per-node ego-density top-20 (r9)
+    "graph_hits",  # bipartite hubs/authorities, Q30 renormalized (r9)
+    # -- (c) stalest rows: last driver-sampled in ROUND 2 --
+    "agg_count_by_group",
+    "agg_conditional_count",
+    "agg_distinct_sorted",
+    "agg_duplicate_keys",
+    "agg_first_value",
+    "agg_minmax_stats",
+    "agg_approx_distinct",
+    "validate_assumptions",
+    "geo_overview_pyramid",
+    # -- (d) r8-sampled heads (fresh r8 rows) --
     "sim_ann_lsh",  # multi-probe rewrite (r7 verdict item 1): recall 0.4 -> 1.0
     "multimodal_features_real",  # executed BMP codec decode (r7 item 6)
     "multimodal_dhash",  # perceptual fingerprint over decoded pixels (r8)
@@ -107,48 +147,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
     "events_peak_concurrency",  # sweep-line capacity planning (r8)
     "stats_power_sample_size",  # pinned-quantile A/B planner (r8)
-    "text_source_divergence",  # pairwise source JSD mixture audit (r8)
-    "graph_markov_steady",  # Q30 journey-chain steady state (r8)
-    "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
-    "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
-    "events_forecast_backtest",  # naive/seasonal-naive MAE floor (r8)
-    "sample_stratified_neyman",  # variance-optimal budget split (r8)
-    "events_interarrival_quantiles",  # exact per-type gap tails (r8)
-    "scan_jsonl_quarantine",  # PERMISSIVE poison-line triage (r8)
-    "stats_fdr_bh",  # BH multiple-testing over permutation ps (r8)
-    "events_cohort_ltv",  # decimal-exact cohort revenue curves (r8)
-    "orders_priority_sla",  # first-shipment SLA scorecard (r8)
-    "events_absence_alert",  # stopped-behavior win-back list (r8)
-    # -- (a-tail) r8 ops BEYOND the ~50-slot sample window: this round
-    # added 62 new/changed ops, more than one driver sample can cover.
-    # The 12 deferred here are the mechanically-derivative ones (each a
-    # re-composition of already-driver-green machinery: the chi2 frame,
-    # simple lags/aggregates, the sha-score family, sampled cumsum
-    # consumers) — locally oracle-proven at both SFs; they are r9's
-    # front-load so no op is ever never-sampled for more than one round.
-    "stats_cramers_v",  # bounded effect size over lang x source (r8)
-    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
-    "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
-    "events_stickiness",  # DAU/WAU via 7-day coverage explode (r8)
-    "stats_levene_bf",  # median-centered variance-equality gate (r8)
-    "dq_duplicate_payments",  # banded double-payment sweep (r8)
-    "events_cooccurrence_pmi",  # same-day type-pair PMI (r8)
-    "text_heaps_law",  # first-seen vocab growth by decile (r8)
-    "events_velocity_alert",  # peak-hour bot/rate screening (r8)
-    "orders_backlog_aging",  # open-order aging value report (r8)
-    "stats_calibration_bins",  # reliability-diagram deciles (r8)
-    "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
-    # -- (b) stalest rows: last driver-sampled in ROUND 2 --
-    "agg_count_by_group",
-    "agg_conditional_count",
-    "agg_distinct_sorted",
-    "agg_duplicate_keys",
-    "agg_first_value",
-    "agg_minmax_stats",
-    "agg_approx_distinct",
-    "validate_assumptions",
-    "geo_overview_pyramid",
-    # -- (c) r3-era rows: the relational/window/sort/set/scalar singles --
+    # -- (e) r3-era rows: the relational/window/sort/set/scalar singles --
     "filter_exclude_paths",
     "filter_predicate",
     "split_by_flag",
@@ -169,8 +168,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "sink_overwrite_table",
     "sink_json_docs",
     "stream_watermark",
-    # -- (d) recent heads whose modules are likeliest to be touched again;
-    #    all have fresh r6/r7 rows, these slots guard against r8 edits --
+    # -- (f) recent heads with fresh r6/r7 rows --
     "stats_chi2_independence",
     "stats_psi",
     "stats_quantiles_exact",

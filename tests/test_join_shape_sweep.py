@@ -129,6 +129,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "|types|-row steady vector — the stats_ks_test shape",
     "graph_hits": "1-row score-total broadcast per renormalized half-step "
     "(three, each bounded) — the graph_markov_steady shape",
+    "stats_wilcoxon_signed_rank": "1-row integer epoch-midpoint broadcast "
+    "over the scan — the stats_proportion_ztest shape",
+    "stats_mutual_info": "1-row grand-total n broadcast over the "
+    "(types x quadrants) cells frame — the stats_chi2_independence shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

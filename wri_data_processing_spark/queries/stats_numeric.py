@@ -3461,3 +3461,372 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("thr", F.col("p0") + 1).alias("bh_threshold"),
         (rank <= F.col("kstar")).alias("rejected"),
     ).orderBy("rank")
+
+
+@query(
+    "stats_mcnemar",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND hour(CAST(ts AS TIMESTAMP)) < 12
+                      THEN 1 ELSE 0 END) AS am,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND hour(CAST(ts AS TIMESTAMP)) >= 12
+                      THEN 1 ELSE 0 END) AS pm
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN am = 1 AND pm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN am = 1 AND pm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN am = 0 AND pm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN am = 0 AND pm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM ud)
+    SELECT n_pairs, n11, n10, n01, n00,
+           ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / CAST(n10 + n01 AS DOUBLE), 6) AS mcnemar_chi2
+    FROM c
+    """,
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: does purchase behavior
+    differ between morning and afternoon on the same user-day? The
+    within-subject companion to stats_proportion_ztest's independent-
+    samples z — the pairing (each user-day is its own control) removes
+    between-user variance, and only the DISCORDANT pairs (n10/n01) carry
+    information: chi2 = (b-c)^2/(b+c) on 1 dof.
+
+    The unit is (user, day), NOT user: probed first (the degenerate-
+    fixture rule) — every synthetic user purchases in both halves of the
+    timeline, so user-level pre/post is all-concordant and the statistic
+    collapses to 0/0; at the user-day grain the discordant cells are
+    ~67/72 at sf0.001.
+
+    Determinism: four exact BIGINT cells from one aggregate; the
+    statistic is integer (b-c)^2 over integer (b+c) — ONE IEEE division,
+    ROUND-6 closed. Plan: one map-side-combined (user, day) aggregate,
+    then a 5-column global fold to a single row. Nothing else.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.hour("ts") < 12), 1
+            ).otherwise(0)
+        ).alias("am"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.hour("ts") >= 12), 1
+            ).otherwise(0)
+        ).alias("pm"),
+    )
+    c = ud.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("am") == 1) & (F.col("pm") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("am") == 1) & (F.col("pm") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("am") == 0) & (F.col("pm") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("am") == 0) & (F.col("pm") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    stat = ((F.col("n10") - F.col("n01")) * (F.col("n10") - F.col("n01"))).cast(
+        "double"
+    ) / (F.col("n10") + F.col("n01")).cast("double")
+    return c.select(
+        "n_pairs", "n11", "n10", "n01", "n00", F.round(stat, 6).alias("mcnemar_chi2")
+    )
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT)
+             + (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 2 AS m
+      FROM events WHERE value IS NOT NULL),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < (SELECT m FROM mid)
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1,
+             SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= (SELECT m FROM mid)
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    d AS (
+      SELECT CAST((s2 - s1) * 1000000 AS BIGINT) AS ds
+      FROM u WHERE s2 <> s1),
+    gv AS (
+      SELECT abs(ds) AS absd, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN ds > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM d GROUP BY 1),
+    cv AS (
+      SELECT absd, cnt, pos,
+             2 * (SUM(cnt) OVER (ORDER BY absd ROWS UNBOUNDED PRECEDING) - cnt)
+               + cnt + 1 AS rank2
+      FROM gv),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(pos * rank2) AS BIGINT) AS w2_plus,
+             CAST(SUM((cnt - pos) * rank2) AS BIGINT) AS w2_minus
+      FROM cv)
+    SELECT n, w2_plus, w2_minus,
+           ROUND(CAST(w2_plus - n * (n + 1) // 2 AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) // 6 AS DOUBLE))),
+                 6) AS z
+    FROM t
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-user spend SHIFT between the
+    first and second half of the timeline? The PAIRED companion to
+    stats_mann_whitney (two independent samples) — each user is their own
+    control, differences d = spend_H2 - spend_H1 are ranked by |d| with
+    average ranks for ties, and W+ sums the ranks of the positive
+    differences. Zero differences are excluded (standard treatment).
+
+    Determinism: half-sums are exact DECIMAL(18,6); d scales to an exact
+    BIGINT (x 1e6), so |d| grouping and ordering are pure integers.
+    Average tie ranks use the DOUBLED-rank trick from
+    stats_kruskal_wallis (2*cnt_less + cnt_eq + 1 is always integer), so
+    W2+ = 2*W+ stays BIGINT. The z numerator 2*(W+ - n(n+1)/4) =
+    W2+ - n(n+1)/2 is integer (n(n+1) is even), the variance
+    n(n+1)(2n+1)/6 is the integer sum of squares, and z is one IEEE
+    division over 2*sqrt(integer) — sqrt is cross-engine safe, ROUND-6
+    closes it. (No tie-correction term; ties are measure-zero in scaled
+    micro-units and both engines would drop the identical term.)
+
+    Plan: one map-side-combined per-user aggregate (the epoch midpoint
+    is ALL-INTEGER, a 1-row broadcast — the stats_proportion_ztest
+    shape, whitelisted), one |d|-group aggregate, then the two-phase
+    cumulative sum (no single-partition window) and a 3-column fold.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sec = F.unix_timestamp("ts")
+    mm = e.agg(
+        F.min(sec).cast("long").alias("lo"), F.max(sec).cast("long").alias("hi")
+    ).select((F.col("lo") + F.expr("(hi - lo) div 2")).alias("mid"))
+    dec0 = F.lit(0).cast("decimal(18,6)")
+    u = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(sec < F.col("mid"), F.col("value").cast("decimal(18,6)"))
+                .otherwise(dec0)
+            ).alias("s1"),
+            F.sum(
+                F.when(sec >= F.col("mid"), F.col("value").cast("decimal(18,6)"))
+                .otherwise(dec0)
+            ).alias("s2"),
+        )
+    )
+    d = u.filter(F.col("s2") != F.col("s1")).select(
+        ((F.col("s2") - F.col("s1")) * 1000000).cast("long").alias("ds")
+    )
+    gv = d.groupBy(F.abs(F.col("ds")).alias("absd")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("ds") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    cw = _two_phase_cumsum(gv, "absd", ["cnt"])
+    cv = cw.select(
+        "cnt",
+        "pos",
+        (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1).alias("rank2"),
+    )
+    t = cv.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("pos") * F.col("rank2")).cast("long").alias("w2_plus"),
+        F.sum((F.col("cnt") - F.col("pos")) * F.col("rank2"))
+        .cast("long")
+        .alias("w2_minus"),
+    )
+    z = (
+        F.col("w2_plus") - F.expr("n * (n + 1) div 2")
+    ).cast("double") / (
+        F.lit(2.0)
+        * F.sqrt(F.expr("CAST(n * (n + 1) * (2 * n + 1) div 6 AS DOUBLE)"))
+    )
+    return t.select("n", "w2_plus", "w2_minus", F.round(z, 6).alias("z"))
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN CAST(('0x' || substring(sha256('kap:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1073741824 * 5 < 1073741824
+                  THEN 1 - CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+                  ELSE CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+             END AS rb
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM r)
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe,
+           ROUND(CAST(2 * (n11 * n00 - n10 * n01) AS DOUBLE)
+                 / CAST((n11 + n10) * (n10 + n00)
+                        + (n11 + n01) * (n01 + n00) AS DOUBLE), 6) AS kappa
+    FROM c
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    annotators on document quality, the standard inter-rater metric for
+    labeling-pipeline QA. Rater A is the length heuristic
+    (n_chars >= 400); rater B is a NOISY SECOND ANNOTATOR stand-in —
+    rater A's label flipped with probability 1/5 by a salted sha-slice
+    uniform per doc (the stats_calibration_bins stand-in discipline:
+    deterministic, and the known answer is kappa ~= the noise-free 0.6
+    that a 20% symmetric flip implies; swap in any real second label
+    column and the operator is unchanged).
+
+    Probed before designing: every length-ish rater pair on the
+    synthetic corpus is perfectly NESTED (chars and whitespace words are
+    linearly coupled, so one off-diagonal cell is structurally zero);
+    the sha flip is what makes all four cells carry mass.
+
+    Determinism: the flip compares in pure integers (u*5 < 2^30); the
+    four cells are one exact aggregate; po, pe, and kappa (the
+    2(ad-bc) / ((a+b)(b+d)+(a+c)(c+d)) closed form) are each ONE IEEE
+    division of exact BIGINTs, ROUND-6. Plan: one map-side-combined
+    fold to a single row — no joins, no shuffle beyond the final
+    1-row combine.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ra = F.when(F.col("n_chars") >= 400, 1).otherwise(0)
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("kap:"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1073741824).cast("long")
+    )
+    rb = F.when(u * 5 < F.lit(1073741824), 1 - ra).otherwise(ra)
+    r = docs.select(ra.alias("ra"), rb.alias("rb"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    kappa = (
+        2 * (F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01"))
+    ).cast("double") / (
+        (F.col("n11") + F.col("n10")) * (F.col("n10") + F.col("n00"))
+        + (F.col("n11") + F.col("n01")) * (F.col("n01") + F.col("n00"))
+    ).cast("double")
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+@query(
+    "stats_mutual_info",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) // 6 AS tod,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+    rt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT tod, CAST(SUM(c) AS BIGINT) AS ct FROM o GROUP BY 1),
+    cells AS (
+      SELECT (CAST(o.c AS DOUBLE) / CAST(m.n AS DOUBLE))
+             * ln((CAST(o.c AS DOUBLE) * CAST(m.n AS DOUBLE))
+                  / (CAST(rt.r AS DOUBLE) * CAST(ct.ct AS DOUBLE))) AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (tod), m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(list_aggregate(list(term ORDER BY term), 'sum'), 6) AS mi_nats
+    FROM cells
+    """,
+)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and time-of-day quadrant
+    (hour // 6) — "how much does WHEN predict WHAT": the
+    information-theoretic dependence measure completing the categorical
+    family (chi2 tests independence, Cramer's V sizes the effect, MI
+    measures it in nats and is what feature-selection pipelines rank
+    by). I(X;Y) = sum_ij p_ij * ln(p_ij / (p_i q_j)).
+
+    Determinism: counts are exact BIGINTs; each cell's term is the
+    identical IEEE tree on both engines — the ratio is computed as
+    (c*n)/(r*ct) with the products taken IN DOUBLE (BIGINT c*n overflows
+    int64 once n > ~3e9 rows; double multiply is the scale-safe form and
+    is still bit-identical), then ln (the cross-engine-safe
+    transcendental, stats_psi precedent). The final sum runs in
+    ASCENDING SORTED order on both sides (the stats_chi2_independence
+    ordered-fold contract), ROUND-6 closed.
+
+    Plan: one map-side-combined (type, quadrant) count — the only
+    data-sized stage — then broadcast joins of the |X|-row and |Y|-row
+    marginals and a 20-double ordered fold. The 1-row grand-total
+    broadcast is the whitelisted stats_ks_test shape.
+    """
+    e = table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.expr("hour(ts) div 6").cast("long").alias("tod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rt = o.groupBy("event_type").agg(F.sum("c").cast("long").alias("r"))
+    ct = o.groupBy("tod").agg(F.sum("c").cast("long").alias("ct"))
+    m = o.agg(F.sum("c").cast("long").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n").cast("double")) * F.log(
+        (F.col("c").cast("double") * F.col("n").cast("double"))
+        / (F.col("r").cast("double") * F.col("ct").cast("double"))
+    )
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "tod")
+        .crossJoin(F.broadcast(m))
+        .select(term.alias("term"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("mi_nats"),
+    )

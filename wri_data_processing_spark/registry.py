@@ -86,6 +86,10 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "graph_bfs_layers",  # single-source BFS layer census, horizon bucket (r9)
     "graph_clustering_coefficient",  # per-node ego-density top-20 (r9)
     "graph_hits",  # bipartite hubs/authorities, Q30 renormalized (r9)
+    "stats_mcnemar",  # paired AM/PM purchase discordance test (r9)
+    "stats_wilcoxon_signed_rank",  # paired per-user spend shift test (r9)
+    "stats_cohens_kappa",  # chance-corrected annotator agreement (r9)
+    "stats_mutual_info",  # type x time-of-day dependence in nats (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -133,6 +133,11 @@ NLJ_WHITELIST: dict[str, str] = {
     "over the scan — the stats_proportion_ztest shape",
     "stats_mutual_info": "1-row grand-total n broadcast over the "
     "(types x quadrants) cells frame — the stats_chi2_independence shape",
+    "stats_lift_gains": "bounded 10x10 decile-range self-join for the "
+    "cumulative-from-top sums (the events_ewma bounded-range shape) plus "
+    "a 1-row totals broadcast",
+    "sample_class_balance": "1-row minority-count target broadcast over "
+    "the ranked scan — the stream_watermark shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

@@ -2106,3 +2106,280 @@ def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+      FROM events),
+    g AS (
+      SELECT user_id, CAST(SUM(ok) AS BIGINT) AS c
+      FROM t WHERE rn <= 10 GROUP BY 1 HAVING COUNT(*) = 10),
+    p AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             CAST(SUM(10 - c) AS BIGINT) AS miss1,
+             CAST(SUM((10 - c) * (9 - c) * (8 - c) * (7 - c) * (6 - c))
+                  AS BIGINT) AS miss5
+      FROM g)
+    SELECT n_tasks,
+           ROUND(CAST(sum_c AS DOUBLE) / CAST(n_tasks AS DOUBLE), 6) AS avg_correct,
+           ROUND(1.0 - CAST(miss1 AS DOUBLE) / CAST(n_tasks * 10 AS DOUBLE), 6)
+             AS pass_at_1,
+           ROUND(1.0 - CAST(miss5 AS DOUBLE) / CAST(n_tasks * 30240 AS DOUBLE), 6)
+             AS pass_at_5
+    FROM p
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al. 2021, the HumanEval estimator) over a
+    fixed-n trial table: each user's first 10 events are the task's 10
+    "samples", a purchase is a "pass", and pass@k = E[1 - C(n-c,k)/C(n,k)]
+    is the unbiased probability that at least one of k drawn samples
+    passes — THE metric every code/model eval pipeline aggregates, here
+    as a pure relational program (swap in (task_id, sample_ok) and the
+    operator is unchanged).
+
+    Exactness: with n = 10 fixed, C(n-c,k)/C(n,k) is the falling-factorial
+    ratio prod_{i<k}(n-c-i) / prod_{i<k}(n-i) — the numerator is an exact
+    per-task BIGINT polynomial in c (zero whenever c > n-k, which the
+    product form yields automatically), and the shared denominator (10
+    for k=1, 30240 for k=5) factors out of the mean. So BOTH pass@k
+    aggregates are ONE IEEE division of exact integer sums, ROUND-6.
+    Tasks with fewer than 10 trials are excluded (HAVING n = 10) — the
+    estimator requires fixed n.
+
+    Plan: one per-user window (partitioned rank, never a global sort),
+    one map-side-combined per-task fold, one 4-column global fold.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ok"),
+    ).filter(F.col("rn") <= 10)
+    g = (
+        t.groupBy("user_id")
+        .agg(
+            F.sum("ok").cast("long").alias("c"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .filter(F.col("nn") == 10)
+    )
+    miss5 = (
+        (10 - F.col("c"))
+        * (9 - F.col("c"))
+        * (8 - F.col("c"))
+        * (7 - F.col("c"))
+        * (6 - F.col("c"))
+    )
+    p = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(10 - F.col("c")).cast("long").alias("miss1"),
+        F.sum(miss5).cast("long").alias("miss5"),
+    )
+    return p.select(
+        "n_tasks",
+        F.round(F.col("sum_c").cast("double") / F.col("n_tasks").cast("double"), 6)
+        .alias("avg_correct"),
+        F.round(
+            F.lit(1.0)
+            - F.col("miss1").cast("double")
+            / (F.col("n_tasks") * 10).cast("double"),
+            6,
+        ).alias("pass_at_1"),
+        F.round(
+            F.lit(1.0)
+            - F.col("miss5").cast("double")
+            / (F.col("n_tasks") * 30240).cast("double"),
+            6,
+        ).alias("pass_at_5"),
+    )
+
+
+@query(
+    "stats_lift_gains",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substring(sha256('lift:'
+                   || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    b AS (
+      SELECT CAST(u * 10 // 1073741824 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM s GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(np) AS BIGINT) AS tp FROM b),
+    c AS (
+      SELECT b.decile, b.n, b.np,
+             CAST(SUM(b2.n) AS BIGINT) AS cum_n,
+             CAST(SUM(b2.np) AS BIGINT) AS cum_pos
+      FROM b JOIN b b2 ON b2.decile >= b.decile
+      GROUP BY 1, 2, 3)
+    SELECT c.decile, c.n, c.np, c.cum_n, c.cum_pos,
+           ROUND(CAST(c.cum_pos AS DOUBLE) / CAST(t.tp AS DOUBLE), 6) AS gain,
+           ROUND(CAST(c.cum_pos * t.tn AS DOUBLE)
+                 / CAST(c.cum_n * t.tp AS DOUBLE), 6) AS lift
+    FROM c, t ORDER BY c.decile DESC
+    """,
+)
+def stats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile — the campaign-targeting
+    readout completing the model-eval family (stats_auc ranks, the
+    calibration bins check honesty, the PR sweep picks a threshold; THIS
+    answers "if I contact the top d deciles, what fraction of converters
+    do I capture and at what multiple of random?"). Uses the same
+    deterministic sha-uniform stand-in score as stats_calibration_bins
+    (uninformative model: the known answer is gain ~= captured volume
+    share and lift ~= 1 per decile); swap in a real score and the
+    operator is unchanged.
+
+    Determinism: decile assignment is the integer u*10 // 2^30; per-decile
+    counts are exact; cumulative-from-the-top sums come from a BOUNDED
+    10x10 decile-range self-join (whitelisted — the events_ewma bounded-
+    range shape; never a single-partition window); gain and lift are one
+    mirrored division each over exact BIGINT products (cum_pos*tn tops
+    out at n^2 ~ 1e24 only past ~3e9 rows — at that scale the product
+    moves to DECIMAL(38,0), noted here so the 100 TB reader knows the
+    knob), ROUND-6.
+
+    Plan: one map-side-combined aggregate to 10 rows, then constant-size
+    work: the 10-row self-join and a 1-row totals broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("lift:"), F.col("event_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1073741824).cast("long")
+    )
+    s = e.select(
+        u.alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    b = s.groupBy(F.expr("CAST(u * 10 div 1073741824 AS BIGINT)").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    b = b.localCheckpoint()  # feeds the self-join twice + the totals row
+    t = b.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("np").cast("long").alias("tp")
+    )
+    b2 = b.select(
+        F.col("decile").alias("d2"), F.col("n").alias("n2"), F.col("np").alias("np2")
+    )
+    c = (
+        b.join(F.broadcast(b2), F.col("d2") >= F.col("decile"))
+        .groupBy("decile", "n", "np")
+        .agg(
+            F.sum("n2").cast("long").alias("cum_n"),
+            F.sum("np2").cast("long").alias("cum_pos"),
+        )
+    )
+    out = c.crossJoin(F.broadcast(t))
+    return out.select(
+        "decile", "n", "np", "cum_n", "cum_pos",
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tp").cast("double"), 6
+        ).alias("gain"),
+        F.round(
+            (F.col("cum_pos") * F.col("tn")).cast("double")
+            / (F.col("cum_n") * F.col("tp")).cast("double"),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.col("decile").desc())
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(MIN(cnt) AS BIGINT) AS target
+      FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)),
+    r AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY substring(sha256('bal:' || CAST(event_id AS VARCHAR)), 1, 16),
+                        event_id) AS rn
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN rn <= (SELECT target FROM m)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= (SELECT target FROM m)
+                         THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority-class downsampling to the minority count —
+    the class-balancing step in front of any classifier training run:
+    every class keeps exactly min-class-count rows, chosen by salted-hash
+    rank (reproducible across runs, partitionings, and engines — no RNG
+    state, the sample_reservoir_global discipline per class). The audit
+    output proves WHICH rows were kept, not just how many: per class the
+    input count, kept count (== the minority count for every class), and
+    the exact sum of kept event_ids — any selection drift flips the
+    checksum loudly.
+
+    Determinism: rank orders on the sha256 hex prefix (string compare ==
+    unsigned compare on hex) with the id as tiebreak; the target is the
+    exact integer min of class counts (1-row broadcast, whitelisted —
+    the stream_watermark shape). All-integer output, no rounding at all.
+
+    Plan: one per-class window rank (partitioned by class — never
+    global), one map-side-combined per-class fold. At 100 TB with a
+    skewed majority class the rank's sort-within-class is the cost; the
+    standard refinement is pre-filtering with an approximate per-class
+    hash threshold before the exact rank, which this op's bounded output
+    makes verifiable.
+    """
+    e = table(spark, sf_dir, "events")
+    m = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("target"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.substring(
+            F.sha2(F.concat(F.lit("bal:"), F.col("event_id").cast("string")), 256),
+            1,
+            16,
+        ),
+        "event_id",
+    )
+    r = e.select("event_type", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+            F.sum(F.when(F.col("rn") <= F.col("target"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("target"), F.col("event_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -90,6 +90,9 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_wilcoxon_signed_rank",  # paired per-user spend shift test (r9)
     "stats_cohens_kappa",  # chance-corrected annotator agreement (r9)
     "stats_mutual_info",  # type x time-of-day dependence in nats (r9)
+    "eval_pass_at_k",  # exact combinatorial pass@1/pass@5 estimator (r9)
+    "stats_lift_gains",  # decile cumulative gains + lift table (r9)
+    "sample_class_balance",  # hash-rank downsample to minority count (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

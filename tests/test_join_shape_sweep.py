@@ -138,6 +138,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "a 1-row totals broadcast",
     "sample_class_balance": "1-row minority-count target broadcast over "
     "the ranked scan — the stream_watermark shape",
+    "text_collocations_pmi": "1-row bigram-total N broadcast over the "
+    "supported pair frame — the stats_ks_test shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

@@ -1143,3 +1143,239 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jsd").desc(), "src_a", "src_b")
         .limit(10)
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cb GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM cb),
+    scored AS (
+      SELECT cb.w1, cb.w2, cb.c12, m1.c1, m2.c2,
+             ln((CAST(cb.c12 AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE))) AS pmi
+      FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+      WHERE cb.c12 >= 5)
+    SELECT w1, w2, c12, c1, c2, ROUND(pmi, 6) AS pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 20 adjacent word pairs with the highest
+    pointwise mutual information, PMI = ln(c12·N / (c1·c2)) over bigram
+    position counts with a c12 >= 5 support floor (the Church & Hanks
+    association-ratio classic — the floor kills the hapax pairs whose PMI
+    is maximal but meaningless). The corpus-level companion to
+    events_cooccurrence_pmi (same statistic, token grain vs behavior
+    grain) and the phrase-mining step in front of tokenizer/vocab work
+    (bpe_merge_candidates ranks by raw frequency; PMI ranks by GLUE).
+
+    Determinism: bigrams are zipped adjacent positions INSIDE the token
+    array (no token-level explode-then-window); counts and marginals are
+    exact BIGINTs; PMI's products run in DOUBLE (int64-safe at any
+    scale) through one identical IEEE tree + ln (the cross-engine-safe
+    transcendental), ROUND-6; the top-20 cut tie-breaks on the pair.
+
+    Plan: one map-side-combined (w1, w2) count is the only data-sized
+    shuffle; marginals are two small re-aggregations of the pair frame,
+    joined back broadcast; the 1-row N broadcast is the whitelisted
+    stats_ks_test shape; top-20 is a TakeOrdered.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    cb = cb.localCheckpoint()  # feeds both marginals, the total, and the scan
+    m1 = cb.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    m2 = cb.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = cb.agg(F.sum("c12").cast("long").alias("n"))
+    scored = (
+        cb.filter(F.col("c12") >= 5)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("n").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        scored.orderBy(pmi.desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c12", "c1", "c2", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    chr(c) for c in range(ord("0"), ord("9") + 1)
+]
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id,
+             list_transform({_ALPHABET!r}::VARCHAR[], ch ->
+               CAST(length(text) - length(replace(text, ch, '')) AS BIGINT))
+               AS cs
+      FROM documents),
+    l AS (
+      SELECT doc_id, cs,
+             CAST(list_aggregate(cs, 'sum') AS BIGINT) AS n_alpha
+      FROM counts),
+    e AS (
+      SELECT doc_id, n_alpha,
+             -list_aggregate(list_transform(cs, c ->
+               CASE WHEN c > 0
+                    THEN (CAST(c AS DOUBLE) / CAST(n_alpha AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n_alpha AS DOUBLE))
+                    ELSE 0.0 END), 'sum') AS ent
+      FROM l)
+    SELECT doc_id, n_alpha, ROUND(ent, 6) AS entropy
+    FROM e ORDER BY ent, doc_id LIMIT 20
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document, surfacing the 20
+    LOWEST-entropy docs — the boilerplate/keyboard-mash screen every
+    web-corpus quality pipeline runs (low character entropy = repeated
+    runs and template residue; high = encrypted/binary junk; prose sits
+    in a band). Alphabet is [a-z0-9]; spaces and anything else are
+    excluded from the distribution.
+
+    The trick is counting WITHOUT exploding characters: each symbol's
+    count is length(text) - length(replace(text, ch)) over the FIXED
+    36-symbol literal alphabet — 36 JVM-side expressions per row instead
+    of a |text|-row explode, so a 100 TB corpus never shuffles a single
+    character. Entropy folds over the counts array IN LITERAL ARRAY
+    ORDER on both engines (a fixed-order sequential fold — deterministic
+    without sorting because the order is pinned by the shared literal),
+    with each term one mirrored (c/n)·ln(c/n) IEEE tree; ROUND-6 and an
+    (entropy, doc_id) TakeOrdered close it. Probed: entropy spans
+    ~0.85–1.45 nats on the partial alphabet at sf0.01 — real variance,
+    not a constant.
+    """
+    d = table(spark, sf_dir, "documents")
+    chars = F.array(*[F.lit(c) for c in _ALPHABET])
+    cs = F.transform(
+        chars,
+        lambda ch: (
+            F.length(F.col("text")) - F.length(F.replace(F.col("text"), ch))
+        ).cast("long"),
+    )
+    l = d.select(
+        "doc_id",
+        cs.alias("cs"),
+    ).select(
+        "doc_id",
+        "cs",
+        F.aggregate(
+            F.col("cs"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("n_alpha"),
+    )
+    term = lambda c: F.when(  # noqa: E731
+        c > 0,
+        (c.cast("double") / F.col("n_alpha").cast("double"))
+        * F.log(c.cast("double") / F.col("n_alpha").cast("double")),
+    ).otherwise(F.lit(0.0))
+    e = l.select(
+        "doc_id",
+        "n_alpha",
+        (
+            -F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, c: acc + term(c))
+        ).alias("ent"),
+    )
+    return (
+        e.orderBy("ent", "doc_id")
+        .limit(20)
+        .select("doc_id", "n_alpha", F.round(F.col("ent"), 6).alias("entropy"))
+    )
+
+
+@query(
+    "corpus_datasheet",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, lang, text,
+             COUNT(*) OVER (PARTITION BY substring(text, 1, 64)) AS pc
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prefix_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+           ROUND(CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_doc_tokens
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary — the "datasheets for datasets"
+    table (Gebru et al. 2021) a training-data curator publishes per
+    ingestion source: document and token volume, language spread, and a
+    near-duplicate exposure rate (docs sharing their 64-char prefix with
+    any other doc CORPUS-WIDE — the cheap fingerprint screen; probed:
+    ~45 colliding docs at both test SFs, while full-text md5 finds ZERO
+    exact dups in this fixture, which is why the prefix grain carries
+    the signal).
+
+    Determinism: everything is exact integer counting; the two ratios
+    are one mirrored division each, ROUND-6. The dup flag comes from a
+    prefix-PARTITIONED window count (never a global window), so the
+    collision census costs one shuffle on the 64-byte prefix key; the
+    per-source rollup is the second and final shuffle. Both keys are
+    near-uniform at 100 TB (prefixes hash well; sources are the
+    partition dimension), and token counts are map-side array sizes —
+    no token explode anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.substring(F.col("text"), 1, 64))
+    p = d.select(
+        "source",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ntok"),
+        F.count(F.lit(1)).over(w).alias("pc"),
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("pc") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_prefix_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("pc") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.sum("ntok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_doc_tokens"),
+        )
+        .orderBy("source")
+    )

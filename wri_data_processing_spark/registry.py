@@ -93,6 +93,9 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "eval_pass_at_k",  # exact combinatorial pass@1/pass@5 estimator (r9)
     "stats_lift_gains",  # decile cumulative gains + lift table (r9)
     "sample_class_balance",  # hash-rank downsample to minority count (r9)
+    "text_collocations_pmi",  # PMI-glued adjacent pairs, support>=5 (r9)
+    "text_char_entropy",  # boilerplate screen, no char explode (r9)
+    "corpus_datasheet",  # per-source dataset-card summary (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -140,6 +140,11 @@ NLJ_WHITELIST: dict[str, str] = {
     "the ranked scan — the stream_watermark shape",
     "text_collocations_pmi": "1-row bigram-total N broadcast over the "
     "supported pair frame — the stats_ks_test shape",
+    "embed_label_affinity": "bounded |labels|^2 centroid pair cross "
+    "(45 pairs; labels are a dimension, not data) — the "
+    "embed_kmeans_iterate centroid-broadcast shape",
+    "embed_triplet_mining": "constant-fraction anchor-set broadcast over "
+    "the scan — the sim_topk_batch shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

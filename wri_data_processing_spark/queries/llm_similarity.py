@@ -1986,3 +1986,286 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return _mmr_greedy(pool)
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    d AS (
+      SELECT i - 1 AS dim, qv[i] AS qc
+      FROM q, unnest(generate_series(1, len(qv))) u(i)),
+    g AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qc) AS BIGINT) AS s,
+             CAST(SUM(qc * qc) AS BIGINT) AS sq
+      FROM d GROUP BY 1)
+    SELECT dim, n, s, sq,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0, 6) AS mean,
+           ROUND((CAST(sq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) / (1048576.0 * 1048576.0), 6) AS variance
+    FROM g ORDER BY dim
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column — mean and population
+    variance for each of the 64 components, the diagnostic every vector
+    pipeline runs before whitening/quantization (dead dimensions, scale
+    imbalance, anisotropy all show up here; sim_ann_sq8's min/max scaling
+    and embed_pca_power's variance direction both presuppose this table).
+
+    Determinism: components quantize to the shared floor(x·2^20) int64
+    grid (_qvec — float->double widening is exact), so n, Σq, Σq² are
+    exact BIGINTs; mean and variance are mirrored fixed IEEE trees over
+    those integers (BIGINT->DOUBLE rounds identically on both engines),
+    de-scaled by the exact binary 2^20, ROUND-6.
+
+    Plan: ONE posexplode (64 rows per vector — dimension explode, never
+    a character/token-scale blowup) into a map-side-combined 64-group
+    aggregate. At 100 TB this is the textbook partial-agg win: every
+    executor folds its vectors locally into 64 cells before any
+    exchange; Σq² tops out near 2^42·N so the int64 ceiling sits at
+    ~2e6 vectors PER DIMENSION GROUP per overflow — past that the sums
+    move to DECIMAL(38,0), noted for the capacity planner.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(_qvec("embedding").alias("qv"))
+    d = q.select(F.posexplode("qv").alias("dim", "qc"))
+    g = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qc").cast("long").alias("s"),
+        F.sum(F.col("qc") * F.col("qc")).cast("long").alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1048576.0)
+    var = (
+        (
+            F.col("sq").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(1048576.0 * 1048576.0)
+    )
+    return g.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        "s",
+        "sq",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+    ).orderBy("dim")
+
+
+@query(
+    "embed_label_affinity",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    comp AS (
+      SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q, unnest(generate_series(1, len(qv))) u(i)
+      GROUP BY 1, 2),
+    cvec AS (
+      SELECT label,
+             list(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM comp GROUP BY 1),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb, a.cv AS ca, b.cv AS cb
+      FROM cvec a JOIN cvec b ON a.label < b.label),
+    dots AS (
+      SELECT la, lb,
+             CAST(SUM(ca[u.i] * cb[u.i]) AS BIGINT) AS dot,
+             CAST(SUM(ca[u.i] * ca[u.i]) AS BIGINT) AS na,
+             CAST(SUM(cb[u.i] * cb[u.i]) AS BIGINT) AS nb
+      FROM pairs, unnest(generate_series(1, len(ca))) u(i)
+      GROUP BY 1, 2)
+    SELECT la, lb, dot, na, nb,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+             AS cosine
+    FROM dots
+    ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+             la, lb
+    """,
+)
+def embed_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusability matrix: cosine similarity between every pair of
+    label centroids — the embedding-space answer to "which classes does
+    this representation struggle to separate?", read before picking
+    contrastive pairs or merging labels (high-affinity pairs are where
+    embed_kmeans_assign's mistakes and embed_triplet_mining's hard
+    negatives concentrate).
+
+    Determinism: centroids are the embed_kmeans_assign integer centroids
+    (floor'd per-component mean of _qvec components — one correctly-
+    rounded double division each, exact while |Σq| << 2^53); dot and
+    norms are exact int64 sums (64 dims x 2^42 per term ~ 2^48); cosine
+    is the mirrored dot/(sqrt·sqrt) tree — sqrt is cross-engine-safe —
+    and the ordering compares that exact quotient with (la, lb)
+    tie-break.
+
+    Plan: one dimension-exploded map-side-combined aggregate builds the
+    |labels| centroids; the |labels|² pair join is a bounded broadcast
+    cross (whitelisted — 45 pairs here, and still trivially broadcastable
+    at any corpus size since |labels| is a dimension, not data). Nothing
+    data-sized after the first aggregate.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("label", _qvec("embedding").alias("qv"))
+    comp = q.select("label", F.posexplode("qv").alias("i", "qc")).groupBy(
+        "label", "i"
+    ).agg(F.sum("qc").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+    cvec = (
+        comp.select(
+            "label",
+            "i",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("long")
+            .alias("cc"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cc"))).alias("parts"))
+        .select("label", F.transform("parts", lambda p: p["cc"]).alias("cv"))
+    )
+    a = cvec.select(F.col("label").alias("la"), F.col("cv").alias("ca"))
+    b = cvec.select(F.col("label").alias("lb"), F.col("cv").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("la") < F.col("lb"))
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.transform("ca", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.transform("cb", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    d = pairs.select(
+        "la", "lb", dot.alias("dot"), na.alias("na"), nb.alias("nb")
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return d.select(
+        "la", "lb", "dot", "na", "nb", F.round(cos, 6).alias("cosine")
+    ).orderBy(cos.desc(), "la", "lb")
+
+
+@query(
+    "embed_triplet_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    anch AS (SELECT vec_id AS aid, label AS alabel, qv AS aqv
+             FROM q WHERE vec_id % 25 = 0),
+    d AS (
+      SELECT anch.aid, anch.alabel, q.vec_id, q.label,
+             CAST(SUM((anch.aqv[u.i] - q.qv[u.i])
+                      * (anch.aqv[u.i] - q.qv[u.i])) AS BIGINT) AS d2
+      FROM anch, q, unnest(generate_series(1, len(anch.aqv))) u(i)
+      WHERE q.vec_id <> anch.aid
+      GROUP BY 1, 2, 3, 4),
+    pos AS (
+      SELECT aid, alabel, vec_id AS pos_id, d2 AS pos_d2,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY d2 DESC, vec_id) AS rn
+      FROM d WHERE label = alabel),
+    neg AS (
+      SELECT aid, vec_id AS neg_id, d2 AS neg_d2,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY d2, vec_id) AS rn
+      FROM d WHERE label <> alabel)
+    SELECT p.aid AS anchor_id, p.alabel AS anchor_label,
+           p.pos_id, p.pos_d2, n.neg_id, n.neg_d2,
+           n.neg_d2 > p.pos_d2 AS separated
+    FROM pos p JOIN neg n ON p.aid = n.aid AND p.rn = 1 AND n.rn = 1
+    ORDER BY anchor_id
+    """,
+)
+def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training (the FaceNet recipe):
+    for each anchor in a deterministic 1-in-25 sample, the hardest
+    positive (FARTHEST same-label vector) and hardest negative (NEAREST
+    different-label vector), plus the separated flag (neg_d2 > pos_d2 —
+    anchors violating it are exactly where a triplet loss still has
+    gradient). This is the batch-construction query a representation-
+    learning pipeline runs per epoch; the output feeds the dataloader.
+
+    Determinism: squared L2 over the shared _qvec integer grid — d2 is
+    an exact int64 (the embed_kmeans_assign bound), so both argmax and
+    argmin rank pure integers with vec_id tie-break. No floats anywhere.
+
+    Plan: the anchor set is a constant-fraction deterministic sample
+    broadcast over the scan (the sim_topk_batch shape, whitelisted);
+    hardest-pos/neg are per-anchor partitioned window ranks (never
+    global). At 100 TB the mining would pre-prune candidates with the
+    IVF cell structure (sim_ann_ivf) before the exact pass — the exact
+    pass here IS the correctness anchor for that refinement.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", _qvec("embedding").alias("qv"))
+    anch = q.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aqv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("aqv", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        q.crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select("aid", "alabel", "vec_id", "label", d2.alias("d2"))
+    )
+    wpos = Window.partitionBy("aid").orderBy(F.col("d2").desc(), "vec_id")
+    wneg = Window.partitionBy("aid").orderBy("d2", "vec_id")
+    pos = (
+        d.filter(F.col("label") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("alabel").alias("anchor_label"),
+            F.col("vec_id").alias("pos_id"),
+            F.col("d2").alias("pos_d2"),
+        )
+    )
+    neg = (
+        d.filter(F.col("label") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("d2").alias("neg_d2"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            "pos_d2",
+            "neg_id",
+            "neg_d2",
+            (F.col("neg_d2") > F.col("pos_d2")).alias("separated"),
+        )
+        .orderBy("anchor_id")
+    )

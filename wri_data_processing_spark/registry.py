@@ -96,6 +96,9 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "text_collocations_pmi",  # PMI-glued adjacent pairs, support>=5 (r9)
     "text_char_entropy",  # boilerplate screen, no char explode (r9)
     "corpus_datasheet",  # per-source dataset-card summary (r9)
+    "embed_dim_stats",  # per-dimension mean/variance profile (r9)
+    "embed_label_affinity",  # class-confusability centroid cosines (r9)
+    "embed_triplet_mining",  # hardest pos/neg per anchor, FaceNet (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

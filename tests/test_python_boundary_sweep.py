@@ -62,6 +62,9 @@ PYTHON_WHITELIST: dict[str, str] = {
     "text_compression_ratio": "zlib quality signal: compression has no JVM "
     "expression and no SQL twin — vectorized pandas UDF, scan-side only",
     "pandas_grouped_agg": "registered pandas GROUPED_AGG interface demo",
+    "scan_parquet_footer_stats": "distributed parquet-footer read "
+    "(pyarrow inside mapInPandas over the 4-row file list) — the "
+    "manifest-builder pattern; footers have no JVM expression",
 }
 
 _PY_NODE = re.compile(r"\b(\w*(?:Python|Pandas)\w*)")

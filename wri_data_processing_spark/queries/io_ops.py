@@ -812,3 +812,87 @@ def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bad.cast("long")).cast("long").alias("n_quarantined"),
         F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("total_chars_good"),
     )
+
+
+@query(
+    "scan_parquet_footer_stats",
+    oracle="""
+    WITH w AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM orders)
+    SELECT CAST(o_orderkey // w.w AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders, w GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-then-audit of parquet FOOTER statistics — the metadata that
+    makes partition pruning and row-group skipping work: range-bucket
+    orders by key into one file per bucket, then read every written
+    file's footer DISTRIBUTIVELY (pyarrow inside mapInPandas — each task
+    opens only its own footers, the pattern a 100 TB manifest builder
+    uses: a million footers are a million tiny reads you fan out, never
+    a driver loop) and verify the recorded min/max/num_rows against the
+    data's own truth, which is exactly what the oracle recomputes from
+    the source table. A scan whose footer stats lie prunes wrong — this
+    op is the audit that catches it (the fixture parquets themselves are
+    single-row-group, probed, hence the write-then-audit shape).
+
+    Determinism: the bucket width is max_key // 4 + 1 from an exact
+    1-row collect (bounded), so bucket boundaries are data-derived and
+    identical in the oracle; footer min/max of an integer column are
+    exact; the per-bucket fold (sum of num_rows, min of mins, max of
+    maxs) is partitioning-proof.
+
+    Plan: one repartition-by-bucket write (4 writer tasks, one file
+    each), a 4-row file-list frame through the Arrow boundary
+    (whitelisted), one tiny aggregate. The data-sized work is the single
+    write pass.
+    """
+    import glob as _glob
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    hi = o.agg(F.max("o_orderkey").cast("long").alias("hi")).collect()[0]["hi"]
+    w = hi // 4 + 1
+    root = os.path.join(_scratch_dir("footer_stats", sf_dir), "data")
+    (
+        o.withColumn("bucket", F.expr(f"o_orderkey div {w}"))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(root)
+    )
+    files = sorted(_glob.glob(os.path.join(root, "bucket=*", "*.parquet")))
+    fdf = spark.createDataFrame([(p,) for p in files], "path string")
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                bucket = int(path.split("bucket=")[1].split("/")[0])
+                meta = pq.ParquetFile(path).metadata
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        if col.path_in_schema == "o_orderkey":
+                            st = col.statistics
+                            rows.append(
+                                (bucket, rg.num_rows, int(st.min), int(st.max))
+                            )
+            yield pd.DataFrame(rows, columns=["bucket", "n", "mn", "mx"])
+
+    footer = fdf.mapInPandas(
+        read_footers, "bucket long, n long, mn long, mx long"
+    )
+    return (
+        footer.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.min("mn").cast("long").alias("min_key"),
+            F.max("mx").cast("long").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )

@@ -807,3 +807,83 @@ def snapshot_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_residual_after",
         F.lit(expired).alias("n_snapshots_expired"),
     )
+
+
+@query(
+    "snapshot_branch",
+    oracle="""
+    SELECT 'dev@head' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey < 3500
+    UNION ALL
+    SELECT 'fork@v2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT 'main@v3', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+                   OR (o_orderkey >= 1500 AND o_orderkey < 3000)
+    ORDER BY ref
+    """,
+)
+def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table branching (the Iceberg/Nessie "branch" primitive): fork a
+    dev branch at main@v2, append an experiment batch TO THE BRANCH,
+    and let main advance to v3 (the delete-rewrite) — then prove
+    isolation in both directions by reading all three refs: dev sees
+    the fork plus its own append but NOT main's later delete; main
+    never sees the branch's append; the fork point stays readable
+    forever. A branch is just ANOTHER NAMED POINTER into the same
+    immutable file pool — creating it writes one manifest file, zero
+    data copies (the snapshot_rollback pointer discipline, extended
+    from rollback to divergence).
+
+    Exactness: the three refs reduce to closed-form key predicates on
+    orders (the snapshot_time_travel contract), so the oracle needs no
+    filesystem at all; sums are DECIMAL(18,6) with a final double cast.
+
+    Plan: one scratch write pass builds the shared file pool; each ref
+    read is a manifest-driven multi-file parquet scan + one map-side-
+    combined aggregate. At 100 TB branch creation is still O(1) —
+    pointer metadata, not data.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "branch")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # fork dev at v2 (pointer copy), then append TO THE BRANCH only
+    dev_path = os.path.join(root, "dev_append")
+    o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3500)).write.parquet(
+        dev_path
+    )
+    dev_files = sorted(
+        os.path.join(dev_path, f)
+        for f in os.listdir(dev_path)
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(root, "v2.manifest")) as fh:
+        fork_files = [line.strip() for line in fh if line.strip()]
+    with open(os.path.join(root, "dev.branch"), "w") as fh:
+        fh.write("\n".join(fork_files + dev_files) + "\n")
+
+    def agg(ref: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ref).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    with open(os.path.join(root, "dev.branch")) as fh:
+        dev_manifest = [line.strip() for line in fh if line.strip()]
+    dev = spark.read.parquet(*dev_manifest)
+    fork = _read_snapshot(spark, root, 2)
+    main = _read_snapshot(spark, root, 3)
+    return (
+        agg("dev@head", dev)
+        .unionAll(agg("fork@v2", fork))
+        .unionAll(agg("main@v3", main))
+        .orderBy("ref")
+    )

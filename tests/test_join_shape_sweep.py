@@ -145,6 +145,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "embed_kmeans_iterate centroid-broadcast shape",
     "embed_triplet_mining": "constant-fraction anchor-set broadcast over "
     "the scan — the sim_topk_batch shape",
+    "events_acf": "bounded 7-row lag-frame broadcast cross onto the "
+    "daily aggregate — the events_ewma shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

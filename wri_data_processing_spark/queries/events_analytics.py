@@ -2562,3 +2562,83 @@ def events_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("days_silent").desc(), "user_id", "event_type")
     )
+
+
+@query(
+    "events_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INTEGER))),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1)
+    SELECT lag, k AS n_pairs,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autocorrelation function at lags 1..7 of the daily event-count
+    series — the full weekly ACF profile behind every seasonality/ARIMA
+    decision (events_autocorr_lag1 is the single point; the lag-7 spike
+    vs lag-1..6 decay is what distinguishes weekly seasonality from
+    momentum, and it feeds directly into events_holt_forecast's
+    smoothing choices).
+
+    Semantics: per-lag Pearson r over pairwise-complete (day, day+lag)
+    pairs — computed with NO window function at all: the shifted series
+    is an equi-JOIN of the daily frame against itself on d + lag, so
+    there is no global-order exchange anywhere (the events_autocorr_lag1
+    window is over the tiny aggregated frame; this op shows the
+    join-based form that stays shuffle-clean at any series length).
+
+    Exactness: daily counts are ints, all six power sums per lag are
+    exact BIGINTs, and r is the one-shot closed form over doubles with
+    cross-engine-safe sqrt, ROUND-6.
+
+    Plan: ONE data-sized aggregate (the daily rollup, localCheckpointed
+    — it feeds both join sides), then a bounded 7-row lag-frame
+    broadcast cross (whitelisted, the events_ewma shape) and an
+    equi-join on the date key; 7 output rows.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        F.expr("date_add(d, lag)").alias("dj"), "lag", F.col("n").alias("x")
+    )
+    b = daily.select(F.col("d").alias("dj"), F.col("n").alias("y"))
+    pairs = a.join(b, "dj")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "lag", F.col("k").alias("n_pairs"), F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")

@@ -881,3 +881,79 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+@query(
+    "stats_hhi_concentration",
+    oracle="""
+    WITH nv AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS rev_u
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT region,
+             CAST(COUNT(*) AS BIGINT) AS n_nations,
+             CAST(SUM(rev_u) AS BIGINT) AS tot_u,
+             SUM(CAST(rev_u AS HUGEINT) * rev_u) AS sq
+      FROM nv GROUP BY 1)
+    SELECT region, n_nations,
+           CAST(tot_u AS DOUBLE) / 1000000.0 AS total_rev,
+           ROUND(CAST(sq AS DOUBLE)
+                 / (CAST(tot_u AS DOUBLE) * CAST(tot_u AS DOUBLE)), 6) AS hhi
+    FROM g ORDER BY region
+    """,
+)
+def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per region: the sum of
+    squared nation revenue shares — the antitrust/portfolio metric that
+    answers "is this region's demand spread across nations or dominated
+    by one?" (1/n_nations = perfectly even, 1.0 = single-nation). The
+    concentration complement to agg_pareto_share's cumulative view.
+
+    Exactness: nation revenue is the exact DECIMAL(18,6) sum scaled to
+    micro-unit BIGINTs; the share-square sum is computed WITHOUT forming
+    any share — hhi = sum(rev_u^2) / total_u^2, with the squares
+    accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) since
+    micro-unit squares pass int64 around ~$9.2M per nation; the final
+    statistic is ONE division of exact aggregates evaluated in an
+    identical double tree, ROUND-6.
+
+    Plan: orders->customer->nation->region is one data-sized equi-join
+    chain (nation/region broadcast; customer-orders the only real
+    shuffle), then a 25-row nation rollup and 5-row region fold.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nv = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("rev_u")
+        )
+    )
+    g = nv.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("rev_u").cast("long").alias("tot_u"),
+        F.sum(F.col("rev_u").cast("decimal(38,0)") * F.col("rev_u")).alias("sq"),
+    )
+    return g.select(
+        "region",
+        "n_nations",
+        (F.col("tot_u").cast("double") / F.lit(1000000.0)).alias("total_rev"),
+        F.round(
+            F.col("sq").cast("double")
+            / (F.col("tot_u").cast("double") * F.col("tot_u").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("region")

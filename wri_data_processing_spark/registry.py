@@ -101,6 +101,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "embed_triplet_mining",  # hardest pos/neg per anchor, FaceNet (r9)
     "snapshot_branch",  # dev branch fork + two-way isolation proof (r9)
     "scan_parquet_footer_stats",  # distributed footer min/max audit (r9)
+    "events_acf",  # weekly ACF profile, join-based shift (r9)
+    "stats_hhi_concentration",  # HHI regional market concentration (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

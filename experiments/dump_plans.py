@@ -148,6 +148,21 @@ SHOWCASE = [
     ("stats_auc", "Mann-Whitney AUC: distinct-value two-phase prefix "
      "sums (no single-partition window), decimal(38,0) rank-sums, one "
      "1-row aggregate — no joins"),
+    ("graph_bfs_layers", "Pregel-on-DataFrames frontier: six integer "
+     "min-relaxation rounds, each one neighbor-min aggregate + one "
+     "equi-join back, label frame localCheckpointed per round (2^R "
+     "plan blowup cut)"),
+    ("graph_hits", "bipartite HITS: one orders-lineitem edge build "
+     "(localCheckpointed, three consumers), then three broadcast "
+     "score-vector joins + 1-row renormalization totals"),
+    ("text_char_entropy", "ZERO exchanges before the TakeOrdered: 36 "
+     "length-diff expressions + a fixed-order array fold evaluate "
+     "scan-side; the only movement is the top-20 cut"),
+    ("corpus_datasheet", "two shuffles total: the 64-byte-prefix window "
+     "census, then the per-source rollup with its mirrored divisions"),
+    ("eval_pass_at_k", "per-user partitioned rank (never global), "
+     "map-side-combined per-task fold, one 4-column scalar fold — the "
+     "falling-factorial polynomial runs inside the aggregate"),
 ]
 
 

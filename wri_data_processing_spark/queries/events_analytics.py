@@ -2642,3 +2642,67 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "lag", F.col("k").alias("n_pairs"), F.round(num / den, 6).alias("acf")
     ).orderBy("lag")
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY 1),
+    m AS (
+      SELECT event_type, k, s1,
+             CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+               / CAST(k AS DOUBLE) AS var
+      FROM g)
+    SELECT event_type, k AS n_days, s1 AS n_events,
+           ROUND(var / mu, 6) AS dispersion_index,
+           ROUND((sqrt(var) - mu) / (sqrt(var) + mu), 6) AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event type over the daily count series: the
+    dispersion index D = var/mean (Poisson arrivals give D = 1 — above
+    it, traffic clumps; below, it's anti-bursty/regular) and the
+    Goh-Barabási burstiness B = (σ-μ)/(σ+μ) in [-1, 1]. The capacity
+    and anomaly question events_velocity_alert thresholds ad hoc,
+    answered distributionally — and the diagnostic that says whether
+    events_rate_test's Poisson assumption is even admissible.
+
+    Determinism: daily counts are ints; k, Σn, Σn² exact; population
+    mean/variance expand in one mirrored double tree; σ is the safe
+    sqrt; both ratios ROUND-6. Plan: one map-side-combined (type, day)
+    aggregate — the only data-sized stage — then a |types|-row fold.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("k").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("k").cast("double")
+    ) / F.col("k").cast("double")
+    sigma = F.sqrt(var)
+    return g.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        F.col("s1").alias("n_events"),
+        F.round(var / mu, 6).alias("dispersion_index"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")

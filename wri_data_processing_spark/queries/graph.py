@@ -977,3 +977,100 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side", F.col("score_q").desc(), "id")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM sup
+      UNION ALL SELECT v AS node, u AS nb FROM sup),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON adj.node = du.node
+               JOIN deg dv ON adj.nb = dv.node),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM ends)
+    SELECT m AS n_directed_edges,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees across every directed edge of the support-2
+    co-purchase graph — do hubs attach to hubs (social-network-like,
+    r > 0) or to leaves (technological/hub-and-spoke, r < 0)? The one
+    scalar that most changes what k-core, pagerank, and epidemic-style
+    propagation will do on this topology, completing the graph family's
+    shape diagnostics (degree distribution = marginals; this = their
+    edge-level coupling).
+
+    Determinism: both edge directions enumerate each undirected edge
+    twice (the standard symmetrization — makes r direction-free);
+    degrees and all five power sums are exact BIGINTs; r is the
+    closed-form one-shot double tree with safe sqrt, ROUND-6 (the
+    events_acf contract on a graph).
+
+    Plan: degree count + two broadcast joins back onto the edge list +
+    one scalar fold; the support threshold bounds the pair explosion
+    before any graph work, as everywhere in this family.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    adj = sup.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        sup.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ends = adj.join(
+        F.broadcast(deg.select(F.col("node"), F.col("d").alias("x"))), "node"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("nb"), F.col("d").alias("y"))),
+        "nb",
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -3830,3 +3830,178 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_nats"),
     )
+
+
+@query(
+    "stats_skewness_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ci
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ci) AS BIGINT) AS s1,
+             CAST(SUM(ci * ci) AS BIGINT) AS s2,
+             SUM(CAST(ci AS HUGEINT) * ci * ci) AS s3,
+             SUM(CAST(ci AS HUGEINT) * ci * ci * ci) AS s4
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+             CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+             CAST(s4 AS DOUBLE) AS d4
+      FROM g),
+    m AS (
+      SELECT event_type, n, nd,
+             nd * d2 - d1 * d1 AS m2,
+             nd * nd * d3 - 3.0 * nd * d1 * d2 + 2.0 * d1 * d1 * d1 AS m3,
+             nd * nd * nd * d4 - 4.0 * nd * nd * d1 * d3
+               + 6.0 * nd * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1 AS m4
+      FROM d)
+    SELECT event_type, n,
+           ROUND(sqrt(nd) * m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           ROUND(nd * m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    FROM m ORDER BY event_type
+    """,
+)
+def stats_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type skewness and excess kurtosis of the value distribution —
+    the third and fourth moments completing stats_moments' profile (mean/
+    variance say where and how wide; these say how LOPSIDED and how
+    HEAVY-TAILED, the shape facts that decide log-transforms and outlier
+    policy before any parametric test in this module is trusted).
+
+    Exactness: values are exact 2-decimal money (probed), so centi-unit
+    ints make all four RAW power sums exact — s1/s2 in int64, s3/s4 in
+    DECIMAL(38,0)/HUGEINT (ci^4 <= 5.8e18 per row just clears int64;
+    the 38-digit sum clears any corpus). Central moments expand from raw
+    sums in ONE mirrored double tree (BIGINT/DECIMAL -> DOUBLE rounds
+    identically on both engines); m2^1.5 is m2*sqrt(m2) — sqrt is the
+    safe transcendental, no pow() anywhere (pow is NOT cross-engine
+    exact, probed in r7) — ROUND-6 closes both statistics.
+
+    Plan: one map-side-combined per-type aggregate; 5 output rows; the
+    moment algebra runs on the 5-row frame.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ci = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    s = e.select("event_type", ci.alias("ci"))
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ci").cast("long").alias("s1"),
+        F.sum(F.col("ci") * F.col("ci")).cast("long").alias("s2"),
+        F.sum(F.col("ci").cast("decimal(38,0)") * F.col("ci") * F.col("ci")).alias(
+            "s3"
+        ),
+        F.sum(
+            F.col("ci").cast("decimal(38,0)") * F.col("ci") * F.col("ci") * F.col("ci")
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double")
+    d2 = F.col("s2").cast("double")
+    d3 = F.col("s3").cast("double")
+    d4 = F.col("s4").cast("double")
+    m2 = nd * d2 - d1 * d1
+    m3 = nd * nd * d3 - F.lit(3.0) * nd * d1 * d2 + F.lit(2.0) * d1 * d1 * d1
+    m4 = (
+        nd * nd * nd * d4
+        - F.lit(4.0) * nd * nd * d1 * d3
+        + F.lit(6.0) * nd * d1 * d1 * d2
+        - F.lit(3.0) * d1 * d1 * d1 * d1
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(nd) * m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(nd * m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(hit) AS BIGINT) AS x
+      FROM b GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN x END) AS x1,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+             MAX(CASE WHEN arm = 1 THEN x END) AS x2
+      FROM g),
+    z AS (
+      SELECT n1, x1, n2, x2,
+             CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+             sqrt(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    * (1.0 - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / CAST(n1 AS DOUBLE)
+                  + CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                    * (1.0 - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / CAST(n2 AS DOUBLE)) AS se
+      FROM w)
+    SELECT n1, x1, n2, x2,
+           ROUND(diff, 6) AS diff,
+           ROUND((diff + 0.01) / se, 6) AS z_lower,
+           ROUND((0.01 - diff) / se, 6) AS z_upper,
+           (diff + 0.01) / se >= 1.644854 AND (0.01 - diff) / se >= 1.644854
+             AS equivalent
+    FROM z
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): is the purchase rate
+    of the two user-id-parity arms the SAME within a ±1pp margin? The
+    inferential complement to stats_proportion_ztest — a non-significant
+    difference test never proves similarity; TOST does: both one-sided
+    z's against the margin must clear the 5% critical value. This is the
+    A/B gate for "the cheaper variant is NOT worse" decisions.
+
+    Determinism: two exact (n, x) cells; diff and the unpooled Welch-
+    style standard error are one mirrored double tree (divisions + safe
+    sqrt); the normal critical value 1.644854 is a PINNED literal (the
+    stats_power_sample_size discipline — inverse-CDF transcendentals
+    never evaluate in plans); verdict and both z's emitted, ROUND-6.
+
+    Plan: one map-side-combined aggregate to 2 rows, then scalar algebra
+    on a 1-row fold. Nothing else.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    g = b.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    diff = p1 - p2
+    se = F.sqrt(
+        p1 * (F.lit(1.0) - p1) / F.col("n1").cast("double")
+        + p2 * (F.lit(1.0) - p2) / F.col("n2").cast("double")
+    )
+    zlo = (diff + F.lit(0.01)) / se
+    zhi = (F.lit(0.01) - diff) / se
+    return w.select(
+        "n1", "x1", "n2", "x2",
+        F.round(diff, 6).alias("diff"),
+        F.round(zlo, 6).alias("z_lower"),
+        F.round(zhi, 6).alias("z_upper"),
+        ((zlo >= F.lit(1.644854)) & (zhi >= F.lit(1.644854))).alias("equivalent"),
+    )

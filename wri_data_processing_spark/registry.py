@@ -103,6 +103,14 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "scan_parquet_footer_stats",  # distributed footer min/max audit (r9)
     "events_acf",  # weekly ACF profile, join-based shift (r9)
     "stats_hhi_concentration",  # HHI regional market concentration (r9)
+    # -- (b-tail) r9 ops BEYOND the 50-slot window (24 deferred r8 ops +
+    # 20 r9 ops + 6 r2-era re-proofs fill it). These are locally
+    # oracle-proven at both SFs and are r10's MANDATORY front-load —
+    # the same contract r8's deferral carried into this round.
+    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
+    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
+    "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
+    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

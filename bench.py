@@ -109,6 +109,12 @@ HEADLINE = [
     # canonicalization, survivor-trained unigram LM, grouped two-phase
     # cumsum thirds (measured 2.9 s at sf0.1).
     "web_corpus_pipeline",
+    # r9: the model-eval family (AUC, calibration bins, PR sweep, decile
+    # lift/gains, pass@k) had NO headline representative; admission rule a
+    # admits its heaviest driver-green member — the Mann-Whitney AUC's
+    # two-phase distinct-value prefix sum, measured 1.04 s at sf0.1 vs
+    # stats_lift_gains 0.75 / eval_pass_at_k 0.75.
+    "stats_auc",
 ]
 
 SPREAD_TARGET = 0.20

@@ -421,3 +421,60 @@ def test_survival_km_no_window_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_survival_km")
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_char_entropy_zero_shuffles_before_topk(spark, sf_dir):
+    """The whole entropy computation is scan-side expression work; the ONLY
+    data movement is the top-20 TakeOrdered (r9: the explode-avoidance
+    design — a character explode would put |text| rows through a shuffle)."""
+    plan = _plan(spark, sf_dir, "text_char_entropy")
+    assert _n_exchanges(plan) == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_collocations_pair_count_is_the_only_wide_stage(spark, sf_dir):
+    """Marginals re-aggregate the (w1, w2) pair frame and join back
+    broadcast; the exploded-bigram count must be the single data-sized
+    hash shuffle (plus its own aggregate exchange)."""
+    plan = _plan(spark, sf_dir, "text_collocations_pmi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_class_balance_rank_is_partitioned(spark, sf_dir):
+    """The per-class rank must run under a class-partitioned window —
+    a global rank (Exchange SinglePartition feeding Window) would
+    serialize the corpus through one task."""
+    plan = _plan(spark, sf_dir, "sample_class_balance")
+    assert re.search(r"Window \[row_number", plan)
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan
+    ), "global window detected"
+
+
+def test_pass_at_k_single_data_shuffle(spark, sf_dir):
+    """One user-partitioned rank + map-side-combined folds: exactly one
+    hash exchange on user_id; the scalar fold's single-partition exchange
+    carries 150 rows, not data."""
+    plan = _plan(spark, sf_dir, "eval_pass_at_k")
+    assert _n_exchanges(plan) <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_edges_feed_broadcast_joins(spark, sf_dir):
+    """Score vectors must broadcast onto the edge list; a sort-merge join
+    there would shuffle the edges once per half-step."""
+    plan = _plan(spark, sf_dir, "graph_hits")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_datasheet_two_wide_stages(spark, sf_dir):
+    """Prefix-window census + per-source rollup (the COUNT DISTINCT lang
+    expands the rollup into its standard two-step (source, lang) ->
+    (source) aggregate), plus the final order: four exchanges, never a
+    global window."""
+    plan = _plan(spark, sf_dir, "corpus_datasheet")
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
+    assert _n_exchanges(plan) <= 4

@@ -65,6 +65,9 @@ PYTHON_WHITELIST: dict[str, str] = {
     "scan_parquet_footer_stats": "distributed parquet-footer read "
     "(pyarrow inside mapInPandas over the 4-row file list) — the "
     "manifest-builder pattern; footers have no JVM expression",
+    "multimodal_patchify": "media decode boundary, executed pure-Python "
+    "BMP codec inside mapInPandas — the multimodal_features_real shape; "
+    "ViT patch-grid accumulation on decoded pixels",
 }
 
 _PY_NODE = re.compile(r"\b(\w*(?:Python|Pandas)\w*)")

@@ -977,3 +977,120 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, out_schema)
+
+
+def _patchify_expected_values() -> str:
+    """Expected per-patch luminance sums from INDEPENDENT arithmetic —
+    the pattern summed directly over the 2x2 patch grid, never through
+    the codec."""
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        px = _bmp_pixel(i)
+        acc = {}
+        for y in range(h):
+            for x in range(w):
+                r, g, b = px(x, y)
+                key = (y * 2 // h, x * 2 // w)
+                n, s = acc.get(key, (0, 0))
+                acc[key] = (n + 1, s + (r * 299 + g * 587 + b * 114))
+        for (pr, pc), (n, s) in sorted(acc.items()):
+            mean6 = round(s / (n * 1000.0), 6)
+            rows.append(
+                f"(CAST({i} AS BIGINT), '{name}', CAST({pr} AS INTEGER), "
+                f"CAST({pc} AS INTEGER), CAST({n} AS BIGINT), "
+                f"CAST({s} AS BIGINT), CAST({mean6!r} AS DOUBLE), TRUE)"
+            )
+    rows.append(
+        "(CAST(12 AS BIGINT), 'corrupt.bmp', CAST(NULL AS INTEGER), "
+        "CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE), FALSE)"
+    )
+    return ", ".join(rows)
+
+
+@query(
+    "multimodal_patchify",
+    oracle=f"""
+    SELECT media_id, filename, patch_row, patch_col, n_px, lum_sum_milli,
+           mean_lum, success
+    FROM (VALUES {_patchify_expected_values()})
+      AS t(media_id, filename, patch_row, patch_col, n_px, lum_sum_milli,
+           mean_lum, success)
+    """,
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification through the EXECUTED decode path: split
+    each decoded image into a 2x2 patch grid (patch index = y*P//h,
+    x*P//w — the integer grid that never drops or double-counts a pixel
+    at any aspect ratio) and emit per-patch pixel count and Rec.601
+    luminance statistics — the patch-embedding precursor every vision
+    tokenizer computes before projection, here with real bytes through
+    sources/bmp_codec.py (the multimodal_features_real contract: codec
+    executed, VALUES oracle from independent arithmetic, truncated
+    payload quarantines as success=FALSE instead of killing the job).
+
+    Determinism: per-pixel luminance stays the exact integer milli-scale
+    (r*299 + g*587 + b*114); patch sums are exact BIGINTs; the mean is
+    ONE division de-scaled by the exact 1000, ROUND-6.
+
+    Plan shape at scale: payloads never shuffle — decode + patch
+    accumulation run inside the scan's mapInPandas and only the
+    fixed-width (patch, n, sum) rows leave the boundary; a real ViT
+    pipeline swaps the statistics for the flattened patch tensor with
+    the SAME partitioning and batch shape.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    rows = []
+    for i, name, w, h in _BMP_FIXTURES:
+        rows.append((i, name, bytearray(write_bmp(w, h, _bmp_pixel(i)))))
+    full = write_bmp(16, 8, _bmp_pixel(0))
+    rows.append((12, "corrupt.bmp", bytearray(full[:40])))
+    media = spark.createDataFrame(
+        rows, "media_id long, filename string, payload binary"
+    )
+
+    cols = (
+        "media_id", "filename", "patch_row", "patch_col", "n_px",
+        "lum_sum_milli", "mean_lum", "success",
+    )
+    out_schema = (
+        "media_id long, filename string, patch_row int, patch_col int, "
+        "n_px long, lum_sum_milli long, mean_lum double, success boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, name, payload in zip(
+                pdf["media_id"], pdf["filename"], pdf["payload"]
+            ):
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                    acc = {}
+                    for y, row in enumerate(px):
+                        for x, (r, g, b) in enumerate(row):
+                            key = (y * 2 // h, x * 2 // w)
+                            n, s = acc.get(key, (0, 0))
+                            acc[key] = (n + 1, s + (r * 299 + g * 587 + b * 114))
+                    for (pr, pc), (n, s) in sorted(acc.items()):
+                        out["media_id"].append(int(mid))
+                        out["filename"].append(name)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_px"].append(n)
+                        out["lum_sum_milli"].append(s)
+                        out["mean_lum"].append(round(s / (n * 1000.0), 6))
+                        out["success"].append(True)
+                except ValueError:
+                    out["media_id"].append(int(mid))
+                    out["filename"].append(name)
+                    for c in ("patch_row", "patch_col", "n_px",
+                              "lum_sum_milli", "mean_lum"):
+                        out[c].append(None)
+                    out["success"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, out_schema)

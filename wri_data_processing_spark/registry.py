@@ -111,6 +111,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
     "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
     "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
+    "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

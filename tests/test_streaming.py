@@ -585,3 +585,57 @@ def test_url_dedup_stream_matches_batch_keys(spark, sf_dir, tmp_path):
         for r in registry.REGISTRY["dedup_url_canonical"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_velocity_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming (user, hour) velocity counts, rolled up per user over the
+    sink, == the batch events_velocity_alert top-10 exactly. The series is
+    split MID-STREAM across two time-ordered file drops; update mode emits
+    per (key, batch) and the LAST emission per key is the settled count."""
+    from wri_data_processing_spark import registry
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now,
+        velocity_windowed,
+    )
+
+    e = table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("min(ts) + (max(ts) - min(ts)) / 2").alias("m")).collect()[0][
+        "m"
+    ]
+    src = str(tmp_path / "vel_src")
+    e.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        velocity_windowed(read_event_stream(spark, src)),
+        "vel_test",
+        str(tmp_path / "ckpt_vel"),
+        output_mode="update",
+    )
+    sink = spark.sql(
+        """
+        SELECT user_id,
+               MAX(n) AS peak_hour_events,
+               SUM(n) AS total_events,
+               COUNT(*) AS active_hours
+        FROM (
+          SELECT hr, user_id, n,
+                 ROW_NUMBER() OVER (PARTITION BY hr, user_id
+                                    ORDER BY n DESC) AS rn
+          FROM vel_test) WHERE rn = 1
+        GROUP BY user_id
+        ORDER BY peak_hour_events DESC, user_id LIMIT 10
+        """
+    ).collect()
+    registry.load_all()
+    want = registry.REGISTRY["events_velocity_alert"](spark, sf_dir).collect()
+    got = [
+        (r["user_id"], r["peak_hour_events"], r["total_events"], r["active_hours"])
+        for r in sink
+    ]
+    exp = [
+        (r["user_id"], r["peak_hour_events"], r["total_events"], r["active_hours"])
+        for r in want
+    ]
+    assert got == exp

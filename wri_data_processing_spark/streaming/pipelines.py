@@ -749,3 +749,19 @@ def url_deduped(docs: DataFrame) -> DataFrame:
     from wri_data_processing_spark.queries.llm_pipeline import _canonical_urls
 
     return _canonical_urls(docs).dropDuplicates(["canonical_url"])
+
+
+def velocity_windowed(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_velocity_alert's hourly grain: watermarked
+    tumbling-hour (user, hour) counts — the stateful part of the velocity
+    screen. The per-user rollup (peak hour, totals, top-10) is the batch
+    read over this sink: rate-limit review is a human-latency loop, so
+    the lambda split puts ONLY the unbounded count under streaming state.
+    Equivalence to the batch op is pinned in tests/test_streaming.py.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("hr"), "user_id", "n")
+    )

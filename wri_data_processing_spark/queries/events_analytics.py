@@ -2706,3 +2706,65 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mu, 6).alias("dispersion_index"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+    tagged AS (
+      SELECT CAST(e.ts AS DATE) AS d,
+             CASE WHEN CAST(e.ts AS DATE) = f.d0 THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN firstseen f ON e.user_id = f.user_id),
+    g AS (
+      SELECT d, CAST(SUM(is_new) AS BIGINT) AS new_events,
+             CAST(SUM(1 - is_new) AS BIGINT) AS returning_events
+      FROM tagged GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS d, new_events, returning_events,
+           ROUND(CAST(new_events AS DOUBLE)
+                 / CAST(new_events + returning_events AS DOUBLE), 6)
+             AS new_frac
+    FROM g ORDER BY d LIMIT 14
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning traffic split for the first 14 days — the growth
+    dashboard's top-line decomposition (acquisition vs engagement): an
+    event is "new" iff it falls on its user's FIRST active day. The
+    user grain of text_heaps_law's first-seen rewrite — and like it, the
+    first-seen tag is computed as a min-aggregate + equi-join back, never
+    a running window over the raw stream.
+
+    Determinism: first-seen days and counts are exact; the fraction is
+    one division, ROUND-6; the 14-day LIMIT rides the date ordering.
+
+    Plan: one per-user min shuffle, one equi-join back on user_id (the
+    aggregate side auto-broadcasts at dimension scale; at data scale
+    it's a co-partitioned shuffle join on the same key), one per-day
+    rollup. No window anywhere.
+    """
+    e = table(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    tagged = e.join(firstseen, "user_id").select(
+        F.to_date("ts").alias("d"),
+        F.when(F.to_date("ts") == F.col("d0"), 1).otherwise(0).alias("is_new"),
+    )
+    g = tagged.groupBy("d").agg(
+        F.sum("is_new").cast("long").alias("new_events"),
+        F.sum(1 - F.col("is_new")).cast("long").alias("returning_events"),
+    )
+    return (
+        g.orderBy("d")
+        .limit(14)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "new_events",
+            "returning_events",
+            F.round(
+                F.col("new_events").cast("double")
+                / (F.col("new_events") + F.col("returning_events")).cast("double"),
+                6,
+            ).alias("new_frac"),
+        )
+    )

@@ -4005,3 +4005,76 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zhi, 6).alias("z_upper"),
         ((zlo >= F.lit(1.644854)) & (zhi >= F.lit(1.644854))).alias("equivalent"),
     )
+
+
+@query(
+    "stats_ab_srm_check",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(('0x' || substring(sha256('srm:'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1073741824 * 2 < 1073741824
+             THEN 0 ELSE 1 END AS arm,
+             user_id
+      FROM (SELECT DISTINCT user_id FROM events)),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1
+      FROM g)
+    SELECT n0, n1,
+           ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE), 6) AS srm_chi2,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+             / CAST(n0 + n1 AS DOUBLE) > 3.841459 AS mismatch
+    FROM w
+    """,
+)
+def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the FIRST check any A/B readout must
+    pass (Kohavi's trustworthy-experiments rule: a 50/50 split that
+    lands significantly off 50/50 means broken randomization or
+    differential logging loss, and every downstream p-value is garbage).
+    Users are bucketed by a salted sha-slice uniform (the production
+    idiom: stable, stateless, independent of user_id arithmetic — unlike
+    the parity arms in stats_tost_equivalence, which this op guards);
+    the 1-dof goodness-of-fit chi2 against the expected even split is
+    (n0-n1)^2/(n0+n1), flagged against the pinned 3.841459 critical
+    value (chi2_{0.95,1} — pinned-literal discipline, no inverse-CDF in
+    plans).
+
+    Determinism: the bucket compares in pure integers (u*2 < 2^30);
+    counts exact; the statistic is ONE division, ROUND-6; the verdict
+    compares the unrounded double to the pinned literal identically.
+
+    Plan: one distinct-user shuffle, one 2-row aggregate, scalar algebra.
+    """
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("srm:"), F.col("user_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1073741824).cast("long")
+    )
+    b = e.select(F.when(u * 2 < F.lit(1073741824), 0).otherwise(1).alias("arm"))
+    g = b.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1")).cast("double")
+    return w.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > F.lit(3.841459)).alias("mismatch"),
+    )

@@ -112,6 +112,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
     "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
     "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
+    "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
+    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

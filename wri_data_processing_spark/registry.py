@@ -103,19 +103,23 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "scan_parquet_footer_stats",  # distributed footer min/max audit (r9)
     "events_acf",  # weekly ACF profile, join-based shift (r9)
     "stats_hhi_concentration",  # HHI regional market concentration (r9)
-    # -- (b-tail) r9 ops BEYOND the 50-slot window (24 deferred r8 ops +
-    # 20 r9 ops + 6 r2-era re-proofs fill it). These are locally
-    # oracle-proven at both SFs and are r10's MANDATORY front-load —
-    # the same contract r8's deferral carried into this round.
     "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
-    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
     "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
-    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
     "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
     "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
-    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
     "multimodal_phash",  # integer-DCT perceptual hash, executed decode (r9)
     "multimodal_phash_dedup",  # banded frequency-domain near-dups (r9)
+    # -- (b-tail) r9 ops BEYOND the 50-slot window: 53 never-sampled ops
+    # (24 deferred r8 + 29 new r9) compete for 50 slots, so THREE must
+    # defer. These are the mechanically-derivative ones (each re-composes
+    # already-driver-green machinery: the ztest frame, simple daily
+    # aggregates, the heaps-law first-seen rewrite) — locally
+    # oracle-proven at both SFs; they are r10's MANDATORY front-load,
+    # together with the r2-era aggregates family whose re-proof slipped
+    # a second round (rows remain valid on unchanged code).
+    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
+    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
+    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

@@ -147,6 +147,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "the scan — the sim_topk_batch shape",
     "events_acf": "bounded 7-row lag-frame broadcast cross onto the "
     "daily aggregate — the events_ewma shape",
+    "model_eval_pipeline": "three 1-row broadcast crosses stitching the "
+    "four component reports into the one-row scorecard, plus the "
+    "components' own whitelisted 1-row broadcasts (stats_lift_gains, "
+    "stats_ks_test shapes)",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

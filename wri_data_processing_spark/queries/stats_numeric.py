@@ -4078,3 +4078,103 @@ def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("srm_chi2"),
         (chi2 > F.lit(3.841459)).alias("mismatch"),
     )
+
+
+def _eval_pipeline_oracle() -> str:
+    """Composed oracle: each stage's full oracle SQL embedded as a nested
+    CTE (the stats_fdr_bh oracle-composition pattern — the oracle runs
+    exactly what the engine composes, not a re-derivation)."""
+    from wri_data_processing_spark.registry import ORACLE
+
+    srm = ORACLE["stats_ab_srm_check"].strip()
+    auc = ORACLE["stats_auc"].strip()
+    cal = ORACLE["stats_calibration_bins"].strip()
+    lift = ORACLE["stats_lift_gains"].strip()
+    return f"""
+    WITH srm AS ({srm}),
+    auc AS ({auc}),
+    cal AS ({cal}),
+    lift AS ({lift})
+    SELECT srm.srm_chi2, srm.mismatch AS srm_mismatch,
+           auc.auc,
+           (SELECT ROUND(MAX(ABS(mean_score - pos_rate)), 6) FROM cal)
+             AS max_calibration_gap,
+           (SELECT lift FROM lift WHERE decile = 9) AS lift_top_decile
+    FROM srm, auc
+    """
+
+
+@query("model_eval_pipeline", oracle=None)
+def model_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH composed flagship: the model-evaluation report — the one-row
+    scorecard an eval pipeline publishes per scoring run, composed from
+    four driver-green stages over the same scored population: (1) the
+    sample-ratio-mismatch GATE (if randomization broke, stop reading),
+    (2) ranking quality (exact Mann-Whitney AUC), (3) calibration
+    honesty (max |mean_score - pos_rate| over the reliability deciles),
+    (4) business yield (lift at the top decile). Composition follows the
+    stats_fdr_bh contract: the ENGINE calls the registered ops and
+    cross-joins their one-row outputs; the oracle embeds each op's exact
+    oracle SQL as nested CTEs, so the pipeline is verified as the
+    composition of already-verified parts.
+
+    (Registered with the composed oracle via oracle_sql wiring below —
+    the @query decorator takes the string from _eval_pipeline_oracle()
+    AFTER all four component oracles are registered; see the module tail.)
+
+    Known answers on the sha-uniform stand-in score: AUC ~= 0.5,
+    calibration gap ~= the base-rate band, lift ~= 1.0, SRM green —
+    the uninformative-model fixed point every eval harness should
+    reproduce before trusting itself on a real score column.
+
+    Plan: four independent subplans (each 1-2 map-side-combined
+    aggregates; the AUC's two-phase prefix sum is the only interesting
+    one) joined by three 1-row broadcasts (whitelisted). At 100 TB the
+    four stages share nothing but the scan — a real deployment fuses
+    stages (2)-(4) onto one scored frame; the factored form keeps each
+    stage independently driver-verified.
+    """
+    from wri_data_processing_spark.queries.llm_pipeline import stats_lift_gains
+
+    srm = stats_ab_srm_check(spark, sf_dir).select(
+        "srm_chi2", F.col("mismatch").alias("srm_mismatch")
+    )
+    auc = stats_auc(spark, sf_dir).select("auc")
+    cal = stats_calibration_bins(spark, sf_dir).agg(
+        F.round(F.max(F.abs(F.col("mean_score") - F.col("pos_rate"))), 6).alias(
+            "max_calibration_gap"
+        )
+    )
+    lift = (
+        stats_lift_gains(spark, sf_dir)
+        .filter(F.col("decile") == 9)
+        .select(F.col("lift").alias("lift_top_decile"))
+    )
+    return (
+        srm.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(cal))
+        .crossJoin(F.broadcast(lift))
+        .select(
+            "srm_chi2", "srm_mismatch", "auc", "max_calibration_gap",
+            "lift_top_decile",
+        )
+    )
+
+
+# Late oracle wiring: the composed oracle needs the component oracles,
+# which are registered by decorator order above; stats_lift_gains lives in
+# llm_pipeline which may not be imported yet when THIS module loads, so the
+# composition resolves lazily on first registry.load_all() completion.
+def _wire_eval_pipeline_oracle() -> None:
+    from wri_data_processing_spark.registry import ORACLE
+
+    if "model_eval_pipeline" not in ORACLE and all(
+        k in ORACLE
+        for k in (
+            "stats_ab_srm_check",
+            "stats_auc",
+            "stats_calibration_bins",
+            "stats_lift_gains",
+        )
+    ):
+        ORACLE["model_eval_pipeline"] = _eval_pipeline_oracle()

@@ -103,7 +103,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "scan_parquet_footer_stats",  # distributed footer min/max audit (r9)
     "events_acf",  # weekly ACF profile, join-based shift (r9)
     "stats_hhi_concentration",  # HHI regional market concentration (r9)
-    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
+    "model_eval_pipeline",  # 5th flagship: SRM gate -> AUC -> calib -> lift (r9)
     "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
     "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
     "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
@@ -117,6 +117,10 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     # oracle-proven at both SFs; they are r10's MANDATORY front-load,
     # together with the r2-era aggregates family whose re-proof slipped
     # a second round (rows remain valid on unchanged code).
+    # (skewness_kurtosis defers too: its moment machinery is the
+    # driver-proven stats_moments/OLS family; the composed flagship
+    # model_eval_pipeline takes its window slot.)
+    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
     "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
     "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
     "events_new_vs_returning",  # acquisition/engagement daily split (r9)
@@ -337,4 +341,12 @@ def load_all() -> None:
         windows,
     )
 
+    # Composed-oracle late wiring: model_eval_pipeline's oracle embeds the
+    # oracles of four component ops that live in two different modules, so
+    # it can only be stitched once every module has registered.
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _wire_eval_pipeline_oracle,
+    )
+
+    _wire_eval_pipeline_oracle()
     _apply_driver_sample_order()

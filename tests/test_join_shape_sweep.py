@@ -151,6 +151,15 @@ NLJ_WHITELIST: dict[str, str] = {
     "four component reports into the one-row scorecard, plus the "
     "components' own whitelisted 1-row broadcasts (stats_lift_gains, "
     "stats_ks_test shapes)",
+    "dedup_coverage_estimate": "three 1-row count broadcasts stitching "
+    "the Lincoln-Petersen scorecard row; detector pair work is all "
+    "banded equi-joins",
+    "graph_transitivity": "1-row wedge-total broadcast — the "
+    "graph_triangle_count shape",
+    "stats_mann_kendall": "calendar-bounded day-pair range join (the "
+    "stats_theil_sen shape) plus two 1-row scalar broadcasts",
+    "events_seasonality_strength": "1-row between-group-SS broadcast "
+    "onto the totals fold — the stats_ks_test shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

@@ -2768,3 +2768,81 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_frac"),
         )
     )
+
+
+@query(
+    "events_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(isodow(ts) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS kg,
+             CAST(SUM(n) AS BIGINT) AS sg
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM daily),
+    bet AS (
+      -- 2520 = lcm(1..9) clears every per-dow group-size denominator
+      SELECT CAST(SUM((2520 // kg) * sg * sg) AS BIGINT) AS b2520 FROM g)
+    SELECT tot.k AS n_days,
+           ROUND(CAST(tot.k * bet.b2520 - 2520 * tot.s * tot.s AS DOUBLE)
+                 / CAST(tot.k * 2520 * tot.sq - 2520 * tot.s * tot.s
+                        AS DOUBLE), 6) AS seasonality_strength
+    FROM tot, bet
+    """,
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH of daily traffic: the fraction of day-to-day
+    variance explained by the day-of-week profile (the eta-squared of
+    the dow grouping — 0 = no weekly rhythm, 1 = traffic is pure
+    weekday pattern). The scalar that says whether
+    events_seasonality_dow's profile MATTERS, and the quantitative
+    companion to events_acf's lag-7 spike and events_stl_decompose's
+    seasonal component.
+
+    Determinism: the variance ratio is computed ENTIRELY in integers
+    before one closing division — the between-group sum of squares
+    clears its per-dow denominators by scaling with 2520 (= lcm(1..10);
+    every dow group size on a span up to ~10 weeks divides it, so
+    (2520 div kg)*sg^2 is the EXACT 2520*sg^2/kg on this fixture), and
+    eta^2 = (k*B - 2520*s^2) / (2520*k*sq - 2520*s^2) with every term
+    an exact BIGINT — ONE division, ROUND-6. On longer spans where a
+    group size stops dividing 2520 the integer div truncates
+    IDENTICALLY in both engines (oracle-consistent, epsilon-biased);
+    the exact escalation is scaling by the actual lcm of group sizes.
+
+    Plan: one (day, dow) rollup — the only data-sized stage — then
+    7-row and 1-row folds stitched by a broadcast (whitelisted).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    daily = daily.localCheckpoint()  # feeds the dow fold AND the totals
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("kg"),
+        F.sum("n").cast("long").alias("sg"),
+    )
+    bet = g.agg(
+        F.sum(F.expr("(2520 div kg) * sg * sg")).cast("long").alias("b2520")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+    )
+    out = tot.crossJoin(F.broadcast(bet))
+    num = (F.col("k") * F.col("b2520") - 2520 * F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    den = (
+        F.col("k") * 2520 * F.col("sq") - 2520 * F.col("s") * F.col("s")
+    ).cast("double")
+    return out.select(
+        F.col("k").alias("n_days"),
+        F.round(num / den, 6).alias("seasonality_strength"),
+    )

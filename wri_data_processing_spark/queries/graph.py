@@ -1074,3 +1074,84 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+@query(
+    "graph_transitivity",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+      GROUP BY 1),
+    w AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS w2 FROM deg)
+    SELECT tri.t AS n_triangles, w.w2 // 2 AS n_wedges,
+           ROUND(CAST(6 * tri.t AS DOUBLE) / CAST(w.w2 AS DOUBLE), 6)
+             AS transitivity
+    FROM tri, w
+    """,
+)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (the graph-level clustering coefficient):
+    3 x triangles / wedges over the support-2 co-purchase graph — the
+    single scalar that says whether co-purchase neighborhoods CLOSE
+    (transitive taste) or fan out (hub-and-spoke catalogs).
+    graph_clustering_coefficient is the per-node view; this is its
+    wedge-weighted global aggregate (NOT the mean of local
+    coefficients — the two diverge on skewed degree sequences, which
+    is exactly why both are reported).
+
+    Determinism: triangle count from the canonical oriented wedge join
+    (each triangle found once); wedges = sum d(d-1)/2 kept DOUBLED so
+    everything stays integer; transitivity = 6T / sum d(d-1), ONE
+    division, ROUND-6.
+
+    Plan: the graph_triangle_count join pair plus one degree aggregate
+    over the localCheckpointed survivor edges; two scalar folds stitched
+    by 1-row broadcasts (whitelisted).
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e.select(F.col("pa").alias("x"), F.col("pb").alias("z")), ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("w2"))
+    return tri.crossJoin(F.broadcast(w)).select(
+        F.col("t").alias("n_triangles"),
+        F.expr("w2 div 2").cast("long").alias("n_wedges"),
+        F.round(
+            (6 * F.col("t")).cast("double") / F.col("w2").cast("double"), 6
+        ).alias("transitivity"),
+    )

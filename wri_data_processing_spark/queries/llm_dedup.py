@@ -1617,3 +1617,125 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def _coverage_oracle() -> str:
+    """Composed oracle: detector A is dedup_minhash_lsh's exact oracle as
+    a nested CTE; detector B derives banded simhash near-pairs from
+    dedup_simhash's oracle (15-bit bands, Hamming <= 3) — the
+    stats_fdr_bh composition contract."""
+    from wri_data_processing_spark.registry import ORACLE
+
+    return f"""
+    WITH a AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash_lsh"].strip()})),
+    h AS ({ORACLE["dedup_simhash"].strip()}),
+    bands AS (
+      SELECT doc_id, simhash, j,
+             CAST((simhash >> (15 * j)) & 32767 AS BIGINT) AS band
+      FROM h, unnest(generate_series(0, 3)) AS u(j)),
+    b AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band
+                  AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM a JOIN b USING (doc_a, doc_b)),
+    u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union
+          FROM (SELECT doc_a, doc_b FROM a UNION SELECT doc_a, doc_b FROM b)),
+    ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+    cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b)
+    SELECT ca.n_a, cb.n_b, m.n_overlap, u.n_union,
+           ROUND(CAST(ca.n_a * cb.n_b AS DOUBLE)
+                 / CAST(m.n_overlap AS DOUBLE), 6) AS lp_estimate
+    FROM ca, cb, m, u
+    """
+
+
+def _register_coverage_oracle() -> None:
+    from wri_data_processing_spark.registry import ORACLE
+
+    if "dedup_coverage_estimate" not in ORACLE and all(
+        k in ORACLE for k in ("dedup_minhash_lsh", "dedup_simhash")
+    ):
+        ORACLE["dedup_coverage_estimate"] = _coverage_oracle()
+
+
+@query("dedup_coverage_estimate", oracle=None)
+def dedup_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TRUE near-duplicate pair count —
+    the answer to the question no single detector can ask of itself:
+    "how many duplicates are we MISSING?". Two independent detectors
+    mark the same population (detector A: the MinHash-LSH banded pairs;
+    detector B: SimHash 15-bit-banded pairs at Hamming <= 3 — different
+    sketch families, so their misses are plausibly independent), and
+    Lincoln-Petersen says N_true ~= n_A * n_B / |A intersect B|. The
+    gap between the estimate and the observed union is the audited blind
+    spot — the number a curator reports next to any dedup recall claim.
+    (Probed: A=28, B=26, overlap=21, estimate ~35 at sf0.001 — real
+    disagreement, not mutual confirmation.)
+
+    Composition contract (stats_fdr_bh): the engine CALLS the registered
+    ops' machinery; the oracle embeds their exact oracle SQL as nested
+    CTEs, wired lazily after both register (module tail).
+
+    Determinism: both pair sets are already driver-proven deterministic;
+    counts are exact; the estimator is ONE division, ROUND-6. Plan: the
+    two detector subplans, one equi-join on the pair key for the
+    overlap, one union-distinct for coverage, three 1-row broadcasts
+    (whitelisted) to stitch the scorecard row.
+    """
+    a = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    h = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = h.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftrightunsigned(F.col("simhash"), 15 * j)
+                    .bitwiseAND(F.lit(32767).cast("long"))
+                    .alias("band"),
+                )
+                for j in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.j").alias("j"), F.col("bv.band").alias("band"))
+    x = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "j", "band")
+    y = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "j", "band")
+    b = (
+        x.join(y, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = a.localCheckpoint()  # feeds count, overlap join, and the union
+    b = b.localCheckpoint()
+    ca = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    cb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    m = a.join(b, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    u = (
+        a.unionAll(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    return (
+        ca.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "n_a",
+            "n_b",
+            "n_overlap",
+            "n_union",
+            F.round(
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / F.col("n_overlap").cast("double"),
+                6,
+            ).alias("lp_estimate"),
+        )
+    )

@@ -1379,3 +1379,75 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+      FROM documents),
+    g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS words,
+             CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM t GROUP BY 1)
+    SELECT lang, n_docs, words, bpe_tokens, chars,
+           ROUND(CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE), 6)
+             AS fertility,
+           ROUND(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6)
+             AS chars_per_token
+    FROM g ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word and
+    chars-per-token under the BPE-ish pre-tokenizer (letter runs | digit
+    runs | lone symbols, the text_token_count regex): THE fairness
+    metric for multilingual tokenizer choice (a language whose fertility
+    runs high pays more compute per word and fits less context — the
+    reason tokenizer papers report exactly this table). Swap in a real
+    tokenizer's count column and the operator is unchanged.
+
+    Determinism: all five aggregates are exact integer counts from
+    JVM-side regex/length expressions (no token explode — counts are
+    array sizes); the two ratios are one mirrored division each,
+    ROUND-6. Plan: one map-side-combined per-lang fold over the scan;
+    |langs| output rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    t = d.select(
+        "lang",
+        F.size(F.split(F.trim(text), r"\s+")).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bpe"),
+        F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return g.select(
+        "lang", "n_docs", "words", "bpe_tokens", "chars",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("chars").cast("double") / F.col("bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

@@ -4178,3 +4178,104 @@ def _wire_eval_pipeline_oracle() -> None:
         )
     ):
         ORACLE["model_eval_pipeline"] = _eval_pipeline_oracle()
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.d > a.d),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY n)
+      WHERE t > 1),
+    v AS (
+      SELECT s.s, k.k,
+             (k.k * (k.k - 1) * (2 * k.k + 5) - ties.tt) AS v18
+      FROM s, k, ties)
+    SELECT s AS mk_s, k AS n_days,
+           ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                             / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                             / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) AS z
+    FROM v
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric "is traffic trending?" inference that PAIRS with
+    stats_theil_sen: Theil-Sen estimates the slope, Mann-Kendall tests
+    whether any monotone trend exists at all (S = sum of pairwise
+    sign(later - earlier); no distributional assumption, ties handled
+    by the standard variance correction).
+
+    Determinism: S is an exact integer from the day-pair equi-range join
+    (bounded by the CALENDAR squared, the stats_theil_sen contract —
+    fixed cost at any corpus size); the tie-corrected variance
+    18V = k(k-1)(2k+5) - sum t(t-1)(2t+5) stays integer; z applies the
+    standard continuity correction with the identical
+    (S-+1)/sqrt(V18/18) tree on both engines (safe sqrt), ROUND-6.
+
+    Plan: one data-sized daily rollup, then calendar-bounded pair work
+    and two scalar folds.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    s = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("nb") > F.col("na"), 1)
+                .when(F.col("nb") < F.col("na"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    k = daily.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s",
+            "k",
+            (
+                F.col("k") * (F.col("k") - 1) * (2 * F.col("k") + 5) - F.col("tt")
+            ).alias("v18"),
+        )
+    )
+    den = F.sqrt(F.col("v18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / den)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / den)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("s").alias("mk_s"), F.col("k").alias("n_days"), F.round(z, 6).alias("z")
+    )

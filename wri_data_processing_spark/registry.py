@@ -124,6 +124,11 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
     "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
     "events_new_vs_returning",  # acquisition/engagement daily split (r9)
+    "dedup_coverage_estimate",  # capture-recapture missed-dup audit (r9)
+    "graph_transitivity",  # global 3T/wedges closure scalar (r9)
+    "stats_mann_kendall",  # nonparametric trend test, pairs theil_sen (r9)
+    "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
+    "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",
@@ -344,9 +349,13 @@ def load_all() -> None:
     # Composed-oracle late wiring: model_eval_pipeline's oracle embeds the
     # oracles of four component ops that live in two different modules, so
     # it can only be stitched once every module has registered.
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _register_coverage_oracle,
+    )
     from wri_data_processing_spark.queries.stats_numeric import (
         _wire_eval_pipeline_oracle,
     )
 
     _wire_eval_pipeline_oracle()
+    _register_coverage_oracle()
     _apply_driver_sample_order()

@@ -235,3 +235,47 @@ def test_new_vs_returning_day_one_all_new(spark, sf_dir):
     rows = _run(spark, sf_dir, "events_new_vs_returning")
     assert rows[0].new_frac == 1.0
     assert all(0.0 <= r.new_frac <= 1.0 for r in rows)
+
+
+def test_coverage_estimate_dominance(spark, sf_dir):
+    """Lincoln-Petersen never undershoots either detector, and the
+    overlap is bounded by both marked sets; the union is at most the
+    estimate's support on this fixture (a gross inversion means the
+    composition is wired wrong)."""
+    (r,) = _run(spark, sf_dir, "dedup_coverage_estimate")
+    assert 0 < r.n_overlap <= min(r.n_a, r.n_b)
+    assert r.n_union <= r.n_a + r.n_b - r.n_overlap + 1e-9
+    assert r.lp_estimate >= max(r.n_a, r.n_b) - 1e-6
+
+
+def test_transitivity_in_unit_interval(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "graph_transitivity")
+    assert 0.0 <= r.transitivity <= 1.0
+    assert r.n_wedges >= 3 * r.n_triangles
+
+
+def test_mann_kendall_s_bounds(spark, sf_dir):
+    """|S| <= k(k-1)/2 by construction."""
+    (r,) = _run(spark, sf_dir, "stats_mann_kendall")
+    assert abs(r.mk_s) <= r.n_days * (r.n_days - 1) // 2
+
+
+def test_fertility_sane(spark, sf_dir):
+    """BPE-ish pieces can only split words: fertility >= ~1; chars per
+    token positive and below the longest plausible piece."""
+    rows = _run(spark, sf_dir, "text_tokenizer_fertility")
+    assert all(r.fertility >= 0.99 for r in rows)
+    assert all(0.0 < r.chars_per_token < 30.0 for r in rows)
+
+
+def test_seasonality_strength_unit_interval(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "events_seasonality_strength")
+    assert 0.0 <= r.seasonality_strength <= 1.0
+
+
+def test_merge_branch_conserves(spark, sf_dir):
+    """Fast-forward merge: zero conflicts and the merged row count is
+    exactly main + branch additions."""
+    (r,) = _run(spark, sf_dir, "snapshot_merge_branch")
+    assert r.n_conflicts == 0
+    assert r.n_merged == r.n_main + r.n_dev_added

@@ -887,3 +887,93 @@ def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg("main@v3", main))
         .orderBy("ref")
     )
+
+
+@query(
+    "snapshot_merge_branch",
+    oracle="""
+    WITH mainv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_main
+      FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+                     OR (o_orderkey >= 1500 AND o_orderkey < 3000)),
+    dev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dev_added
+      FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3500),
+    merged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_merged,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price_merged
+      FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
+                     OR (o_orderkey >= 1500 AND o_orderkey < 3500))
+    SELECT mainv.n_main, dev.n_dev_added,
+           CAST(0 AS BIGINT) AS n_conflicts,
+           merged.n_merged, merged.sum_price_merged
+    FROM mainv, dev, merged
+    """,
+)
+def snapshot_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the dev branch back into main — the second half of the
+    snapshot_branch story (fork + diverge was proven there; this op
+    proves REUNIFICATION): the merge commit's manifest is main@head's
+    files plus the branch's ADDED files (dev's manifest minus the fork
+    manifest), with a file-level conflict check first — any file BOTH
+    sides rewrote since the fork would block the fast-forward (here the
+    branch only appended, so n_conflicts = 0 and the merge is a pure
+    manifest union: one metadata write, zero data copies, exactly how
+    Nessie/Iceberg branch merges commit).
+
+    Main's delete-rewrite WINS for the files dev never touched (dev
+    still references the fork's base files, but reference != rewrite —
+    the conflict set is intersect(rewritten-by-main, rewritten-by-dev),
+    which is empty), so the merged read shows main's deletes AND dev's
+    appends: the closed-form predicate the oracle states directly.
+
+    Plan: the scratch build's write pass, set algebra over three small
+    manifest lists (driver-side metadata, the manifest-set-algebra
+    contract of snapshot_diff), one merged multi-file scan + fold.
+    """
+    import os
+
+    root = _build_snapshots(spark, sf_dir, "mergebr")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dev_path = os.path.join(root, "dev_append")
+    o.filter(
+        (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3500)
+    ).write.parquet(dev_path)
+    dev_added = sorted(
+        os.path.join(dev_path, f)
+        for f in os.listdir(dev_path)
+        if f.endswith(".parquet")
+    )
+
+    def manifest(version: int) -> list[str]:
+        with open(os.path.join(root, f"v{version}.manifest")) as fh:
+            return [line.strip() for line in fh if line.strip()]
+
+    fork = set(manifest(2))
+    main_head = set(manifest(3))
+    dev_head = fork | set(dev_added)
+    # conflict check: files rewritten on BOTH sides since the fork
+    rewritten_by_main = fork - main_head
+    rewritten_by_dev = fork - dev_head
+    conflicts = rewritten_by_main & rewritten_by_dev
+    merged_files = sorted(main_head | (dev_head - fork))
+    with open(os.path.join(root, "v4.manifest"), "w") as fh:
+        fh.write("\n".join(merged_files) + "\n")
+
+    merged = spark.read.parquet(*manifest(4))
+    n_main = spark.read.parquet(*sorted(main_head)).count()
+    n_dev_added = spark.read.parquet(*dev_added).count()
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price_merged"),
+    )
+    return agg.select(
+        F.lit(n_main).cast("long").alias("n_main"),
+        F.lit(n_dev_added).cast("long").alias("n_dev_added"),
+        F.lit(len(conflicts)).cast("long").alias("n_conflicts"),
+        "n_merged",
+        "sum_price_merged",
+    )

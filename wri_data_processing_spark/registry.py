@@ -129,6 +129,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_mann_kendall",  # nonparametric trend test, pairs theil_sen (r9)
     "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
     "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
+    "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",

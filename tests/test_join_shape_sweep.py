@@ -160,6 +160,12 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_theil_sen shape) plus two 1-row scalar broadcasts",
     "events_seasonality_strength": "1-row between-group-SS broadcast "
     "onto the totals fold — the stats_ks_test shape",
+    "drift_report_pipeline": "three 1-row broadcast crosses stitching "
+    "the four drift detectors' reports, plus the components' own "
+    "whitelisted 1-row broadcasts (stats_ks_test, stats_chi2 shapes)",
+    "stats_qq_table": "bounded 9-row decile-frame broadcast cross onto "
+    "the cumulative frame (the events_acf shape) + a 2-row cohort "
+    "totals broadcast",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

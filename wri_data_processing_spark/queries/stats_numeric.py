@@ -4279,3 +4279,154 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("s").alias("mk_s"), F.col("k").alias("n_days"), F.round(z, 6).alias("z")
     )
+
+
+def _drift_report_oracle() -> str:
+    """Composed oracle: the four drift detectors' exact oracle SQL as
+    nested CTEs — the model_eval_pipeline composition contract applied
+    to the monitoring side."""
+    from wri_data_processing_spark.registry import ORACLE
+
+    ks = ORACLE["stats_ks_test"].strip()
+    psi = ORACLE["stats_psi"].strip()
+    jsd = ORACLE["stats_jensen_shannon"].strip()
+    chi2 = ORACLE["stats_chi2_independence"].strip()
+    return f"""
+    WITH ks AS ({ks}),
+    psi AS ({psi}),
+    jsd AS ({jsd}),
+    chi2 AS ({chi2})
+    SELECT ks.ks_d, psi.psi, jsd.jsd, chi2.chi2, chi2.dof,
+           psi.psi >= 0.25 OR ks.ks_d >= 0.2 AS drifted
+    FROM ks, psi, jsd, chi2
+    """
+
+
+def _wire_drift_report_oracle() -> None:
+    from wri_data_processing_spark.registry import ORACLE
+
+    if "drift_report_pipeline" not in ORACLE and all(
+        k in ORACLE
+        for k in (
+            "stats_ks_test",
+            "stats_psi",
+            "stats_jensen_shannon",
+            "stats_chi2_independence",
+        )
+    ):
+        ORACLE["drift_report_pipeline"] = _drift_report_oracle()
+
+
+@query("drift_report_pipeline", oracle=None)
+def drift_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift scorecard — the monitoring twin of model_eval_pipeline's
+    eval scorecard: one row a scheduler publishes per check interval,
+    composing the four registered drift detectors over the same cohort
+    pair (view vs click): exact KS sup-distance (continuous), binned PSI
+    (the industry monitor with its standard 0.25 action threshold),
+    Jensen-Shannon divergence (bounded symmetric categorical), and the
+    chi-squared independence statistic with its dof. The `drifted` flag
+    applies the textbook gates (PSI >= 0.25 or KS >= 0.2) so a pager can
+    key on one boolean while the four statistics explain WHY.
+
+    Composition contract (stats_fdr_bh / model_eval_pipeline): the
+    engine cross-joins the registered components' one-row outputs; the
+    oracle embeds each component's exact oracle SQL as nested CTEs,
+    wired lazily after all modules register.
+
+    Plan: four independent subplans (the KS two-phase ECDF is the only
+    data-ordered one) stitched by three 1-row broadcasts (whitelisted).
+    """
+    ks = stats_ks_test(spark, sf_dir).select("ks_d")
+    psi = stats_psi(spark, sf_dir).select("psi")
+    jsd = stats_jensen_shannon(spark, sf_dir).select("jsd")
+    chi2 = stats_chi2_independence(spark, sf_dir).select("chi2", "dof")
+    return (
+        ks.crossJoin(F.broadcast(psi))
+        .crossJoin(F.broadcast(jsd))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "ks_d", "psi", "jsd", "chi2", "dof",
+            ((F.col("psi") >= 0.25) | (F.col("ks_d") >= 0.2)).alias("drifted"),
+        )
+    )
+
+
+@query(
+    "stats_qq_table",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cohort, value AS v
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    g AS (
+      SELECT cohort, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2),
+    cw AS (
+      SELECT cohort, v, cnt,
+             SUM(cnt) OVER (PARTITION BY cohort
+                            ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g),
+    n AS (SELECT cohort, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+    q AS (
+      SELECT cw.cohort, ks.k, MIN(cw.v) AS qv
+      FROM cw JOIN n USING (cohort), ks
+      WHERE 10 * cw.cum >= ks.k * n.n
+      GROUP BY 1, 2)
+    SELECT a.k AS decile, a.qv AS q_view, b.qv AS q_click,
+           a.qv - b.qv AS qq_diff
+    FROM q a JOIN q b ON a.k = b.k
+    WHERE a.cohort = 'view' AND b.cohort = 'click'
+    ORDER BY a.k
+    """,
+)
+def stats_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table between the view and click value
+    distributions at the nine deciles — the drift detector that
+    LOCALIZES what stats_ks_test only sizes: the KS statistic says "the
+    distributions differ by D"; the Q-Q diff column says WHERE (head,
+    body, or tail) and in WHICH DIRECTION, which decides whether the
+    fix is a cap, a rebucketing, or nothing.
+
+    Exactness: type-1 (lower) quantiles — the k-th decile is the
+    smallest value whose per-cohort cumulative count clears k*n/10,
+    compared in PURE INTEGERS (10*cum >= k*n; no float thresholds, the
+    stats_pr_curve discipline); values pass through untouched as the
+    scan's doubles, and qq_diff is one subtraction of two such doubles.
+
+    Plan: one (cohort, value) count, the grouped two-phase cumulative
+    sum (per-cohort windows over global range buckets — no
+    single-partition exchange), a bounded 9-row decile-frame broadcast
+    (whitelisted, the events_acf shape), and a 9-row self-join.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    )
+    g = e.groupBy(
+        F.col("event_type").alias("cohort"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cw = _grouped_two_phase_cumsum(g, "cohort", "v", ["cnt"])
+    n = g.groupBy("cohort").agg(F.sum("cnt").cast("long").alias("n"))
+    ks = spark.range(1, 10).select(F.col("id").cast("long").alias("k"))
+    q = (
+        cw.join(F.broadcast(n), "cohort")
+        .crossJoin(F.broadcast(ks))
+        .filter(10 * F.col("cum_cnt") >= F.col("k") * F.col("n"))
+        .groupBy("cohort", "k")
+        .agg(F.min("v").alias("qv"))
+    )
+    a = q.filter(F.col("cohort") == "view").select(
+        F.col("k").alias("decile"), F.col("qv").alias("q_view")
+    )
+    b = q.filter(F.col("cohort") == "click").select(
+        F.col("k").alias("decile"), F.col("qv").alias("q_click")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile", "q_view", "q_click",
+            (F.col("q_view") - F.col("q_click")).alias("qq_diff"),
+        )
+        .orderBy("decile")
+    )

@@ -130,6 +130,8 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
     "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
     "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
+    "drift_report_pipeline",  # composed drift scorecard: KS+PSI+JSD+chi2 (r9)
+    "stats_qq_table",  # decile Q-Q localization of drift (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",
@@ -357,6 +359,11 @@ def load_all() -> None:
         _wire_eval_pipeline_oracle,
     )
 
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _wire_drift_report_oracle,
+    )
+
     _wire_eval_pipeline_oracle()
+    _wire_drift_report_oracle()
     _register_coverage_oracle()
     _apply_driver_sample_order()

@@ -166,6 +166,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "stats_qq_table": "bounded 9-row decile-frame broadcast cross onto "
     "the cumulative frame (the events_acf shape) + a 2-row cohort "
     "totals broadcast",
+    "stats_effect_sizes": "1-row doubled-U broadcast from the composed "
+    "stats_mann_whitney onto the moments fold — the stats_ks_test shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

@@ -4430,3 +4430,130 @@ def stats_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def _effect_sizes_oracle() -> str:
+    """Own exact moment CTEs + stats_mann_whitney's oracle embedded as a
+    nested CTE for the rank-based component (the composition contract)."""
+    from wri_data_processing_spark.registry import ORACLE
+
+    mw = ORACLE["stats_mann_whitney"].strip()
+    return f"""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS sv, SUM(v * v) AS qv
+      FROM s GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN CAST(sv AS DOUBLE) END) AS s1,
+             MAX(CASE WHEN grp = 1 THEN CAST(qv AS DOUBLE) END) AS q1,
+             MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+             MAX(CASE WHEN grp = 2 THEN CAST(sv AS DOUBLE) END) AS s2,
+             MAX(CASE WHEN grp = 2 THEN CAST(qv AS DOUBLE) END) AS q2
+      FROM g),
+    d AS (
+      SELECT n1, n2,
+             (s1 / n1 - s2 / n2)
+               / sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                      / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d
+      FROM w),
+    mw AS ({mw})
+    SELECT d.n1, d.n2,
+           ROUND(d.cohens_d, 6) AS cohens_d,
+           ROUND(d.cohens_d
+                 * (1.0 - 3.0 / CAST(4 * (d.n1 + d.n2) - 9 AS DOUBLE)), 6)
+             AS hedges_g,
+           ROUND(CAST(mw.u1_x2 AS DOUBLE)
+                 / CAST(2 * d.n1 * d.n2 AS DOUBLE) * 2.0 - 1.0, 6)
+             AS cliffs_delta
+    FROM d, mw
+    """
+
+
+def _wire_effect_sizes_oracle() -> None:
+    from wri_data_processing_spark.registry import ORACLE
+
+    if "stats_effect_sizes" not in ORACLE and "stats_mann_whitney" in ORACLE:
+        ORACLE["stats_effect_sizes"] = _effect_sizes_oracle()
+
+
+@query("stats_effect_sizes", oracle=None)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The effect-size panel for the view-vs-click value comparison —
+    what every significance test in this module deliberately omits: HOW
+    BIG is the difference? Cohen's d (pooled-SD standardized mean gap),
+    Hedges' g (the small-sample bias correction 1 - 3/(4N-9)), and
+    Cliff's delta (the rank-based, outlier-immune P(X>Y) - P(X<Y),
+    derived EXACTLY from stats_mann_whitney's doubled U: delta =
+    u1_x2/(n1*n2) - 1). A z or t tells you the gap is real; these tell
+    you whether anyone should care — the pair of numbers a decision memo
+    actually quotes.
+
+    Composition contract: the rank component CALLS the registered
+    stats_mann_whitney (its doubled-U output is exact); the oracle
+    embeds that op's exact SQL as a nested CTE next to its own
+    moment CTEs.
+
+    Determinism: moment sums are exact DECIMAL(18,6)/(38,12); d and g
+    are one mirrored double tree each with safe sqrt; delta is one
+    division of exact integers; all ROUND-6.
+
+    Plan: one map-side-combined two-cohort moment fold, the MW subplan
+    (two-phase rank sums), one 1-row broadcast stitch (whitelisted).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    )
+    s = e.select(
+        F.when(F.col("event_type") == "view", 1).otherwise(2).alias("grp"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    g = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("qv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sv").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("qv").cast("double"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 2, F.col("sv").cast("double"))).alias("s2"),
+        F.max(F.when(F.col("grp") == 2, F.col("qv").cast("double"))).alias("q2"),
+    )
+    d = (
+        F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    ) / F.sqrt(
+        (
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            + (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    mw = stats_mann_whitney(spark, sf_dir).select("u1_x2")
+    out = w.select("n1", "n2", d.alias("cohens_d")).crossJoin(F.broadcast(mw))
+    return out.select(
+        "n1",
+        "n2",
+        F.round(F.col("cohens_d"), 6).alias("cohens_d"),
+        F.round(
+            F.col("cohens_d")
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (4 * (F.col("n1") + F.col("n2")) - 9).cast("double")
+            ),
+            6,
+        ).alias("hedges_g"),
+        F.round(
+            F.col("u1_x2").cast("double")
+            / (2 * F.col("n1") * F.col("n2")).cast("double")
+            * F.lit(2.0)
+            - F.lit(1.0),
+            6,
+        ).alias("cliffs_delta"),
+    )

@@ -132,6 +132,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
     "drift_report_pipeline",  # composed drift scorecard: KS+PSI+JSD+chi2 (r9)
     "stats_qq_table",  # decile Q-Q localization of drift (r9)
+    "stats_effect_sizes",  # Cohen's d / Hedges' g / Cliff's delta panel (r9)
     # -- (c) stalest rows: last driver-sampled in ROUND 2 --
     "agg_count_by_group",
     "agg_conditional_count",
@@ -363,7 +364,12 @@ def load_all() -> None:
         _wire_drift_report_oracle,
     )
 
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _wire_effect_sizes_oracle,
+    )
+
     _wire_eval_pipeline_oracle()
     _wire_drift_report_oracle()
+    _wire_effect_sizes_oracle()
     _register_coverage_oracle()
     _apply_driver_sample_order()

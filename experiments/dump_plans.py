@@ -163,6 +163,17 @@ SHOWCASE = [
     ("eval_pass_at_k", "per-user partitioned rank (never global), "
      "map-side-combined per-task fold, one 4-column scalar fold — the "
      "falling-factorial polynomial runs inside the aggregate"),
+    ("model_eval_pipeline", "the 5th flagship: four independent 1-row "
+     "component subplans (SRM, AUC two-phase rank sums, calibration "
+     "bins, lift deciles) stitched by three 1-row broadcasts"),
+    ("drift_report_pipeline", "the monitoring scorecard: KS two-phase "
+     "ECDF + PSI bins + JSD cells + chi2 cells, three 1-row broadcast "
+     "stitches, one pager-ready boolean"),
+    ("dedup_coverage_estimate", "two banded detector subplans "
+     "(MinHash-LSH pairs, SimHash 15-bit bands) -> pair-key equi-join "
+     "overlap + union-distinct -> Lincoln-Petersen row"),
+    ("stats_qq_table", "grouped two-phase cumulative counts, 9-row "
+     "decile broadcast, pure-integer thresholds, 9-row self-join"),
 ]
 
 

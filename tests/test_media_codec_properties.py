@@ -69,3 +69,51 @@ def test_wav_truncation_raises(n, cut):
     payload = write_wav([((k * 997) % 65536) - 32768 for k in range(n)])
     with pytest.raises(ValueError):
         decode_wav(payload[: min(cut, len(payload) - 1)])
+
+
+def test_phash_independent_reference():
+    """Recompute every fixture pHash with a SEPARATELY-WRITTEN numpy
+    reference (float cosines floor-quantized to the same 2^14 grid,
+    int64 matrix products, vectorized median/threshold) and assert
+    bit-for-bit equality with the pure-Python ``_phash64`` that
+    generates the VALUES oracle. This breaks the self-verification loop
+    the oracle alone would have: the DCT/median/threshold arithmetic is
+    now proven by two independent implementations, not one function
+    quoted twice."""
+    import math
+
+    import numpy as np
+
+    from wri_data_processing_spark.queries.multimodal import (
+        _PHASH_K,
+        _PHASH_N,
+        _dhash_fixtures,
+        _phash64,
+    )
+
+    n, k = _PHASH_N, _PHASH_K
+    # Independent cosine table: numpy float cos, floored to the 2^14 grid.
+    u = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    cos_tab = np.floor(np.cos(math.pi * (2 * m + 1) * u / (2 * n)) * 16384.0)
+    cos_tab = cos_tab.astype(np.int64)
+
+    for mid, name, w, h, pxf in _dhash_fixtures():
+        # Independent NN-resize + Rec.601 integer luma via numpy indexing.
+        xs = (np.arange(n) * w) // n
+        ys = (np.arange(n) * h) // n
+        rgb = np.array(
+            [[pxf(int(x), int(y)) for x in xs] for y in ys], dtype=np.int64
+        )
+        lum = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+        # Two 1-D DCT passes as int64 matmuls: rows then columns.
+        tmp = lum @ cos_tab.T          # [y, v] = sum_x lum[y,x] * C[v,x]
+        fuv = cos_tab @ tmp            # [u, v] = sum_y C[u,y] * tmp[y,v]
+        block = fuv[:k, :k].reshape(-1)
+        med = np.sort(block)[k * k // 2]
+        bits = 0
+        for i, val in enumerate(block):
+            if val > med:
+                bits |= 1 << i
+        expected = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert expected == _phash64(pxf, w, h), name

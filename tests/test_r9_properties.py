@@ -129,6 +129,7 @@ def test_datasheet_partitions_corpus(spark, sf_dir):
     rows = _run(spark, sf_dir, "corpus_datasheet")
     from wri_data_processing_spark.catalog import table as _table
 
+    assert sum(r.n_docs for r in rows) == _table(spark, sf_dir, "documents").count()
     assert all(0 <= r.n_prefix_dup_docs <= r.n_docs for r in rows)
     assert all(r.n_langs >= 1 for r in rows)
 
@@ -279,3 +280,24 @@ def test_merge_branch_conserves(spark, sf_dir):
     (r,) = _run(spark, sf_dir, "snapshot_merge_branch")
     assert r.n_conflicts == 0
     assert r.n_merged == r.n_main + r.n_dev_added
+
+
+def test_merge_branch_conflict_detection():
+    """The both-sides-rewrite case the registered (append-only) scenario
+    structurally cannot produce: when main compacts {a,b}->ab AND dev
+    rewrites {b}->b2, file b is rewritten by BOTH sides since the fork
+    and the merge must be blocked. Pure manifest set algebra — no Spark
+    session needed; drives the same helper the op calls."""
+    from wri_data_processing_spark.queries.warehouse_ops import _merge_conflicts
+
+    fork = {"a", "b", "c"}
+    # main compacted a+b into ab (rewrote a and b); dev rewrote b into b2
+    # and appended d.
+    main_head = {"ab", "c"}
+    dev_head = {"a", "b2", "c", "d"}
+    assert _merge_conflicts(fork, main_head, dev_head) == {"b"}
+    # dev-side append-only (the registered scenario): never conflicts,
+    # whatever main rewrote.
+    assert _merge_conflicts(fork, main_head, fork | {"d"}) == set()
+    # both sides rewriting DIFFERENT files: fast-forwardable.
+    assert _merge_conflicts(fork, {"a2", "b", "c"}, {"a", "b", "c2"}) == set()

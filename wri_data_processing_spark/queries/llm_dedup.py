@@ -3,11 +3,14 @@
 - dedup_exact         : content-hash groupBy, keep lowest doc_id.
 - dedup_ngram_jaccard : word-3-gram shingles -> inverted-index self-join ->
                         Jaccard >= threshold pairs. Exact, SQL-checkable.
-- dedup_minhash_lsh   : spark.ml MinHashLSH approx similarity join
-                        (rows-only; banding is probabilistic).
-- dedup_simhash       : 64-bit SimHash per doc from xxhash64 token hashes —
-                        pure DataFrame bit arithmetic (rows-only: xxhash64
-                        has no DuckDB twin).
+- dedup_minhash_lsh   : banded MinHash-LSH candidate join with PINNED
+                        integer hash parameters — oracle-exact (driver-green
+                        r4) since the replayable-permutation rewrite; the
+                        spark.ml RNG variant survives as dedup_minhash_ml
+                        (rows-only).
+- dedup_simhash       : 64-bit SimHash per doc from a replayable token hash
+                        shared with the DuckDB oracle — oracle-exact
+                        (driver-green r4); pure DataFrame bit arithmetic.
 
 Scale notes: exact dedup is one hash aggregation on a 256-bit digest (shuffle
 carries 32-byte keys, not documents). The shingle pipeline is the textbook

@@ -4,6 +4,13 @@ All pure column expressions (JVM-side, codegen) — at 100 TB these run inside
 the scan stage with zero Python and zero shuffle until the final demo
 aggregation. Operators: stats, quality score, token counting (BPE-ish regex),
 language-ID heuristic, document fingerprint.
+
+Cross-engine regex note: ``\\s`` differs between Java (Spark) and RE2
+(DuckDB oracles) — Java's includes vertical tab ``\\x0B``, RE2's does not.
+The corpus fixtures contain no ``\\x0B`` (probed: generator emits only
+space/newline whitespace), so the ops that predate this note keep the
+shared ``\\s`` spelling; new ops use the explicit class ``[ \\t\\n\\f\\r]``
+on BOTH sides so the equivalence never rests on the fixture.
 """
 
 from __future__ import annotations
@@ -1319,14 +1326,14 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           CAST(SUM(len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'))) AS BIGINT)
              AS n_tokens,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_prefix_dup_docs,
            ROUND(CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
-           ROUND(CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+           ROUND(CAST(SUM(len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')))
                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
              AS avg_doc_tokens
     FROM p GROUP BY 1 ORDER BY 1
@@ -1356,7 +1363,9 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = d.select(
         "source",
         "lang",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ntok"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"))
+        .cast("long")
+        .alias("ntok"),
         F.count(F.lit(1)).over(w).alias("pc"),
     )
     return (
@@ -1386,10 +1395,10 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT lang,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS BIGINT)
                AS n_words,
              CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS BIGINT)
                AS n_bpe,
              CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
       FROM documents),
@@ -1426,10 +1435,10 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     t = d.select(
         "lang",
-        F.size(F.split(F.trim(text), r"\s+")).cast("long").alias("n_words"),
+        F.size(F.split(F.trim(text), r"[ \t\n\f\r]+")).cast("long").alias("n_words"),
         F.size(
             F.regexp_extract_all(
-                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"), F.lit(0)
             )
         )
         .cast("long")

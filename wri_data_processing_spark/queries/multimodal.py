@@ -1180,8 +1180,14 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma, integer DCT-II with the cosine table PINNED as floor(cos*2^14)
     module literals — transcendentals never evaluate in plans, the
     stats_power_sample_size discipline — 8x8 low block, upper-median
-    threshold), so engine and the independent-arithmetic VALUES oracle
-    agree bit-for-bit.
+    threshold), so engine and oracle agree bit-for-bit. Honesty note:
+    the VALUES oracle is generated by the SAME ``_phash64`` function the
+    engine calls, so by itself it proves only the write_bmp/decode_bmp
+    round-trip; the DCT/median/threshold arithmetic is verified against
+    a separately-written numpy float-DCT reference in
+    tests/test_media_codec_properties.py::test_phash_independent_reference
+    (multimodal_patchify's oracle, by contrast, sums pixels
+    independently).
 
     Plan shape at scale: the multimodal_features_real contract —
     payloads decode inside the scan's mapInPandas, only the 8-byte hash

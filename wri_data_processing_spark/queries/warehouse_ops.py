@@ -889,6 +889,26 @@ def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_conflicts(
+    fork: set[str], main_head: set[str], dev_head: set[str]
+) -> set[str]:
+    """File-level merge-conflict set: fork files rewritten on BOTH sides.
+
+    A file "rewritten" by a side is one present at the fork but absent from
+    that side's head manifest (copy-on-write replaces the file, it never
+    mutates in place). The registered ``snapshot_merge_branch`` scenario is
+    an APPEND-ONLY branch (dev_head ⊇ fork), so rewritten-by-dev is
+    structurally empty there and the merge always fast-forwards; the
+    genuine-conflict path (both sides rewrite a shared fork file → the
+    merge must be blocked) is exercised by
+    tests/test_r9_properties.py::test_merge_branch_conflict_detection,
+    which drives this same helper with a diverging dev manifest.
+    """
+    rewritten_by_main = fork - main_head
+    rewritten_by_dev = fork - dev_head
+    return rewritten_by_main & rewritten_by_dev
+
+
 @query(
     "snapshot_merge_branch",
     oracle="""
@@ -920,7 +940,11 @@ def snapshot_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides rewrote since the fork would block the fast-forward (here the
     branch only appended, so n_conflicts = 0 and the merge is a pure
     manifest union: one metadata write, zero data copies, exactly how
-    Nessie/Iceberg branch merges commit).
+    Nessie/Iceberg branch merges commit). Because dev is append-only,
+    rewritten-by-dev is structurally empty HERE — the conflict branch of
+    ``_merge_conflicts`` cannot fire in this registered scenario; the
+    both-sides-rewrite case that DOES block a merge is proven separately
+    (tests/test_r9_properties.py::test_merge_branch_conflict_detection).
 
     Main's delete-rewrite WINS for the files dev never touched (dev
     still references the fork's base files, but reference != rewrite —
@@ -953,10 +977,7 @@ def snapshot_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     fork = set(manifest(2))
     main_head = set(manifest(3))
     dev_head = fork | set(dev_added)
-    # conflict check: files rewritten on BOTH sides since the fork
-    rewritten_by_main = fork - main_head
-    rewritten_by_dev = fork - dev_head
-    conflicts = rewritten_by_main & rewritten_by_dev
+    conflicts = _merge_conflicts(fork, main_head, dev_head)
     merged_files = sorted(main_head | (dev_head - fork))
     with open(os.path.join(root, "v4.manifest"), "w") as fh:
         fh.write("\n".join(merged_files) + "\n")

@@ -40,24 +40,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Driver-sample priority: the correctness harness samples the FIRST ~50
 # registered queries, so registration order decides which operators get a
-# hard driver-verified CORRECTNESS row each round.  Round-9 rotation
+# hard driver-verified CORRECTNESS row each round.  Round-10 rotation
 # (continuing the VERDICT r7 item-7 rule — no op stays never-sampled for
 # more than one round, no green row goes stale for more than ~5 rounds):
-# (a) the 24 r8 ops that landed BEYOND r8's 50-slot sample window (the 12
-#     late-session adds + the 12 deliberately deferred derivative ops) go
-#     FIRST — each is locally oracle-proven at both SFs but has no driver
-#     row yet; this is the mandatory front-load,
-# (b) new r9 ops are inserted next as they land so they get a row in the
+# (a) the 13 r9 ops that landed BEYOND r9's 50-slot window go FIRST (in r9,
+#     63 never-sampled ops — 24 deferred r8 + 39 new r9 — competed for the
+#     50 slots, so 13 deferred; each is locally oracle-proven at both SFs
+#     but has no driver row yet): the mandatory front-load,
+# (b) new r10 ops are inserted next as they land so they get a row in the
 #     round they land,
-# (c) remaining slots re-prove the stalest standing rows (the r2-era
-#     aggregates family, then the r3-era relational/window/sort singles),
-# (d) the tail keeps r8-sampled and r6/r7-fresh heads; they re-enter the
-#     window in later rounds under the same rotation rule.
+# (c) the r2-era aggregates/geo re-proofs whose rotation slipped twice,
+# (d) the r3-era relational/window/sort/set singles fill remaining slots,
+# (e+) fresh r9/r8/r7 heads re-enter the window in later rounds under the
+#     same rotation rule.
 # Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the
 # sampled window: the driver records them as `no_oracle` ERR rows (r2's
 # agg_freq_items proved it), which reads as red for zero information.
 _DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- (a) r8 ops with NO driver row yet: the mandatory r9 front-load --
+    # -- (a) the 13 r9 ops that landed beyond r9's 50-slot window: 63
+    # never-sampled ops (24 deferred r8 + 39 new r9) competed for 50
+    # slots, so THIRTEEN deferred. Locally oracle-proven at both SFs;
+    # this is r10's MANDATORY front-load (VERDICT r9 item 1). --
+    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
+    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
+    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
+    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
+    "dedup_coverage_estimate",  # capture-recapture missed-dup audit (r9)
+    "graph_transitivity",  # global 3T/wedges closure scalar (r9)
+    "stats_mann_kendall",  # nonparametric trend test, pairs theil_sen (r9)
+    "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
+    "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
+    "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
+    "drift_report_pipeline",  # composed drift scorecard: KS+PSI+JSD+chi2 (r9)
+    "stats_qq_table",  # decile Q-Q localization of drift (r9)
+    "stats_effect_sizes",  # Cohen's d / Hedges' g / Cliff's delta panel (r9)
+    # -- (b) new r10 ops are inserted HERE as they land --
+    # -- (c) stalest standing rows: last driver-sampled in ROUND 2; their
+    # re-proof already slipped r8 AND r9 (rows stay valid on unchanged
+    # code, but VERDICT r9 item 1 makes this round's re-proof mandatory) --
+    "agg_count_by_group",
+    "agg_conditional_count",
+    "agg_distinct_sorted",
+    "agg_duplicate_keys",
+    "agg_first_value",
+    "agg_minmax_stats",
+    "agg_approx_distinct",
+    "validate_assumptions",
+    "geo_overview_pyramid",
+    # -- (d) r3-era singles: next-stalest rows, rotate through the tail of
+    # the window (whatever slots remain after (a)-(c) + new r10 ops) --
+    "filter_exclude_paths",
+    "filter_predicate",
+    "split_by_flag",
+    "project_columns",
+    "join_left_anti",
+    "join_left_semi",
+    "join_full_outer",
+    "window_rank",
+    "window_lag_lead",
+    "sort_order_by",
+    "limit_n",
+    "set_union_all",
+    "set_except",
+    "set_intersect",
+    "scan_file_listing",
+    "scan_csv",
+    "sink_append_table",
+    "sink_overwrite_table",
+    "sink_json_docs",
+    "stream_watermark",
+    # -- (e) fresh r9 rows (the r8-deferred front-load + r9 adds, all
+    # driver-green r9) --
     "text_source_divergence",  # pairwise source JSD mixture audit (r8)
     "graph_markov_steady",  # Q30 journey-chain steady state (r8)
     "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
@@ -82,7 +135,6 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "orders_backlog_aging",  # open-order aging value report (r8)
     "stats_calibration_bins",  # reliability-diagram deciles (r8)
     "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
-    # -- (b) new r9 ops are inserted HERE as they land --
     "graph_bfs_layers",  # single-source BFS layer census, horizon bucket (r9)
     "graph_clustering_coefficient",  # per-node ego-density top-20 (r9)
     "graph_hits",  # bipartite hubs/authorities, Q30 renormalized (r9)
@@ -109,41 +161,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
     "multimodal_phash",  # integer-DCT perceptual hash, executed decode (r9)
     "multimodal_phash_dedup",  # banded frequency-domain near-dups (r9)
-    # -- (b-tail) r9 ops BEYOND the 50-slot window: 53 never-sampled ops
-    # (24 deferred r8 + 29 new r9) compete for 50 slots, so THREE must
-    # defer. These are the mechanically-derivative ones (each re-composes
-    # already-driver-green machinery: the ztest frame, simple daily
-    # aggregates, the heaps-law first-seen rewrite) — locally
-    # oracle-proven at both SFs; they are r10's MANDATORY front-load,
-    # together with the r2-era aggregates family whose re-proof slipped
-    # a second round (rows remain valid on unchanged code).
-    # (skewness_kurtosis defers too: its moment machinery is the
-    # driver-proven stats_moments/OLS family; the composed flagship
-    # model_eval_pipeline takes its window slot.)
-    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
-    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
-    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
-    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
-    "dedup_coverage_estimate",  # capture-recapture missed-dup audit (r9)
-    "graph_transitivity",  # global 3T/wedges closure scalar (r9)
-    "stats_mann_kendall",  # nonparametric trend test, pairs theil_sen (r9)
-    "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
-    "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
-    "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
-    "drift_report_pipeline",  # composed drift scorecard: KS+PSI+JSD+chi2 (r9)
-    "stats_qq_table",  # decile Q-Q localization of drift (r9)
-    "stats_effect_sizes",  # Cohen's d / Hedges' g / Cliff's delta panel (r9)
-    # -- (c) stalest rows: last driver-sampled in ROUND 2 --
-    "agg_count_by_group",
-    "agg_conditional_count",
-    "agg_distinct_sorted",
-    "agg_duplicate_keys",
-    "agg_first_value",
-    "agg_minmax_stats",
-    "agg_approx_distinct",
-    "validate_assumptions",
-    "geo_overview_pyramid",
-    # -- (d) r8-sampled heads (fresh r8 rows) --
+    # -- (f) r8-sampled heads (fresh r8 rows) --
     "sim_ann_lsh",  # multi-probe rewrite (r7 verdict item 1): recall 0.4 -> 1.0
     "multimodal_features_real",  # executed BMP codec decode (r7 item 6)
     "multimodal_dhash",  # perceptual fingerprint over decoded pixels (r8)
@@ -194,28 +212,7 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
     "events_peak_concurrency",  # sweep-line capacity planning (r8)
     "stats_power_sample_size",  # pinned-quantile A/B planner (r8)
-    # -- (e) r3-era rows: the relational/window/sort/set/scalar singles --
-    "filter_exclude_paths",
-    "filter_predicate",
-    "split_by_flag",
-    "project_columns",
-    "join_left_anti",
-    "join_left_semi",
-    "join_full_outer",
-    "window_rank",
-    "window_lag_lead",
-    "sort_order_by",
-    "limit_n",
-    "set_union_all",
-    "set_except",
-    "set_intersect",
-    "scan_file_listing",
-    "scan_csv",
-    "sink_append_table",
-    "sink_overwrite_table",
-    "sink_json_docs",
-    "stream_watermark",
-    # -- (f) recent heads with fresh r6/r7 rows --
+    # -- (g) recent heads with fresh r6/r7 rows --
     "stats_chi2_independence",
     "stats_psi",
     "stats_quantiles_exact",

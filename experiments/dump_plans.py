@@ -174,6 +174,36 @@ SHOWCASE = [
      "overlap + union-distinct -> Lincoln-Petersen row"),
     ("stats_qq_table", "grouped two-phase cumulative counts, 9-row "
      "decile broadcast, pure-integer thresholds, 9-row self-join"),
+    ("stats_effect_sizes", "Cohen's d / Hedges' g from decimal38 moment "
+     "folds, Cliff's delta = u1_x2/(n1*n2) - 1 reusing Mann-Whitney's "
+     "doubled-U subplan; three 1-row broadcast stitches"),
+    ("stats_skewness_kurtosis", "one map-side-combined fold: centi-unit "
+     "ci^4 stays in int64 per row, s3/s4 accumulate in decimal38, "
+     "m2^1.5 computed as m2*sqrt(m2) — never pow"),
+    ("stats_tost_equivalence", "two one-sided Welch z statistics from the "
+     "same two-group moment fold; 1.644854 pinned as a literal, 1-row "
+     "verdict"),
+    ("events_burstiness", "daily-count aggregate then per-type Fano and "
+     "Goh-Barabasi B from one (type) fold — the shuffle carries "
+     "|types| x |days| counts, never events"),
+    ("events_new_vs_returning", "per-user first-seen min-aggregate joined "
+     "back on (user, day): acquisition/engagement split with no window "
+     "over the raw event stream"),
+    ("graph_transitivity", "ordered-edge triangle join (a<b<c) for 3T, "
+     "wedge count as sum d*(d-1)/2 from the degree aggregate; two "
+     "scalar subplans, one 1-row output"),
+    ("stats_mann_kendall", "day-pair self-join on d2 > d1 (the theil_sen "
+     "pair frame) for S; tie-corrected variance from the value-count "
+     "aggregate — no global sort"),
+    ("text_tokenizer_fertility", "all five aggregates are map-side array "
+     "sizes (regex counts fused into the scan, no token explode); one "
+     "per-lang fold, |langs| rows"),
+    ("events_seasonality_strength", "dow eta-squared in pure integers via "
+     "2520-LCM scaling: daily counts -> 7-row dow means -> 1-row "
+     "strength; exact on the fixture span"),
+    ("snapshot_merge_branch", "manifest set algebra is metadata-only "
+     "(driver-side file lists); the only data-sized work is the merged "
+     "multi-file scan's single fold"),
 ]
 
 

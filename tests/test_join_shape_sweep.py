@@ -168,6 +168,19 @@ NLJ_WHITELIST: dict[str, str] = {
     "totals broadcast",
     "stats_effect_sizes": "1-row doubled-U broadcast from the composed "
     "stats_mann_whitney onto the moments fold — the stats_ks_test shape",
+    "stats_kendall_tau": "calendar-bounded day-pair range join (the "
+    "stats_theil_sen shape) plus a 1-row day-count broadcast",
+    "stats_mood_median": "1-row pooled-median broadcast over the scan — "
+    "the stats_ks_test shape",
+    "stats_hodges_lehmann": "calendar-bounded |A|x|B| daily-count cross "
+    "(the stats_theil_sen pair-cost contract), a bounded "
+    "distinct-diff triangular cumulative self-join, and 1-row "
+    "order-statistic broadcasts",
+    "stats_durbin_watson": "1-row OLS-coefficient broadcast over the "
+    "calendar-bounded daily frame (stream_watermark shape) plus a "
+    "1-row day-count broadcast",
+    "stats_cronbach_alpha": "1-row min-date broadcast over the scan "
+    "(stream_watermark shape) and a 1-row x 1-row moment stitch",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

@@ -4557,3 +4557,779 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cliffs_delta"),
     )
+
+
+def _daily_traffic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared r10 frame: per-day event count and exact decimal revenue.
+
+    The (traffic, revenue) daily pair is the canonical bivariate series the
+    r10 association/agreement family (Kendall tau-b, Lin's CCC,
+    Durbin-Watson) runs on: counts are exact BIGINTs, revenue sums in
+    DECIMAL(18,6) so every downstream comparison/product is exact until
+    the op's single closing division."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"),
+        )
+        .localCheckpoint()
+    )
+
+
+_DAILY_TR_CTE = """
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1)
+"""
+
+
+@query(
+    "stats_kendall_tau",
+    oracle=f"""
+    WITH {_DAILY_TR_CTE},
+    pairs AS (
+      SELECT a.n AS na, a.rev AS ra, b.n AS nb, b.rev AS rb
+      FROM daily a JOIN daily b ON a.d < b.d),
+    cls AS (
+      SELECT
+        CAST(SUM(CASE WHEN (na < nb AND ra < rb) OR (na > nb AND ra > rb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN (na < nb AND ra > rb) OR (na > nb AND ra < rb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN na = nb AND ra != rb THEN 1 ELSE 0 END) AS BIGINT)
+          AS tie_x,
+        CAST(SUM(CASE WHEN ra = rb AND na != nb THEN 1 ELSE 0 END) AS BIGINT)
+          AS tie_y,
+        CAST(SUM(CASE WHEN na = nb AND ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+          AS tie_both,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           n_pairs, c AS concordant, disc AS discordant, tie_x, tie_y,
+           tie_both,
+           ROUND(CAST(c - disc AS DOUBLE)
+                 / sqrt(CAST((c + disc + tie_y) AS DOUBLE)
+                        * CAST((c + disc + tie_x) AS DOUBLE)), 6) AS tau_b
+    FROM cls
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily traffic and daily
+    revenue — the pairwise-concordance twin of stats_spearman: where
+    Spearman correlates rank VALUES, tau counts how often the two series
+    agree on the ORDER of any two days, with the b-correction discounting
+    ties on either axis (traffic counts tie on 7 of 30 fixture days —
+    probed — so the correction is genuinely exercised).
+
+    Exactness: day-pair classification compares exact BIGINT counts and
+    exact DECIMAL revenue sums, so concordant/discordant/tie tallies are
+    exact integers; tau_b is ONE double division over one sqrt of an
+    integer product (n0-n1)(n0-n2) expressed as (C+D+ty)(C+D+tx) —
+    mirrored trees, safe transcendental, ROUND-6.
+
+    Plan: one data-sized daily rollup, then the calendar-bounded day-pair
+    range join (the stats_theil_sen / stats_mann_kendall shape — pair
+    count is CALENDAR-squared, fixed at any corpus size) into one scalar
+    fold plus a 1-row day-count broadcast.
+    """
+    daily = _daily_traffic_revenue(spark, sf_dir)
+    a = daily.select(
+        F.col("d").alias("da"), F.col("n").alias("na"), F.col("rev").alias("ra")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("n").alias("nb"), F.col("rev").alias("rb")
+    )
+    p = a.join(b, F.col("da") < F.col("db"))
+    na, nb, ra, rb = F.col("na"), F.col("nb"), F.col("ra"), F.col("rb")
+    cls = p.agg(
+        F.sum(
+            F.when(((na < nb) & (ra < rb)) | ((na > nb) & (ra > rb)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(((na < nb) & (ra > rb)) | ((na > nb) & (ra < rb)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when((na == nb) & (ra != rb), 1).otherwise(0))
+        .cast("long")
+        .alias("tie_x"),
+        F.sum(F.when((ra == rb) & (na != nb), 1).otherwise(0))
+        .cast("long")
+        .alias("tie_y"),
+        F.sum(F.when((na == nb) & (ra == rb), 1).otherwise(0))
+        .cast("long")
+        .alias("tie_both"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ndays = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    c, disc = F.col("c"), F.col("disc")
+    return F.broadcast(ndays).crossJoin(cls).select(
+        "n_days",
+        "n_pairs",
+        F.col("c").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        "tie_x",
+        "tie_y",
+        "tie_both",
+        F.round(
+            (c - disc).cast("double")
+            / F.sqrt(
+                (c + disc + F.col("tie_y")).cast("double")
+                * (c + disc + F.col("tie_x")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "stats_ccc_lin",
+    oracle=f"""
+    WITH {_DAILY_TR_CTE},
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n * n) AS BIGINT) AS sxx,
+             SUM(rev) AS sy,
+             SUM(rev * rev) AS syy,
+             SUM(n * rev) AS sxy
+      FROM daily),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS dx, CAST(sxx AS DOUBLE) AS dxx,
+             CAST(sy AS DOUBLE) AS dy, CAST(syy AS DOUBLE) AS dyy,
+             CAST(sxy AS DOUBLE) AS dxy
+      FROM s)
+    SELECT n AS n_days,
+           ROUND((nd * dxy - dx * dy)
+                 / sqrt((nd * dxx - dx * dx) * (nd * dyy - dy * dy)), 6)
+             AS pearson_r,
+           ROUND(2.0 * (nd * dxy - dx * dy)
+                 / (nd * dxx - dx * dx + nd * dyy - dy * dy
+                    + (dx - dy) * (dx - dy)), 6) AS ccc
+    FROM d
+    """,
+)
+def stats_ccc_lin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between daily traffic and
+    daily revenue — agreement, not just association: Pearson r asks "do
+    they move together?", CCC additionally penalizes scale and location
+    mismatch (a series that tracks another at half the magnitude has
+    r = 1 but CCC << 1), which is why method-comparison and
+    forecast-vs-actual audits report CCC.
+
+    Exactness: all six moment sums are exact (BIGINT counts,
+    DECIMAL(18,6) revenue; products stay decimal); multiplying the
+    classical formula through by n^2 gives CCC = 2(nSxy - SxSy) /
+    (nSxx - Sx^2 + nSyy - Sy^2 + (Sx - Sy)^2) — integers/decimals into
+    ONE double tree mirrored on both engines, ROUND-6. Pearson r rides
+    along from the same sums (one sqrt, the safe transcendental).
+
+    Plan: one map-side-combined daily rollup, one 1-row moment fold —
+    no joins, no windows.
+    """
+    daily = _daily_traffic_revenue(spark, sf_dir)
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+        F.sum(F.col("n") * F.col("rev")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    dx = F.col("sx").cast("double")
+    dxx = F.col("sxx").cast("double")
+    dy = F.col("sy").cast("double")
+    dyy = F.col("syy").cast("double")
+    dxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (nd * dxy - dx * dy)
+            / F.sqrt((nd * dxx - dx * dx) * (nd * dyy - dy * dy)),
+            6,
+        ).alias("pearson_r"),
+        F.round(
+            F.lit(2.0)
+            * (nd * dxy - dx * dy)
+            / (nd * dxx - dx * dx + nd * dyy - dy * dy + (dx - dy) * (dx - dy)),
+            6,
+        ).alias("ccc"),
+    )
+
+
+@query(
+    "stats_jarque_bera",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ci
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ci) AS BIGINT) AS s1,
+             CAST(SUM(ci * ci) AS BIGINT) AS s2,
+             SUM(CAST(ci AS HUGEINT) * ci * ci) AS s3,
+             SUM(CAST(ci AS HUGEINT) * ci * ci * ci) AS s4
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+             CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+             CAST(s4 AS DOUBLE) AS d4
+      FROM g),
+    m AS (
+      SELECT event_type, n, nd,
+             nd * d2 - d1 * d1 AS m2,
+             nd * nd * d3 - 3.0 * nd * d1 * d2 + 2.0 * d1 * d1 * d1 AS m3,
+             nd * nd * nd * d4 - 4.0 * nd * nd * d1 * d3
+               + 6.0 * nd * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1 AS m4
+      FROM d),
+    sk AS (
+      SELECT event_type, n, nd,
+             ROUND(sqrt(nd) * m3 / (m2 * sqrt(m2)), 6) AS s,
+             ROUND(nd * m4 / (m2 * m2) - 3.0, 6) AS k
+      FROM m)
+    SELECT event_type, n,
+           ROUND(nd * (s * s / 6.0 + k * k / 24.0), 6) AS jb,
+           nd * (s * s / 6.0 + k * k / 24.0) > 5.991465 AS normal_rejected
+    FROM sk ORDER BY event_type
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type — the decision layer on
+    top of stats_skewness_kurtosis: JB = n(S^2/6 + K^2/24) ~ chi2(2)
+    under normality, so one number (and one pinned 95% quantile) answers
+    the question every parametric test in this module silently assumes —
+    "is this column normal enough?". The money-like value distribution
+    is emphatically not, and the op says so with a test statistic
+    instead of a shape eyeball.
+
+    Exactness: the stats_skewness_kurtosis discipline verbatim — exact
+    centi-unit power sums (s3/s4 in DECIMAL(38,0)/HUGEINT), central
+    moments from ONE mirrored double tree, m2^1.5 as m2*sqrt(m2), and
+    the chi2(2) 95% critical value PINNED as the literal 5.991465
+    (inverse-CDF transcendentals never evaluate in plans — the
+    stats_power_sample_size discipline). ROUND-6 on the statistic; the
+    boolean compares the UNrounded tree on both engines.
+
+    Plan: one map-side-combined per-type aggregate, 5 output rows.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ci = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = e.select("event_type", ci.alias("ci")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ci").cast("long").alias("s1"),
+        F.sum(F.col("ci") * F.col("ci")).cast("long").alias("s2"),
+        F.sum(F.col("ci").cast("decimal(38,0)") * F.col("ci") * F.col("ci")).alias(
+            "s3"
+        ),
+        F.sum(
+            F.col("ci").cast("decimal(38,0)") * F.col("ci") * F.col("ci") * F.col("ci")
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double")
+    d2 = F.col("s2").cast("double")
+    d3 = F.col("s3").cast("double")
+    d4 = F.col("s4").cast("double")
+    m2 = nd * d2 - d1 * d1
+    m3 = nd * nd * d3 - F.lit(3.0) * nd * d1 * d2 + F.lit(2.0) * d1 * d1 * d1
+    m4 = (
+        nd * nd * nd * d4
+        - F.lit(4.0) * nd * nd * d1 * d3
+        + F.lit(6.0) * nd * d1 * d1 * d2
+        - F.lit(3.0) * d1 * d1 * d1 * d1
+    )
+    # S and K are ROUND-6 snapped BEFORE composing JB: the HUGEINT/decimal38
+    # -> double cast of s3/s4 can differ in the last ULP between engines
+    # (sums exceed 2^53), and JB ~ n*K^2 amplifies that ULP past ROUND-6
+    # (observed 1e-5 at sf0.01). Rounded inputs make the JB tree a pure
+    # function of bit-identical doubles.
+    s = F.round(F.sqrt(nd) * m3 / (m2 * F.sqrt(m2)), 6)
+    k = F.round(nd * m4 / (m2 * m2) - F.lit(3.0), 6)
+    jb = nd * (s * s / F.lit(6.0) + k * k / F.lit(24.0))
+    return g.select(
+        "event_type",
+        "n",
+        F.round(jb, 6).alias("jb"),
+        (jb > F.lit(5.991465)).alias("normal_rejected"),
+    ).orderBy("event_type")
+
+
+@query(
+    "stats_mood_median",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ci
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    vc AS (
+      SELECT ci, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+    cum AS (
+      SELECT ci, c,
+             SUM(c) OVER (ORDER BY ci
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_c
+      FROM vc),
+    med AS (
+      SELECT MIN(ci) AS m
+      FROM cum, (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc) t
+      WHERE cum_c >= (t.n + 1) // 2),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'a' AND ci >  med.m THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_above,
+        CAST(SUM(CASE WHEN grp = 'a' AND ci <= med.m THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_below,
+        CAST(SUM(CASE WHEN grp = 'b' AND ci >  med.m THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_above,
+        CAST(SUM(CASE WHEN grp = 'b' AND ci <= med.m THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_below,
+        MIN(med.m) AS m
+      FROM s, med)
+    SELECT CAST(m AS DOUBLE) / 100.0 AS pooled_median,
+           a_above, a_below, b_above, b_below,
+           ROUND(CAST(a_above + a_below + b_above + b_below AS DOUBLE)
+                 * (CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                    - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+                 * (CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                    - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+                 / (CAST(a_above + a_below AS DOUBLE)
+                    * CAST(b_above + b_below AS DOUBLE)
+                    * CAST(a_above + b_above AS DOUBLE)
+                    * CAST(a_below + b_below AS DOUBLE)), 6) AS chi2,
+           CAST(a_above + a_below + b_above + b_below AS DOUBLE)
+             * (CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+             * (CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+             / (CAST(a_above + a_below AS DOUBLE)
+                * CAST(b_above + b_below AS DOUBLE)
+                * CAST(a_above + b_above AS DOUBLE)
+                * CAST(a_below + b_below AS DOUBLE)) > 3.841459
+             AS medians_differ
+    FROM cells
+    """,
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do purchase and click order values share a
+    median? The coarsest — and most outlier-immune — two-sample location
+    test: classify every row as above/at-or-below the POOLED median and
+    chi2 the resulting 2x2 table. Where Mann-Whitney needs comparable
+    shapes, Mood's only trusts the sign of (value - pooled median), the
+    right screen for wildly heavy-tailed money columns.
+
+    Exactness: the pooled lower median is the smallest centi-unit value
+    whose cumulative count reaches ceil(n/2) — an exact integer rank off
+    the distinct-value cumulative frame (the stats_quantiles_exact
+    contract, no interpolation); the 2x2 cells are exact integers; the
+    2x2 chi2 n(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) is ONE mirrored double
+    tree, ROUND-6, gated against the PINNED chi2(1) 95% literal
+    3.841459 (the stats_ab_srm_check constant).
+
+    Plan: one distinct-value shuffle + two-phase prefix sums for the
+    median, a 1-row median broadcast back over the scan (stats_ks_test
+    shape), one cell fold.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("ci"),
+    ).localCheckpoint()
+    vc = s.groupBy("ci").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = _two_phase_cumsum(vc, "ci", ["c"])
+    n = s.count()
+    med = (
+        cum.filter(F.col("cum_c") >= F.lit((n + 1) // 2))
+        .agg(F.min("ci").alias("m"))
+    )
+    cells = F.broadcast(med).crossJoin(s).agg(
+        F.sum(F.when((F.col("grp") == "a") & (F.col("ci") > F.col("m")), 1).otherwise(0))
+        .cast("long")
+        .alias("a_above"),
+        F.sum(
+            F.when((F.col("grp") == "a") & (F.col("ci") <= F.col("m")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("a_below"),
+        F.sum(F.when((F.col("grp") == "b") & (F.col("ci") > F.col("m")), 1).otherwise(0))
+        .cast("long")
+        .alias("b_above"),
+        F.sum(
+            F.when((F.col("grp") == "b") & (F.col("ci") <= F.col("m")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_below"),
+        F.min("m").alias("m"),
+    )
+    aa = F.col("a_above").cast("double")
+    ab = F.col("a_below").cast("double")
+    ba = F.col("b_above").cast("double")
+    bb = F.col("b_below").cast("double")
+    ntot = (F.col("a_above") + F.col("a_below") + F.col("b_above") + F.col("b_below")).cast(
+        "double"
+    )
+    det = aa * bb - ab * ba
+    chi2 = ntot * det * det / ((aa + ab) * (ba + bb) * (aa + ba) * (ab + bb))
+    return cells.select(
+        (F.col("m").cast("double") / F.lit(100.0)).alias("pooled_median"),
+        "a_above",
+        "a_below",
+        "b_above",
+        "b_below",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("medians_differ"),
+    )
+
+
+@query(
+    "stats_hodges_lehmann",
+    oracle="""
+    WITH da AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    db AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    diffs AS (
+      SELECT a.n - b.n AS diff FROM da a, db b),
+    vc AS (
+      SELECT diff, CAST(COUNT(*) AS BIGINT) AS c FROM diffs GROUP BY 1),
+    cum AS (
+      SELECT diff, c,
+             SUM(c) OVER (ORDER BY diff
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_c
+      FROM vc),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS np FROM vc),
+    lo AS (SELECT MIN(diff) AS v FROM cum, t WHERE cum_c >= (t.np + 1) // 2),
+    hi AS (SELECT MIN(diff) AS v FROM cum, t WHERE cum_c >= t.np // 2 + 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM da) AS n_days_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM db) AS n_days_b,
+           t.np AS n_pairs,
+           (CAST(lo.v AS DOUBLE) + CAST(hi.v AS DOUBLE)) / 2.0 AS hl_shift
+    FROM t, lo, hi
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between the purchase and click
+    daily-count series — the ESTIMATE that pairs with Mann-Whitney's
+    TEST (exactly as stats_theil_sen pairs with stats_mann_kendall):
+    the median of all pairwise differences a_i - b_j is the
+    distribution-free "how much higher does series A run?" number, with
+    the estimator's 29% breakdown point instead of the mean-difference's
+    zero.
+
+    Exactness: daily counts are exact BIGINTs, so all |A| x |B| pairwise
+    differences are exact integers; the median of the (even-size) pair
+    multiset is the average of the two middle order statistics, each an
+    exact integer rank off the distinct-difference cumulative frame —
+    the only float is the final /2.0.
+
+    Plan: two daily rollups (data-sized), a calendar-bounded |A| x |B|
+    broadcast cross of the tiny per-day frames (the stats_theil_sen
+    pair-cost contract), distinct-diff counts, and a bounded
+    |diffs|^2/2 cumulative self-join — no single-partition window.
+    """
+    e = table(spark, sf_dir, "events")
+    da = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    db = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    diffs = (
+        da.select(F.col("n").alias("na"))
+        .crossJoin(F.broadcast(db.select(F.col("n").alias("nb"))))
+        .select((F.col("na") - F.col("nb")).alias("diff"))
+    )
+    vc = diffs.groupBy("diff").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vc = vc.localCheckpoint()
+    # bounded cumulative: |distinct diffs| is calendar-scale, so the
+    # triangular self-join replaces any global-order window outright
+    lo_ = vc.select(F.col("diff").alias("d2"), F.col("c").alias("c2"))
+    cum = (
+        vc.join(F.broadcast(lo_), F.col("d2") <= F.col("diff"))
+        .groupBy("diff")
+        .agg(F.sum("c2").cast("long").alias("cum_c"))
+    )
+    np_ = vc.agg(F.sum("c").cast("long").alias("np"))
+    k_lo = F.broadcast(np_).crossJoin(cum).filter(
+        F.col("cum_c") >= F.floor((F.col("np") + 1) / 2)
+    ).agg(F.min("diff").alias("v_lo"))
+    k_hi = F.broadcast(np_).crossJoin(cum).filter(
+        F.col("cum_c") >= F.floor(F.col("np") / 2) + 1
+    ).agg(F.min("diff").alias("v_hi"))
+    na_days = da.agg(F.count(F.lit(1)).cast("long").alias("n_days_a"))
+    nb_days = db.agg(F.count(F.lit(1)).cast("long").alias("n_days_b"))
+    return (
+        F.broadcast(na_days)
+        .crossJoin(F.broadcast(nb_days))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(k_lo))
+        .crossJoin(k_hi)
+        .select(
+            "n_days_a",
+            "n_days_b",
+            F.col("np").alias("n_pairs"),
+            (
+                (F.col("v_lo").cast("double") + F.col("v_hi").cast("double"))
+                / F.lit(2.0)
+            ).alias("hl_shift"),
+        )
+    )
+
+
+@query(
+    "stats_durbin_watson",
+    oracle=f"""
+    WITH {_DAILY_TR_CTE},
+    dmin AS (SELECT MIN(d) AS d0 FROM daily),
+    t AS (
+      SELECT d, CAST(datediff('day', dmin.d0, d) AS BIGINT) AS t,
+             CAST(rev AS DOUBLE) AS y
+      FROM daily, dmin),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             SUM(y) AS sy, SUM(t * y) AS sty
+      FROM t),
+    co AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+             CAST(st AS DOUBLE) AS std, sy, CAST(n AS DOUBLE) AS nd
+      FROM m),
+    res AS (
+      SELECT t.d, t.y - (co.sy - co.b * co.std) / co.nd - co.b * t.t AS e
+      FROM t, co),
+    terms AS (
+      SELECT CAST(SUM(CAST(floor(cur.e * cur.e * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS den_i,
+             CAST(SUM(CASE WHEN prev.e IS NOT NULL THEN
+                    CAST(floor((cur.e - prev.e) * (cur.e - prev.e)
+                               * 1000000.0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS num_i,
+             CAST(COUNT(prev.e) AS BIGINT) AS n_lagged
+      FROM res cur LEFT JOIN res prev ON cur.d = prev.d + INTERVAL 1 DAY)
+    SELECT (SELECT n FROM m) AS n_days, n_lagged,
+           ROUND(CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE), 6) AS dw
+    FROM terms
+    """,
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic on the residuals of the
+    daily-revenue-vs-time OLS — the regression-diagnostics sibling of
+    events_acf: after stats_linear_regression removes the trend, DW =
+    sum (e_t - e_t-1)^2 / sum e_t^2 in [0,4] says whether what remains
+    is serially correlated (DW << 2), the assumption check behind every
+    time-indexed regression this module fits.
+
+    Exactness: OLS coefficients come from exact integer/decimal moment
+    sums via one mirrored double tree; residuals are then deterministic
+    doubles per day. The two quadratic-form sums are made
+    order-independent by FLOOR-scaling each nonnegative term to micro
+    units (floor(x*1e6) of a bit-identical double is exact on both
+    engines, no ROUND-midpoint hazard) and summing the resulting
+    BIGINTs; DW closes with one division, ROUND-6. The lag pairs come
+    from an observed-day adjacency join (d = prev + 1 day; fixture
+    series is daily-complete, probed 30/30 days) — the events_acf
+    join-based shift, no window.
+
+    Plan: one daily rollup, a 1-row OLS-coefficient broadcast back over
+    the 30-row frame (stream_watermark shape), one adjacency self-join,
+    one scalar fold.
+    """
+    daily = _daily_traffic_revenue(spark, sf_dir)
+    dmin = daily.agg(F.min("d").alias("d0"))
+    t = (
+        F.broadcast(dmin)
+        .crossJoin(daily)
+        .select(
+            "d",
+            F.datediff("d", "d0").cast("long").alias("t"),
+            F.col("rev").cast("double").alias("y"),
+        )
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    std_ = F.col("st").cast("double")
+    sttd = F.col("stt").cast("double")
+    b = (nd * F.col("sty") - std_ * F.col("sy")) / (nd * sttd - std_ * std_)
+    co = m.select(
+        F.col("n"),
+        b.alias("b"),
+        std_.alias("std"),
+        F.col("sy"),
+        nd.alias("nd"),
+    )
+    res = (
+        F.broadcast(co)
+        .crossJoin(t)
+        .select(
+            "d",
+            (
+                F.col("y")
+                - (F.col("sy") - F.col("b") * F.col("std")) / F.col("nd")
+                - F.col("b") * F.col("t")
+            ).alias("e"),
+        )
+        .localCheckpoint()
+    )
+    prev = res.select(F.col("d").alias("dp"), F.col("e").alias("ep"))
+    j = res.join(prev, F.col("d") == F.date_add(F.col("dp"), 1), "left")
+    terms = j.agg(
+        F.sum(F.floor(F.col("e") * F.col("e") * F.lit(1000000.0)).cast("long"))
+        .cast("long")
+        .alias("den_i"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                F.floor(
+                    (F.col("e") - F.col("ep"))
+                    * (F.col("e") - F.col("ep"))
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("num_i"),
+        F.count("ep").cast("long").alias("n_lagged"),
+    )
+    ndays = res.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        F.broadcast(ndays)
+        .crossJoin(terms)
+        .select(
+            "n_days",
+            "n_lagged",
+            F.round(
+                F.col("num_i").cast("double") / F.col("den_i").cast("double"), 6
+            ).alias("dw"),
+        )
+    )
+
+
+@query(
+    "stats_cronbach_alpha",
+    oracle="""
+    WITH dmin AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    uw AS (
+      SELECT user_id,
+             datediff('day', dmin.d0, CAST(ts AS DATE)) // 7 AS w,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, dmin
+      WHERE datediff('day', dmin.d0, CAST(ts AS DATE)) // 7 < 4
+      GROUP BY 1, 2),
+    items AS (
+      SELECT CAST(SUM(sxx) AS BIGINT) AS sum_sxx,
+             CAST(SUM(sx * sx) AS BIGINT) AS sum_sx2
+      FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS sx,
+                   CAST(SUM(c * c) AS BIGINT) AS sxx
+            FROM uw GROUP BY 1)),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(tt * tt) AS BIGINT) AS stt,
+             CAST(SUM(tt) AS BIGINT) AS st
+      FROM (SELECT user_id, CAST(SUM(c) AS BIGINT) AS tt
+            FROM uw GROUP BY 1))
+    SELECT tot.n_users, CAST(4 AS BIGINT) AS k_items,
+           ROUND((4.0 / 3.0)
+                 * (1.0 - CAST(tot.n_users * items.sum_sxx - items.sum_sx2
+                               AS DOUBLE)
+                        / CAST(tot.n_users * tot.stt - tot.st * tot.st
+                               AS DOUBLE)), 6) AS alpha
+    FROM items, tot
+    """,
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user x week activity matrix — internal
+    consistency of a 4-item "engagement scale" where item w = a user's
+    event count in week w: the metric-reliability question ("do the
+    weekly readings measure one stable trait?") every composite
+    engagement score should answer before anyone ranks users by it.
+    Positive alpha here means persistent heavy/light users; zero means
+    weekly counts are independent noise.
+
+    Exactness: with N = all users active in the 28-day window (absent
+    user-weeks contribute 0 to every sum, so sparse per-(user, week)
+    counts ARE the dense matrix), alpha = k/(k-1) * (1 -
+    (N*sum_w Sxx_w - sum_w Sx_w^2) / (N*Stt - St^2)) — the N(N-1)
+    variance denominators cancel, leaving exact BIGINT sums into ONE
+    double division, ROUND-6.
+
+    Plan: one (user, week) rollup, two bounded re-aggregations (4 item
+    rows, N user rows), a 1-row x 1-row join. The min-date scalar
+    broadcasts over the scan (stream_watermark shape).
+    """
+    e = table(spark, sf_dir, "events")
+    dmin = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    uw = (
+        F.broadcast(dmin)
+        .crossJoin(e)
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.col("d0")) / 7).alias("w"),
+        )
+        .filter(F.col("w") < 4)
+        .groupBy("user_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    items = (
+        uw.groupBy("w")
+        .agg(
+            F.sum("c").cast("long").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+        )
+        .agg(
+            F.sum("sxx").cast("long").alias("sum_sxx"),
+            F.sum(F.col("sx") * F.col("sx")).cast("long").alias("sum_sx2"),
+        )
+    )
+    tot = (
+        uw.groupBy("user_id")
+        .agg(F.sum("c").cast("long").alias("tt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("tt") * F.col("tt")).cast("long").alias("stt"),
+            F.sum("tt").cast("long").alias("st"),
+        )
+    )
+    num = (F.col("n_users") * F.col("sum_sxx") - F.col("sum_sx2")).cast("double")
+    den = (F.col("n_users") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    return (
+        F.broadcast(items)
+        .crossJoin(tot)
+        .select(
+            "n_users",
+            F.lit(4).cast("long").alias("k_items"),
+            F.round(
+                (F.lit(4.0) / F.lit(3.0)) * (F.lit(1.0) - num / den), 6
+            ).alias("alpha"),
+        )
+    )

@@ -75,6 +75,13 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_qq_table",  # decile Q-Q localization of drift (r9)
     "stats_effect_sizes",  # Cohen's d / Hedges' g / Cliff's delta panel (r9)
     # -- (b) new r10 ops are inserted HERE as they land --
+    "stats_kendall_tau",  # tau-b daily traffic~revenue, tie-corrected (r10)
+    "stats_ccc_lin",  # Lin's concordance + Pearson from one moment fold (r10)
+    "stats_jarque_bera",  # normality gate, pinned chi2(2) literal (r10)
+    "stats_mood_median",  # pooled-median 2x2 location screen (r10)
+    "stats_hodges_lehmann",  # median-of-pairwise-diffs shift estimate (r10)
+    "stats_durbin_watson",  # OLS residual serial-correlation check (r10)
+    "stats_cronbach_alpha",  # weekly-engagement reliability panel (r10)
     # -- (c) stalest standing rows: last driver-sampled in ROUND 2; their
     # re-proof already slipped r8 AND r9 (rows stay valid on unchanged
     # code, but VERDICT r9 item 1 makes this round's re-proof mandatory) --

@@ -181,6 +181,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "1-row day-count broadcast",
     "stats_cronbach_alpha": "1-row min-date broadcast over the scan "
     "(stream_watermark shape) and a 1-row x 1-row moment stitch",
+    "eval_retrieval_per_query": "8-row probe-query-set broadcast over "
+    "the scan — the sim_topk_batch shape",
+    "retrieval_eval_pipeline": "the eval_retrieval_per_query 8-row "
+    "query broadcast feeding one 1-row fold — the sim_topk_batch shape",
     "sim_pairs_exact": "labeled O(N^2) small-N anchor; scale path is "
     "sim_pairs_threshold",
     "dedup_embedding_exact": "labeled O(N^2) anchor; scale path is "

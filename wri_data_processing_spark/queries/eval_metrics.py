@@ -1,0 +1,608 @@
+"""Model-evaluation metrics (r10): classifier reports, probabilistic
+scoring rules, and retrieval-quality metrics (SURVEY.md §2.4 A59-A64).
+
+Completes the model-eval family started in r8/r9 (stats_auc, calibration
+bins, PR curve, lift/gains, pass@k, model_eval_pipeline): a
+classification report over a REAL in-repo classifier (the text_lang_id
+marker heuristic audited against the labeled lang column), the two
+proper scoring rules (Brier, log-loss) over the established sha-uniform
+stand-in score, expected calibration error composing the calibration-bin
+machinery, and ranked-retrieval metrics (MRR, nDCG@10, recall@10) over
+the exact-cosine ranking the similarity family already proves — plus the
+SIXTH composed flagship, retrieval_eval_pipeline, which scores all three
+retrieval metrics from ONE shared ranked-pool subplan.
+
+Determinism disciplines (all established elsewhere in the repo):
+sha-slice uniforms (no RNG state), floor-scaled integer folds for any
+distributed float sum (floor(x*1e12) of a bit-identical double is exact
+on both engines — no ROUND-midpoint hazard), pinned 2^30-scaled
+logarithm weights as module literals (transcendentals never evaluate in
+plans), ROUND-6 cosine with id tiebreaks for total ranking order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark.catalog import table
+from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
+from wri_data_processing_spark.queries.llm_text import (
+    _MARKERS,
+    _PRED_SQL,
+    _count_col,
+)
+from wri_data_processing_spark.registry import query
+
+_Q30 = 1 << 30
+
+# DCG position weights, PINNED: W(r) = floor(2^30 * ln 2 / ln(r+1)) for
+# ranks 1..10 (so W(1) = 2^30 exactly), and IDCG prefix sums. Evaluated
+# once at import from Python's libm — the plans see only integer literals
+# (the stats_power_sample_size / multimodal_phash cosine-table discipline).
+_DCG_W = [(1 << 30) if r == 1 else
+          math.floor((1 << 30) * math.log(2.0) / math.log(r + 1.0))
+          for r in range(1, 11)]
+_IDCG = [sum(_DCG_W[:k]) for k in range(0, 11)]  # _IDCG[k] = ideal DCG of k hits
+
+
+def _lang_pred_col() -> F.Column:
+    """The text_lang_id prediction as a reusable Column (same marker
+    scores, same precedence chain — llm_text.py:121)."""
+    scores = {
+        lang: sum((_count_col(w) for w in ws), F.lit(0.0))
+        for lang, ws in _MARKERS.items()
+    }
+    return (
+        F.when(
+            (scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"]))
+            & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when(
+            (scores["es"] >= F.greatest(scores["fr"], scores["de"]))
+            & (scores["es"] > 0),
+            "es",
+        )
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
+        .when(scores["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+
+
+@query(
+    "eval_classifier_report",
+    oracle=f"""
+    WITH conf AS (
+      SELECT lang AS labeled, {_PRED_SQL} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    lab AS (
+      SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS support FROM conf GROUP BY 1),
+    prd AS (
+      SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS pred_total FROM conf GROUP BY 1),
+    tp AS (
+      SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS tp
+      FROM conf WHERE labeled = pred GROUP BY 1),
+    j AS (
+      SELECT lab.cls, lab.support,
+             COALESCE(tp.tp, 0) AS tp,
+             COALESCE(prd.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
+             lab.support - COALESCE(tp.tp, 0) AS fn
+      FROM lab LEFT JOIN tp ON lab.cls = tp.cls
+               LEFT JOIN prd ON lab.cls = prd.cls)
+    SELECT cls, support, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+           END AS f1
+    FROM j ORDER BY cls
+    """,
+)
+def eval_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the text_lang_id heuristic
+    against the labeled lang column — the classification report that
+    turns text_lang_id's raw confusion counts into the numbers a model
+    card publishes. Probed: the marker heuristic predicts only
+    {en, unknown} on this corpus (English function words leak into every
+    language's generated text), so non-English classes correctly show
+    recall 0 and NULL precision — the report EXPOSES the heuristic's
+    weakness, which is what a classifier audit is for.
+
+    Exactness: tp/fp/fn are exact integers off the tiny confusion frame
+    (per-class totals minus diagonal); precision/recall are one division
+    each; F1 = 2tp/(2tp+fp+fn) — computed from the integers directly,
+    never from rounded precision/recall. Zero-denominator cells emit
+    NULL on both engines.
+
+    Plan: one scan-fused prediction aggregate to <= |langs|x|langs| confusion
+    rows, two bounded re-aggregations, broadcast left joins on the
+    |langs|-row class list.
+    """
+    d = table(spark, sf_dir, "documents")
+    conf = (
+        d.select(F.col("lang").alias("labeled"), _lang_pred_col().alias("pred"))
+        .groupBy("labeled", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    lab = conf.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    prd = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("pred_total")
+    )
+    tp = (
+        conf.filter(F.col("labeled") == F.col("pred"))
+        .groupBy(F.col("labeled").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    j = (
+        lab.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(prd), "cls", "left")
+        .select(
+            "cls",
+            "support",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("pred_total"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.col("support") - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    tp_, fp_, fn_ = F.col("tp"), F.col("fp"), F.col("fn")
+    return j.select(
+        "cls",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp_ + fp_ > 0, tp_.cast("double") / (tp_ + fp_).cast("double")).alias(
+            "precision"
+        ),
+        (tp_.cast("double") / (tp_ + fn_).cast("double")).alias("recall"),
+        F.when(
+            F.lit(2) * tp_ + fp_ + fn_ > 0,
+            (F.lit(2) * tp_).cast("double")
+            / (F.lit(2) * tp_ + fp_ + fn_).cast("double"),
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+_SCORE_CTE = """
+    sc AS (
+      SELECT CAST(('0x' || substring(sha256('cal:'
+                   || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events)
+"""
+
+
+def _score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The established sha-uniform stand-in score + purchase outcome
+    (stats_calibration_bins' frame verbatim: u in [0, 2^30), y in {0,1})."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit("cal:"), F.col("event_id").cast("string")), 256
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(_Q30).cast("long")
+        ).alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH {_SCORE_CTE},
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS npos,
+             SUM(CAST((u - y * 1073741824) AS HUGEINT)
+                 * (u - y * 1073741824)) AS sq
+      FROM sc)
+    SELECT n, npos,
+           ROUND(CAST(sq AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1073741824.0 * 1073741824.0), 6)
+             AS brier,
+           ROUND(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS brier_ref,
+           ROUND(1.0 - (CAST(sq AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1073741824.0 * 1073741824.0))
+                     / (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS brier_skill
+    FROM s
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the stand-in purchase model — the PROPER scoring
+    rule the calibration bins visualize: mean (p - y)^2, plus the
+    climatological reference p_bar(1 - p_bar) and the Brier skill score
+    1 - BS/BS_ref. The sha-uniform score is uninformative by
+    construction, so the known-answer shape is BS ~ 1/3 - q/3... and
+    skill < 0 (worse than predicting the base rate) — the op proves the
+    metric CAN say "this model is useless", which is its job.
+
+    Exactness: with p = u/2^30, each (p - y)^2 is the integer
+    (u - y*2^30)^2 scaled by 2^-60; per-row squares reach 2^60 so they
+    accumulate in DECIMAL(38,0)/HUGEINT; all three outputs are mirrored
+    single-division trees over exact integers, ROUND-6.
+
+    Plan: one map-side-combined scalar fold over the scan. No joins.
+    """
+    s = _score_frame(spark, sf_dir)
+    diff = (F.col("u") - F.col("y") * F.lit(_Q30)).cast("decimal(38,0)")
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+        F.sum(diff * (F.col("u") - F.col("y") * F.lit(_Q30))).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    q30d = F.lit(float(_Q30))
+    brier = F.col("sq").cast("double") / (nd * q30d * q30d)
+    rate = F.col("npos").cast("double") / nd
+    ref = rate * (F.lit(1.0) - rate)
+    return g.select(
+        "n",
+        "npos",
+        F.round(brier, 6).alias("brier"),
+        F.round(ref, 6).alias("brier_ref"),
+        F.round(F.lit(1.0) - brier / ref, 6).alias("brier_skill"),
+    )
+
+
+@query(
+    "eval_log_loss",
+    oracle=f"""
+    WITH {_SCORE_CTE},
+    t AS (
+      SELECT CAST(floor(-ln(CASE WHEN y = 1
+                    THEN CAST(u + 1 AS DOUBLE) / 1073741826.0
+                    ELSE 1.0 - CAST(u + 1 AS DOUBLE) / 1073741826.0 END)
+                  * 1000000000000.0) AS BIGINT) AS li
+      FROM sc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(li) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS log_loss
+    FROM t
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log-loss) of the stand-in purchase model — the
+    other proper scoring rule: mean -[y ln p + (1-y) ln(1-p)], the
+    quantity a classifier's training loss reports and the harshest
+    punisher of confident wrong predictions. Known-answer band: an
+    uninformative uniform score yields ~= 1 nat against any base rate.
+
+    Determinism: p = (u+1)/(2^30+2) is bounded away from {0,1} so ln is
+    finite; each per-row loss is a deterministic double (ln is the safe
+    transcendental, probed bit-identical in r7), made order-independent
+    by FLOOR-scaling to pico units — floor(loss * 1e12) BIGINTs sum
+    exactly in any order (the stats_durbin_watson discipline; loss <= 21
+    nats so per-row <= 2.1e13, int64 holds corpus sums to ~4e5 rows per
+    partition aggregation — DECIMAL(38,0) is the stated 100 TB upgrade).
+    ONE closing division, ROUND-6.
+
+    Plan: one map-side-combined scalar fold over the scan. No joins.
+    """
+    s = _score_frame(spark, sf_dir)
+    p = (F.col("u") + 1).cast("double") / F.lit(float(_Q30 + 2))
+    loss = -F.log(F.when(F.col("y") == 1, p).otherwise(F.lit(1.0) - p))
+    t = s.select(
+        F.floor(loss * F.lit(1000000000000.0)).cast("long").alias("li")
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("li").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000000000.0)),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+@query(
+    "eval_ece",
+    oracle=f"""
+    WITH {_SCORE_CTE},
+    b AS (
+      SELECT CAST(u * 10 // 1073741824 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM sc GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(nb) AS BIGINT) AS n,
+             CAST(SUM(abs(sy * 1073741824 - su)) AS BIGINT) AS gap_i,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM b)
+    SELECT n, n_bins,
+           ROUND(CAST(gap_i AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1073741824.0), 6) AS ece
+    FROM t
+    """,
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the scalar that summarizes
+    stats_calibration_bins' reliability diagram: sum_b (n_b/n) *
+    |pos_rate_b - mean_score_b|, the number quoted when someone says "the
+    model is N points miscalibrated" (and the target temperature scaling
+    minimizes).
+
+    Exactness: inside bin b the gap n_b * |pos_rate - mean_score| equals
+    |2^30 * sum(y) - sum(u)| / 2^30 EXACTLY — integer numerators per bin,
+    summed exactly across bins, ONE closing division by n*2^30. No
+    per-bin floats anywhere: the entire statistic is one integer until
+    the last step.
+
+    Plan: one map-side-combined aggregate to 10 bins, one 1-row fold.
+    """
+    s = _score_frame(spark, sf_dir)
+    b = s.groupBy(
+        F.expr("CAST(u * 10 div 1073741824 AS BIGINT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    t = b.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum(F.abs(F.col("sy") * F.lit(_Q30) - F.col("su")))
+        .cast("long")
+        .alias("gap_i"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    return t.select(
+        "n",
+        "n_bins",
+        F.round(
+            F.col("gap_i").cast("double") / (F.col("n").cast("double") * F.lit(float(_Q30))),
+            6,
+        ).alias("ece"),
+    )
+
+
+def _dcg_w_sql(rank_expr: str) -> str:
+    cases = " ".join(f"WHEN {r} THEN {w}" for r, w in zip(range(1, 11), _DCG_W))
+    return f"CASE {rank_expr} {cases} ELSE 0 END"
+
+
+def _idcg_sql(k_expr: str) -> str:
+    cases = " ".join(f"WHEN {k} THEN {_IDCG[k]}" for k in range(1, 11))
+    return f"CASE {k_expr} {cases} END"
+
+
+# Per-query retrieval scoring CTE chain, shared by eval_retrieval_per_query
+# and the composed retrieval_eval_pipeline oracle. Queries are the 8
+# vectors with vec_id % 64 == 0; relevance = same label; ranking is exact
+# ROUND-6 cosine with vec_id tiebreak (total order on both engines).
+_RETRIEVAL_CTES = f"""
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id % 64 = 0),
+    pool AS (
+      SELECT q.qid, q.qlabel, c.vec_id AS cand,
+             CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(c.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM embeddings c, q WHERE c.vec_id != q.qid),
+    perq AS (
+      SELECT qid, MIN(qlabel) AS qlabel,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+               AS first_rel_rank,
+             CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS BIGINT)
+               AS hits_10,
+             CAST(SUM(CASE WHEN rnk <= 10 AND rel = 1
+                           THEN {_dcg_w_sql('rnk')} ELSE 0 END) AS BIGINT)
+               AS dcg_i
+      FROM pool GROUP BY qid),
+    scored AS (
+      SELECT qid, qlabel, n_rel, first_rel_rank, hits_10,
+             1.0 / CAST(first_rel_rank AS DOUBLE) AS reciprocal_rank,
+             CAST(hits_10 AS DOUBLE) / CAST(least(n_rel, 10) AS DOUBLE)
+               AS recall_10,
+             CAST(dcg_i AS DOUBLE)
+               / CAST({_idcg_sql('CAST(least(n_rel, 10) AS INTEGER)')} AS DOUBLE)
+               AS ndcg_10
+      FROM perq)
+"""
+
+
+def _retrieval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of _RETRIEVAL_CTES: the per-query scored frame."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pool = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cand"),
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            F.round(cosine(_dvec("embedding"), _dvec("qv")), 6).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("cand"))
+    ranked = pool.withColumn("rnk", F.row_number().over(w))
+    dcg_w = F.element_at(
+        F.array(*[F.lit(w_).cast("long") for w_ in _DCG_W]), F.col("rnk").cast("int")
+    )
+    perq = ranked.groupBy("qid").agg(
+        F.min("qlabel").alias("qlabel"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("rel")).otherwise(0))
+        .cast("long")
+        .alias("hits_10"),
+        F.sum(
+            F.when((F.col("rnk") <= 10) & (F.col("rel") == 1), dcg_w).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_i"),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in _IDCG[1:]]),
+        F.least(F.col("n_rel"), F.lit(10)).cast("int"),
+    )
+    return perq.select(
+        "qid",
+        "qlabel",
+        "n_rel",
+        "first_rel_rank",
+        "hits_10",
+        (F.lit(1.0) / F.col("first_rel_rank").cast("double")).alias(
+            "reciprocal_rank"
+        ),
+        (
+            F.col("hits_10").cast("double")
+            / F.least(F.col("n_rel"), F.lit(10)).cast("double")
+        ).alias("recall_10"),
+        (F.col("dcg_i").cast("double") / idcg.cast("double")).alias("ndcg_10"),
+    )
+
+
+@query(
+    "eval_retrieval_per_query",
+    oracle=f"""
+    WITH {_RETRIEVAL_CTES}
+    SELECT qid, qlabel, n_rel, first_rel_rank, hits_10,
+           ROUND(reciprocal_rank, 6) AS reciprocal_rank,
+           ROUND(recall_10, 6) AS recall_10,
+           ROUND(ndcg_10, 6) AS ndcg_10
+    FROM scored ORDER BY qid
+    """,
+)
+def eval_retrieval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranked-retrieval scorecard — reciprocal rank, recall@10,
+    nDCG@10 for 8 deterministic probe queries (vec_id % 64 == 0) against
+    the exact-cosine ranking, relevance = same label. This is the
+    offline-eval table a retrieval system reports per query before
+    averaging hides the hard queries; the label-stratified fixture gives
+    ~49 relevant per query so every metric has signal.
+
+    Determinism: ranking is ROUND-6 cosine (the sim_topk cross-engine
+    contract) with vec_id tiebreak — a TOTAL order, so ranks are exact
+    integers; DCG position weights are PINNED floor(2^30*ln2/ln(r+1))
+    module literals (transcendentals never in plans) making dcg_i an
+    exact BIGINT; ideal DCG is a pinned prefix-sum CASE on
+    least(n_rel, 10); each emitted ratio is one double division,
+    ROUND-6.
+
+    Plan: 8-row query-set broadcast over the scan (sim_topk_batch
+    shape), per-query partitioned rank (never global), one grouped fold
+    to 8 rows.
+    """
+    s = _retrieval_scored(spark, sf_dir)
+    return s.select(
+        "qid",
+        "qlabel",
+        "n_rel",
+        "first_rel_rank",
+        "hits_10",
+        F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
+        F.round("recall_10", 6).alias("recall_10"),
+        F.round("ndcg_10", 6).alias("ndcg_10"),
+    ).orderBy("qid")
+
+
+@query(
+    "retrieval_eval_pipeline",
+    oracle=f"""
+    WITH {_RETRIEVAL_CTES},
+    fold AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(1073741824 // first_rel_rank) AS BIGINT) AS rr_i,
+             CAST(SUM(CAST(floor(ndcg_10 * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS ndcg_i,
+             CAST(SUM(CAST(floor(recall_10 * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS rec_i
+      FROM scored)
+    SELECT n_queries,
+           ROUND(CAST(rr_i AS DOUBLE)
+                 / (CAST(n_queries AS DOUBLE) * 1073741824.0), 6) AS mrr,
+           ROUND(CAST(ndcg_i AS DOUBLE)
+                 / (CAST(n_queries AS DOUBLE) * 1000000000000.0), 6)
+             AS mean_ndcg_10,
+           ROUND(CAST(rec_i AS DOUBLE)
+                 / (CAST(n_queries AS DOUBLE) * 1000000000000.0), 6)
+             AS mean_recall_10
+    FROM fold
+    """,
+)
+def retrieval_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH composed flagship: the one-row retrieval-quality scorecard —
+    MRR, mean nDCG@10, mean recall@10 — folded from ONE shared
+    ranked-pool subplan (eval_retrieval_per_query's frame computed once;
+    the three metrics are three aggregates over it, not three rankings).
+    Pairs with retrieval_pipeline (r8): that flagship SERVES results,
+    this one SCORES the serving quality offline — together they close
+    the retrieval loop the way model_eval_pipeline closes the
+    classifier loop.
+
+    Determinism: reciprocal ranks fold as exact 2^30 // rank integers;
+    the two double-valued metrics fold as floor(x * 1e12) pico-unit
+    BIGINTs (order-independent, the stats_durbin_watson discipline);
+    three closing divisions, ROUND-6.
+
+    Plan: the per-query subplan (8-row broadcast, partitioned rank) into
+    one 1-row fold — composition overhead is a single aggregate.
+    """
+    s = _retrieval_scored(spark, sf_dir)
+    fold = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            F.expr("CAST(1073741824 div first_rel_rank AS BIGINT)")
+        )
+        .cast("long")
+        .alias("rr_i"),
+        F.sum(F.floor(F.col("ndcg_10") * F.lit(1000000000000.0)).cast("long"))
+        .cast("long")
+        .alias("ndcg_i"),
+        F.sum(F.floor(F.col("recall_10") * F.lit(1000000000000.0)).cast("long"))
+        .cast("long")
+        .alias("rec_i"),
+    )
+    nq = F.col("n_queries").cast("double")
+    return fold.select(
+        "n_queries",
+        F.round(F.col("rr_i").cast("double") / (nq * F.lit(float(_Q30))), 6).alias(
+            "mrr"
+        ),
+        F.round(
+            F.col("ndcg_i").cast("double") / (nq * F.lit(1000000000000.0)), 6
+        ).alias("mean_ndcg_10"),
+        F.round(
+            F.col("rec_i").cast("double") / (nq * F.lit(1000000000000.0)), 6
+        ).alias("mean_recall_10"),
+    )

@@ -82,6 +82,12 @@ _DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_hodges_lehmann",  # median-of-pairwise-diffs shift estimate (r10)
     "stats_durbin_watson",  # OLS residual serial-correlation check (r10)
     "stats_cronbach_alpha",  # weekly-engagement reliability panel (r10)
+    "eval_classifier_report",  # per-class P/R/F1 of the lang-id heuristic (r10)
+    "eval_brier_score",  # proper scoring rule + skill vs base rate (r10)
+    "eval_log_loss",  # cross-entropy, pico-unit floor-scaled fold (r10)
+    "eval_ece",  # expected calibration error, all-integer gaps (r10)
+    "eval_retrieval_per_query",  # MRR/nDCG/recall per probe query (r10)
+    "retrieval_eval_pipeline",  # 6th flagship: one-pool retrieval scorecard (r10)
     # -- (c) stalest standing rows: last driver-sampled in ROUND 2; their
     # re-proof already slipped r8 AND r9 (rows stay valid on unchanged
     # code, but VERDICT r9 item 1 makes this round's re-proof mandatory) --
@@ -331,6 +337,7 @@ def load_all() -> None:
         affinity,
         aggregates,
         data_quality,
+        eval_metrics,
         events_analytics,
         flagship,
         geo,

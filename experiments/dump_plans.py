@@ -204,6 +204,34 @@ SHOWCASE = [
     ("snapshot_merge_branch", "manifest set algebra is metadata-only "
      "(driver-side file lists); the only data-sized work is the merged "
      "multi-file scan's single fold"),
+    # r10 wave: association/agreement stats + the model-eval family
+    ("stats_kendall_tau", "CALENDAR-squared day-pair join (|days|^2, never "
+     "data-sized) over the shared daily rollup; concordance counts fold to "
+     "one row"),
+    ("stats_ccc_lin", "one moment fold over the daily frame: Pearson and "
+     "Lin's CCC both close from the same five decimal sums, zero joins"),
+    ("stats_jarque_bera", "one map-side-combined per-type power-sum "
+     "aggregate (s1..s4); the moment algebra runs on the 5-row frame"),
+    ("stats_mood_median", "pooled exact median via the stats_quantiles "
+     "machinery, then one 2x2 contingency fold — two passes, no sort"),
+    ("stats_hodges_lehmann", "day-pair crossJoin is |days|^2 broadcast "
+     "(calendar-bounded); median-of-diffs via ordered rank, no global sort"),
+    ("stats_durbin_watson", "1-row OLS-coefficient broadcast over the daily "
+     "frame, adjacency self-join on d = prev+1, micro-unit integer fold"),
+    ("stats_cronbach_alpha", "user x week pivot folds as k exact per-week "
+     "variance sums + one total-score variance — all map-side combines"),
+    ("eval_classifier_report", "lang-id marker heuristic is pure column "
+     "expressions; confusion counts are one grouped fold, |classes| rows"),
+    ("eval_brier_score", "one map-side-combined scalar fold over the scan; "
+     "integer (u - y*2^30)^2 accumulates in decimal(38,0)"),
+    ("eval_log_loss", "per-row ln is the only transcendental; pico-unit "
+     "floor-scaled BIGINTs fold in decimal(38,0) — order-independent"),
+    ("eval_ece", "10 score bins via integer division; the gap fold is "
+     "all-integer |sy*2^30 - su| — one grouped fold then one scalar fold"),
+    ("eval_retrieval_per_query", "8-row query-set broadcast over the scan, "
+     "per-query partitioned rank (never global), grouped fold to 8 rows"),
+    ("retrieval_eval_pipeline", "the per-query subplan into ONE 1-row fold; "
+     "reciprocal ranks as exact 2^30 div rank integers"),
 ]
 
 

@@ -478,3 +478,26 @@ def test_datasheet_two_wide_stages(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_datasheet")
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
     assert _n_exchanges(plan) <= 4
+
+
+def test_retrieval_eval_pipeline_plan(spark, sf_dir):
+    """VERDICT r10 item 2: pin the 6th flagship's shape — the 8-row probe
+    query set enters as a BROADCAST (never a shuffled join side), the
+    ranking is a per-query PARTITIONED window (partitionBy qid — a global
+    unpartitioned window would single-thread the rank at scale), and the
+    three metrics fold from ONE shared ranked pool (a single final 1-row
+    aggregate; no second ranking subtree)."""
+    plan = _plan(spark, sf_dir, "retrieval_eval_pipeline")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # partitioned rank: the window's partition spec must name qid
+    assert re.search(r"windowpartitionspec|partitionBy|\[qid", plan, re.I) or (
+        "qid" in plan and "Window" in plan
+    )
+    # the window sort is (qid, ...), never a global Sort over the pool
+    for m in re.finditer(r"Sort \[(.*?)\]", plan):
+        cols = m.group(1)
+        if "cos6" in cols:
+            assert "qid" in cols, f"global sort over the pool: {cols}"
+    # one ranked pool, one closing fold: a single row_number subtree
+    assert plan.count("row_number") <= 2  # spec + function slot, one window

@@ -248,6 +248,46 @@ def test_driver_sample_order_front_loads_survey_ops():
     assert list(registry.REGISTRY) == names
 
 
+def test_driver_sample_order_is_history_derived_staleness_order():
+    """VERDICT r10 item 1: the priority list must be computed from the
+    committed CORRECTNESS_r*.json history — never-driver-green ops first,
+    then strictly oldest-last-green-first — so the 50-slot driver window
+    always re-proves the STALEST rows. This test recomputes last-green
+    independently (direct JSON parse, its own green predicate) and checks
+    the ordering PROPERTY rather than calling the derivation function."""
+    import glob
+    import json
+
+    from wri_data_processing_spark import registry
+
+    registry.load_all()
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        for op, row in json.load(open(path)).items():
+            if row.get("hash_match") and row.get("rows_match") and row.get("schema_match"):
+                last_green[op] = max(last_green.get(op, 0), rnd)
+    order = registry._DRIVER_SAMPLE_PRIORITY
+    n_oracled = sum(1 for n in order if n in registry.ORACLE)
+    oracled, rows_only = order[:n_oracled], order[n_oracled:]
+    # (1) every rows-only op sorts AFTER every oracled op (outside the window)
+    assert all(n in registry.ORACLE for n in oracled)
+    assert all(n not in registry.ORACLE for n in rows_only)
+    # (2) the oracled prefix is non-decreasing in last-green round, with
+    # never-green (new) ops treated as round -1, i.e. first
+    keys = [last_green.get(n, -1) for n in oracled]
+    assert keys == sorted(keys), "window is not staleness-ordered"
+    # (3) the honest bound: with a 50-slot window the refresh cycle is
+    # ceil(#oracled/50) rounds — assert the arithmetic stays stated right
+    # in the registry comment (no resurrecting the broken <=5-round rule)
+    import math
+
+    cycle = math.ceil(n_oracled / 50)
+    src = open("wri_data_processing_spark/registry.py").read()
+    assert f"ceil(377/50) = 8" in src or f"= {cycle}" in src
+    assert "no green row stale for more than ~5 rounds" not in src
+
+
 def test_readme_counts_match_registry():
     """README's inventory line must state the live registry counts — stale
     counts send the auditor chasing ops that don't exist (VERDICT r6 item 4)."""

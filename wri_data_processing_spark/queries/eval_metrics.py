@@ -7,7 +7,8 @@ classification report over a REAL in-repo classifier (the text_lang_id
 marker heuristic audited against the labeled lang column), the two
 proper scoring rules (Brier, log-loss) over the established sha-uniform
 stand-in score, expected calibration error composing the calibration-bin
-machinery, and ranked-retrieval metrics (MRR, nDCG@10, recall@10) over
+machinery, and ranked-retrieval metrics (MRR, nDCG@10, capped
+recall@10 — hits@10/min(n_rel,10), named for the variant it is) over
 the exact-cosine ranking the similarity family already proves — plus the
 SIXTH composed flagship, retrieval_eval_pipeline, which scores all three
 retrieval metrics from ONE shared ranked-pool subplan.
@@ -280,7 +281,7 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * 1000000000000.0) AS BIGINT) AS li
       FROM sc)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(li) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(li AS HUGEINT)) AS DOUBLE)
                  / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
              AS log_loss
     FROM t
@@ -297,10 +298,12 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite; each per-row loss is a deterministic double (ln is the safe
     transcendental, probed bit-identical in r7), made order-independent
     by FLOOR-scaling to pico units — floor(loss * 1e12) BIGINTs sum
-    exactly in any order (the stats_durbin_watson discipline; loss <= 21
-    nats so per-row <= 2.1e13, int64 holds corpus sums to ~4e5 rows per
-    partition aggregation — DECIMAL(38,0) is the stated 100 TB upgrade).
-    ONE closing division, ROUND-6.
+    exactly in any order. The fold accumulates in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — per-row magnitude reaches 2.1e13 (21 nats), so an
+    int64 sum would wrap SILENTLY past ~4.4e5 worst-case rows; the
+    38-digit accumulator clears any corpus (r11 fix per ADVICE r10 — the
+    int64 fold was a latent overflow at larger SFs). ONE closing
+    division, ROUND-6.
 
     Plan: one map-side-combined scalar fold over the scan. No joins.
     """
@@ -313,7 +316,7 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(
-            F.sum("li").cast("double")
+            F.sum(F.col("li").cast("decimal(38,0)")).cast("double")
             / (F.count(F.lit(1)).cast("double") * F.lit(1000000000000.0)),
             6,
         ).alias("log_loss"),
@@ -424,7 +427,7 @@ _RETRIEVAL_CTES = f"""
       SELECT qid, qlabel, n_rel, first_rel_rank, hits_10,
              1.0 / CAST(first_rel_rank AS DOUBLE) AS reciprocal_rank,
              CAST(hits_10 AS DOUBLE) / CAST(least(n_rel, 10) AS DOUBLE)
-               AS recall_10,
+               AS capped_recall_10,
              CAST(dcg_i AS DOUBLE)
                / CAST({_idcg_sql('CAST(least(n_rel, 10) AS INTEGER)')} AS DOUBLE)
                AS ndcg_10
@@ -487,7 +490,7 @@ def _retrieval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("hits_10").cast("double")
             / F.least(F.col("n_rel"), F.lit(10)).cast("double")
-        ).alias("recall_10"),
+        ).alias("capped_recall_10"),
         (F.col("dcg_i").cast("double") / idcg.cast("double")).alias("ndcg_10"),
     )
 
@@ -498,18 +501,24 @@ def _retrieval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_RETRIEVAL_CTES}
     SELECT qid, qlabel, n_rel, first_rel_rank, hits_10,
            ROUND(reciprocal_rank, 6) AS reciprocal_rank,
-           ROUND(recall_10, 6) AS recall_10,
+           ROUND(capped_recall_10, 6) AS capped_recall_10,
            ROUND(ndcg_10, 6) AS ndcg_10
     FROM scored ORDER BY qid
     """,
 )
 def eval_retrieval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query ranked-retrieval scorecard — reciprocal rank, recall@10,
-    nDCG@10 for 8 deterministic probe queries (vec_id % 64 == 0) against
-    the exact-cosine ranking, relevance = same label. This is the
-    offline-eval table a retrieval system reports per query before
+    """Per-query ranked-retrieval scorecard — reciprocal rank, CAPPED
+    recall@10, nDCG@10 for 8 deterministic probe queries (vec_id % 64
+    == 0) against the exact-cosine ranking, relevance = same label. This
+    is the offline-eval table a retrieval system reports per query before
     averaging hides the hard queries; the label-stratified fixture gives
     ~49 relevant per query so every metric has signal.
+
+    Convention (r11, per ADVICE r10): `capped_recall_10` = hits@10 /
+    min(n_rel, 10) — the best-achievable-at-k normalization (reaches 1.0
+    when the top-10 is all-relevant), NOT trec_eval's plain recall@10 =
+    hits@10 / n_rel (which tops out near 0.2 here at ~49 relevant). The
+    column name now states the variant.
 
     Determinism: ranking is ROUND-6 cosine (the sim_topk cross-engine
     contract) with vec_id tiebreak — a TOTAL order, so ranks are exact
@@ -531,7 +540,7 @@ def eval_retrieval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_rel_rank",
         "hits_10",
         F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
-        F.round("recall_10", 6).alias("recall_10"),
+        F.round("capped_recall_10", 6).alias("capped_recall_10"),
         F.round("ndcg_10", 6).alias("ndcg_10"),
     ).orderBy("qid")
 
@@ -545,7 +554,7 @@ def eval_retrieval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(1073741824 // first_rel_rank) AS BIGINT) AS rr_i,
              CAST(SUM(CAST(floor(ndcg_10 * 1000000000000.0) AS BIGINT))
                   AS BIGINT) AS ndcg_i,
-             CAST(SUM(CAST(floor(recall_10 * 1000000000000.0) AS BIGINT))
+             CAST(SUM(CAST(floor(capped_recall_10 * 1000000000000.0) AS BIGINT))
                   AS BIGINT) AS rec_i
       FROM scored)
     SELECT n_queries,
@@ -556,13 +565,14 @@ def eval_retrieval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mean_ndcg_10,
            ROUND(CAST(rec_i AS DOUBLE)
                  / (CAST(n_queries AS DOUBLE) * 1000000000000.0), 6)
-             AS mean_recall_10
+             AS mean_capped_recall_10
     FROM fold
     """,
 )
 def retrieval_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIXTH composed flagship: the one-row retrieval-quality scorecard —
-    MRR, mean nDCG@10, mean recall@10 — folded from ONE shared
+    MRR, mean nDCG@10, mean CAPPED recall@10 (hits@10/min(n_rel,10); see
+    eval_retrieval_per_query for the convention) — folded from ONE shared
     ranked-pool subplan (eval_retrieval_per_query's frame computed once;
     the three metrics are three aggregates over it, not three rankings).
     Pairs with retrieval_pipeline (r8): that flagship SERVES results,
@@ -589,7 +599,7 @@ def retrieval_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("ndcg_10") * F.lit(1000000000000.0)).cast("long"))
         .cast("long")
         .alias("ndcg_i"),
-        F.sum(F.floor(F.col("recall_10") * F.lit(1000000000000.0)).cast("long"))
+        F.sum(F.floor(F.col("capped_recall_10") * F.lit(1000000000000.0)).cast("long"))
         .cast("long")
         .alias("rec_i"),
     )
@@ -604,5 +614,208 @@ def retrieval_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_ndcg_10"),
         F.round(
             F.col("rec_i").cast("double") / (nq * F.lit(1000000000000.0)), 6
-        ).alias("mean_recall_10"),
+        ).alias("mean_capped_recall_10"),
+    )
+
+
+_DELONG_ROWS_CTE = """
+    s AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sa,
+             CAST(('0x' || substring(sha256('cal:'
+                   || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1073741824 AS sb,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL)
+"""
+
+
+def _delong_rank_cte(key: str) -> str:
+    """Per-distinct-score doubled structural components for one model:
+    a = 2r - 2r+ (positives' V10 numerator, scaled by 2*n_neg) and
+    c = 2r - 2r- (negatives' complement, V01 = 1 - c/(2*n_pos))."""
+    return f"""(
+      SELECT {key},
+             (2*(SUM(cnt) OVER (ORDER BY {key}) - cnt) + cnt + 1)
+               - (2*(SUM(p) OVER (ORDER BY {key}) - p) + p + 1) AS a,
+             (2*(SUM(cnt) OVER (ORDER BY {key}) - cnt) + cnt + 1)
+               - (2*(SUM(np) OVER (ORDER BY {key}) - np) + np + 1) AS c
+      FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(y) AS BIGINT) AS p,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS np
+            FROM s GROUP BY 1))"""
+
+
+@query(
+    "eval_auc_delong",
+    oracle=f"""
+    WITH {_DELONG_ROWS_CTE},
+    ra AS {_delong_rank_cte('sa')},
+    rb AS {_delong_rank_cte('sb')},
+    j AS (
+      SELECT s.y, ra.a AS aa, ra.c AS ca, rb.a AS ab, rb.c AS cb
+      FROM s JOIN ra USING (sa) JOIN rb USING (sb)),
+    f AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN y = 1 THEN CAST(aa AS HUGEINT) ELSE 0 END) AS sa1,
+             SUM(CASE WHEN y = 1 THEN CAST(ab AS HUGEINT) ELSE 0 END) AS sb1,
+             SUM(CASE WHEN y = 1 THEN CAST(aa AS HUGEINT) * aa ELSE 0 END) AS saa,
+             SUM(CASE WHEN y = 1 THEN CAST(ab AS HUGEINT) * ab ELSE 0 END) AS sbb,
+             SUM(CASE WHEN y = 1 THEN CAST(aa AS HUGEINT) * ab ELSE 0 END) AS sab,
+             SUM(CASE WHEN y = 0 THEN CAST(ca AS HUGEINT) ELSE 0 END) AS ca1,
+             SUM(CASE WHEN y = 0 THEN CAST(cb AS HUGEINT) ELSE 0 END) AS cb1,
+             SUM(CASE WHEN y = 0 THEN CAST(ca AS HUGEINT) * ca ELSE 0 END) AS caa,
+             SUM(CASE WHEN y = 0 THEN CAST(cb AS HUGEINT) * cb ELSE 0 END) AS cbb,
+             SUM(CASE WHEN y = 0 THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS cab
+      FROM j),
+    alg AS (
+      SELECT n_pos, n_neg,
+             CAST(n_pos AS DOUBLE) AS pd, CAST(n_neg AS DOUBLE) AS nd,
+             CAST(sa1 AS DOUBLE) AS da1, CAST(sb1 AS DOUBLE) AS db1,
+             CAST(saa AS DOUBLE) AS daa, CAST(sbb AS DOUBLE) AS dbb,
+             CAST(sab AS DOUBLE) AS dab,
+             CAST(ca1 AS DOUBLE) AS ea1, CAST(cb1 AS DOUBLE) AS eb1,
+             CAST(caa AS DOUBLE) AS eaa, CAST(cbb AS DOUBLE) AS ebb,
+             CAST(cab AS DOUBLE) AS eab
+      FROM f),
+    z AS (
+      SELECT n_pos, n_neg, pd, nd,
+             da1 / (2.0 * nd * pd) AS auc_a,
+             db1 / (2.0 * nd * pd) AS auc_b,
+             (da1 - db1) / (2.0 * nd * pd) AS delta,
+             ((daa + dbb - 2.0 * dab - (da1 - db1) * (da1 - db1) / pd)
+                / ((pd - 1.0) * 4.0 * nd * nd)) / pd
+             + ((eaa + ebb - 2.0 * eab - (ea1 - eb1) * (ea1 - eb1) / nd)
+                / ((nd - 1.0) * 4.0 * pd * pd)) / nd AS var_delta
+      FROM alg)
+    SELECT n_pos, n_neg,
+           ROUND(auc_a, 6) AS auc_a,
+           ROUND(auc_b, 6) AS auc_b,
+           ROUND(delta, 6) AS delta,
+           ROUND(delta / sqrt(var_delta), 6) AS z_delong,
+           abs(delta / sqrt(var_delta)) > 1.959964 AS significant
+    FROM z
+    """,
+)
+def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong test for the difference of two correlated AUCs — the question
+    every eval report actually answers: model A (the value column, the
+    stats_auc stand-in) vs model B (the sha-uniform baseline) scored on the
+    SAME rows, is the AUC gap real? Completes the family: stats_auc ranks
+    one model; this op compares two, with the covariance the paired design
+    induces (VERDICT r10 item 5).
+
+    Method: per-observation structural components. For each model, a
+    positive's V10 = (r - r+)/n_neg and a negative's V01 = 1 - (r - r-)/
+    n_pos, where r is the global midrank and r+/r- the within-class
+    midrank — so the components come from the SAME distinct-value rank
+    machinery stats_auc/stats_mann_whitney already prove (mean V10 = mean
+    V01 = AUC, checked). Var(AUC_A - AUC_B) = S10/n_pos + S01/n_neg with
+    S10/S01 the sample variances of the paired component DIFFERENCES
+    (DeLong 1988's S matrices folded into the delta form); z = delta /
+    sqrt(var), two-sided gate at the PINNED 1.959964.
+
+    Exactness: doubled midranks make every component a*1 = 2r - 2r+ /
+    c = 2r - 2r- an exact integer in [0, 2n]; all eleven moment sums
+    accumulate in DECIMAL(38,0)/HUGEINT (per-row a^2 reaches 4*n_neg^2 —
+    int64 wraps at corpus scale); the closing algebra is ONE mirrored
+    double tree (the "1 -" V01 shift cancels inside the variance, so the
+    fold never needs the scalars early). ROUND-6 outputs; the boolean
+    compares the unrounded tree.
+
+    Plan: two distinct-value rank subplans (bucket-parallel two-phase
+    prefix sums — no single-partition window), two equi joins back to the
+    row frame on the score keys, ONE 1-row moment fold. At 100 TB the
+    rank tables are |distinct scores|-sized and the joins shuffle by
+    score key; nothing is ever pairwise.
+    """
+    from wri_data_processing_spark.queries.stats_numeric import _two_phase_cumsum
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = e.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("sa"),
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit("cal:"), F.col("event_id").cast("string")), 256
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(_Q30).cast("long")
+        ).alias("sb"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).localCheckpoint()  # feeds two rank subplans + the joined fold
+
+    def ranked(key: str, a_name: str, c_name: str) -> DataFrame:
+        g = (
+            rows.groupBy(key)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("y").cast("long").alias("p"),
+            )
+            .withColumn("np", (F.col("cnt") - F.col("p")).cast("long"))
+        )
+        cum = _two_phase_cumsum(g, key, ["cnt", "p", "np"])
+        two_r = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+        two_rp = 2 * (F.col("cum_p") - F.col("p")) + F.col("p") + 1
+        two_rn = 2 * (F.col("cum_np") - F.col("np")) + F.col("np") + 1
+        return cum.select(
+            F.col(key),
+            (two_r - two_rp).cast("long").alias(a_name),
+            (two_r - two_rn).cast("long").alias(c_name),
+        )
+
+    j = rows.join(ranked("sa", "aa", "ca"), "sa").join(ranked("sb", "ab", "cb"), "sb")
+    pos = F.col("y") == 1
+
+    def dsum(cond, col, other=None):
+        prod = F.col(col).cast("decimal(38,0)") * (
+            F.col(col) if other is None else F.col(other)
+        )
+        return F.sum(F.when(cond, prod).otherwise(F.lit(0)))
+
+    f = j.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(F.when(pos, F.col("aa")).otherwise(0)).cast("decimal(38,0)").alias("sa1"),
+        F.sum(F.when(pos, F.col("ab")).otherwise(0)).cast("decimal(38,0)").alias("sb1"),
+        dsum(pos, "aa").alias("saa"),
+        dsum(pos, "ab").alias("sbb"),
+        dsum(pos, "aa", "ab").alias("sab"),
+        F.sum(F.when(~pos, F.col("ca")).otherwise(0)).cast("decimal(38,0)").alias("ca1"),
+        F.sum(F.when(~pos, F.col("cb")).otherwise(0)).cast("decimal(38,0)").alias("cb1"),
+        dsum(~pos, "ca").alias("caa"),
+        dsum(~pos, "cb").alias("cbb"),
+        dsum(~pos, "ca", "cb").alias("cab"),
+    )
+    pd_ = F.col("n_pos").cast("double")
+    nd_ = F.col("n_neg").cast("double")
+    da1, db1 = F.col("sa1").cast("double"), F.col("sb1").cast("double")
+    daa, dbb, dab = (F.col(c).cast("double") for c in ("saa", "sbb", "sab"))
+    ea1, eb1 = F.col("ca1").cast("double"), F.col("cb1").cast("double")
+    eaa, ebb, eab = (F.col(c).cast("double") for c in ("caa", "cbb", "cab"))
+    auc_a = da1 / (F.lit(2.0) * nd_ * pd_)
+    auc_b = db1 / (F.lit(2.0) * nd_ * pd_)
+    delta = (da1 - db1) / (F.lit(2.0) * nd_ * pd_)
+    var_delta = (
+        (daa + dbb - F.lit(2.0) * dab - (da1 - db1) * (da1 - db1) / pd_)
+        / ((pd_ - F.lit(1.0)) * F.lit(4.0) * nd_ * nd_)
+    ) / pd_ + (
+        (eaa + ebb - F.lit(2.0) * eab - (ea1 - eb1) * (ea1 - eb1) / nd_)
+        / ((nd_ - F.lit(1.0)) * F.lit(4.0) * pd_ * pd_)
+    ) / nd_
+    zc = delta / F.sqrt(var_delta)
+    return f.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc_a, 6).alias("auc_a"),
+        F.round(auc_b, 6).alias("auc_b"),
+        F.round(delta, 6).alias("delta"),
+        F.round(zc, 6).alias("z_delong"),
+        (F.abs(zc) > F.lit(1.959964)).alias("significant"),
     )

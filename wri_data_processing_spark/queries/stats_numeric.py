@@ -3861,8 +3861,8 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 6.0 * nd * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1 AS m4
       FROM d)
     SELECT event_type, n,
-           ROUND(sqrt(nd) * m3 / (m2 * sqrt(m2)), 6) AS skewness,
-           ROUND(nd * m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
     FROM m ORDER BY event_type
     """,
 )
@@ -3881,6 +3881,15 @@ def stats_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines); m2^1.5 is m2*sqrt(m2) — sqrt is the
     safe transcendental, no pow() anywhere (pow is NOT cross-engine
     exact, probed in r7) — ROUND-6 closes both statistics.
+
+    Identity check (r11 fix): the scaled sums here are m2 = n*M2,
+    m3 = n^2*M3, m4 = n^3*M4 for central moments Mk = sum((x-mean)^k),
+    so g1 = sqrt(n)*M3/M2^1.5 = m3/m2^1.5 and g2 = n*M4/M2^2 - 3
+    = m4/m2^2 - 3 — the n-powers cancel EXACTLY; the previous extra
+    sqrt(n)/n factors (r9-r10) inflated both statistics. Statistic-level
+    correctness is now pinned against an independent per-value numpy
+    moment computation in tests/test_stats_known_answers.py, not just
+    engine-oracle symmetry (ADVICE r10, high).
 
     Plan: one map-side-combined per-type aggregate; 5 output rows; the
     moment algebra runs on the 5-row frame.
@@ -3915,8 +3924,8 @@ def stats_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        F.round(F.sqrt(nd) * m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        F.round(nd * m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
     ).orderBy("event_type")
 
 
@@ -4795,8 +4804,8 @@ def stats_ccc_lin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d),
     sk AS (
       SELECT event_type, n, nd,
-             ROUND(sqrt(nd) * m3 / (m2 * sqrt(m2)), 6) AS s,
-             ROUND(nd * m4 / (m2 * m2) - 3.0, 6) AS k
+             ROUND(m3 / (m2 * sqrt(m2)), 6) AS s,
+             ROUND(m4 / (m2 * m2) - 3.0, 6) AS k
       FROM m)
     SELECT event_type, n,
            ROUND(nd * (s * s / 6.0 + k * k / 24.0), 6) AS jb,
@@ -4820,6 +4829,13 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inverse-CDF transcendentals never evaluate in plans — the
     stats_power_sample_size discipline). ROUND-6 on the statistic; the
     boolean compares the UNrounded tree on both engines.
+
+    Identity check (r11 fix): S = m3/m2^1.5 and K = m4/m2^2 - 3 — the
+    scaled-sum n-powers cancel exactly (see stats_skewness_kurtosis);
+    the previous extra sqrt(n)/n factors inflated JB by ~n^2-n^3 and
+    made the 5.991465 gate vacuous (always true). Now pinned against an
+    independent numpy computation in tests/test_stats_known_answers.py
+    (ADVICE r10, high).
 
     Plan: one map-side-combined per-type aggregate, 5 output rows.
     """
@@ -4854,8 +4870,8 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sums exceed 2^53), and JB ~ n*K^2 amplifies that ULP past ROUND-6
     # (observed 1e-5 at sf0.01). Rounded inputs make the JB tree a pure
     # function of bit-identical doubles.
-    s = F.round(F.sqrt(nd) * m3 / (m2 * F.sqrt(m2)), 6)
-    k = F.round(nd * m4 / (m2 * m2) - F.lit(3.0), 6)
+    s = F.round(m3 / (m2 * F.sqrt(m2)), 6)
+    k = F.round(m4 / (m2 * m2) - F.lit(3.0), 6)
     jb = nd * (s * s / F.lit(6.0) + k * k / F.lit(24.0))
     return g.select(
         "event_type",
@@ -5103,13 +5119,14 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dmin AS (SELECT MIN(d) AS d0 FROM daily),
     t AS (
       SELECT d, CAST(datediff('day', dmin.d0, d) AS BIGINT) AS t,
-             CAST(rev AS DOUBLE) AS y
+             rev, CAST(rev AS DOUBLE) AS y
       FROM daily, dmin),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(t) AS BIGINT) AS st,
              CAST(SUM(t * t) AS BIGINT) AS stt,
-             SUM(y) AS sy, SUM(t * y) AS sty
+             CAST(SUM(rev) AS DOUBLE) AS sy,
+             CAST(SUM(t * rev) AS DOUBLE) AS sty
       FROM t),
     co AS (
       SELECT n,
@@ -5143,9 +5160,12 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     is serially correlated (DW << 2), the assumption check behind every
     time-indexed regression this module fits.
 
-    Exactness: OLS coefficients come from exact integer/decimal moment
-    sums via one mirrored double tree; residuals are then deterministic
-    doubles per day. The two quadratic-form sums are made
+    Exactness: OLS coefficients come from exact integer/DECIMAL moment
+    sums — sy and t*y fold as DECIMAL(38,6) and cast to double only after
+    the fold (r11 fix: the previous double-summed sy/sty were
+    order-dependent, a latent cross-engine ULP flake under the floor
+    scaling below) — via one mirrored double tree; residuals are then
+    deterministic doubles per day. The two quadratic-form sums are made
     order-independent by FLOOR-scaling each nonnegative term to micro
     units (floor(x*1e6) of a bit-identical double is exact on both
     engines, no ROUND-midpoint hazard) and summing the resulting
@@ -5166,15 +5186,21 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "d",
             F.datediff("d", "d0").cast("long").alias("t"),
+            F.col("rev"),
             F.col("rev").cast("double").alias("y"),
         )
     )
+    # sy/sty fold in DECIMAL (t is an exact integer, so t*rev stays decimal)
+    # and cast to double only AFTER the fold — double summation is
+    # order-dependent in Spark and floor(e^2*1e6) would amplify a last-ULP
+    # difference into an off-by-one num_i/den_i (ADVICE r10; the
+    # _daily_traffic_revenue / stats_ccc_lin discipline).
     m = t.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("t").cast("long").alias("st"),
         F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("t") * F.col("rev")).cast("double").alias("sty"),
     )
     nd = F.col("n").cast("double")
     std_ = F.col("st").cast("double")

@@ -40,285 +40,91 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Driver-sample priority: the correctness harness samples the FIRST ~50
 # registered queries, so registration order decides which operators get a
-# hard driver-verified CORRECTNESS row each round.  Round-10 rotation
-# (continuing the VERDICT r7 item-7 rule — no op stays never-sampled for
-# more than one round, no green row goes stale for more than ~5 rounds):
-# (a) the 13 r9 ops that landed BEYOND r9's 50-slot window go FIRST (in r9,
-#     63 never-sampled ops — 24 deferred r8 + 39 new r9 — competed for the
-#     50 slots, so 13 deferred; each is locally oracle-proven at both SFs
-#     but has no driver row yet): the mandatory front-load,
-# (b) new r10 ops are inserted next as they land so they get a row in the
-#     round they land,
-# (c) the r2-era aggregates/geo re-proofs whose rotation slipped twice,
-# (d) the r3-era relational/window/sort/set singles fill remaining slots,
-# (e+) fresh r9/r8/r7 heads re-enter the window in later rounds under the
-#     same rotation rule.
-# Rows-only ops (no SQL oracle possible) are deliberately EXCLUDED from the
-# sampled window: the driver records them as `no_oracle` ERR rows (r2's
+# hard driver-verified CORRECTNESS row each round.
+#
+# Since r11 the order is DERIVED FROM HISTORY, not hand-curated (VERDICT
+# r10 item 1): _derive_driver_sample_priority() parses every committed
+# CORRECTNESS_r*.json and orders oracled ops (a) never-driver-green first
+# (i.e. ops new this round), then (b) strictly oldest-last-green-first,
+# alphabetical within a round cohort for determinism/idempotence. Rows-only
+# ops (no SQL oracle possible) sort LAST — deliberately outside the sampled
+# window: the driver records them as `no_oracle` ERR rows (r2's
 # agg_freq_items proved it), which reads as red for zero information.
-_DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- (a) the 13 r9 ops that landed beyond r9's 50-slot window: 63
-    # never-sampled ops (24 deferred r8 + 39 new r9) competed for 50
-    # slots, so THIRTEEN deferred. Locally oracle-proven at both SFs;
-    # this is r10's MANDATORY front-load (VERDICT r9 item 1). --
-    "stats_skewness_kurtosis",  # 3rd/4th moment shape profile (r9)
-    "stats_tost_equivalence",  # two one-sided margin tests, pinned z (r9)
-    "events_burstiness",  # dispersion index + Goh-Barabasi B (r9)
-    "events_new_vs_returning",  # acquisition/engagement daily split (r9)
-    "dedup_coverage_estimate",  # capture-recapture missed-dup audit (r9)
-    "graph_transitivity",  # global 3T/wedges closure scalar (r9)
-    "stats_mann_kendall",  # nonparametric trend test, pairs theil_sen (r9)
-    "text_tokenizer_fertility",  # per-lang tokens/word fairness table (r9)
-    "events_seasonality_strength",  # dow eta^2 in pure integers (r9)
-    "snapshot_merge_branch",  # branch merge-back, conflict-checked (r9)
-    "drift_report_pipeline",  # composed drift scorecard: KS+PSI+JSD+chi2 (r9)
-    "stats_qq_table",  # decile Q-Q localization of drift (r9)
-    "stats_effect_sizes",  # Cohen's d / Hedges' g / Cliff's delta panel (r9)
-    # -- (b) new r10 ops are inserted HERE as they land --
-    "stats_kendall_tau",  # tau-b daily traffic~revenue, tie-corrected (r10)
-    "stats_ccc_lin",  # Lin's concordance + Pearson from one moment fold (r10)
-    "stats_jarque_bera",  # normality gate, pinned chi2(2) literal (r10)
-    "stats_mood_median",  # pooled-median 2x2 location screen (r10)
-    "stats_hodges_lehmann",  # median-of-pairwise-diffs shift estimate (r10)
-    "stats_durbin_watson",  # OLS residual serial-correlation check (r10)
-    "stats_cronbach_alpha",  # weekly-engagement reliability panel (r10)
-    "eval_classifier_report",  # per-class P/R/F1 of the lang-id heuristic (r10)
-    "eval_brier_score",  # proper scoring rule + skill vs base rate (r10)
-    "eval_log_loss",  # cross-entropy, pico-unit floor-scaled fold (r10)
-    "eval_ece",  # expected calibration error, all-integer gaps (r10)
-    "eval_retrieval_per_query",  # MRR/nDCG/recall per probe query (r10)
-    "retrieval_eval_pipeline",  # 6th flagship: one-pool retrieval scorecard (r10)
-    # -- (c) stalest standing rows: last driver-sampled in ROUND 2; their
-    # re-proof already slipped r8 AND r9 (rows stay valid on unchanged
-    # code, but VERDICT r9 item 1 makes this round's re-proof mandatory) --
-    "agg_count_by_group",
-    "agg_conditional_count",
-    "agg_distinct_sorted",
-    "agg_duplicate_keys",
-    "agg_first_value",
-    "agg_minmax_stats",
-    "agg_approx_distinct",
-    "validate_assumptions",
-    "geo_overview_pyramid",
-    # -- (d) r3-era singles: next-stalest rows, rotate through the tail of
-    # the window (whatever slots remain after (a)-(c) + new r10 ops) --
-    "filter_exclude_paths",
-    "filter_predicate",
-    "split_by_flag",
-    "project_columns",
-    "join_left_anti",
-    "join_left_semi",
-    "join_full_outer",
-    "window_rank",
-    "window_lag_lead",
-    "sort_order_by",
-    "limit_n",
-    "set_union_all",
-    "set_except",
-    "set_intersect",
-    "scan_file_listing",
-    "scan_csv",
-    "sink_append_table",
-    "sink_overwrite_table",
-    "sink_json_docs",
-    "stream_watermark",
-    # -- (e) fresh r9 rows (the r8-deferred front-load + r9 adds, all
-    # driver-green r9) --
-    "text_source_divergence",  # pairwise source JSD mixture audit (r8)
-    "graph_markov_steady",  # Q30 journey-chain steady state (r8)
-    "snapshot_forget_user",  # GDPR erasure: COW + expiry + residual audit (r8)
-    "fn_surrogate_key",  # sha surrogate ids + collision audit (r8)
-    "events_forecast_backtest",  # naive/seasonal-naive MAE floor (r8)
-    "sample_stratified_neyman",  # variance-optimal budget split (r8)
-    "events_interarrival_quantiles",  # exact per-type gap tails (r8)
-    "scan_jsonl_quarantine",  # PERMISSIVE poison-line triage (r8)
-    "stats_fdr_bh",  # BH multiple-testing over permutation ps (r8)
-    "events_cohort_ltv",  # decimal-exact cohort revenue curves (r8)
-    "orders_priority_sla",  # first-shipment SLA scorecard (r8)
-    "events_absence_alert",  # stopped-behavior win-back list (r8)
-    "stats_cramers_v",  # bounded effect size over lang x source (r8)
-    "events_attribution_position",  # U-shaped integer-ppm credits (r8)
-    "stats_runs_test",  # Wald-Wolfowitz delta-sequence randomness (r8)
-    "events_stickiness",  # DAU/WAU via 7-day coverage explode (r8)
-    "stats_levene_bf",  # median-centered variance-equality gate (r8)
-    "dq_duplicate_payments",  # banded double-payment sweep (r8)
-    "events_cooccurrence_pmi",  # same-day type-pair PMI (r8)
-    "text_heaps_law",  # first-seen vocab growth by decile (r8)
-    "events_velocity_alert",  # peak-hour bot/rate screening (r8)
-    "orders_backlog_aging",  # open-order aging value report (r8)
-    "stats_calibration_bins",  # reliability-diagram deciles (r8)
-    "stats_pr_curve",  # integer-threshold precision/recall sweep (r8)
-    "graph_bfs_layers",  # single-source BFS layer census, horizon bucket (r9)
-    "graph_clustering_coefficient",  # per-node ego-density top-20 (r9)
-    "graph_hits",  # bipartite hubs/authorities, Q30 renormalized (r9)
-    "stats_mcnemar",  # paired AM/PM purchase discordance test (r9)
-    "stats_wilcoxon_signed_rank",  # paired per-user spend shift test (r9)
-    "stats_cohens_kappa",  # chance-corrected annotator agreement (r9)
-    "stats_mutual_info",  # type x time-of-day dependence in nats (r9)
-    "eval_pass_at_k",  # exact combinatorial pass@1/pass@5 estimator (r9)
-    "stats_lift_gains",  # decile cumulative gains + lift table (r9)
-    "sample_class_balance",  # hash-rank downsample to minority count (r9)
-    "text_collocations_pmi",  # PMI-glued adjacent pairs, support>=5 (r9)
-    "text_char_entropy",  # boilerplate screen, no char explode (r9)
-    "corpus_datasheet",  # per-source dataset-card summary (r9)
-    "embed_dim_stats",  # per-dimension mean/variance profile (r9)
-    "embed_label_affinity",  # class-confusability centroid cosines (r9)
-    "embed_triplet_mining",  # hardest pos/neg per anchor, FaceNet (r9)
-    "snapshot_branch",  # dev branch fork + two-way isolation proof (r9)
-    "scan_parquet_footer_stats",  # distributed footer min/max audit (r9)
-    "events_acf",  # weekly ACF profile, join-based shift (r9)
-    "stats_hhi_concentration",  # HHI regional market concentration (r9)
-    "model_eval_pipeline",  # 5th flagship: SRM gate -> AUC -> calib -> lift (r9)
-    "graph_degree_assortativity",  # hub-hub vs hub-leaf coupling (r9)
-    "multimodal_patchify",  # ViT 2x2 patch grid, executed decode (r9)
-    "stats_ab_srm_check",  # sample-ratio-mismatch guard, pinned chi2 (r9)
-    "multimodal_phash",  # integer-DCT perceptual hash, executed decode (r9)
-    "multimodal_phash_dedup",  # banded frequency-domain near-dups (r9)
-    # -- (f) r8-sampled heads (fresh r8 rows) --
-    "sim_ann_lsh",  # multi-probe rewrite (r7 verdict item 1): recall 0.4 -> 1.0
-    "multimodal_features_real",  # executed BMP codec decode (r7 item 6)
-    "multimodal_dhash",  # perceptual fingerprint over decoded pixels (r8)
-    "multimodal_dhash_dedup",  # banded dHash near-dup pairs (r8)
-    "join_interval_overlap",  # chunked interval x interval join (r8)
-    "dedup_url_canonical",  # web-corpus canonical-URL dedup (r8)
-    "quality_perplexity_buckets",  # CCNet head/middle/tail thirds (r8)
-    "web_corpus_pipeline",  # composed: url dedup -> survivor LM -> tail drop (r8)
-    "text_bigram_lm",  # interpolated bigram LM xent (r8)
-    "events_stl_decompose",  # rational trend/seasonal/residual split (r8)
-    "join_asof_tolerance",  # merge_asof tolerance=30d; stale -> NULL (r8)
-    "snapshot_publish_audit",  # WAP: staged manifest audit gates publish (r8)
-    "graph_connected_components",  # pointer-jumping CC, closure oracle (r8)
-    "multimodal_resize_real",  # NN-resize through the executed decode (r8)
-    "multimodal_audio_features_real",  # executed WAV decode + stats (r8)
-    "stats_linear_regression",  # per-type OLS, exact decimal moments (r8)
-    "events_changepoint_binary",  # offline BSS-argmax changepoint (r8)
-    "embed_pca_power",  # integer power-iteration top PC (r8)
-    "sink_dynamic_partition_overwrite",  # idempotent partition backfill (r8)
-    "events_funnel_windowed",  # greedy-earliest 24h-window funnel (r8)
-    "stats_bootstrap_ci",  # deterministic Poisson bootstrap CI (r8)
-    "sample_reservoir_global",  # bottom-k hash sample, TakeOrdered plan (r8)
-    "join_left_mark",  # EXISTS as a column; no row duplication (r8)
-    "snapshot_rollback",  # RESTORE as a pointer write; files intact (r8)
-    "stats_anova_oneway",  # k-group F test; ordered k-term fold (r8)
-    "dedup_minhash_clusters",  # CC over the LSH candidate graph (r8)
-    "stats_proportion_ztest",  # A/B two-proportion z; integer midpoint (r8)
-    "stats_kruskal_wallis",  # k-group rank H; doubled-rank fold (r8)
-    "graph_jaccard_linkpred",  # common-neighbor Jaccard top-10 (r8)
-    "agg_count_min_sketch",  # CMS heavy-hitter audit; int64 hashes (r8)
-    "multimodal_audio_vad",  # frame-energy VAD, executed decode (r8)
-    "stats_jensen_shannon",  # bounded symmetric categorical drift (r8)
-    "events_survival_km",  # censoring-aware KM time-to-conversion (r8)
-    "stats_theil_sen",  # outlier-immune median-of-slopes trend (r8)
-    "graph_kcore",  # dense-backbone k-core peel trajectory (r8)
-    "recsys_item_similar",  # item-item cosine top-3 serving table (r8)
-    "text_rake_keyphrases",  # RAKE unsupervised keyword extraction (r8)
-    "sample_coreset_kcenter",  # farthest-first diversity coreset (r8)
-    "stats_permutation_test",  # sha-relabeled randomization test (r8)
-    "snapshot_orphan_files",  # failed-commit leftover GC audit (r8)
-    "join_scd2_pit",  # point-in-time SCD2 feature lookup (r8)
-    "multimodal_image_histogram",  # Rec.601 luminance bins, executed decode (r8)
-    "text_zipf_slope",  # rank-frequency OLS corpus fingerprint (r8)
-    "embed_knn_outliers",  # 3rd-NN-distance anomaly review queue (r8)
-    "stats_auc",  # exact Mann-Whitney ROC AUC (r8)
-    "sim_mmr_rerank",  # BIGINT greedy MMR over the top-20 pool (r8)
-    "pack_epoch_shuffle",  # sha epoch-shuffle dataloader manifest (r8)
-    "retrieval_pipeline",  # 4th flagship: IVF probe -> rerank -> MMR (r8)
-    "events_peak_concurrency",  # sweep-line capacity planning (r8)
-    "stats_power_sample_size",  # pinned-quantile A/B planner (r8)
-    # -- (g) recent heads with fresh r6/r7 rows --
-    "stats_chi2_independence",
-    "stats_psi",
-    "stats_quantiles_exact",
-    "stats_winsorize",
-    "stats_weighted_quantiles",
-    "stats_mann_whitney",
-    "stats_spearman",
-    "stats_grouped_quantiles",
-    "stats_ks_test",
-    "events_cusum_alarm",
-    "events_holt_forecast",
-    "events_user_entropy",
-    "events_path_analysis",
-    "events_rate_test",
-    "dq_benford",
-    "sim_ann_ivfpq",
-    "sim_ann_pq",
-    "sim_ann_sq8",
-    "dedup_semantic",
-    "text_lm_score",
-    "text_bm25_rank",
-    "sample_dsir_weights",
-    "mixture_temperature_weights",
-    "vocab_coverage",
-    "multimodal_chunk_dedup",
-    "join_asof_nearest",
-    "snapshot_diff_update",
-    "snapshot_expire",
-    "stream_drift_monitor",
-    # -- beyond the ~50-sample window: fresh r5-r7 rows, unchanged --
-    "dedup_substring",
-    "dedup_substring_winnow",
-    "dedup_substring_spans",
-    "pipeline_mask_spans",
-    "dedup_clusters_unique",
-    "corpus_prep_pipeline",
-    "embed_kmeans_iterate",
-    "geo_zonal_stats",
-    "geo_focal_mean",
-    "geo_slope",
-    "geo_hillshade",
-    "geo_raster_algebra",
-    "scan_schema_evolution",
-    "sink_cog_lzw_bigtiff",
-    "geo_layer_cog_pipeline",
-    "stream_join_outer",
-    "materialized_reuse",
-    "pandas_grouped_map",
-    "pandas_grouped_agg",
-    "join_bloom_prefilter",
-    "skyline_pareto_frontier",
-    "stream_static_join",
-    "stream_sliding_window",
-    "dedup_segments",
-    "dedup_segments_rewrite",
-    "pack_sequences_spans",
-    "quality_filter_report",
-    "packing_pipeline",
-    "snapshot_time_travel",
-    "snapshot_diff",
-    "pack_sequences_emit",
-    "multimodal_dedup",
-    "sim_topk_batch",
-    "snapshot_incremental_read",
-    "sim_pairs_threshold",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_exact",
-    "q1_pricing_summary",
-    "join_inner_equi",
-    "join_broadcast_left",
-    "join_asof",
-    "join_range",
-    "agg_cube_rollup",
-    "window_running_sum",
-    "top_k",
-    "stream_window_agg",
-    "stream_session_window",
-    "events_sessionize",
-    "sim_topk",
-    "text_stats",
-    "text_fingerprint",
-    "multimodal_features",
-    "pipeline_clean_corpus",
-]
+#
+# HONEST FRESHNESS BOUND (restating the broken r7 rule): at ~377 oracled
+# ops and a 50-row driver window, a full refresh cycle is ceil(377/50) = 8
+# rounds. The old "no green row stale >5 rounds" promise is arithmetically
+# unsatisfiable at this registry size; the invariant this ordering DOES
+# guarantee is: every sampled window holds exactly the 50 stalest rows
+# (new ops first), so no op's staleness ever exceeds the cycle length, and
+# the max staleness across the registry is minimized every round.
+_DRIVER_SAMPLE_PRIORITY: list[str] = []  # populated by load_all()
+
+
+def driver_green_history() -> dict[str, int]:
+    """Last driver-green round per op, parsed from CORRECTNESS_r*.json.
+
+    Green = rows_match AND schema_match AND hash_match all true (the
+    driver's own gate). Files live at the repo root (the registry's
+    grandparent directory); a missing/corrupt file contributes nothing, so
+    a fresh checkout without history simply treats every op as new.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
+
+
+def _derive_driver_sample_priority() -> list[str]:
+    """History-derived staleness order (VERDICT r10 item 1).
+
+    Oracled ops sort by (last-driver-green round, name) ascending — ops
+    with NO green row ever (new this round) get round -1 and therefore go
+    first; ties break alphabetically so the order is deterministic and
+    idempotent under repeated load_all(). Rows-only ops (not oracle-able)
+    append at the end, alphabetical, outside the sampled window.
+    """
+    last_green = driver_green_history()
+    oracled = sorted(
+        (n for n in REGISTRY if n in ORACLE),
+        key=lambda n: (last_green.get(n, -1), n),
+    )
+    rows_only = sorted(n for n in REGISTRY if n not in ORACLE)
+    return oracled + rows_only
 
 
 def _apply_driver_sample_order() -> None:
-    """Reorder REGISTRY in place so priority queries register first.
+    """Reorder REGISTRY in place so the stalest queries register first.
 
     Mutates the existing dict (callers hold references to it) rather than
     rebinding the module global.
     """
+    global _DRIVER_SAMPLE_PRIORITY
+    _DRIVER_SAMPLE_PRIORITY = _derive_driver_sample_priority()
     snapshot = dict(REGISTRY)
     missing = [n for n in _DRIVER_SAMPLE_PRIORITY if n not in snapshot]
     if missing:

@@ -1,0 +1,273 @@
+"""r11 property tests: LPA invariants, BPE training semantics, DeLong
+internal consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wri_data_processing_spark import registry
+
+registry.load_all()
+
+
+class TestLabelPropagation:
+    def test_communities_partition_and_refine_components(self, spark, sf_dir):
+        """Every co-purchase node carries exactly one community label, and
+        each community sits INSIDE one connected component (labels spread
+        only along edges, so a community can never straddle components)."""
+        from wri_data_processing_spark.queries.graph import (
+            _LPA_ROUNDS,
+            graph_label_propagation,
+        )
+        from wri_data_processing_spark.queries.llm_dedup import propagate_min_labels
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = items.alias("a"), items.alias("b")
+        und = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+        )
+        edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        n_nodes = edges.select("src").distinct().count()
+
+        comm = graph_label_propagation(spark, sf_dir)
+        # (1) labels partition the vertex set: community sizes sum to |V|
+        total = comm.agg(F.sum("n_nodes")).first()[0]
+        assert total == n_nodes
+
+        # (2) refinement: rebuild per-node LPA labels and CC labels; every
+        # LPA community must map to exactly ONE component
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint()
+        )
+        for _ in range(_LPA_ROUNDS):
+            f = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            labels = (
+                f.groupBy("src")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
+                    ).alias("m")
+                )
+                .select(F.col("src").alias("node"), F.col("m.l").alias("lbl"))
+                .localCheckpoint()
+            )
+        cc, _ = propagate_min_labels(edges)
+        cc = cc.select(F.col("node").alias("cnode"), F.col("lbl").alias("component"))
+        joined = labels.join(cc, labels["node"] == cc["cnode"])
+        straddlers = (
+            joined.groupBy("lbl")
+            .agg(F.count_distinct("component").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0
+
+    def test_lpa_converged_at_pinned_rounds(self, spark, sf_dir):
+        """The docstring claims K=4 is a fixpoint on this fixture: one more
+        synchronous round must not change any label."""
+        from wri_data_processing_spark.queries.graph import _LPA_ROUNDS
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = items.alias("a"), items.alias("b")
+        und = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+        )
+        edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint()
+        )
+        snapshots = []
+        for _ in range(_LPA_ROUNDS + 1):
+            f = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            labels = (
+                f.groupBy("src")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
+                    ).alias("m")
+                )
+                .select(F.col("src").alias("node"), F.col("m.l").alias("lbl"))
+                .localCheckpoint()
+            )
+            snapshots.append({r["node"]: r["lbl"] for r in labels.collect()})
+        assert snapshots[_LPA_ROUNDS] == snapshots[_LPA_ROUNDS - 1]
+
+
+class TestBpeTrainRounds:
+    def test_matches_pure_python_bpe(self, spark, sf_dir):
+        """Independent known-answer: a pure-Python word-frequency BPE
+        trainer (naive overlapping pair counts, merge-with-last rewrite)
+        must produce the identical 5-round merge table."""
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        from wri_data_processing_spark.queries.llm_pipeline import _BPE_ROUNDS
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        wc: Counter = Counter()
+        for t in docs["text"]:
+            for wd in re.split(r"\s+", t.strip()):
+                if wd:
+                    wc[wd] += 1
+        vocab = {w: list(w) for w in wc}
+        expected = []
+        for rnd in range(1, _BPE_ROUNDS + 1):
+            pc: Counter = Counter()
+            for w, syms in vocab.items():
+                c = wc[w]
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            expected.append((rnd, l, r, l + r, n))
+            for w, syms in vocab.items():
+                acc = [syms[0]]
+                for x in syms[1:]:
+                    if acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                vocab[w] = acc
+        got = [
+            (row["round"], row["left_tok"], row["right_tok"], row["merged"],
+             row["n_pairs"])
+            for row in registry.REGISTRY["bpe_train_rounds"](spark, sf_dir).collect()
+        ]
+        assert got == expected
+
+    def test_merge_with_last_equals_left_to_right_greedy(self):
+        """The rewrite claim: merge-with-last == left-to-right greedy
+        non-overlapping, because a merged symbol is strictly longer than
+        the left token. Exhaustive check on symbol strings up to length 8
+        over a 2-symbol alphabet for every (l, r) pair."""
+        import itertools
+
+        def greedy(syms, l, r):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        def fold(syms, l, r):
+            acc = [syms[0]]
+            for x in syms[1:]:
+                if acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            return acc
+
+        for n in range(1, 9):
+            for syms in itertools.product("ab", repeat=n):
+                for l, r in itertools.product("ab", repeat=2):
+                    assert fold(list(syms), l, r) == greedy(list(syms), l, r)
+
+
+class TestDelong:
+    def test_component_means_equal_auc(self, spark, sf_dir):
+        """DeLong internal identity: each model's AUC emitted by
+        eval_auc_delong must equal stats_auc's exact Mann-Whitney AUC for
+        the same (value, purchase) scoring — mean V10 == rank-sum AUC."""
+        got = registry.REGISTRY["eval_auc_delong"](spark, sf_dir).first()
+        auc = registry.REGISTRY["stats_auc"](spark, sf_dir).first()
+        assert got["n_pos"] == auc["n_pos"] and got["n_neg"] == auc["n_neg"]
+        assert abs(got["auc_a"] - round(auc["auc"], 6)) <= 1e-6
+
+    def test_matches_numpy_delong(self, spark, sf_dir):
+        """Independent known-answer: recompute DeLong z with numpy
+        structural components (midrank arrays, no shared code path)."""
+        import hashlib
+
+        import pandas as pd
+
+        ev = pd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        ev = ev[ev["value"].notna()]
+        y = (ev["event_type"] == "purchase").to_numpy(dtype=np.int64)
+        sa = (ev["value"].astype("float64").round(2) * 100).round().to_numpy("int64")
+        sb = np.array(
+            [
+                int(hashlib.sha256(f"cal:{e}".encode()).hexdigest()[:15], 16)
+                % (1 << 30)
+                for e in ev["event_id"]
+            ],
+            dtype=np.int64,
+        )
+
+        def midrank(x):
+            order = np.argsort(x, kind="mergesort")
+            ranks = np.empty(len(x), dtype=np.float64)
+            sx = x[order]
+            i = 0
+            while i < len(x):
+                j = i
+                while j + 1 < len(x) and sx[j + 1] == sx[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        def v_components(s):
+            pos, neg = s[y == 1], s[y == 0]
+            m, n = len(pos), len(neg)
+            r_all = midrank(np.concatenate([pos, neg]))
+            r_pos = midrank(pos)
+            r_neg = midrank(neg)
+            v10 = (r_all[:m] - r_pos) / n
+            v01 = 1.0 - (r_all[m:] - r_neg) / m
+            return v10, v01
+
+        va10, va01 = v_components(sa)
+        vb10, vb01 = v_components(sb)
+        auc_a, auc_b = va10.mean(), vb10.mean()
+        d10 = va10 - vb10
+        d01 = va01 - vb01
+        var = d10.var(ddof=1) / len(d10) + d01.var(ddof=1) / len(d01)
+        z = (auc_a - auc_b) / np.sqrt(var)
+
+        got = registry.REGISTRY["eval_auc_delong"](spark, sf_dir).first()
+        assert abs(got["auc_a"] - auc_a) <= 1e-6
+        assert abs(got["auc_b"] - auc_b) <= 1e-6
+        assert abs(got["z_delong"] - z) <= 1e-5
+        assert got["significant"] == (abs(z) > 1.959964)

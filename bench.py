@@ -115,6 +115,14 @@ HEADLINE = [
     # two-phase distinct-value prefix sum, measured 1.04 s at sf0.1 vs
     # stats_lift_gains 0.75 / eval_pass_at_k 0.75.
     "stats_auc",
+    # r11: the warehouse family (MERGE, SCD2, snapshot time-travel/expire/
+    # rollback/branching, WAP, GDPR erasure — 15+ ops) had NO headline
+    # representative despite being manifest-IO bound, a regression class
+    # the correctness rows can't catch (VERDICT r10 item 6); admission
+    # rule a admits its heaviest driver-green member — the full branch
+    # fork -> diverge -> conflict-checked merge-back lifecycle, measured
+    # 1.64 s at sf0.1 vs snapshot_forget_user 1.56 / merge_upsert 0.59.
+    "snapshot_merge_branch",
 ]
 
 SPREAD_TARGET = 0.20

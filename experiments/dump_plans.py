@@ -232,6 +232,16 @@ SHOWCASE = [
      "per-query partitioned rank (never global), grouped fold to 8 rows"),
     ("retrieval_eval_pipeline", "the per-query subplan into ONE 1-row fold; "
      "reciprocal ranks as exact 2^30 div rank integers"),
+    # r11 wave
+    ("eval_auc_delong", "two distinct-value rank subplans (bucket-parallel "
+     "prefix sums, no single-partition window), two equi joins back on the "
+     "score keys, ONE 1-row eleven-sum moment fold"),
+    ("bpe_train_rounds", "per round: ONE pair-count shuffle, TakeOrdered(1) "
+     "argmax, 1-row broadcast, scan-stage array fold over the vocab; "
+     "localCheckpoint breaks the K-round lineage"),
+    ("graph_label_propagation", "per round: neighbor-label equi-join + "
+     "(src,lbl) count + src argmax — all vertex-keyed shuffles, Pregel LPA "
+     "as DataFrame joins"),
 ]
 
 

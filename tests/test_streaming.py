@@ -737,3 +737,123 @@ def test_velocity_checkpoint_recovery(spark, sf_dir, tmp_path):
         for r in registry.REGISTRY["events_velocity_alert"](spark, sf_dir).collect()
     ]
     assert top == want
+
+
+def test_drift_report_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-window drift scorecard == the SAME builder run over
+    the batch frame, with the series split MID-STREAM across two
+    time-ordered drops; update mode emits per (window, batch) and the
+    LAST emission per window is the settled scorecard (VERDICT r10
+    item 7 — the drift_report_pipeline streaming twin)."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        drift_report_windowed,
+        read_event_stream,
+        run_available_now,
+    )
+
+    e = table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("min(ts) + (max(ts) - min(ts)) / 2").alias("m")).collect()[0][
+        "m"
+    ]
+    src = str(tmp_path / "drift_src")
+    e.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        drift_report_windowed(read_event_stream(spark, src)),
+        "drift_report_test",
+        str(tmp_path / "ckpt_drift_report"),
+        output_mode="update",
+    )
+    emitted = spark.sql(
+        "SELECT * FROM drift_report_test"
+    ).collect()  # in emission order per micro-batch? settle via dict below
+    settled = {}
+    for r in emitted:
+        settled[r["window_start"]] = r
+    want = {r["window_start"]: r for r in drift_report_windowed(e).collect()}
+    assert set(settled) == set(want) and len(want) > 1
+    cols = ["n_view", "n_click", "psi", "jsd", "ks_d", "chi2", "dof", "drifted"]
+    for wkey, wrow in want.items():
+        got = settled[wkey]
+        assert tuple(got[c] for c in cols) == tuple(wrow[c] for c in cols), wkey
+
+
+def test_drift_report_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the drift scorecard twin: incarnation 1 drains
+    the first half (cut INSIDE a window so its 40 bin counters are
+    partial), the second half arrives while nothing runs, and a fresh
+    query restarts from the SAME checkpoint — the straddling window's
+    settled scorecard is only correct if the 40 recovered counters came
+    off disk. Settled scorecards across both incarnations must equal the
+    batch builder exactly."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        drift_report_windowed,
+        read_event_stream,
+    )
+
+    e = table(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours").alias("w")
+    cell = (
+        e.filter(F.col("value").isNotNull() & F.col("event_type").isin("view", "click"))
+        .groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .filter((F.col("n") >= 2) & (F.col("lo") < F.col("hi")))
+        .orderBy("w.start")
+        .limit(1)
+        .collect()
+    )
+    assert cell, "fixture probe: no window with >= 2 scorecard rows"
+    mid = cell[0]["lo"]
+    src = str(tmp_path / "drift_rec_src")
+    ckpt = str(tmp_path / "ckpt_drift_recovery")
+
+    def _drain(emitted):
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        return _sink
+
+    e.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    run1: list = []
+    q = (
+        drift_report_windowed(read_event_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run1))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    q = (
+        drift_report_windowed(read_event_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run2))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert run2
+
+    c1 = {r["window_start"]: r for r in run1}
+    c2 = {r["window_start"]: r for r in run2}
+    grown = [
+        k
+        for k in c2
+        if k in c1
+        and (c2[k]["n_view"] + c2[k]["n_click"]) > (c1[k]["n_view"] + c1[k]["n_click"])
+    ]
+    assert grown, "no window accumulated across the restart"
+
+    settled = dict(c1)
+    settled.update(c2)
+    want = {r["window_start"]: r for r in drift_report_windowed(e).collect()}
+    assert set(settled) == set(want)
+    cols = ["n_view", "n_click", "psi", "jsd", "ks_d", "chi2", "dof", "drifted"]
+    for wkey, wrow in want.items():
+        got = settled[wkey]
+        assert tuple(got[c] for c in cols) == tuple(wrow[c] for c in cols), wkey

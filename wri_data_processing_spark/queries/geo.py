@@ -171,7 +171,12 @@ def geo_layer_cog_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end raster pipeline: lineitem-derived cell table -> one REAL
     tiled+Deflate+overview COG per layer via the distributed applyInPandas
     sink (geo/raster_pipeline.py) -> per-layer write summaries. The executed
-    Spark reshape of the reference's 00b->01b chain on synthetic grids."""
+    Spark reshape of the reference's 00b->01b chain on synthetic grids.
+
+    Oracle independence: the VALUES rows are derived BY HAND from the COG
+    layout spec — 64x64 at 16-px tiles gives 16 + 4 + 1 = 21 tiles across
+    base + the 32- and 16-px overviews — never from running the sink; the
+    artifact's pixel/byte correctness is the tiff test suite's job."""
     import os
     import shutil
 
@@ -249,6 +254,12 @@ def geo_reproject_bbox_vals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-proven reprojection (VERDICT r4 item 4): distinct synthetic
     extents -> EPSG:4326 bbox corners, rounded to 1e-6 deg as scalars,
     against registration-time expected values from the same transform core.
+
+    Oracle boundary: expected corners come from the SAME transform core at
+    registration time, so this row alone pins determinism, not truth; the
+    transform itself is proven independently against the reference's
+    committed golden STAC bbox (tests/test_reference_parity.py::
+    test_reproject_matches_reference_bbox).
     """
     variants = (
         _layers_df(spark, sf_dir)
@@ -384,6 +395,10 @@ def geo_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cell table is tile-partitioned, so all nine contributions
     to a target land in the same partition except across one-cell tile
     borders — the same halo pattern every distributed raster engine ships.
+
+    Oracle independence: the only VALUES block is the constant 3x3 offset
+    grid (structure, not results); the oracle recomputes the scatter-sum
+    itself from the base tables.
     """
     c = _cells(spark, sf_dir)
     offs = F.array(
@@ -568,6 +583,10 @@ def geo_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so this expression is bit-identical by construction. Gradient
     exactness is geo_slope's 2-addend argument; the scatter/aggregation
     plan is shared.
+
+    Oracle independence: the only VALUES block is the constant stencil
+    offset grid (structure, not results); the oracle recomputes the
+    gradients and hillshade itself from the base tables.
     """
     c = _cells(spark, sf_dir)
     vals = c.select(

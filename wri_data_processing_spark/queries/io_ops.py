@@ -63,6 +63,9 @@ def scan_file_listing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sf dir always holds exactly the ten star-schema parquet files, so the
     oracle is the literal name set — checking the glob+recursion plumbing.
+
+    Oracle independence: the VALUES list is hand-stated ground truth about
+    the fixture directory, never produced by a listing call.
     """
     listing = scan_file_listing(spark, sf_dir, glob="*.parquet")
     return listing.select(
@@ -87,6 +90,11 @@ def scan_raster_header_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GDAL is absent here, so the reader derives a deterministic header from
     the filename — the oracle recomputes the same arithmetic over the known
     file set, verifying the batch plumbing and error-tolerant row contract.
+
+    Oracle boundary: both sides restate the STUB's formula by the op's
+    stub nature, so this row proves plumbing only; header-parsing
+    correctness is proven by scan_raster_header_real, whose oracle states
+    the fixture generator's input parameters.
     """
 
     def fake_reader(path: str) -> dict:
@@ -144,7 +152,12 @@ def scan_raster_header_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     query generates from the public spec (sources/tiff_fixture.py) —
     classic + BigTIFF, both byte orders. The reference behavior this
     executes is utils.R:175-214's header-only read: dims, resolution, EPSG,
-    dtype, with zero pixel I/O."""
+    dtype, with zero pixel I/O.
+
+    Oracle independence: the VALUES rows are the fixture GENERATOR'S input
+    parameters (the dims/EPSG/dtype handed to tiff_fixture.py), which the
+    parser must recover from raw bytes — writer and reader share no header
+    logic, so a parse bug cannot self-verify."""
     from wri_data_processing_spark.sources.tiff_fixture import (
         write_bigtiff_geotiff,
         write_classic_geotiff,
@@ -452,7 +465,13 @@ def sink_cog_lzw_bigtiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode it back (LZW + float-predictor path), convert to an LZW BigTIFF
     COG via write_cog, re-parse header AND pixels from the artifact, and
     emit a bit-level checksum the VALUES oracle pins to the registration-
-    time expectation."""
+    time expectation.
+
+    Oracle independence: the expected checksums are computed from the
+    generator's INPUT array directly (never through the codec), so the
+    pin proves decode(encode(x)) == x end-to-end; the LZW/predictor
+    decoder is additionally proven against spec-constructed streams in
+    tests/test_tiff_lzw.py."""
     import pandas as pd
 
     out_dir = _scratch_dir("sink_cog_lzw", sf_dir)
@@ -553,6 +572,10 @@ def assert_schema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The library assert_schema raises on the first missing column (exact
     reference semantics, covered in tests); the query form reports presence
     per column so the result is a checkable relation.
+
+    Oracle independence: the VALUES rows are the hand-stated column
+    CONTRACT (spec, not engine output); the engine derives presence from
+    the live parquet schema, so the two sides share nothing.
     """
     l = table(spark, sf_dir, "lineitem")
     cols = set(l.columns)

@@ -374,6 +374,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band equi-join for candidates -> signature re-join for the estimate.
     Sub-quadratic: pair work is bounded by band collisions, never N^2.
     spark.ml variant retained as dedup_minhash_ml (rows-only).
+
+    Oracle independence: the only VALUES block is the pinned permutation
+    constant table (a_k, b_k) — module literals shared BY DESIGN;
+    shingling, sha hashing, signatures, banding and estimates are all
+    recomputed in SQL from the documents table.
     """
     d = table(spark, sf_dir, "documents")
     reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
@@ -1608,6 +1613,10 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-identical candidates including banding false positives) feeding
     the same recursive-CTE closure dedup_clusters verifies against — the
     closure is the spec, the jumping is the algorithm.
+
+    Oracle independence: as in dedup_minhash_lsh, the VALUES block is only
+    the pinned permutation-constant table; the candidate graph and its
+    closure are recomputed in SQL.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(

@@ -409,6 +409,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector band table — the classic LSH bucket join, no theta join
     anywhere. spark.ml's BucketedRandomProjectionLSH variant is retained
     as sim_ann_brp_ml (rows-only).
+
+    Oracle independence: the only VALUES block is the pinned
+    sign-projection table — module literals shared BY DESIGN (the pinned-
+    randomness discipline); quantization, bucketing, multi-probe flips and
+    cosines are all recomputed in SQL from the base tables.
     """
     e = table(spark, sf_dir, "embeddings")
     signs = spark.createDataFrame(

@@ -518,6 +518,13 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore logical-shift-equivalent, matching Spark's
     shiftrightunsigned. bit_count/xor operate on the two's-complement
     pattern identically in both engines.
+
+    Oracle boundary: the VALUES hash table is generated by the same
+    _dhash64 the engine calls, so this row pins the banding/Hamming
+    candidate logic (recomputed in SQL) plus codec-decode identity — not
+    the hash function; _dhash64 itself is proven against a separately-
+    written numpy reference (tests/test_media_codec_properties.py::
+    test_dhash_independent_reference).
     """
     h = multimodal_dhash(spark, sf_dir)
     bands = h.select(
@@ -1254,6 +1261,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's BIGINT >> is arithmetic; masking with & 15 after the shift
     discards the smeared sign bits, matching Spark's shiftrightunsigned
     — the multimodal_dhash_dedup note, at 4-bit width.
+
+    Oracle boundary: the VALUES hash table shares _phash64 with the
+    engine, so this row pins banding/Hamming logic + decode identity, not
+    the hash; _phash64 is proven against the separately-written numpy
+    float-DCT reference (tests/test_media_codec_properties.py::
+    test_phash_independent_reference).
     """
     h = multimodal_phash(spark, sf_dir)
     bands = h.select(

@@ -765,3 +765,183 @@ def velocity_windowed(events: DataFrame, watermark: str = "1 hour") -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.col("w.start").alias("hr"), "user_id", "n")
     )
+
+
+def drift_report_windowed(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of queries/stats_numeric.drift_report_pipeline: one
+    composed drift SCORECARD row per tumbling event-time window (VERDICT
+    r10 item 7) — the shape a production drift gate actually runs, where
+    the batch op is the scheduled offline audit.
+
+    Per window it compares the live view-vs-click value distributions on
+    the drift_monitor 20-bin grid and emits all four statistics plus the
+    pager boolean: binned PSI (used-bin normalization, the drift_monitor
+    convention), Jensen-Shannon divergence, the binned KS sup-distance
+    over the two cumulative bin profiles, and the 2 x bins chi-squared
+    with its dof; `drifted` applies the batch op's textbook gates
+    (PSI >= 0.25 or KS >= 0.2).
+
+    State shape is the whole point (the drift_monitor lesson): the two
+    cohort histograms unroll into 40 conditional counters inside ONE
+    windowed aggregation — the state store holds exactly 40 longs per
+    open window, bounded by the watermark; the scorecard algebra runs on
+    the emitted 40-column row, never in state. Works identically on a
+    BATCH frame (watermark skipped) — the equivalence tests run this
+    same builder both ways and require bit-identical scorecards, and a
+    kill-and-resume test proves the 40 counters recover from the
+    checkpoint mid-window.
+
+    Binned-KS note: exact KS needs the full ECDF (unbounded state); on a
+    stream the 20-bin cumulative profile is the bounded-state analog and
+    its sup-distance LOWER-bounds the exact D, so the KS gate can only
+    under-alarm, never false-alarm, vs the batch audit.
+    """
+    bins = list(range(_N_DRIFT_BINS))
+    s = events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("view", "click")
+    ).select(
+        "ts",
+        F.col("event_type").alias("cohort"),
+        F.least(F.floor(F.col("value").cast("double") / 10.0), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+    )
+    if events.isStreaming:
+        s = s.withWatermark("ts", watermark)
+    counters = []
+    for i in bins:
+        counters.append(
+            F.sum(
+                F.when((F.col("cohort") == "view") & (F.col("bin") == i), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"v{i}")
+        )
+        counters.append(
+            F.sum(
+                F.when((F.col("cohort") == "click") & (F.col("bin") == i), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    g = s.groupBy(F.window("ts", window).alias("w")).agg(*counters)
+
+    # The scorecard algebra runs over the two counter ARRAYS with
+    # higher-order functions (zip_with/aggregate), NOT unrolled per-bin
+    # column chains: the unrolled form inlines the 20-term normalization
+    # sums into every one of 20 x 4 statistic terms and blows past
+    # janino's method-size limit (probed: codegen compile failure). The
+    # array form keeps each statistic ONE aggregate node.
+    vs = F.array(*[F.col(f"v{i}") for i in bins])
+    cs = F.array(*[F.col(f"c{i}") for i in bins])
+    zero = F.lit(0).cast("long")
+
+    def asum(arr):
+        return F.aggregate(arr, zero, lambda a, x: a + x)
+
+    nv = asum(vs)
+    nc = asum(cs)
+    nv_u = asum(F.zip_with(vs, cs, lambda v, c: F.when((v > 0) & (c > 0), v).otherwise(zero)))
+    nc_u = asum(F.zip_with(vs, cs, lambda v, c: F.when((v > 0) & (c > 0), c).otherwise(zero)))
+    g = (
+        g.withColumn("n_view", nv)
+        .withColumn("n_click", nc)
+        .withColumn("nvu", nv_u.cast("double"))
+        .withColumn("ncu", nc_u.cast("double"))
+    )
+    # ANSI + codegen gotcha (probed): common-subexpression elimination
+    # HOISTS divisions out of CASE branches, so a zero denominator errors
+    # even when its branch is never taken. Every denominator below is
+    # therefore made structurally nonzero (the guarded numerator terms are
+    # already 0 in exactly the cases the substitute value would matter),
+    # and the emitted statistics are NULLed when a cohort is empty.
+    def _safe(c):
+        return F.when(c > 0, c).otherwise(F.lit(1.0))
+
+    nvd = _safe(F.col("n_view").cast("double"))
+    ncd = _safe(F.col("n_click").cast("double"))
+    nvu, ncu = _safe(F.col("nvu")), _safe(F.col("ncu"))
+
+    # PSI over both-live bins with used-bin renormalization (drift_monitor)
+    psi = F.aggregate(
+        F.zip_with(
+            vs,
+            cs,
+            lambda v, c: F.when(
+                (v > 0) & (c > 0),
+                (v.cast("double") / nvu - c.cast("double") / ncu)
+                * F.log((v.cast("double") / nvu) / (c.cast("double") / ncu)),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+    # JSD over full normalization; 0*ln(...) terms excluded per side
+    def _jsd_term(v, c):
+        pcol = v.cast("double") / nvd
+        qcol = c.cast("double") / ncd
+        m = (pcol + qcol) / F.lit(2.0)
+        return F.when(v > 0, pcol * F.log(pcol / m) / F.lit(2.0)).otherwise(
+            F.lit(0.0)
+        ) + F.when(c > 0, qcol * F.log(qcol / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+
+    jsd = F.aggregate(
+        F.zip_with(vs, cs, _jsd_term), F.lit(0.0), lambda a, x: a + x
+    )
+
+    # binned KS: sup |cumV*NC - cumC*NV| over the ordered bin grid — EXACT
+    # integer cross-products, no float cumsum; one struct-state fold
+    ks_fold = F.aggregate(
+        F.zip_with(vs, cs, lambda v, c: F.struct(v.alias("v"), c.alias("c"))),
+        F.struct(zero.alias("cv"), zero.alias("cc"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            (acc["cv"] + x["v"]).alias("cv"),
+            (acc["cc"] + x["c"]).alias("cc"),
+            F.greatest(
+                acc["best"],
+                F.abs(
+                    (acc["cv"] + x["v"]) * F.col("n_click")
+                    - (acc["cc"] + x["c"]) * F.col("n_view")
+                ),
+            ).alias("best"),
+        ),
+    )
+    ks_d = ks_fold["best"].cast("double") / (nvd * ncd)
+
+    # chi-squared over non-empty bins: expected from pooled marginals
+    tot = nvd + ncd
+
+    def _chi2_term(v, c):
+        bi = (v + c).cast("double")
+        ev = nvd * bi / tot
+        ec = ncd * bi / tot
+        ov, oc = v.cast("double"), c.cast("double")
+        return F.when(
+            (v + c) > 0, (ov - ev) * (ov - ev) / ev + (oc - ec) * (oc - ec) / ec
+        ).otherwise(F.lit(0.0))
+
+    chi2 = F.aggregate(
+        F.zip_with(vs, cs, _chi2_term), F.lit(0.0), lambda a, x: a + x
+    )
+    used = asum(
+        F.zip_with(vs, cs, lambda v, c: F.when((v + c) > 0, F.lit(1).cast("long")).otherwise(zero))
+    )
+    dof = (used - 1).cast("long")
+
+    both = (F.col("n_view") > 0) & (F.col("n_click") > 0)
+    return g.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_view",
+        "n_click",
+        F.when(both, F.round(psi, 6)).alias("psi"),
+        F.when(both, F.round(jsd, 6)).alias("jsd"),
+        F.when(both, F.round(ks_d, 6)).alias("ks_d"),
+        F.when(both, F.round(chi2, 6)).alias("chi2"),
+        F.when(both, dof).alias("dof"),
+        F.when(both, (psi >= F.lit(0.25)) | (ks_d >= F.lit(0.2))).alias("drifted"),
+    )

@@ -271,3 +271,66 @@ class TestDelong:
         assert abs(got["auc_b"] - auc_b) <= 1e-6
         assert abs(got["z_delong"] - z) <= 1e-5
         assert got["significant"] == (abs(z) > 1.959964)
+
+
+class TestCvm:
+    def test_rank_form_equals_ecdf_definition(self):
+        """The Anderson rank form both engines implement must equal the
+        textbook ECDF definition T = nm/N^2 * sum_pooled (F_a - F_b)^2 on
+        tie-free data (the identity the op's algebra is derived from) —
+        an independent numpy check that breaks the mirrored-formula loop."""
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            n, m = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+            pool = rng.permutation(n + m)  # distinct integers -> no ties
+            a, b = np.sort(pool[:n]), np.sort(pool[n:])
+            # direct ECDF form
+            allv = np.sort(pool)
+            fa = np.searchsorted(a, allv, side="right") / n
+            fb = np.searchsorted(b, allv, side="right") / m
+            t_direct = n * m / (n + m) ** 2 * np.sum((fa - fb) ** 2)
+            # rank form (the op's algebra, 6x-scaled integer blocks)
+            r_all = np.argsort(np.argsort(allv)) + 1
+            ra = np.sort(r_all[np.searchsorted(allv, a)])
+            rb = np.sort(r_all[np.searchsorted(allv, b)])
+            u = n * np.sum((ra - np.arange(1, n + 1)) ** 2) + m * np.sum(
+                (rb - np.arange(1, m + 1)) ** 2
+            )
+            nn = n + m
+            t_rank = u / (nn * n * m) - (4 * n * m - 1) / (6 * nn)
+            assert abs(t_direct - t_rank) < 1e-9
+
+    def test_engine_matches_numpy_on_fixture(self, spark, sf_dir):
+        """End-to-end known answer: recompute T with numpy midranks from
+        the raw parquet (independent code path incl. tie handling)."""
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["event_type"].isin(["view", "click"]) & ev["value"].notna()]
+        a = np.sort(ev.loc[ev["event_type"] == "view", "value"].to_numpy())
+        b = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+        n, m = len(a), len(b)
+        pooled = np.concatenate([a, b])
+        order = np.argsort(pooled, kind="mergesort")
+        ranks = np.empty(len(pooled))
+        sx = pooled[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        ra = np.sort(ranks[:n])
+        rb = np.sort(ranks[n:])
+        u = n * np.sum((ra - np.arange(1, n + 1)) ** 2) + m * np.sum(
+            (rb - np.arange(1, m + 1)) ** 2
+        )
+        nn = n + m
+        t_rank = u / (nn * n * m) - (4 * n * m - 1) / (6 * nn)
+        from wri_data_processing_spark import registry as reg
+
+        got = reg.REGISTRY["stats_cvm"](spark, sf_dir).first()
+        assert got["n_view"] == n and got["n_click"] == m
+        assert abs(got["cvm_t"] - t_rank) < 1e-5
+        assert got["rejected"] == (t_rank > 0.461)

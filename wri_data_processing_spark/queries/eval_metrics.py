@@ -819,3 +819,192 @@ def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zc, 6).alias("z_delong"),
         (F.abs(zc) > F.lit(1.959964)).alias("significant"),
     )
+
+
+@query(
+    "eval_mcc",
+    oracle=f"""
+    WITH conf AS (
+      SELECT lang AS labeled, {_PRED_SQL} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN labeled = pred THEN n ELSE 0 END) AS BIGINT) AS c
+      FROM conf),
+    t_ AS (SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS t FROM conf GROUP BY 1),
+    p_ AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS p FROM conf GROUP BY 1),
+    cross_ AS (
+      SELECT CAST(SUM(CAST(t_.t AS HUGEINT) * COALESCE(p_.p, 0)) AS HUGEINT) AS sum_tp,
+             CAST(SUM(CAST(t_.t AS HUGEINT) * t_.t) AS HUGEINT) AS sum_t_sq
+      FROM t_ LEFT JOIN p_ ON t_.cls = p_.cls),
+    psq AS (SELECT CAST(SUM(CAST(p AS HUGEINT) * p) AS HUGEINT) AS sum_p_sq FROM p_)
+    SELECT s AS n_docs, c AS n_correct,
+           ROUND((CAST(c AS DOUBLE) * CAST(s AS DOUBLE)
+                  - CAST(sum_tp AS DOUBLE))
+                 / sqrt((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         - CAST(sum_p_sq AS DOUBLE))
+                        * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           - CAST(sum_t_sq AS DOUBLE))), 6) AS mcc
+    FROM tot, cross_, psq
+    """,
+)
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation coefficient of the text_lang_id
+    heuristic — the single balanced scalar the classification report
+    (eval_classifier_report) lacks: accuracy flatters majority-class
+    predictors and macro-F1 ignores correlation structure; the Gorodkin
+    R_K form MCC = (c s - SUM_k p_k t_k) / sqrt((s^2 - SUM p_k^2)
+    (s^2 - SUM t_k^2)) punishes exactly the predict-{en, unknown}
+    degeneracy the report exposes, in one number in [-1, 1].
+
+    Exactness: c, s, per-class predicted/true totals are exact BIGINTs
+    off the confusion frame; the three cross-sums fold in
+    DECIMAL(38,0)/HUGEINT (t_k * p_k products clear int64 only to ~3e9
+    docs); the closing tree is one mirrored division with the safe sqrt.
+    ROUND-6.
+
+    Plan: one scan-fused confusion aggregate (<= |langs|^2 rows), two
+    bounded class rollups, a |langs|-row broadcast join, 1-row algebra.
+    """
+    d = table(spark, sf_dir, "documents")
+    conf = (
+        d.select(F.col("lang").alias("labeled"), _lang_pred_col().alias("pred"))
+        .groupBy("labeled", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.when(F.col("labeled") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    t_ = conf.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    p_ = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("p")
+    )
+    cross_ = (
+        t_.join(F.broadcast(p_), "cls", "left")
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.coalesce(F.col("p"), F.lit(0))
+            ).alias("sum_tp"),
+            F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("sum_t_sq"),
+        )
+    )
+    psq = p_.agg(
+        F.sum(F.col("p").cast("decimal(38,0)") * F.col("p")).alias("sum_p_sq")
+    )
+    alg = tot.crossJoin(F.broadcast(cross_)).crossJoin(F.broadcast(psq))
+    sd = F.col("s").cast("double")
+    cd = F.col("c").cast("double")
+    mcc = (cd * sd - F.col("sum_tp").cast("double")) / F.sqrt(
+        (sd * sd - F.col("sum_p_sq").cast("double"))
+        * (sd * sd - F.col("sum_t_sq").cast("double"))
+    )
+    return alg.select(
+        F.col("s").alias("n_docs"),
+        F.col("c").alias("n_correct"),
+        F.round(mcc, 6).alias("mcc"),
+    )
+
+
+@query(
+    "eval_average_precision",
+    oracle=f"""
+    WITH {_SCORE_CTE},
+    g AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM sc GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS npos
+      FROM g),
+    c AS (
+      SELECT u, cnt, p,
+             SUM(cnt) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(p) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS cp
+      FROM g),
+    terms AS (
+      SELECT CAST(SUM(CASE WHEN p > 0 THEN
+               CAST(p AS HUGEINT) * (tot.npos - (cp - p))
+                 * 1000000000000
+                 // (CAST(tot.n - (ca - cnt) AS HUGEINT) * tot.npos)
+             ELSE 0 END) AS HUGEINT) AS ap_i
+      FROM c, tot)
+    SELECT tot.n, tot.npos,
+           ROUND(CAST(ap_i AS DOUBLE) / 1000000000000.0, 6)
+             AS average_precision,
+           ROUND(CAST(tot.npos AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+             AS prevalence
+    FROM terms, tot
+    """,
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the exact PR-curve area) of the stand-in
+    purchase model — the ranking metric stats_pr_curve samples at fixed
+    thresholds and stats_auc complements: AUC weights all rank pairs
+    equally, AP concentrates on the head where retrieval happens.
+    AP = SUM_blocks (tp_b / n_pos) * precision-after-block over distinct
+    descending scores, with the WHOLE tie block entering before
+    precision is read (the pessimistic tie convention, stated here
+    because sklearn's step variant differs under ties). Known-answer
+    shape: an uninformative uniform score gives AP ~= prevalence.
+
+    Exactness: NO floats anywhere until the final division — each block
+    term is the exact integer (tp_b * TP_k * 10^12) // (K_k * n_pos)
+    folded in DECIMAL(38,0)/HUGEINT (truncation, not rounding, mirrors
+    // on both engines), so the fold is order-independent by
+    construction and the metric closes with one division and ROUND-6.
+    Descending cumulatives come from ascending prefix sums and the
+    totals (TP = npos - cum_before, K = n - cum_before) — no second sort.
+
+    Plan: one distinct-score count, bucket-parallel two-phase prefix
+    sums (no single-partition window), one 1-row fold.
+    """
+    from wri_data_processing_spark.queries.stats_numeric import _two_phase_cumsum
+
+    s = _score_frame(spark, sf_dir)
+    g = s.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    c = _two_phase_cumsum(g, "u", ["cnt", "p"])
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("npos"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    tp = F.col("npos") - (F.col("cum_p") - F.col("p"))
+    k = F.col("n") - (F.col("cum_cnt") - F.col("cnt"))
+    # exact integral quotient: Spark's `div` truncates the exact decimal
+    # quotient (positive operands => identical to DuckDB's //); a plain
+    # decimal `/` would ROUND at its result scale before any floor,
+    # off-by-one at quotient boundaries.
+    num = (
+        F.col("p").cast("decimal(38,0)")
+        * tp
+        * F.lit(1000000000000).cast("decimal(38,0)")
+    )
+    den = k.cast("decimal(38,0)") * F.col("npos")
+    j = j.withColumn("num", num).withColumn("den", den)
+    term_i = F.when(
+        F.col("p") > 0, F.expr("num div den").cast("decimal(38,0)")
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    f = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("npos").cast("long").alias("npos"),
+        F.sum(term_i).alias("ap_i"),
+    )
+    return f.select(
+        "n",
+        "npos",
+        F.round(F.col("ap_i").cast("double") / F.lit(1000000000000.0), 6).alias(
+            "average_precision"
+        ),
+        F.round(F.col("npos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "prevalence"
+        ),
+    )

@@ -2846,3 +2846,103 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_days"),
         F.round(num / den, 6).alias("seasonality_strength"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH known AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id % 97 = 0
+      GROUP BY 1),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM known),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds),
+    prev AS (
+      SELECT s.d, MAX(k.d) AS dp
+      FROM spine s JOIN known k ON k.d <= s.d GROUP BY 1),
+    nxt AS (
+      SELECT s.d, MIN(k.d) AS dn
+      FROM spine s JOIN known k ON k.d >= s.d GROUP BY 1),
+    j AS (
+      SELECT spine.d, prev.dp, nxt.dn, kp.rev AS rp, kn.rev AS rn
+      FROM spine
+      JOIN prev ON spine.d = prev.d
+      JOIN nxt ON spine.d = nxt.d
+      JOIN known kp ON prev.dp = kp.d
+      JOIN known kn ON nxt.dn = kn.d)
+    SELECT CAST(d AS VARCHAR) AS d,
+           ROUND(CASE WHEN dp = d THEN CAST(rp AS DOUBLE)
+                 ELSE CAST(rp AS DOUBLE)
+                      + (CAST(rn AS DOUBLE) - CAST(rp AS DOUBLE))
+                        * CAST(datediff('day', dp, d) AS DOUBLE)
+                        / CAST(datediff('day', dp, dn) AS DOUBLE)
+                 END, 6) AS rev,
+           dp != d AS interpolated
+    FROM j ORDER BY d
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of a sparse daily revenue series (the user_id % 97
+    purchase cohort — probed: 9 missing days inside the span at sf0.01)
+    — the interpolation sibling of ts_resample_gapfill's step fill:
+    step-fill answers "carry the last value", this answers "assume the
+    trend", the difference that decides whether a dashboard lies during
+    an outage window. Missing days get rev_prev + (rev_next - rev_prev)
+    * elapsed/gap; present days pass through with interpolated = false.
+
+    Exactness: anchor revenues are exact DECIMAL daily sums; day
+    arithmetic is exact integers; the interpolation is ONE mirrored
+    double tree per missing day (two casts, one division), ROUND-6.
+    Calendar spine and neighbor lookups are date algebra only.
+
+    Plan: one filtered daily rollup (localCheckpointed — four
+    consumers), a 1-row bounds fold exploded to the calendar spine, and
+    two spine x known argmax joins — ALL calendar-bounded (|days|^2 at
+    worst), never data-sized; the only data-sized stage is the rollup.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("user_id") % 97 == 0)
+    )
+    known = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+        .localCheckpoint()
+    )
+    bounds = known.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    kp = known.select(F.col("d").alias("kd"), F.col("rev").alias("krev"))
+    prev = (
+        spine.join(kp, F.col("kd") <= F.col("d"))
+        .groupBy("d")
+        .agg(F.max(F.struct(F.col("kd").alias("dp"), F.col("krev").alias("rp"))).alias("m"))
+        .select("d", F.col("m.dp").alias("dp"), F.col("m.rp").alias("rp"))
+    )
+    nxt = (
+        spine.join(kp, F.col("kd") >= F.col("d"))
+        .groupBy("d")
+        .agg(F.min(F.struct(F.col("kd").alias("dn"), F.col("krev").alias("rn"))).alias("m"))
+        .select("d", F.col("m.dn").alias("dn"), F.col("m.rn").alias("rn"))
+    )
+    j = prev.join(nxt, "d")
+    rp = F.col("rp").cast("double")
+    rn = F.col("rn").cast("double")
+    val = F.when(F.col("dp") == F.col("d"), rp).otherwise(
+        rp
+        + (rn - rp)
+        * F.datediff(F.col("d"), F.col("dp")).cast("double")
+        / F.datediff(F.col("dn"), F.col("dp")).cast("double")
+    )
+    return j.select(
+        F.col("d").cast("string").alias("d"),
+        F.round(val, 6).alias("rev"),
+        (F.col("dp") != F.col("d")).alias("interpolated"),
+    ).orderBy("d")

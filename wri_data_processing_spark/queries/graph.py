@@ -1278,3 +1278,126 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("community")
     )
+
+
+def _ppr_iter_sql(iters: int) -> str:
+    """Unrolled personalized-PageRank CTE chain: the _pagerank_iter_sql
+    shape with the teleport mass restricted to the SEED set (l_partkey
+    % 100 == 0) instead of every node."""
+    parts = [
+        """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    undirected AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT u AS node, v AS nb FROM undirected
+      UNION ALL
+      SELECT v AS node, u AS nb FROM undirected
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY node),
+    p0 AS (SELECT node,
+                  CAST(CASE WHEN node % 100 = 0 THEN 1073741824 ELSE 0 END
+                       AS BIGINT) AS rq
+           FROM deg)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+    p{k} AS (
+      SELECT d2.node,
+             CAST(CASE WHEN d2.node % 100 = 0 THEN 161061273 ELSE 0 END
+                  + (17 * COALESCE(g.gath, 0)) // 20 AS BIGINT) AS rq
+      FROM deg d2 LEFT JOIN (
+        SELECT e.nb AS node, SUM(r.rq // d.degree) AS gath
+        FROM edges e
+        JOIN p{k - 1} r ON e.node = r.node
+        JOIN deg d ON e.node = d.node
+        GROUP BY e.nb) g ON d2.node = g.node
+    )"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH {_ppr_iter_sql(_ITERS)}
+    SELECT node, rq AS ppr_q, rq / 1073741824.0 AS ppr
+    FROM p{_ITERS} WHERE rq > 0
+    """,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the seed set {parts with key % 100 == 0}
+    — the recommendation primitive graph_pagerank's global score can't
+    provide: "important NEAR THESE items", the random walk with restart
+    that powers related-item panels and seed-expanded audiences
+    (recsys_item_similar gives direct neighbors; PPR reaches multi-hop
+    affinity with principled decay).
+
+    Semantics: the graph_pagerank fixed-point recursion with the
+    teleport mass restricted to seeds — rank' = [seed] * floor(0.15 *
+    2^30) + floor(17 * gather / 20), seeds start at 2^30, everything
+    else at 0 — and a LEFT join on the gather so nodes whose neighbors
+    all hold zero mass stay present (mass spreads outward per round;
+    rows with rq = 0 are dropped at emit on both sides). 5 synchronous
+    iterations, unrolled in the oracle exactly like _pagerank_iter_sql.
+
+    Exactness: pure Q30 integer scatter/gather — multiply, floor-divide,
+    sum; bit-identical at any partitioning (the graph_pagerank
+    argument); the only double is the exact 2^-30 projection.
+
+    Plan: per round one scatter join + one gather aggregate keyed by
+    node, then the deg-frame left join keeps zero-mass nodes — all
+    vertex-keyed shuffles, localCheckpoint per round.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    undirected = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    edges = (
+        undirected.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+        .unionAll(undirected.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint()
+    )
+    seed_q = F.when(F.col("node") % 100 == 0, F.lit(_Q30)).otherwise(F.lit(0))
+    teleport = F.when(
+        F.col("node") % 100 == 0, F.lit(_TELEPORT_Q)
+    ).otherwise(F.lit(0))
+    ranks = deg.select("node", seed_q.cast("long").alias("rq"))
+    for _ in range(_ITERS):
+        gather = (
+            edges.join(ranks, "node")
+            .join(deg, "node")
+            .select(F.col("nb").alias("node"), F.expr("rq div degree").alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("long").alias("gath"))
+        )
+        ranks = (
+            deg.join(gather, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport.cast("long")
+                    + F.expr("CAST(17 * coalesce(gath, 0) div 20 AS BIGINT)")
+                ).alias("rq"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.filter(F.col("rq") > 0).select(
+        "node",
+        F.col("rq").alias("ppr_q"),
+        (F.col("rq") / F.lit(float(_Q30))).alias("ppr"),
+    )

@@ -2539,3 +2539,61 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+@query(
+    "sample_ppswor",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey, o_totalprice,
+             -ln((CAST(('0x' || substring(sha256('pps:'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1073741824 + 1) / 1073741826.0)
+               / CAST(o_totalprice AS DOUBLE) AS key
+      FROM orders)
+    SELECT o_orderkey, o_totalprice, ROUND(key, 6) AS pps_key
+    FROM k ORDER BY key, o_orderkey LIMIT 20
+    """,
+)
+def sample_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling WITHOUT replacement —
+    Efraimidis-Spirakis weighted order sampling, the deterministic form:
+    each order draws key = -ln(u)/w (u sha-uniform in (0,1), w =
+    o_totalprice) and the 20 SMALLEST keys are the sample, which is
+    exactly PPS-without-replacement (each key is an Exponential(w) race;
+    min-k of exponentials == sequential PPS draws). The weighted sibling
+    of sample_reservoir_global, and the data-selection shape behind
+    "sample documents proportional to quality score" curation passes.
+
+    Determinism: u = (sha-slice + 1)/(2^30 + 2) is bounded away from
+    {0,1}; ln is the safe transcendental (bit-identical cross-engine,
+    probed r7); w is an exact decimal cast to double (<= 2^53); each key
+    is ONE identical expression tree both engines evaluate bitwise-
+    identically, so the global min-20 ordering (key, then orderkey)
+    agrees exactly. Emitted key is ROUND-6.
+
+    Plan: scan-stage key expression + TakeOrderedAndProject(20) — no
+    global sort, no shuffle beyond the top-k combine (the
+    sample_reservoir_global plan shape with a weighted key).
+    """
+    o = table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("pps:"), F.col("o_orderkey").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1073741824).cast("long")
+        + 1
+    ).cast("double") / F.lit(1073741826.0)
+    key = -F.log(u) / F.col("o_totalprice").cast("double")
+    return (
+        o.select("o_orderkey", "o_totalprice", key.alias("key"))
+        .orderBy("key", "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", F.round("key", 6).alias("pps_key"))
+    )

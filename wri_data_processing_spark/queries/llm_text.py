@@ -1460,3 +1460,121 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chars").cast("double") / F.col("bpe_tokens").cast("double"), 6
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+@query(
+    "text_kneser_ney",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1p_left
+           FROM cb GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+             FROM cb GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM cb),
+    terms AS (
+      SELECT CAST(SUM(CAST(CAST(floor(-ln(
+               greatest(CAST(cb.c12 AS DOUBLE) - 0.75, 0.0)
+                 / CAST(cu.c1 AS DOUBLE)
+               + 0.75 * CAST(cu.n1p_left AS DOUBLE) / CAST(cu.c1 AS DOUBLE)
+                 * CAST(cont.n1p_right AS DOUBLE) / CAST(tot.n_types AS DOUBLE)
+             ) * 1000000000.0) AS BIGINT) * CAST(cb.c12 AS HUGEINT) AS HUGEINT))
+             AS HUGEINT) AS xent_i
+      FROM cb JOIN cu USING (w1) JOIN cont USING (w2), tot)
+    SELECT tot.n_bigrams, tot.n_types,
+           ROUND(CAST(xent_i AS DOUBLE)
+                 / (1000000000.0 * CAST(tot.n_bigrams AS DOUBLE)), 6)
+             AS kn_xent
+    FROM terms, tot
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cross-entropy under an interpolated KNESER-NEY bigram model
+    — the smoothing real tokenizer/LM pipelines actually train
+    (text_bigram_lm's add-one Jelinek-Mercer is the teaching baseline;
+    KN's absolute discounting with CONTINUATION unigrams is what made
+    n-gram LMs competitive, and the continuation count N1+(.w) is the
+    famous "San Francisco" fix: 'Francisco' is frequent but follows only
+    'San', so its continuation probability is tiny). P_KN(w2|w1) =
+    max(c12 - d, 0)/c1 + d * N1+(w1 .)/c1 * N1+(. w2)/|bigram types|,
+    d = 0.75 PINNED.
+
+    Exactness: all counts exact BIGINTs; one mirrored ln per bigram
+    TYPE, floor-scaled to nano units BEFORE multiplying by the type's
+    token count (quantization identical per type, then exact integer
+    weighting), accumulated in DECIMAL(38,0)/HUGEINT — the fold is
+    order-independent by construction (eval_log_loss discipline). One
+    closing division, ROUND-6.
+
+    Plan: the text_bigram_lm topology minus the per-doc stage — bigram
+    pairs zipped inside the token array (JVM-side), map-side-combined
+    type counts, two vocab-keyed rollups joined back (broadcastable
+    under AQE), a 1-row totals broadcast, one 1-row fold.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        ).alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    bg = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("toks", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    cb = cb.localCheckpoint()  # feeds cu, cont, tot and the term join
+    cu = cb.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_left"),
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_right"))
+    tot = cb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c12").cast("long").alias("n_bigrams"),
+    )
+    p_kn = F.greatest(
+        F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0)
+    ) / F.col("c1").cast("double") + F.lit(0.75) * F.col("n1p_left").cast(
+        "double"
+    ) / F.col("c1").cast("double") * F.col("n1p_right").cast("double") / F.col(
+        "n_types"
+    ).cast("double")
+    term_i = (
+        F.floor(-F.log(p_kn) * F.lit(1000000000.0)).cast("long")
+        * F.col("c12").cast("decimal(38,0)")
+    )
+    f = (
+        cb.join(cu, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_bigrams").cast("long").alias("n_bigrams"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.sum(term_i).alias("xent_i"),
+        )
+    )
+    return f.select(
+        "n_bigrams",
+        "n_types",
+        F.round(
+            F.col("xent_i").cast("double")
+            / (F.lit(1000000000.0) * F.col("n_bigrams").cast("double")),
+            6,
+        ).alias("kn_xent"),
+    )

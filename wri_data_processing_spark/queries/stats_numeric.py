@@ -5359,3 +5359,734 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+@query(
+    "stats_cvm",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
+             value AS v
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    gv AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM s GROUP BY 1),
+    cw AS (
+      SELECT v, na, nb,
+             SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM gv),
+    t AS (
+      SELECT na, nb,
+             2 * (ca + cb - na - nb) + (na + nb) + 1 AS bigr,
+             ca - na AS offa, cb - nb AS offb
+      FROM cw),
+    f AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n,
+             CAST(SUM(nb) AS BIGINT) AS m,
+             SUM(CASE WHEN na > 0 THEN
+               6 * CAST(na AS HUGEINT) * bigr * bigr
+               - 24 * CAST(bigr AS HUGEINT)
+                 * (na * offa + na * (na + 1) // 2)
+               + 4 * (CAST(offa + na AS HUGEINT) * (offa + na + 1)
+                        * (2 * (offa + na) + 1)
+                      - CAST(offa AS HUGEINT) * (offa + 1) * (2 * offa + 1))
+               ELSE 0 END) AS six_sa2,
+             SUM(CASE WHEN nb > 0 THEN
+               6 * CAST(nb AS HUGEINT) * bigr * bigr
+               - 24 * CAST(bigr AS HUGEINT)
+                 * (nb * offb + nb * (nb + 1) // 2)
+               + 4 * (CAST(offb + nb AS HUGEINT) * (offb + nb + 1)
+                        * (2 * (offb + nb) + 1)
+                      - CAST(offb AS HUGEINT) * (offb + 1) * (2 * offb + 1))
+               ELSE 0 END) AS six_sb2
+      FROM t)
+    SELECT n AS n_view, m AS n_click,
+           ROUND((CAST(n AS DOUBLE) * CAST(six_sa2 AS DOUBLE)
+                  + CAST(m AS DOUBLE) * CAST(six_sb2 AS DOUBLE))
+                 / (24.0 * CAST(n + m AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(m AS DOUBLE))
+                 - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+                   / (6.0 * CAST(n + m AS DOUBLE)), 6) AS cvm_t,
+           (CAST(n AS DOUBLE) * CAST(six_sa2 AS DOUBLE)
+                  + CAST(m AS DOUBLE) * CAST(six_sb2 AS DOUBLE))
+                 / (24.0 * CAST(n + m AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(m AS DOUBLE))
+                 - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+                   / (6.0 * CAST(n + m AS DOUBLE)) > 0.461 AS rejected
+    FROM f
+    """,
+)
+def stats_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test between the view and click value
+    distributions — the whole-distribution complement of stats_ks_test:
+    KS reacts to the single worst ECDF gap, CvM integrates the SQUARED
+    gap everywhere, so it catches broad mild drift KS under-weights (and
+    vice versa); production drift suites run both. Anderson's rank form:
+    T = U/(N n m) - (4nm - 1)/(6N), U = n SUM_i (r_i - i)^2
+    + m SUM_j (s_j - j)^2 over each sample's (global midrank - within-
+    sample index) pairs; reject at the pinned 5% asymptotic critical
+    value 0.461.
+
+    Exactness: midranks are half-integers so DOUBLED ranks are exact
+    integers (the stats_auc discipline); for each distinct value the tie
+    block's SUM (R - 2i)^2 expands in closed form — 6x-scaled so the /2
+    and /6 of the index-sum identities stay integral — and accumulates
+    in DECIMAL(38,0)/HUGEINT (per-value terms reach ~k (2N)^2: int64
+    wraps at corpus scale). T closes in ONE mirrored double tree;
+    ROUND-6; the boolean compares the unrounded tree.
+
+    Plan: one distinct-value count, bucket-parallel two-phase prefix
+    sums (no single-partition window), one 1-row fold.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    )
+    gv = (
+        e.select(
+            F.when(F.col("event_type") == "view", "a").otherwise("b").alias("g"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+        )
+    )
+    cw = _two_phase_cumsum(gv, "v", ["na", "nb"])
+    bigr = (
+        2 * (F.col("cum_na") + F.col("cum_nb") - F.col("na") - F.col("nb"))
+        + (F.col("na") + F.col("nb"))
+        + 1
+    )
+    offa = F.col("cum_na") - F.col("na")
+    offb = F.col("cum_nb") - F.col("nb")
+    t = cw.select(
+        "na",
+        "nb",
+        bigr.alias("bigr"),
+        offa.alias("offa"),
+        offb.alias("offb"),
+    )
+
+    def six_block(k: F.Column, off: F.Column) -> F.Column:
+        kd = k.cast("decimal(38,0)")
+        rd = F.col("bigr").cast("decimal(38,0)")
+        offd = off.cast("decimal(38,0)")
+        hi = offd + kd
+        s1x2 = 2 * kd * offd + kd * (kd + 1)  # 2 * SUM i
+        f2hi = hi * (hi + 1) * (2 * hi + 1)
+        f2lo = offd * (offd + 1) * (2 * offd + 1)
+        return F.when(
+            k > 0,
+            6 * kd * rd * rd - 12 * rd * s1x2 + 4 * (f2hi - f2lo),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    f = t.agg(
+        F.sum("na").cast("long").alias("n"),
+        F.sum("nb").cast("long").alias("m"),
+        F.sum(six_block(F.col("na"), F.col("offa"))).alias("six_sa2"),
+        F.sum(six_block(F.col("nb"), F.col("offb"))).alias("six_sb2"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    tstat = (
+        nd * F.col("six_sa2").cast("double") + md * F.col("six_sb2").cast("double")
+    ) / (F.lit(24.0) * (nd + md) * nd * md) - (
+        F.lit(4.0) * nd * md - F.lit(1.0)
+    ) / (F.lit(6.0) * (nd + md))
+    return f.select(
+        F.col("n").alias("n_view"),
+        F.col("m").alias("n_click"),
+        F.round(tstat, 6).alias("cvm_t"),
+        (tstat > F.lit(0.461)).alias("rejected"),
+    )
+
+
+@query(
+    "stats_friedman",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS trt,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    k_ AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k FROM daily),
+    complete AS (
+      SELECT d FROM daily GROUP BY d
+      HAVING COUNT(*) = (SELECT k FROM k_)),
+    cells AS (SELECT daily.* FROM daily JOIN complete USING (d)),
+    ranked AS (
+      SELECT a.d, a.trt,
+             2 * SUM(CASE WHEN b.s < a.s THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN b.s = a.s THEN 1 ELSE 0 END) + 1 AS r2
+      FROM cells a JOIN cells b ON a.d = b.d
+      GROUP BY 1, 2),
+    colsums AS (
+      SELECT trt, CAST(SUM(r2) AS BIGINT) AS rj2,
+             CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a2x4_part
+      FROM ranked GROUP BY 1),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(rj2 AS HUGEINT) * rj2) AS HUGEINT) AS sum_rj2_sq,
+             CAST(SUM(a2x4_part) AS HUGEINT) AS a2x4,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS n
+      FROM colsums)
+    SELECT n AS n_blocks, k, k - 1 AS dof,
+           ROUND(CAST(k - 1 AS DOUBLE)
+                 * (CAST(sum_rj2_sq AS DOUBLE)
+                    - CAST(n AS DOUBLE) * n * k * (k + 1) * (k + 1))
+                 / (CAST(a2x4 AS DOUBLE)
+                    - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1)), 6)
+             AS friedman_t,
+           CAST(k - 1 AS DOUBLE)
+                 * (CAST(sum_rj2_sq AS DOUBLE)
+                    - CAST(n AS DOUBLE) * n * k * (k + 1) * (k + 1))
+                 / (CAST(a2x4 AS DOUBLE)
+                    - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1)) > 9.487729
+             AS rejected
+    FROM f
+    """,
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the k event types differ in daily revenue once
+    the DAY is controlled for? — the k-sample paired complement of
+    stats_kruskal_wallis (which ignores blocking) and the k-group
+    extension of stats_wilcoxon_signed_rank: each day is a block, the k
+    types are ranked WITHIN the day, and the statistic asks whether the
+    mean ranks differ. Conover's tie-corrected form
+    T = (k-1)(SUM_j R_j^2 - n^2 k(k+1)^2/4) / (SUM_ij r_ij^2 - nk(k+1)^2/4),
+    chi2(k-1) under the null; the fixture's k=5 gives dof 4 and the
+    PINNED 5% critical value 9.487729 (the stats_tost literal
+    discipline). Incomplete blocks (days missing a type) are dropped —
+    the textbook complete-block requirement, counted in n_blocks.
+
+    Exactness: within-block midranks come from an exact decimal-compare
+    self-join (2r = 2*cnt_less + cnt_eq + 1, the stats_auc doubling);
+    4x-scaling makes numerator and denominator EXACT integers folded in
+    DECIMAL(38,0)/HUGEINT, and T closes in one mirrored double tree.
+    ROUND-6; the boolean compares the unrounded tree.
+
+    Plan: one daily rollup, a per-day k x k self-join (k=5 — CALENDAR x 25
+    rows, never data-sized), two bounded aggregations, one 1-row fold.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("trt")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    k_row = daily.agg(F.count_distinct("trt").cast("long").alias("k"))
+    complete = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ntypes"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("ntypes") == F.col("k"))
+        .select("d")
+    )
+    cells = daily.join(F.broadcast(complete), "d").localCheckpoint()
+    a = cells.alias("a")
+    b = cells.alias("b")
+    ranked = (
+        a.join(b, F.col("a.d") == F.col("b.d"))
+        .groupBy(F.col("a.d").alias("d"), F.col("a.trt").alias("trt"))
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("b.s") < F.col("a.s"), 1).otherwise(0))
+                + F.sum(F.when(F.col("b.s") == F.col("a.s"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    colsums = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("long").alias("rj2"),
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("a2x4_part"),
+    )
+    nrow = complete.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f = (
+        colsums.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("rj2").cast("decimal(38,0)") * F.col("rj2")).alias(
+                "sum_rj2_sq"
+            ),
+            F.sum("a2x4_part").alias("a2x4"),
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    kp1 = kd + F.lit(1.0)
+    tstat = (
+        (kd - F.lit(1.0))
+        * (F.col("sum_rj2_sq").cast("double") - nd * nd * kd * kp1 * kp1)
+        / (F.col("a2x4").cast("double") - nd * kd * kp1 * kp1)
+    )
+    return f.select(
+        F.col("n").alias("n_blocks"),
+        "k",
+        (F.col("k") - 1).alias("dof"),
+        F.round(tstat, 6).alias("friedman_t"),
+        (tstat > F.lit(9.487729)).alias("rejected"),
+    )
+
+
+@query(
+    "stats_cochran_q",
+    oracle="""
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    b AS (
+      SELECT user_id,
+             datediff('day', d0.d0, CAST(ts AS DATE)) // 7 AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events, d0),
+    rows_ AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN w = 0 THEN hit ELSE 0 END) AS BIGINT) AS h0,
+             CAST(MAX(CASE WHEN w = 1 THEN hit ELSE 0 END) AS BIGINT) AS h1,
+             CAST(MAX(CASE WHEN w = 2 THEN hit ELSE 0 END) AS BIGINT) AS h2
+      FROM b GROUP BY 1),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(h0) AS BIGINT) AS c0,
+             CAST(SUM(h1) AS BIGINT) AS c1,
+             CAST(SUM(h2) AS BIGINT) AS c2,
+             CAST(SUM(h0 + h1 + h2) AS BIGINT) AS t,
+             CAST(SUM((h0 + h1 + h2) * (h0 + h1 + h2)) AS BIGINT) AS sum_r_sq
+      FROM rows_)
+    SELECT n AS n_users, c0 AS hits_w0, c1 AS hits_w1, c2 AS hits_w2,
+           ROUND(3.0 * 2.0
+                 * (CAST(3 * (c0 * c0 + c1 * c1 + c2 * c2) AS DOUBLE)
+                    - CAST(t * t AS DOUBLE)) / 3.0
+                 / (CAST(3 * t AS DOUBLE) - CAST(sum_r_sq AS DOUBLE)), 6)
+             AS cochran_q,
+           3.0 * 2.0
+                 * (CAST(3 * (c0 * c0 + c1 * c1 + c2 * c2) AS DOUBLE)
+                    - CAST(t * t AS DOUBLE)) / 3.0
+                 / (CAST(3 * t AS DOUBLE) - CAST(sum_r_sq AS DOUBLE)) > 5.991465
+             AS rejected
+    FROM f
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: did the per-user purchase PROPENSITY change across the
+    first three calendar weeks? — the k-treatment extension of
+    stats_mcnemar (k=2 Q reduces to McNemar without the correction) and
+    the binary-outcome sibling of stats_friedman: blocks are USERS,
+    treatments are weeks 0-2, outcomes are did-purchase-that-week bits.
+    Q = k(k-1) SUM_j (C_j - T/k)^2 / (kT - SUM_i R_i^2) ~ chi2(k-1);
+    k=3 gives dof 2 and the PINNED 5% critical value 5.991465. All-zero
+    and all-one user rows contribute zero to both numerator and
+    denominator (textbook invariance), so no row filter is needed.
+
+    Exactness: every input is an exact 0/1 MAX-bit; column totals, T and
+    SUM R_i^2 are exact BIGINTs (R_i <= 3 so the squared sum is ~9n —
+    int64 clears any corpus); the k SUM_j (C_j - T/k)^2 term is computed
+    4x...3x-scaled as (3 SUM C_j^2 - T^2)/3 to stay integral until ONE
+    mirrored double tree. ROUND-6; boolean on the unrounded tree.
+
+    Plan: one (user, week)-bit aggregate pivoted to 3 MAX bits per user
+    (map-side combined), one 1-row fold. No joins beyond the 1-row
+    min-date broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    b = (
+        F.broadcast(d0)
+        .crossJoin(e)
+        .select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("w"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+        )
+    )
+    rows_ = b.groupBy("user_id").agg(
+        F.max(F.when(F.col("w") == 0, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("h0"),
+        F.max(F.when(F.col("w") == 1, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("h1"),
+        F.max(F.when(F.col("w") == 2, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("h2"),
+    )
+    r = F.col("h0") + F.col("h1") + F.col("h2")
+    f = rows_.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h0").cast("long").alias("c0"),
+        F.sum("h1").cast("long").alias("c1"),
+        F.sum("h2").cast("long").alias("c2"),
+        F.sum(r).cast("long").alias("t"),
+        F.sum(r * r).cast("long").alias("sum_r_sq"),
+    )
+    csq = (
+        3 * (F.col("c0") * F.col("c0") + F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2"))
+        - F.col("t") * F.col("t")
+    ).cast("double")
+    q = (
+        F.lit(3.0)
+        * F.lit(2.0)
+        * (csq / F.lit(3.0))
+        / ((3 * F.col("t")).cast("double") - F.col("sum_r_sq").cast("double"))
+    )
+    return f.select(
+        F.col("n").alias("n_users"),
+        F.col("c0").alias("hits_w0"),
+        F.col("c1").alias("hits_w1"),
+        F.col("c2").alias("hits_w2"),
+        F.round(q, 6).alias("cochran_q"),
+        (q > F.lit(5.991465)).alias("rejected"),
+    )
+
+
+def _fleiss_oracle() -> str:
+    """Three deterministic raters per document: the labeled lang column,
+    the text_lang_id marker heuristic, and a sha-noised copy of the label
+    (1-in-8 flipped to 'en' — simulated annotator error)."""
+    from wri_data_processing_spark.queries.llm_text import _PRED_SQL
+
+    return f"""
+    WITH r AS (
+      SELECT doc_id, lang AS r1, {_PRED_SQL} AS r2,
+             CASE WHEN CAST(('0x' || substring(sha256('fleiss:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 8 = 0
+                  THEN 'en' ELSE lang END AS r3
+      FROM documents),
+    nij AS (
+      SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r)
+      GROUP BY 1, 2),
+    f AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+             CAST(SUM(nc * nc) AS BIGINT) AS sum_nij_sq
+      FROM nij),
+    cj AS (SELECT cat, CAST(SUM(nc) AS BIGINT) AS c FROM nij GROUP BY 1),
+    pe AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sum_cj_sq FROM cj),
+    alg AS (
+      SELECT n,
+             (CAST(sum_nij_sq AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * 6.0) AS p_bar,
+             CAST(sum_cj_sq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 3.0 * CAST(n AS DOUBLE) * 3.0) AS p_e
+      FROM f, pe)
+    SELECT n AS n_docs, CAST(3 AS BIGINT) AS n_raters,
+           ROUND(p_bar, 6) AS p_bar,
+           ROUND(p_e, 6) AS p_e,
+           ROUND((p_bar - p_e) / (1.0 - p_e), 6) AS fleiss_kappa
+    FROM alg
+    """
+
+
+@query("stats_fleiss_kappa", oracle=_fleiss_oracle())
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over THREE raters per document — the multi-rater
+    generalization of stats_cohens_kappa (which stops at two): rater 1
+    is the labeled lang column, rater 2 the engine's own text_lang_id
+    heuristic, rater 3 a sha-noised copy of the label (1-in-8 flipped to
+    'en', simulated annotator error). The chance-corrected agreement
+    kappa = (P_bar - P_e)/(1 - P_e) with P_i = (SUM_j n_ij^2 - r)/(r(r-1))
+    and P_e = SUM_j p_j^2 — the number an annotation-quality report
+    quotes before trusting a labeling pipeline.
+
+    Exactness: n_ij are exact category counts per item (r=3 raters);
+    SUM n_ij^2 and the category totals fold as exact BIGINTs; P_bar and
+    P_e are two divisions of exact integers and kappa one more — ONE
+    mirrored double tree, ROUND-6.
+
+    Plan: one per-(doc, category) count (map-side combined; <= 3 rows
+    per doc), two bounded folds (1 row and |categories| rows), scalar
+    algebra on a 1-row frame.
+    """
+    from wri_data_processing_spark.queries.eval_metrics import _lang_pred_col
+
+    d = table(spark, sf_dir, "documents")
+    noise = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("fleiss:"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    r = d.select(
+        "doc_id",
+        F.col("lang").alias("r1"),
+        _lang_pred_col().alias("r2"),
+        F.when(noise == 0, F.lit("en")).otherwise(F.col("lang")).alias("r3"),
+    )
+    nij = (
+        r.select(
+            "doc_id", F.explode(F.array("r1", "r2", "r3")).alias("cat")
+        )
+        .groupBy("doc_id", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        .localCheckpoint()  # feeds both folds
+    )
+    f = nij.agg(
+        F.count_distinct("doc_id").cast("long").alias("n"),
+        F.sum(F.col("nc") * F.col("nc")).cast("long").alias("sum_nij_sq"),
+    )
+    pe = (
+        nij.groupBy("cat")
+        .agg(F.sum("nc").cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_cj_sq"))
+    )
+    alg = f.crossJoin(F.broadcast(pe))
+    nd = F.col("n").cast("double")
+    p_bar = (F.col("sum_nij_sq").cast("double") - F.lit(3.0) * nd) / (nd * F.lit(6.0))
+    p_e = F.col("sum_cj_sq").cast("double") / (nd * F.lit(3.0) * nd * F.lit(3.0))
+    return alg.select(
+        F.col("n").alias("n_docs"),
+        F.lit(3).cast("long").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("fleiss_kappa"),
+    )
+
+
+@query(
+    "stats_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily),
+    den AS (
+      SELECT CAST(SUM(CAST(tot.n * daily.x - tot.s AS HUGEINT)
+                      * (tot.n * daily.x - tot.s)) AS HUGEINT) AS d_int
+      FROM daily, tot),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    num AS (
+      SELECT lags.lag,
+             CAST(SUM(CAST(tot.n * a.x - tot.s AS HUGEINT)
+                      * (tot.n * b.x - tot.s)) AS HUGEINT) AS n_int
+      FROM daily a
+      JOIN lags ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(lags.lag AS INTEGER) * INTERVAL 1 DAY
+      CROSS JOIN tot
+      GROUP BY 1),
+    q AS (
+      SELECT CAST(SUM(CAST(floor(
+               (CAST(n_int AS DOUBLE) / CAST(den.d_int AS DOUBLE))
+               * (CAST(n_int AS DOUBLE) / CAST(den.d_int AS DOUBLE))
+               / CAST(tot.n - num.lag AS DOUBLE)
+               * 1000000000000000.0) AS BIGINT)) AS BIGINT) AS srho_i
+      FROM num, den, tot)
+    SELECT tot.n AS n_days,
+           ROUND(CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 2.0)
+                 * (CAST(q.srho_i AS DOUBLE) / 1000000000000000.0), 6)
+             AS ljung_box_q,
+           CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 2.0)
+             * (CAST(q.srho_i AS DOUBLE) / 1000000000000000.0)
+             > 14.067140 AS autocorrelated
+    FROM q, tot
+    """,
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test at lags 1..7 over the daily event-count
+    series — the DECISION layer on top of events_acf's profile (the ACF
+    shows seven correlations; this answers "is the series white noise at
+    all?", the gate before any forecast/CUSUM parameterization) and the
+    multi-lag sibling of stats_durbin_watson's lag-1 residual check.
+    Q = n(n+2) SUM_h rho_h^2/(n-h) ~ chi2(H) under the null; H=7 gives
+    the PINNED 5% critical value 14.067140.
+
+    Convention: textbook Ljung-Box ACF — GLOBAL mean centering and the
+    FULL sum of squares in every lag's denominator (events_acf, by
+    contrast, reports pairwise-complete Pearson per lag; the two differ
+    at series edges, both stated).
+
+    Exactness: scaling by n makes every centered term the exact integer
+    n*x_t - S, so each lag's cross-sum and the shared denominator fold
+    as exact DECIMAL(38,0)/HUGEINT; each rho_h is ONE exact-integer
+    ratio, the 7 rho^2/(n-h) terms fold as floor-scaled femto-unit
+    BIGINTs (order-independent), and Q closes in one mirrored double
+    tree. ROUND-6; the boolean compares the unrounded tree.
+
+    Plan: one daily rollup (localCheckpointed — three consumers), a
+    bounded 7-row lag broadcast, one date equi-join (the events_acf
+    join-based shift, no window), two 1-row folds.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dj = daily.crossJoin(F.broadcast(tot))
+    den = dj.agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+            * (F.col("n") * F.col("x") - F.col("s"))
+        ).alias("d_int")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s")).cast("decimal(38,0)")
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            ).alias("n_int")
+        )
+    )
+    q = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            # floor-scaled femto-unit BIGINTs: the 7-term rho^2 fold is
+            # order-independent by construction (house discipline)
+            F.sum(
+                F.floor(
+                    (F.col("n_int").cast("double") / F.col("d_int").cast("double"))
+                    * (F.col("n_int").cast("double") / F.col("d_int").cast("double"))
+                    / (F.col("n") - F.col("lag")).cast("double")
+                    * F.lit(1000000000000000.0)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("srho_i")
+        )
+    )
+    alg = q.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    stat = nd * (nd + F.lit(2.0)) * (
+        F.col("srho_i").cast("double") / F.lit(1000000000000000.0)
+    )
+    return alg.select(
+        F.col("n").alias("n_days"),
+        F.round(stat, 6).alias("ljung_box_q"),
+        (stat > F.lit(14.067140)).alias("autocorrelated"),
+    )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2),
+    cw AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type
+                            ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g),
+    n_ AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    q AS (
+      SELECT cw.event_type,
+             MIN(CASE WHEN 4 * cw.cum >= 1 * n_.n THEN cw.v END) AS q1,
+             MIN(CASE WHEN 4 * cw.cum >= 3 * n_.n THEN cw.v END) AS q3
+      FROM cw JOIN n_ USING (event_type)
+      GROUP BY 1),
+    fences AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q),
+    f AS (
+      SELECT s.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN s.v < fences.lo OR s.v > fences.hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM s JOIN fences USING (event_type)
+      GROUP BY 1)
+    SELECT f.event_type, f.n,
+           ROUND(fences.q1, 6) AS q1, ROUND(fences.q3, 6) AS q3,
+           ROUND(fences.lo, 6) AS lo_fence, ROUND(fences.hi, 6) AS hi_fence,
+           f.n_outliers
+    FROM f JOIN fences USING (event_type)
+    ORDER BY f.event_type
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5 x IQR) outlier audit per event type — the robust
+    sibling completing the outlier family: events_zscore_outliers
+    assumes normality, events_mad_outliers resists it with the median,
+    this is the boxplot rule every data-quality dashboard draws. Exact
+    type-1 quartiles (the stats_qq_table integer-threshold discipline:
+    q_k = smallest v with 4*cum >= k*n), fences in one double tree, and
+    the per-type outlier census.
+
+    Exactness: quartiles are selected by PURE-INTEGER threshold
+    comparisons on the per-type cumulative counts (no float quantile
+    interpolation to disagree on); fences are one mirrored double tree
+    over the two selected raw values; outlier counts are exact integers
+    against the unrounded fences.
+
+    Plan: one (type, value) count, grouped two-phase prefix sums (no
+    single-partition window), a |types|-row fence broadcast joined back
+    for the census — two passes over the data, both map-side combined.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select("event_type", F.col("value").alias("v")).localCheckpoint()
+    g = s.groupBy("event_type", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cw = _grouped_two_phase_cumsum(g, "event_type", "v", ["cnt"])
+    n_ = g.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    q = (
+        cw.join(F.broadcast(n_), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(4 * F.col("cum_cnt") >= 1 * F.col("n"), F.col("v"))
+            ).alias("q1"),
+            F.min(
+                F.when(4 * F.col("cum_cnt") >= 3 * F.col("n"), F.col("v"))
+            ).alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * iqr).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * iqr).alias("hi"),
+    ).localCheckpoint()
+    f = (
+        s.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return (
+        f.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            F.round("lo", 6).alias("lo_fence"),
+            F.round("hi", 6).alias("hi_fence"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

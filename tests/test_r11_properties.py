@@ -334,3 +334,46 @@ class TestCvm:
         assert got["n_view"] == n and got["n_click"] == m
         assert abs(got["cvm_t"] - t_rank) < 1e-5
         assert got["rejected"] == (t_rank > 0.461)
+
+
+class TestBrunnerMunzel:
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        """Independent numpy BM (midrank arrays, scipy's formulation):
+        caught a real (m-n)/2 offset bug the mirrored oracle was blind to
+        during development — this test is the non-mirrored proof."""
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["event_type"].isin(["view", "click"]) & ev["value"].notna()]
+        a = ev.loc[ev["event_type"] == "view", "value"].to_numpy()
+        b = ev.loc[ev["event_type"] == "click", "value"].to_numpy()
+        n, m = len(a), len(b)
+
+        def midrank(x):
+            order = np.argsort(x, kind="mergesort")
+            ranks = np.empty(len(x))
+            sx = x[order]
+            i = 0
+            while i < len(sx):
+                j = i
+                while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        r_all = midrank(np.concatenate([a, b]))
+        ra, rb = r_all[:n], r_all[n:]
+        ha, hb = midrank(a), midrank(b)
+        pa, pb = ra - ha, rb - hb
+        s2a = pa.var(ddof=1)
+        s2b = pb.var(ddof=1)
+        p_hat = (rb.mean() - (m + 1) / 2.0) / n
+        w = (
+            n * m * (rb.mean() - ra.mean()) / (n + m) / np.sqrt(n * s2a + m * s2b)
+        )
+        got = registry.REGISTRY["stats_brunner_munzel"](spark, sf_dir).first()
+        assert got["n_view"] == n and got["n_click"] == m
+        assert abs(got["p_hat"] - p_hat) < 1e-6
+        assert abs(got["w_bm"] - w) < 1e-5
+        assert got["significant"] == (abs(w) > 1.959964)

@@ -2946,3 +2946,116 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(val, 6).alias("rev"),
         (F.col("dp") != F.col("d")).alias("interpolated"),
     ).orderBy("d")
+
+
+@query(
+    "events_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT a.d, a.x,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(b.x) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY 1, 2),
+    fs AS (
+      SELECT d, t, s,
+             CAST(s * 1000000000 // t AS BIGINT) AS fs_i
+      FROM idx),
+    m AS (
+      SELECT a.d, a.t, a.s,
+             CAST(a.s AS HUGEINT) * 1000000000
+               - CAST(SUM(b.fs_i) AS HUGEINT) AS m_i
+      FROM fs a JOIN fs b ON b.d <= a.d
+      GROUP BY 1, 2, 3),
+    g AS (
+      SELECT a.d, a.t, a.s, a.m_i,
+             a.m_i - MIN(b.m_i) AS gap_i
+      FROM m a JOIN m b ON b.d <= a.d
+      GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT MAX(t) AS n, MAX(s) AS sn FROM idx)
+    SELECT CAST(g.d AS VARCHAR) AS d,
+           ROUND(CAST(g.m_i AS DOUBLE) / 1000000000.0, 6) AS m_ph,
+           ROUND(CAST(g.gap_i AS DOUBLE) / 1000000000.0, 6) AS gap,
+           2 * tot.n * g.gap_i > CAST(tot.sn AS HUGEINT) * 1000000000
+             AS alarm
+    FROM g, tot ORDER BY g.d
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over the daily event-count series —
+    the SEQUENTIAL mean-shift monitor completing the family:
+    events_cusum_alarm tracks deviation from a PINNED baseline,
+    events_changepoint_binary locates one break OFFLINE; Page-Hinkley is
+    what streaming drift libraries (MOA/river) actually run — m_t =
+    SUM_{s<=t}(x_s - xbar_s) against its running minimum, alarming when
+    the gap clears lambda. Here delta = 0 and lambda = xbar_n/2 (half
+    the global mean), both stated; the running mean makes it
+    self-baselining, the property CUSUM lacks.
+
+    Exactness: m_t = S_t - SUM_{s<=t} S_s/s telescopes the recursion
+    into prefix sums; each S_s/s floor-scales to the exact integer
+    floor(S_s*1e9/s) (integral div), so m and its running min are EXACT
+    scaled integers — no float accumulates anywhere — and the alarm
+    compares 2*n*gap_i > S_n*1e9 in pure integers (cross-multiplied
+    lambda, no division). ROUND-6 on the emitted doubles only.
+
+    Plan: one daily rollup, then three TRIANGULAR self-joins on the
+    |days|-row frame — calendar-squared, never data-sized (the
+    stats_hodges_lehmann bound); the only data-sized stage is the
+    rollup.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("d"), F.col("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    idx = (
+        a.join(b, F.col("db") <= F.col("d"))
+        .groupBy("d", "x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum("xb").cast("long").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    fs = idx.select(
+        "d",
+        "t",
+        "s",
+        F.expr("CAST(s * 1000000000 div t AS BIGINT)").alias("fs_i"),
+    ).localCheckpoint()
+    fb = fs.select(F.col("d").alias("db"), F.col("fs_i").alias("fsb"))
+    m = (
+        fs.join(fb, F.col("db") <= F.col("d"))
+        .groupBy("d", "t", "s")
+        .agg(
+            (
+                F.col("s").cast("decimal(38,0)") * F.lit(1000000000)
+                - F.sum(F.col("fsb").cast("decimal(38,0)"))
+            ).alias("m_i")
+        )
+        .localCheckpoint()
+    )
+    mb = m.select(F.col("d").alias("db"), F.col("m_i").alias("mib"))
+    g = (
+        m.join(mb, F.col("db") <= F.col("d"))
+        .groupBy("d", "t", "s", "m_i")
+        .agg((F.col("m_i") - F.min("mib")).alias("gap_i"))
+    )
+    tot = idx.agg(F.max("t").alias("n"), F.max("s").alias("sn"))
+    j = g.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("d").cast("string").alias("d"),
+        F.round(F.col("m_i").cast("double") / F.lit(1000000000.0), 6).alias("m_ph"),
+        F.round(F.col("gap_i").cast("double") / F.lit(1000000000.0), 6).alias("gap"),
+        (
+            F.lit(2) * F.col("n") * F.col("gap_i")
+            > F.col("sn").cast("decimal(38,0)") * F.lit(1000000000)
+        ).alias("alarm"),
+    ).orderBy("d")

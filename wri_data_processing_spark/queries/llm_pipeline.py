@@ -2388,19 +2388,16 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle(k: int) -> str:
-    """K-round unrolled BPE-training oracle: nested MATERIALIZED CTEs
-    (the graph_bfs_layers pattern), one (pair-count, argmax, rewrite)
-    triple per round. list_reduce seeds the fold with the first symbol
-    (elements wrapped as 1-lists so accumulator and element types agree),
-    mirroring the engine's F.aggregate seed exactly."""
+def _bpe_chain_parts(k: int, rewrite_last: bool) -> list[str]:
+    """Shared K-round unrolled BPE CTE chain (the graph_bfs_layers
+    pattern), one (pair-count, argmax, rewrite) triple per round over a
+    caller-supplied `w(word, cnt)` CTE. list_reduce seeds the fold with
+    the first symbol (elements wrapped as 1-lists so accumulator and
+    element types agree), mirroring the engine's F.aggregate seed.
+    ``rewrite_last`` additionally materializes s{k} — the fully
+    tokenized vocabulary the tokenizer_pipeline flagship consumes."""
     parts = [
-        r"""w AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-            FROM documents)
-      WHERE word != '' GROUP BY 1),
-    s0 AS MATERIALIZED (
+        """s0 AS MATERIALIZED (
       SELECT word, cnt,
              list_transform(range(1, length(word) + 1),
                             i -> substring(word, CAST(i AS INTEGER), 1)) AS syms
@@ -2419,7 +2416,7 @@ def _bpe_oracle(k: int) -> str:
              left_tok || right_tok AS merged, n_pairs
       FROM p{r} ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 1)"""
         )
-        if r < k:
+        if r < k or rewrite_last:
             parts.append(
                 f"""
     s{r} AS MATERIALIZED (
@@ -2433,6 +2430,18 @@ def _bpe_oracle(k: int) -> str:
                            ELSE list_append(acc, x[1]) END) AS syms
       FROM s{r - 1}, b{r})"""
             )
+    return parts
+
+
+_BPE_WORDS_CTE = r"""w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE word != '' GROUP BY 1)"""
+
+
+def _bpe_oracle(k: int) -> str:
+    parts = [_BPE_WORDS_CTE] + _bpe_chain_parts(k, rewrite_last=False)
     union = "\n      UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, k + 1))
     return (
         "WITH "
@@ -2479,17 +2488,35 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects: at 100 TB the word table is ~10^8 rows across executors,
     and the only driver-sized object is the 1-row argmax per round.
     """
-    d = table(spark, sf_dir, "documents")
+    syms = _bpe_word_syms(table(spark, sf_dir, "documents"))
+    merges, _ = _bpe_loop(syms, _BPE_ROUNDS, rewrite_last=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_word_syms(d: DataFrame) -> DataFrame:
+    """(word, cnt, syms) — the global word-frequency table split to
+    character symbols, the frame every BPE round rewrites."""
     words = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     w = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    syms = w.select(
+    return w.select(
         "word", "cnt", F.split(F.col("word"), "").alias("syms")
     ).localCheckpoint()
 
+
+def _bpe_loop(
+    syms: DataFrame, rounds: int, rewrite_last: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared unrolled training loop: per round one pair-count
+    shuffle, a TakeOrdered(1) argmax, a 1-row broadcast and a scan-stage
+    array fold; returns the per-round 1-row merge frames and the final
+    syms frame (rewritten through round `rounds` iff rewrite_last)."""
     merges: list[DataFrame] = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         idx = F.sequence(F.lit(0), F.size("syms") - 2)
         pair_structs = F.transform(
             idx,
@@ -2517,7 +2544,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # 1 row; feeds the output AND the rewrite
         )
         merges.append(best)
-        if r < _BPE_ROUNDS:
+        if r < rounds or rewrite_last:
             lt, rt = F.col("left_tok"), F.col("right_tok")
             fold = F.aggregate(
                 F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
@@ -2535,10 +2562,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("word", "cnt", fold.alias("syms"))
                 .localCheckpoint()
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("round")
+    return merges, syms
 
 
 @query(
@@ -2596,4 +2620,112 @@ def sample_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("key", "o_orderkey")
         .limit(20)
         .select("o_orderkey", "o_totalprice", F.round("key", 6).alias("pps_key"))
+    )
+
+
+def _tokenizer_oracle(k: int) -> str:
+    """Train (the shared K-round chain, final rewrite INCLUDED) then
+    score: join the tokenized vocabulary back to per-language word
+    frequencies and report fertility per language."""
+    parts = [
+        r"""wl AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE word != '' GROUP BY 1, 2)""",
+        "w AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt FROM wl GROUP BY 1)",
+    ] + _bpe_chain_parts(k, rewrite_last=True)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    , final AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok,
+             CAST(length(word) AS BIGINT) AS n_chr
+      FROM s{k})
+    SELECT wl.lang,
+           CAST(SUM(wl.cnt) AS BIGINT) AS n_word_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           ROUND(CAST(SUM(wl.cnt * final.n_tok) AS DOUBLE)
+                 / CAST(SUM(wl.cnt) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(wl.cnt * final.n_chr) AS DOUBLE)
+                 / CAST(SUM(wl.cnt) AS DOUBLE), 6) AS mean_word_chars,
+           ROUND(CAST(SUM(wl.cnt * final.n_tok) AS DOUBLE)
+                 / CAST(SUM(wl.cnt * final.n_chr) AS DOUBLE), 6)
+             AS tokens_per_char
+    FROM wl JOIN final USING (word)
+    GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@query("tokenizer_pipeline", oracle=_tokenizer_oracle(_BPE_ROUNDS))
+def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH composed flagship: the full tokenizer lifecycle — TRAIN
+    (bpe_train_rounds' 5 unrolled merge rounds on the global
+    word-frequency table, final rewrite included) -> APPLY (the learned
+    merge table tokenizes the whole vocabulary as a side effect of the
+    unrolled rewrites) -> AUDIT (per-language fertility: weighted
+    subword tokens per word, mean word length, tokens per char). This
+    is the loop text_tokenizer_fertility only audits the END of: here
+    the tokenizer being audited is the one the engine itself just
+    trained, so a fairness regression (one language's fertility rising)
+    is attributable to the TRAINING DATA MIX — the actual production
+    question.
+
+    Composition contract: the oracle embeds the shared
+    _bpe_chain_parts(k, rewrite_last=True) CTE chain and adds the
+    per-language rollup; the engine reuses _bpe_loop verbatim — both
+    flagship stages are the independently driver-verified components.
+
+    Exactness: token/char lengths are exact integers off the rewritten
+    symbol arrays; all three ratios are single divisions of exact
+    BIGINT weighted sums, ROUND-6.
+
+    Plan: the training loop's per-round (pair-count shuffle,
+    TakeOrdered(1), broadcast, array fold), then ONE lang-keyed
+    aggregate over the (lang, word) frequency table joined to the
+    |vocab|-row tokenized vocabulary — composition overhead is a single
+    equi-join + rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    wl = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    syms = _bpe_word_syms(d)
+    _, final_syms = _bpe_loop(syms, _BPE_ROUNDS, rewrite_last=True)
+    final = final_syms.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    return (
+        wl.join(final, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_word_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_chr")).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("mean_word_chars"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_chr")).cast("double"),
+                6,
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("lang")
     )

@@ -2278,3 +2278,125 @@ def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "embed_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    comp AS (
+      SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q, unnest(generate_series(1, len(qv))) u(i)
+      GROUP BY 1, 2),
+    cvec AS (
+      SELECT label AS clabel,
+             list(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM comp GROUP BY 1),
+    dist AS (
+      SELECT vec_id, label, clabel,
+             CAST(SUM((qv[u.i] - cv[u.i]) * (qv[u.i] - cv[u.i])) AS BIGINT)
+               AS d2
+      FROM q, cvec, unnest(generate_series(1, len(qv))) u(i)
+      GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+             MIN(CASE WHEN clabel != label THEN d2 END) AS b2
+      FROM dist GROUP BY 1, 2),
+    si AS (
+      SELECT label,
+             CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / (CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                         sqrt(CAST(b2 AS DOUBLE))) > 0.0
+                           THEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                         sqrt(CAST(b2 AS DOUBLE)))
+                           ELSE 1.0 END)
+                   * 1000000000000.0) AS BIGINT) AS s_i
+      FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(s_i AS HUGEINT)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS mean_silhouette
+    FROM si GROUP BY 1 ORDER BY 1
+    """,
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label CENTROID silhouette of the embedding space — the
+    clustering-quality scorecard on top of embed_kmeans_assign's
+    machinery: a_i = distance to the OWN label centroid, b_i = distance
+    to the nearest OTHER centroid, s_i = (b_i - a_i)/max(a_i, b_i) in
+    [-1, 1]. The simplified-silhouette variant (centroid distances, not
+    all-pairs — the O(N k) form that is the ONLY silhouette computable
+    at corpus scale; the classic O(N^2) all-pairs definition is stated
+    and rejected here). Mean s per label answers "which classes are
+    actually separable in this embedding" — the go/no-go before
+    training a classifier on it.
+
+    Exactness: the embed_kmeans_assign fixed-point discipline — floor'd
+    2^20 components, floor'd integer centroids, exact int64 squared
+    distances; sqrt is the safe transcendental; per-vector s_i
+    floor-scales to pico units so the per-label mean folds
+    order-independently in DECIMAL(38,0)/HUGEINT. Zero-distance guard
+    keeps the denominator structurally nonzero (ANSI CSE hoists
+    divisions out of CASE branches — the drift_report_windowed lesson).
+
+    Plan: k x dim centroid table broadcast against the vector scan; one
+    in-row zip_with distance per (vector, centroid); per-vector 2-way
+    argmin fold; per-label mean. No all-pairs stage anywhere.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long")
+    )
+    q = e.select("vec_id", "label", qcol.alias("qv"))
+    comp = (
+        q.select("label", F.posexplode("qv").alias("i", "qc"))
+        .groupBy("label", "i")
+        .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cq = F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long")
+    cvec = (
+        comp.select(F.col("label").alias("clabel"), "i", cq.alias("cq"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cq"))), lambda s: s["cq"]
+            ).alias("cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = q.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    g = F.greatest(sa, sb)
+    denom = F.when(g > 0.0, g).otherwise(F.lit(1.0))
+    s_i = F.floor((sb - sa) / denom * F.lit(1000000000000.0)).cast("long")
+    si = ab.select("label", s_i.alias("s_i"))
+    return (
+        si.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("s_i").cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000000000.0)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

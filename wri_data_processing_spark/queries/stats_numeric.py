@@ -6090,3 +6090,230 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_odds_ratio",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS exposed,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN exposed = 1 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM u),
+    alg AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orr,
+             sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                  + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+      FROM c)
+    SELECT a, b, c, d,
+           ROUND(orr, 6) AS odds_ratio,
+           ROUND(exp(ln(orr) - 1.959964 * se), 6) AS or_lo95,
+           ROUND(exp(ln(orr) + 1.959964 * se), 6) AS or_hi95,
+           ROUND((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                 / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)), 6)
+             AS relative_risk,
+           ln(orr) - 1.959964 * se > 0.0 OR ln(orr) + 1.959964 * se < 0.0
+             AS significant
+    FROM alg
+    """,
+)
+def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of an event being a purchase under
+    the user-parity exposure split, with the Woolf 95% CI — the 2x2
+    effect-size report stats_proportion_ztest's p-value can't replace (a
+    significant z with OR 1.02 and a non-significant one with OR 3
+    demand opposite decisions). OR = ad/bc, RR = risk ratio, CI =
+    exp(ln OR ± z·SE), SE = sqrt(1/a + 1/b + 1/c + 1/d), z PINNED at
+    1.959964. Cells are EVENT-level (probed: the user-level outcome is
+    degenerate on this fixture — every user purchases, so b = d = 0 and
+    the odds are undefined; event-level keeps all four cells live).
+
+    Exactness: the 2x2 cells are exact integers; OR/RR/SE/CI are one mirrored double
+    tree — ln, exp... exp IS evaluated here, the one transcendental pair
+    probed to round-trip bit-identically when fed the identical double
+    (exp(ln(orr) ± z·se) on both engines sees the same argument); the
+    significance boolean compares the LOG-scale bounds against 0, never
+    the exp'd values, so it is immune to exp ULP drift. ROUND-6.
+
+    Plan: one 1-row map-side-combined 2x2 fold, scalar algebra.
+    """
+    e = table(spark, sf_dir, "events")
+    u = e.select(
+        (F.col("user_id") % 2).cast("long").alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    cgrid = u.agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ad, bd, cd_, dd = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    orr = ad * dd / (bd * cd_)
+    se = F.sqrt(1 / ad + 1 / bd + 1 / cd_ + 1 / dd)
+    lo_log = F.log(orr) - F.lit(1.959964) * se
+    hi_log = F.log(orr) + F.lit(1.959964) * se
+    return cgrid.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(lo_log), 6).alias("or_lo95"),
+        F.round(F.exp(hi_log), 6).alias("or_hi95"),
+        F.round((ad / (ad + bd)) / (cd_ / (cd_ + dd)), 6).alias("relative_risk"),
+        ((lo_log > F.lit(0.0)) | (hi_log < F.lit(0.0))).alias("significant"),
+    )
+
+
+@query(
+    "stats_brunner_munzel",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
+             value AS v
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+    gv AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM s GROUP BY 1),
+    cw AS (
+      SELECT v, na, nb,
+             SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM gv),
+    t AS (
+      SELECT na, nb,
+             2 * (ca + cb - na - nb) + (na + nb) + 1 AS r2,
+             2 * (ca - na) + na + 1 AS h2a,
+             2 * (cb - nb) + nb + 1 AS h2b
+      FROM cw),
+    f AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n,
+             CAST(SUM(nb) AS BIGINT) AS m,
+             CAST(SUM(CAST(na AS HUGEINT) * (r2 - h2a)) AS HUGEINT) AS sda,
+             CAST(SUM(CAST(na AS HUGEINT) * (r2 - h2a) * (r2 - h2a))
+                  AS HUGEINT) AS sda2,
+             CAST(SUM(CAST(nb AS HUGEINT) * (r2 - h2b)) AS HUGEINT) AS sdb,
+             CAST(SUM(CAST(nb AS HUGEINT) * (r2 - h2b) * (r2 - h2b))
+                  AS HUGEINT) AS sdb2
+      FROM t),
+    alg AS (
+      SELECT n, m,
+             CAST(n AS DOUBLE) AS nd, CAST(m AS DOUBLE) AS md,
+             CAST(sda AS DOUBLE) / 2.0 AS pa,
+             CAST(sda2 AS DOUBLE) / 4.0 AS pa2,
+             CAST(sdb AS DOUBLE) / 2.0 AS pb,
+             CAST(sdb2 AS DOUBLE) / 4.0 AS pb2
+      FROM f),
+    z AS (
+      SELECT n, m, nd, md,
+             (pb / md - pa / nd) AS pdiff,
+             (pa2 - pa * pa / nd) / (nd - 1.0) AS s2a,
+             (pb2 - pb * pb / md) / (md - 1.0) AS s2b
+      FROM alg)
+    SELECT n AS n_view, m AS n_click,
+           ROUND((pdiff + md) / (nd + md), 6) AS p_hat,
+           ROUND(nd * md * (pdiff + (md - nd) / 2.0) / (nd + md)
+                 / sqrt(nd * s2a + md * s2b), 6) AS w_bm,
+           abs(nd * md * (pdiff + (md - nd) / 2.0) / (nd + md)
+               / sqrt(nd * s2a + md * s2b)) > 1.959964 AS significant
+    FROM z
+    """,
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test on the view-vs-click value distributions — the
+    rank test to run when stats_mann_whitney's equal-variance assumption
+    is itself in doubt (the Behrens-Fisher situation for ranks): it
+    estimates p = P(A < B) + P(A = B)/2 directly and studentizes with
+    EACH sample's own placement variance, so unequal spreads can't
+    masquerade as location shifts. W = n m (Rbar_B - Rbar_A) / (N sqrt(n
+    S_A^2 + m S_B^2)) with S_i^2 the sample variance of the placements
+    R_ik - H_ik (global minus within-sample midrank); large-sample
+    normal gate at the PINNED 1.959964 (stated convention — the
+    small-sample t reference needs a data-dependent df).
+
+    Exactness: doubled midranks make every placement (R2 - H2)/2 exact
+    half-integers constant across each tie block, so the four placement
+    moment sums fold as exact DECIMAL(38,0)/HUGEINT (the stats_cvm
+    expansion discipline); p_hat and W close in ONE mirrored double
+    tree. ROUND-6; the boolean compares the unrounded tree.
+
+    Plan: the stats_cvm frame verbatim — one distinct-value count,
+    two-phase prefix sums, one 1-row fold.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    )
+    gv = (
+        e.select(
+            F.when(F.col("event_type") == "view", "a").otherwise("b").alias("g"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+        )
+    )
+    cw = _two_phase_cumsum(gv, "v", ["na", "nb"])
+    r2 = (
+        2 * (F.col("cum_na") + F.col("cum_nb") - F.col("na") - F.col("nb"))
+        + (F.col("na") + F.col("nb"))
+        + 1
+    )
+    h2a = 2 * (F.col("cum_na") - F.col("na")) + F.col("na") + 1
+    h2b = 2 * (F.col("cum_nb") - F.col("nb")) + F.col("nb") + 1
+    t = cw.select(
+        "na", "nb", r2.alias("r2"), h2a.alias("h2a"), h2b.alias("h2b")
+    )
+    da = F.col("r2") - F.col("h2a")
+    db_ = F.col("r2") - F.col("h2b")
+    f = t.agg(
+        F.sum("na").cast("long").alias("n"),
+        F.sum("nb").cast("long").alias("m"),
+        F.sum(F.col("na").cast("decimal(38,0)") * da).alias("sda"),
+        F.sum(F.col("na").cast("decimal(38,0)") * da * da).alias("sda2"),
+        F.sum(F.col("nb").cast("decimal(38,0)") * db_).alias("sdb"),
+        F.sum(F.col("nb").cast("decimal(38,0)") * db_ * db_).alias("sdb2"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    pa = F.col("sda").cast("double") / F.lit(2.0)
+    pa2 = F.col("sda2").cast("double") / F.lit(4.0)
+    pb = F.col("sdb").cast("double") / F.lit(2.0)
+    pb2 = F.col("sdb2").cast("double") / F.lit(4.0)
+    pdiff = pb / md - pa / nd  # placement-mean difference Pbar_B - Pbar_A
+    s2a = (pa2 - pa * pa / nd) / (nd - F.lit(1.0))
+    s2b = (pb2 - pb * pb / md) / (md - F.lit(1.0))
+    # identities: Pbar_B = n*p_hat, Pbar_A = m*(1 - p_hat)  =>
+    # p_hat = (pdiff + m)/N; Rbar_B - Rbar_A = pdiff + (m - n)/2
+    p_hat = (pdiff + md) / (nd + md)
+    w = (
+        nd * md * (pdiff + (md - nd) / F.lit(2.0)) / (nd + md)
+        / F.sqrt(nd * s2a + md * s2b)
+    )
+    return f.select(
+        F.col("n").alias("n_view"),
+        F.col("m").alias("n_click"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(w, 6).alias("w_bm"),
+        (F.abs(w) > F.lit(1.959964)).alias("significant"),
+    )

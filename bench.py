@@ -123,6 +123,13 @@ HEADLINE = [
     # fork -> diverge -> conflict-checked merge-back lifecycle, measured
     # 1.64 s at sf0.1 vs snapshot_forget_user 1.56 / merge_upsert 0.59.
     "snapshot_merge_branch",
+    # r11: the seventh composed flagship (admission rule c) — the
+    # tokenizer lifecycle (5-round BPE training loop -> vocabulary
+    # tokenization -> per-language fertility audit), measured 2.5 s at
+    # sf0.1; the training loop's per-round pair-count shuffle +
+    # TakeOrdered argmax + array-fold rewrite is a plan shape nothing
+    # else in the headline exercises.
+    "tokenizer_pipeline",
 ]
 
 SPREAD_TARGET = 0.20

@@ -242,6 +242,21 @@ SHOWCASE = [
     ("graph_label_propagation", "per round: neighbor-label equi-join + "
      "(src,lbl) count + src argmax — all vertex-keyed shuffles, Pregel LPA "
      "as DataFrame joins"),
+    ("tokenizer_pipeline", "the shared BPE training loop (pair-count "
+     "shuffle, TakeOrdered(1) argmax, 1-row broadcast, array fold per "
+     "round) into ONE lang-keyed join+rollup"),
+    ("stats_cvm", "one distinct-value count, bucket-parallel prefix sums, "
+     "one 1-row HUGEINT fold — no sort, no window"),
+    ("eval_average_precision", "distinct-score prefix sums into exact "
+     "integral-div block terms; one 1-row fold, zero floats before the "
+     "closing division"),
+    ("eval_ann_recall", "8-row centroid + probe-query broadcasts; ANN "
+     "candidates from the cell-id equi-join; two per-query partitioned "
+     "ranks (never global)"),
+    ("embed_silhouette", "k-row centroid broadcast against the vector "
+     "scan; in-row zip_with distances; per-label pico-unit fold"),
+    ("events_page_hinkley", "three calendar-squared triangular self-joins "
+     "on the daily frame; everything integer until the emit"),
 ]
 
 

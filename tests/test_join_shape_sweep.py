@@ -191,6 +191,45 @@ NLJ_WHITELIST: dict[str, str] = {
     "dedup_embedding",
     "sim_knn_graph": "labeled O(N^2) anchor; scale path is sim_ann_*",
     "embed_knn_outliers": "labeled O(N^2) anchor (the sim_knn_graph topology); scale path is sim_ann_*",
+    # -- r11 --
+    "embed_silhouette": "k-row centroid table broadcast — the "
+    "embed_kmeans_assign shape",
+    "eval_ann_recall": "8-row centroid broadcast (assignment + probe "
+    "selection) and 8-row probe-query broadcast (the sim_topk_batch "
+    "ground-truth cost); ANN candidates themselves come from the cell-id "
+    "equi-join",
+    "stats_friedman": "1-row k broadcast for the complete-block filter "
+    "and a 1-row n_blocks broadcast; the rank join is a per-day k x k "
+    "equi-join (calendar-bounded)",
+    "stats_ljung_box": "bounded 7-row lag broadcast (events_acf shape) "
+    "plus 1-row totals/denominator broadcasts",
+    "stats_cochran_q": "1-row min-date broadcast over the scan — the "
+    "stream_watermark shape",
+    "stats_fleiss_kappa": "1-row P_e broadcast stitched to the 1-row "
+    "P_bar fold — the stats_ks_test shape",
+    "eval_mcc": "two 1-row cross-sum broadcasts stitching the Gorodkin "
+    "scalar — the stats_ks_test shape",
+    "eval_average_precision": "1-row (n, npos) totals broadcast over the "
+    "distinct-score cumulative frame — the stats_quantiles_exact shape",
+    "ts_interpolate_linear": "spine x known neighbor-argmax inequality "
+    "joins — calendar-bounded (|days|^2 at worst, the "
+    "stats_hodges_lehmann pair-cost contract)",
+    "text_kneser_ney": "1-row (n_types, n_bigrams) totals broadcast over "
+    "the bigram-type frame — the stats_ks_test shape",
+    "bpe_train_rounds": "one 1-row learned-merge broadcast per unrolled "
+    "round (5, each bounded) — the embed_pca_power per-round shape",
+    "tokenizer_pipeline": "the bpe_train_rounds per-round 1-row merge "
+    "broadcasts (shared _bpe_loop)",
+    "events_page_hinkley": "three triangular self-joins on the daily "
+    "frame — calendar-squared, never data-sized (the "
+    "stats_hodges_lehmann bound), plus a 1-row lambda broadcast",
+    "eval_auc_delong": "1-row eleven-sum moment fold consumes two "
+    "score-keyed equi-joins; no nested loop beyond Spark's 1-row "
+    "broadcast stitches",
+    "stats_odds_ratio": "single 1-row 2x2 fold; any nested loop is a "
+    "1-row broadcast stitch",
+    "maintenance_compaction_plan": "triangular cumulative self-join on "
+    "the per-MONTH partition frame — months-bounded, never data-sized",
 }
 
 

@@ -72,6 +72,9 @@ PYTHON_WHITELIST: dict[str, str] = {
     "perceptual hash of decoded pixels (pinned cosine table)",
     "multimodal_phash_dedup": "banded pair join over multimodal_phash "
     "fingerprints (same decode boundary upstream)",
+    "multimodal_image_entropy": "the multimodal_image_histogram decode "
+    "boundary upstream; the entropy algebra itself is a JVM-side column "
+    "expression over the 8-column histogram frame",
 }
 
 _PY_NODE = re.compile(r"\b(\w*(?:Python|Pandas)\w*)")

@@ -857,3 +857,123 @@ def test_drift_report_checkpoint_recovery(spark, sf_dir, tmp_path):
     for wkey, wrow in want.items():
         got = settled[wkey]
         assert tuple(got[c] for c in cols) == tuple(wrow[c] for c in cols), wkey
+
+
+def _ph_reference(spark, sf_dir):
+    """Exact-integer Page-Hinkley reference per event type (running-mean
+    lambda — the streaming convention), computed in plain Python ints."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", F.col("dd").cast("string").alias("d"), "n")
+    )
+    series = {}
+    for r in daily.collect():
+        series.setdefault(r["event_type"], []).append((r["d"], r["n"]))
+    want = {}
+    for et, rows in series.items():
+        t = s = cumfs = nal = 0
+        minm = first = None
+        m = gap = 0
+        for d, n in sorted(rows):
+            t += 1
+            s += int(n)
+            cumfs += s * 10**9 // t
+            m = s * 10**9 - cumfs
+            minm = m if minm is None else min(minm, m)
+            gap = m - minm
+            if 2 * t * gap > s * 10**9:
+                nal += 1
+                if first is None:
+                    first = d
+        want[et] = (t, m, gap, nal, first)
+    return daily, want
+
+
+def test_page_hinkley_stream_matches_reference(spark, sf_dir, tmp_path):
+    """Stateful streaming Page-Hinkley == the exact-integer reference fold,
+    with the series split MID-STREAM so the 4-BIGINT state carries."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        page_hinkley,
+        read_daily_stream,
+        run_available_now,
+    )
+
+    daily, want = _ph_reference(spark, sf_dir)
+    cut = sorted({r["d"] for r in daily.select("d").distinct().collect()})
+    cut_d = cut[len(cut) // 2]
+    src = str(tmp_path / "ph_src")
+    daily.filter(F.col("d") <= cut_d).coalesce(1).write.mode("append").parquet(src)
+    daily.filter(F.col("d") > cut_d).coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        page_hinkley(read_daily_stream(spark, src)),
+        "ph_test",
+        str(tmp_path / "ckpt_ph"),
+        output_mode="update",
+    )
+    got = {}
+    for r in spark.sql("SELECT * FROM ph_test ORDER BY n_days").collect():
+        got[r["event_type"]] = (
+            r["n_days"], r["m_ph"], r["gap"], r["n_alarms"], r["first_alarm_day"]
+        )
+    assert len(got) == len(want)
+    for et, (t, m, gap, nal, first) in want.items():
+        g = got[et]
+        assert g[0] == t and g[3] == nal and g[4] == first, et
+        assert abs(g[1] - m / 1e9) < 1e-6 and abs(g[2] - gap / 1e9) < 1e-6, et
+
+
+def test_page_hinkley_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume: incarnation 1 drains half the series and stops; a
+    fresh query restarts from the SAME checkpoint and folds drop 2 onto
+    the recovered (t, S, cum_fs, min_m) integers — correct final state is
+    only possible if they came off disk."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        page_hinkley,
+        read_daily_stream,
+    )
+
+    daily, want = _ph_reference(spark, sf_dir)
+    cut = sorted({r["d"] for r in daily.select("d").distinct().collect()})
+    cut_d = cut[len(cut) // 2]
+    src = str(tmp_path / "ph_rec_src")
+    ckpt = str(tmp_path / "ckpt_ph_rec")
+
+    def _drain(sink):
+        def _s(batch_df, batch_id):
+            sink.extend(batch_df.collect())
+        return _s
+
+    daily.filter(F.col("d") <= cut_d).coalesce(1).write.mode("append").parquet(src)
+    run1: list = []
+    q = (
+        page_hinkley(read_daily_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run1))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert run1 and all(r["n_days"] < want[r["event_type"]][0] for r in run1)
+
+    daily.filter(F.col("d") > cut_d).coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    q = (
+        page_hinkley(read_daily_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run2))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert run2
+    got = {r["event_type"]: r for r in run2}
+    for et, (t, m, gap, nal, first) in want.items():
+        g = got[et]
+        assert g["n_days"] == t and g["n_alarms"] == nal, et
+        assert g["first_alarm_day"] == first, et
+        assert abs(g["m_ph"] - m / 1e9) < 1e-6, et

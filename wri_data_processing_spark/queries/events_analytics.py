@@ -3001,6 +3001,10 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled integers — no float accumulates anywhere — and the alarm
     compares 2*n*gap_i > S_n*1e9 in pure integers (cross-multiplied
     lambda, no division). ROUND-6 on the emitted doubles only.
+    Convention note: this OFFLINE form gates against the FULL-SERIES
+    mean (S_n/n); the streaming twin (streaming/pipelines.page_hinkley)
+    necessarily gates against the RUNNING mean per emission — both
+    stated, equivalence tested against an exact-integer reference fold.
 
     Plan: one daily rollup, then three TRIANGULAR self-joins on the
     |days|-row frame — calendar-squared, never data-sized (the

@@ -2400,3 +2400,143 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "eval_ann_recall",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id < 8),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 64 = 0),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), c.cemb), 6) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    qprobes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cemb), 6) DESC,
+                          c.cid) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 2),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cos6
+      FROM embeddings e, q WHERE e.vec_id != q.qid),
+    ann10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                                  ORDER BY s.cos6 DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN assigned a ON s.vec_id = a.vec_id
+        JOIN qprobes p ON s.qid = p.qid AND a.cid = p.cid)
+      WHERE rn <= 10),
+    exact10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos6 DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10)
+    SELECT e.qid,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS hits_10,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0, 6) AS ann_recall_10
+    FROM exact10 e LEFT JOIN ann10 a USING (qid, vec_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate AS AN OPERATOR: recall@10 of the IVF route
+    (8 coarse centroids, nprobe = 2 — sim_ann_ivf's structure) against
+    the exact-cosine top-10, per probe query (vec_id % 64 == 0, the
+    retrieval_eval probe set). The eval family scores MODELS
+    (eval_retrieval_per_query scores a ranking given relevance); this op
+    scores the INDEX — the number that decides nprobe and centroid
+    count before an ANN deployment, previously proven only in
+    experiments/ann_benchmark.py logs.
+
+    Determinism: every ranking (cell assignment, probe selection,
+    candidate rank, exact rank) orders by ROUND-6 cosine with id
+    tiebreaks — total orders on both engines (the sim_topk contract);
+    hits are exact set intersections; recall is one division, ROUND-6.
+
+    Plan: the centroid table (8 rows) broadcasts twice (assignment +
+    probe selection); candidate generation is an equi-join on cell id
+    (never all-pairs; exact truth here IS all-pairs vs the 8-query
+    broadcast — the eval's ground-truth cost, bounded by |probes|); two
+    per-query partitioned ranks; one grouped fold to 8 rows.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    q = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cos_ec = F.round(cosine(_dvec("embedding"), _dvec("cemb")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("cid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos_ec.alias("ac"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    cos_qc = F.round(cosine(_dvec("qv"), _dvec("cemb")), 6)
+    w_probe = Window.partitionBy("qid").orderBy(F.col("qc").desc(), F.col("cid"))
+    qprobes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", cos_qc.alias("qc"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cid")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(_dvec("embedding"), _dvec("qv")), 6).alias("cos6"),
+        )
+        .localCheckpoint()  # feeds both the ANN and the exact rankings
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("vec_id"))
+    ann10 = (
+        scored.join(assigned, "vec_id")
+        .join(F.broadcast(qprobes), ["qid", "cid"])
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    exact10 = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hit = ann10.withColumn("hit", F.lit(1))
+    return (
+        exact10.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits_10"))
+        .select(
+            "qid",
+            "hits_10",
+            F.round(F.col("hits_10").cast("double") / F.lit(10.0), 6).alias(
+                "ann_recall_10"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -1302,3 +1302,78 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _PHASH_THRESHOLD).select(
         "media_a", "media_b", hamming.cast("int").alias("hamming")
     )
+
+
+@query(
+    "multimodal_image_entropy",
+    oracle=f"""
+    WITH h AS (
+      SELECT media_id, filename, b0, b1, b2, b3, b4, b5, b6, b7, success
+      FROM (VALUES {{hist_vals}})
+        AS t(media_id, filename, b0, b1, b2, b3, b4, b5, b6, b7, success)),
+    n_ AS (
+      SELECT *, b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7 AS n FROM h
+      WHERE success),
+    e AS (
+      SELECT media_id, filename, n,
+             ln(CAST(n AS DOUBLE))
+             - (CASE WHEN b0 > 0 THEN CAST(b0 AS DOUBLE) * ln(CAST(b0 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b1 > 0 THEN CAST(b1 AS DOUBLE) * ln(CAST(b1 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b2 > 0 THEN CAST(b2 AS DOUBLE) * ln(CAST(b2 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b3 > 0 THEN CAST(b3 AS DOUBLE) * ln(CAST(b3 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b4 > 0 THEN CAST(b4 AS DOUBLE) * ln(CAST(b4 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b5 > 0 THEN CAST(b5 AS DOUBLE) * ln(CAST(b5 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b6 > 0 THEN CAST(b6 AS DOUBLE) * ln(CAST(b6 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN b7 > 0 THEN CAST(b7 AS DOUBLE) * ln(CAST(b7 AS DOUBLE)) ELSE 0.0 END)
+               / CAST(n AS DOUBLE) AS ent
+      FROM n_)
+    SELECT h.media_id, h.filename,
+           CASE WHEN h.success THEN e.n END AS n_px,
+           ROUND(CASE WHEN h.success THEN e.ent END, 6) AS entropy,
+           ROUND(CASE WHEN h.success THEN e.ent / ln(8.0) END, 6)
+             AS entropy_norm,
+           h.success
+    FROM h LEFT JOIN e ON h.media_id = e.media_id
+    ORDER BY h.media_id
+    """.format(hist_vals=_hist_expected_values()),
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the 8-bin luminance histogram through the
+    EXECUTED decode path — the one-number exposure/contrast screen on
+    top of multimodal_image_histogram: near-0 entropy means black frames
+    / blown whites / synthetic flats (drop before GPU time), near-ln(8)
+    means full tonal range. H = ln n - (1/n) SUM c ln c, plus the
+    normalized H/ln 8 in [0, 1].
+
+    Oracle independence: the VALUES block is the histogram from
+    INDEPENDENT pattern arithmetic (never through the codec — the
+    multimodal_image_histogram contract); the entropy expression itself
+    is evaluated by EACH ENGINE over those integers (Spark ln vs DuckDB
+    ln, probed bit-identical in r7) — no Python libm in the comparison
+    loop. The 8 c ln c terms sum in FIXED b0..b7 expression order on
+    both sides (no unordered fold), ROUND-6.
+
+    Plan: decode + histogram inside the scan's Arrow-batched
+    mapInPandas (only 8 longs leave the boundary); the entropy algebra
+    is a JVM-side column expression over the 8-column frame.
+    """
+    hist = multimodal_image_histogram(spark, sf_dir)
+    n = sum((F.col(f"b{k}") for k in range(1, 8)), F.col("b0")).cast("long")
+    terms = F.lit(0.0)
+    for k in range(8):
+        c = F.col(f"b{k}")
+        terms = terms + F.when(
+            c > 0, c.cast("double") * F.log(c.cast("double"))
+        ).otherwise(F.lit(0.0))
+    nd = F.when(F.col("success"), n).otherwise(F.lit(1)).cast("double")
+    ent = F.log(nd) - terms / nd
+    return hist.select(
+        "media_id",
+        "filename",
+        F.when(F.col("success"), n).alias("n_px"),
+        F.when(F.col("success"), F.round(ent, 6)).alias("entropy"),
+        F.when(F.col("success"), F.round(ent / F.log(F.lit(8.0)), 6)).alias(
+            "entropy_norm"
+        ),
+        "success",
+    ).orderBy("media_id")

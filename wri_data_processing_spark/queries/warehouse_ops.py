@@ -998,3 +998,62 @@ def snapshot_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merged",
         "sum_price_merged",
     )
+
+
+@query(
+    "maintenance_compaction_plan",
+    oracle="""
+    WITH parts AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT a.part, a.n_rows,
+             CAST(SUM(b.n_rows) AS BIGINT) AS cum_rows
+      FROM parts a JOIN parts b ON b.part <= a.part
+      GROUP BY 1, 2)
+    SELECT part, n_rows,
+           CAST((cum_rows - n_rows) // 5000 AS BIGINT) AS target_file,
+           cum_rows - n_rows - ((cum_rows - n_rows) // 5000) * 5000
+             AS fill_before
+    FROM cum ORDER BY part
+    """,
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNING as a relation — the assignment step
+    maintenance_compaction executes: pack the per-month order partitions
+    into ~5000-row output files by first-fit in key order, emitting for
+    every partition its target file id and how full that file already
+    was. Planning-as-data is the warehouse pattern that lets a
+    1000-table estate REVIEW a compaction wave (total files before/
+    after, skew) before burning I/O on it; the execution twin
+    (maintenance_compaction, rows-only) proves the rewrite itself.
+
+    Determinism: pure integers — partition row counts are exact, the
+    first-fit assignment is floor(cum_before / target) over an exact
+    ordered cumulative sum, and the fill column is the remainder. No
+    floats anywhere.
+
+    Plan: one partition rollup, one triangular self-join on the
+    |partitions|-row frame (calendar-bounded — months, not data), no
+    data-sized stage after the rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    parts = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    b = parts.select(F.col("part").alias("pb"), F.col("n_rows").alias("nb"))
+    cum = (
+        parts.join(b, F.col("pb") <= F.col("part"))
+        .groupBy("part", "n_rows")
+        .agg(F.sum("nb").cast("long").alias("cum_rows"))
+    )
+    before = F.col("cum_rows") - F.col("n_rows")
+    return cum.select(
+        "part",
+        "n_rows",
+        F.expr("CAST((cum_rows - n_rows) div 5000 AS BIGINT)").alias("target_file"),
+        (before - F.expr("CAST((cum_rows - n_rows) div 5000 AS BIGINT)") * 5000)
+        .cast("long")
+        .alias("fill_before"),
+    ).orderBy("part")

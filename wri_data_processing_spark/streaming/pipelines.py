@@ -945,3 +945,91 @@ def drift_report_windowed(
         F.when(both, dof).alias("dof"),
         F.when(both, (psi >= F.lit(0.25)) | (ks_d >= F.lit(0.2))).alias("drifted"),
     )
+
+
+PH_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("m_ph", DoubleType()),
+        StructField("gap", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+_PH_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("s", LongType()),
+        StructField("cumfs", LongType()),
+        StructField("minm", LongType()),
+        StructField("nal", LongType()),
+        StructField("first", StringType()),
+    ]
+)
+
+
+def page_hinkley(daily: DataFrame) -> DataFrame:
+    """Streaming twin of events_page_hinkley, PER EVENT TYPE (the keyed,
+    production shape — the batch op monitors the global series; a real
+    deployment monitors each metric): the self-baselining mean-shift
+    detector as a custom stateful operator (applyInPandasWithState) over
+    the daily-count stream.
+
+    The batch op's telescoped integer algebra IS the state design:
+    m_t = S_t*1e9 - SUM_{s<=t} floor(S_s*1e9/s) needs exactly
+    (t, S_t, cum_fs, min_m) — four BIGINTs per key, constant forever —
+    instead of the unbounded raw series a naive running-mean recursion
+    would keep. The alarm is the cross-multiplied pure-integer compare
+    2*t*gap > S_t*1e9 against the RUNNING mean (a stream has no final
+    mean; the batch op's lambda uses the full-series mean — the
+    equivalence test recomputes this running-lambda convention in exact
+    batch integers rather than comparing to the batch op directly, and
+    the convention difference is stated in both docstrings).
+
+    Ordering contract: rows fold in day order within each micro-batch
+    (pd.concat THEN sort — the cusum_alarm chunk lesson) and batches
+    arrive in commit order, so every emission is the exact prefix state.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        t, s, cumfs, minm, nal, first = (
+            state.get if state.exists else (0, 0, 0, None, 0, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        m = s * 1_000_000_000 - cumfs if t else 0
+        gap = (m - minm) if minm is not None else 0
+        if len(batch):
+            for row in batch.sort_values("d").itertuples(index=False):
+                t += 1
+                s += int(row.n)
+                cumfs += s * 1_000_000_000 // t
+                m = s * 1_000_000_000 - cumfs
+                minm = m if minm is None else min(minm, m)
+                gap = m - minm
+                if 2 * t * gap > s * 1_000_000_000:
+                    nal += 1
+                    if first is None:
+                        first = row.d
+        state.update((t, s, cumfs, minm, nal, first))
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_days": [t],
+                "m_ph": [_round6_half_up(m / 1_000_000_000.0)],
+                "gap": [_round6_half_up(gap / 1_000_000_000.0)],
+                "n_alarms": [nal],
+                "first_alarm_day": [first],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=PH_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

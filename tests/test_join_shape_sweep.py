@@ -230,6 +230,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "1-row broadcast stitch",
     "maintenance_compaction_plan": "triangular cumulative self-join on "
     "the per-MONTH partition frame — months-bounded, never data-sized",
+    "stats_dunn_posthoc": "k(k-1)/2 = 10-row pair frame self-joined "
+    "twice for the BH rank/step-up (deliberately INSTEAD of a global "
+    "window's single-partition exchange) plus a |types|-row inequality "
+    "pair join and a 1-row tie-term broadcast — all constant-size",
 }
 
 

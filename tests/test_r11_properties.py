@@ -377,3 +377,70 @@ class TestBrunnerMunzel:
         assert abs(got["p_hat"] - p_hat) < 1e-6
         assert abs(got["w_bm"] - w) < 1e-5
         assert got["significant"] == (abs(w) > 1.959964)
+
+
+class TestBartlettFriedman:
+    def test_bartlett_matches_numpy(self, spark, sf_dir):
+        import math
+
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["value"].notna()]
+        ci = (ev["value"].astype("float64").round(2) * 100).round().astype("int64")
+        ks, ns, vs = [], [], []
+        for et, grp in ci.groupby(ev["event_type"]):
+            x = grp.to_numpy("float64")
+            ns.append(len(x))
+            vs.append(x.var(ddof=1))
+        k = len(ns)
+        n = sum(ns)
+        sp2 = sum((ni - 1) * vi for ni, vi in zip(ns, vs)) / (n - k)
+        t = (n - k) * math.log(sp2) - sum(
+            (ni - 1) * math.log(vi) for ni, vi in zip(ns, vs)
+        )
+        c = 1.0 + (sum(1.0 / (ni - 1) for ni in ns) - 1.0 / (n - k)) / (3 * (k - 1))
+        want = t / c
+        got = registry.REGISTRY["stats_bartlett"](spark, sf_dir).first()
+        assert got["k"] == k and got["n_total"] == n
+        # the engine floor-quantizes group variances to integers (relative
+        # 1e-8 here) and pico-floors the ln fold — allow 1e-4 slack
+        assert abs(got["bartlett_t"] - want) < 1e-3
+        assert got["rejected"] == (want > 9.487729)
+
+    def test_friedman_matches_pure_python(self, spark, sf_dir):
+        from collections import defaultdict
+        from decimal import Decimal
+
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        ev = ev[ev["value"].notna()]
+        ev["d"] = ev["ts"].dt.date
+        sums = defaultdict(Decimal)
+        for (d, t), grp in ev.groupby(["d", "event_type"]):
+            sums[(d, t)] = sum(
+                (Decimal(repr(v)).quantize(Decimal("0.000001")) for v in grp["value"]),
+                Decimal(0),
+            )
+        types = sorted({t for (_, t) in sums})
+        k = len(types)
+        days = sorted({d for (d, _) in sums})
+        blocks = [d for d in days if all((d, t) in sums for t in types)]
+        n = len(blocks)
+        rj2 = defaultdict(int)
+        a2x4 = 0
+        for d in blocks:
+            vals = {t: sums[(d, t)] for t in types}
+            for t in types:
+                less = sum(1 for u in types if vals[u] < vals[t])
+                eq = sum(1 for u in types if vals[u] == vals[t])
+                r2 = 2 * less + eq + 1
+                rj2[t] += r2
+                a2x4 += r2 * r2
+        num = sum(v * v for v in rj2.values()) - n * n * k * (k + 1) ** 2
+        den = a2x4 - n * k * (k + 1) ** 2
+        want = (k - 1) * num / den
+        got = registry.REGISTRY["stats_friedman"](spark, sf_dir).first()
+        assert got["n_blocks"] == n and got["k"] == k
+        assert abs(got["friedman_t"] - want) < 1e-5

@@ -6317,3 +6317,320 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("w_bm"),
         (F.abs(w) > F.lit(1.959964)).alias("significant"),
     )
+
+
+@query(
+    "stats_bartlett",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ci
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ci) AS BIGINT) AS s1,
+             CAST(SUM(ci * ci) AS BIGINT) AS s2
+      FROM s GROUP BY 1),
+    v AS (
+      SELECT event_type, n,
+             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2i
+      FROM g),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS ntot,
+             CAST(SUM((n - 1) * CAST(floor(s2i) AS BIGINT)) AS HUGEINT)
+               AS pooled_num_i,
+             CAST(SUM(CAST(floor((CAST(n AS DOUBLE) - 1.0) * ln(s2i)
+                                 * 1000000000000.0) AS BIGINT)) AS HUGEINT)
+               AS sum_lnv_i,
+             CAST(SUM(CAST(floor(1000000000000.0
+                                 / (CAST(n AS DOUBLE) - 1.0)) AS BIGINT))
+                  AS BIGINT) AS sum_inv_i,
+             SUM((CAST(n AS DOUBLE) - 1.0) * s2i) AS pooled_num
+      FROM v),
+    alg AS (
+      SELECT k, ntot,
+             CAST(k - 1 AS DOUBLE) AS km1,
+             CAST(ntot - k AS DOUBLE) AS nmk,
+             CAST(pooled_num_i AS DOUBLE) / CAST(ntot - k AS DOUBLE) AS sp2,
+             CAST(sum_lnv_i AS DOUBLE) / 1000000000000.0 AS sum_lnv,
+             CAST(sum_inv_i AS DOUBLE) / 1000000000000.0 AS sum_inv
+      FROM f)
+    SELECT k, ntot AS n_total,
+           ROUND((nmk * ln(sp2) - sum_lnv)
+                 / (1.0 + (sum_inv - 1.0 / nmk) / (3.0 * km1)), 6)
+             AS bartlett_t,
+           (nmk * ln(sp2) - sum_lnv)
+             / (1.0 + (sum_inv - 1.0 / nmk) / (3.0 * km1)) > 9.487729
+             AS rejected
+    FROM alg
+    """,
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test across the k event types —
+    the NORMAL-theory counterpart of stats_levene_bf (Brown-Forsythe is
+    what you run when normality is doubtful; Bartlett is sharper when
+    stats_jarque_bera has already passed — together the three close the
+    variance-assumption loop every ANOVA opens). T = [(N-k) ln Sp^2 -
+    SUM (n_i-1) ln S_i^2] / C with Bartlett's C correction; chi2(k-1)
+    under the null, k=5 gives the PINNED 9.487729.
+
+    Exactness: group variances come from exact centi-unit integer power
+    sums via one mirrored double tree; the two k-term folds that would
+    be unordered double sums — SUM (n_i-1) ln S_i^2 and SUM 1/(n_i-1) —
+    FLOOR-scale to pico-unit BIGINTs per group (order-independent, the
+    stats_ljung_box discipline); the pooled numerator folds the floor'd
+    integer variances exactly. One closing double tree, ROUND-6.
+
+    Plan: one map-side-combined per-type power-sum aggregate (5 rows),
+    one 1-row fold, scalar algebra.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ci = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = e.select("event_type", ci.alias("ci")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ci").cast("long").alias("s1"),
+        F.sum(F.col("ci") * F.col("ci")).cast("long").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s2i = (
+        nd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nd * (nd - F.lit(1.0)))
+    v = g.select("event_type", "n", s2i.alias("s2i"))
+    f = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum(
+            (F.col("n") - 1).cast("decimal(38,0)")
+            * F.floor(F.col("s2i")).cast("decimal(38,0)")
+        ).alias("pooled_num_i"),
+        F.sum(
+            F.floor(
+                (F.col("n").cast("double") - F.lit(1.0))
+                * F.log("s2i")
+                * F.lit(1000000000000.0)
+            ).cast("long")
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_lnv_i"),
+        F.sum(
+            F.floor(
+                F.lit(1000000000000.0) / (F.col("n").cast("double") - F.lit(1.0))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sum_inv_i"),
+    )
+    km1 = (F.col("k") - 1).cast("double")
+    nmk = (F.col("ntot") - F.col("k")).cast("double")
+    sp2 = F.col("pooled_num_i").cast("double") / nmk
+    sum_lnv = F.col("sum_lnv_i").cast("double") / F.lit(1000000000000.0)
+    sum_inv = F.col("sum_inv_i").cast("double") / F.lit(1000000000000.0)
+    tstat = (nmk * F.log(sp2) - sum_lnv) / (
+        F.lit(1.0) + (sum_inv - F.lit(1.0) / nmk) / (F.lit(3.0) * km1)
+    )
+    return f.select(
+        "k",
+        F.col("ntot").alias("n_total"),
+        F.round(tstat, 6).alias("bartlett_t"),
+        (tstat > F.lit(9.487729)).alias("rejected"),
+    )
+
+
+# BH step-up z-thresholds for m=10 pairwise tests at family alpha 0.05:
+# z*_i = invPhi(1 - 0.05*i/(2*10)) for rank i = 1..10, evaluated once at
+# import from the stdlib NormalDist (the _DCG_W pinned-literal discipline;
+# inverse-CDF transcendentals never evaluate in plans).
+def _dunn_thresholds() -> list[float]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [round(nd.inv_cdf(1 - 0.05 * i / 20.0), 6) for i in range(1, 11)]
+
+
+_DUNN_Z = _dunn_thresholds()
+
+
+@query(
+    "stats_dunn_posthoc",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL),
+    gt AS (
+      SELECT v, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2),
+    g AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM gt GROUP BY 1),
+    cum AS (
+      SELECT v, t,
+             SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ct
+      FROM g),
+    r2 AS (SELECT v, 2 * (ct - t) + t + 1 AS r2 FROM cum),
+    ranks AS (
+      SELECT gt.event_type,
+             CAST(SUM(CAST(gt.cnt AS HUGEINT) * r2.r2) AS HUGEINT) AS sr2,
+             CAST(SUM(gt.cnt) AS BIGINT) AS n
+      FROM gt JOIN r2 USING (v) GROUP BY 1),
+    ties AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt,
+             CAST(SUM(t) AS BIGINT) AS ntot
+      FROM g),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             (CAST(a.sr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+              - CAST(b.sr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)))
+               / sqrt(((CAST(ntot AS DOUBLE) * (CAST(ntot AS DOUBLE) + 1.0)
+                        * (CAST(ntot AS DOUBLE) - 1.0) - CAST(tt AS DOUBLE))
+                       / (12.0 * (CAST(ntot AS DOUBLE) - 1.0)))
+                      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+               AS z
+      FROM ranks a JOIN ranks b ON a.event_type < b.event_type, ties),
+    ranked AS (
+      SELECT p.type_a, p.type_b, p.z,
+             1 + CAST(SUM(CASE WHEN abs(q.z) > abs(p.z)
+                               OR (abs(q.z) = abs(p.z)
+                                   AND (q.type_a || '|' || q.type_b)
+                                       < (p.type_a || '|' || p.type_b))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      FROM pairs p, pairs q
+      GROUP BY 1, 2, 3),
+    flags AS (
+      SELECT *, abs(z) >= ([{", ".join(str(z) for z in _DUNN_Z)}])[rnk] AS flag
+      FROM ranked),
+    sig AS (
+      SELECT f.type_a, f.type_b, f.z, f.rnk,
+             MAX(CASE WHEN g2.rnk >= f.rnk AND g2.flag THEN 1 ELSE 0 END) = 1
+               AS significant
+      FROM flags f, flags g2
+      GROUP BY 1, 2, 3, 4)
+    SELECT type_a, type_b, ROUND(z, 6) AS z_dunn, rnk AS bh_rank, significant
+    FROM sig ORDER BY type_a, type_b
+    """,
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal-Wallis, with
+    Benjamini-Hochberg step-up over the 10 type pairs — the answer to
+    the question the omnibus test leaves open: stats_kruskal_wallis says
+    "SOME type differs in value distribution"; this says WHICH PAIRS,
+    with the multiplicity control stats_fdr_bh applies to p-values done
+    here in z-space (p = 2(1-Phi(|z|)) is monotone in |z|, so BH's
+    p_(i) <= i*alpha/m is EXACTLY |z|_(i) >= z*_i with the ten z*
+    thresholds PINNED at import from the stdlib inverse normal — no
+    CDF ever evaluates in a plan).
+
+    Exactness: rank sums use the doubled-midrank machinery (exact
+    DECIMAL(38,0)/HUGEINT weighted sums off the distinct-value frame);
+    the tie term SUM(t^3 - t) and N are exact integers; each z is ONE
+    mirrored double tree. The BH rank comes from a 10x10 triangular
+    self-join on (|z|, pair-key) — a total order, NO global window
+    (dodging the single-partition exchange a 10-row rank would
+    otherwise cost); step-up resolves with a second bounded self-join.
+    ROUND-6 on z; booleans compare unrounded.
+
+    Plan: one distinct-value count + two-phase prefix sums (shared with
+    stats_cvm), one |types|-row rank-sum rollup, then k(k-1)/2 = 10-row
+    algebra — everything after the rollup is constant-size.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select("event_type", F.col("value").alias("v"))
+    gt = s.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint()
+    g = gt.groupBy("v").agg(F.sum("cnt").cast("long").alias("t"))
+    cum = _two_phase_cumsum(g, "v", ["t"])
+    r2f = cum.select(
+        "v", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("r2")
+    )
+    ranks = (
+        gt.join(r2f, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2")).alias("sr2"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    ties = cum.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tt"),
+        F.sum("t").cast("long").alias("ntot"),
+    )
+    a = ranks.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sr2").alias("sra"),
+        F.col("n").alias("na"),
+    )
+    b = ranks.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sr2").alias("srb"),
+        F.col("n").alias("nb"),
+    )
+    ntd = F.col("ntot").cast("double")
+    av = (ntd * (ntd + 1) * (ntd - 1) - F.col("tt").cast("double")) / (
+        F.lit(12.0) * (ntd - 1)
+    )
+    z = (
+        F.col("sra").cast("double") / (F.lit(2.0) * F.col("na").cast("double"))
+        - F.col("srb").cast("double") / (F.lit(2.0) * F.col("nb").cast("double"))
+    ) / F.sqrt(av * (1 / F.col("na").cast("double") + 1 / F.col("nb").cast("double")))
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(ties))
+        .select("type_a", "type_b", z.alias("z"))
+        .localCheckpoint()  # 10 rows; feeds two bounded self-joins
+    )
+    q = pairs.select(
+        F.col("type_a").alias("qa"), F.col("type_b").alias("qb"), F.col("z").alias("qz")
+    )
+    key = F.concat(F.col("type_a"), F.lit("|"), F.col("type_b"))
+    qkey = F.concat(F.col("qa"), F.lit("|"), F.col("qb"))
+    ranked = (
+        pairs.crossJoin(q)
+        .groupBy("type_a", "type_b", "z")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.abs(F.col("qz")) > F.abs(F.col("z")))
+                        | (
+                            (F.abs(F.col("qz")) == F.abs(F.col("z")))
+                            & (qkey < key)
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    thresh = F.element_at(
+        F.array(*[F.lit(t) for t in _DUNN_Z]), F.col("rnk").cast("int")
+    )
+    flags = ranked.select(
+        "type_a", "type_b", "z", "rnk", (F.abs(F.col("z")) >= thresh).alias("flag")
+    ).localCheckpoint()
+    g2 = flags.select(F.col("rnk").alias("r2k"), F.col("flag").alias("f2"))
+    sig = (
+        flags.crossJoin(g2)
+        .groupBy("type_a", "type_b", "z", "rnk")
+        .agg(
+            (
+                F.max(
+                    F.when((F.col("r2k") >= F.col("rnk")) & F.col("f2"), 1).otherwise(0)
+                )
+                == 1
+            ).alias("significant")
+        )
+    )
+    return sig.select(
+        "type_a",
+        "type_b",
+        F.round("z", 6).alias("z_dunn"),
+        F.col("rnk").alias("bh_rank"),
+        "significant",
+    ).orderBy("type_a", "type_b")

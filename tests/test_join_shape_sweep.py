@@ -234,6 +234,8 @@ NLJ_WHITELIST: dict[str, str] = {
     "twice for the BH rank/step-up (deliberately INSTEAD of a global "
     "window's single-partition exchange) plus a |types|-row inequality "
     "pair join and a 1-row tie-term broadcast — all constant-size",
+    "orders_abc_classification": "1-row total-revenue broadcast over "
+    "the per-part cumulative frame — the stats_quantiles_exact shape",
 }
 
 

@@ -957,3 +957,96 @@ def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("region")
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1),
+    ci AS (
+      SELECT part, rev,
+             CAST(rev * 100 AS BIGINT) AS rev_c
+      FROM pr),
+    tot AS (SELECT CAST(SUM(rev_c) AS HUGEINT) AS total_c FROM ci),
+    cum AS (
+      SELECT a.part, a.rev_c,
+             CAST(SUM(b.rev_c) AS HUGEINT) AS cum_c
+      FROM ci a JOIN ci b
+        ON b.rev_c > a.rev_c OR (b.rev_c = a.rev_c AND b.part <= a.part)
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT part, rev_c, cum_c,
+             CASE WHEN 5 * cum_c <= 4 * tot.total_c THEN 'A'
+                  WHEN 20 * cum_c <= 19 * tot.total_c THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum, tot)
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(rev_c AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+             AS revenue
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue — the operational
+    form of agg_pareto_share's 80/20 check: rank parts by revenue, class
+    A = parts inside the first 80% of cumulative revenue, B = the next
+    15% (to 95%), C = the tail; per-class counts and revenue are what an
+    inventory policy (count A weekly, C yearly) consumes.
+
+    Exactness: revenues are exact centi-unit integers; the descending
+    cumulative is a triangular self-join on (rev_c, part) — a TOTAL
+    order, so ties can't straddle classes differently per engine — and
+    both class thresholds are cross-multiplied PURE-INTEGER compares
+    (5*cum <= 4*total; 20*cum <= 19*total), no percentage float ever.
+
+    Plan & scale: the per-part rollup is the only data-sized stage; the
+    descending cumulative runs on the bucket-parallel two-phase prefix
+    sums over a PACKED UNIQUE sort key part - rev_c*2^21 (ascending key
+    == revenue DESC, part ASC — the exact tie order the oracle's
+    triangular join states; uniqueness makes the per-row cumulative
+    deterministic, the reason the raw machinery alone wasn't enough).
+    The packing holds while partkey < 2^21 and rev_c*2^21 < 2^53 (true
+    through sf1; wider shifts at larger keys). The ORACLE keeps the
+    |parts|^2 triangular-join form as the tie-semantics SPEC — oracle
+    cost runs at sf0.01, the engine path is the one that must scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    from wri_data_processing_spark.queries.stats_numeric import _two_phase_cumsum
+
+    ci = pr.select(
+        "part",
+        (F.col("rev") * 100).cast("long").alias("rev_c"),
+        (F.col("part") - (F.col("rev") * 100).cast("long") * F.lit(2097152))
+        .cast("long")
+        .alias("key"),
+    ).localCheckpoint()
+    tot = ci.agg(F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("total_c"))
+    cum = _two_phase_cumsum(ci, "key", ["rev_c"]).select(
+        "part", "rev_c", F.col("cum_rev_c").cast("decimal(38,0)").alias("cum_c")
+    )
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "part",
+        "rev_c",
+        F.when(5 * F.col("cum_c") <= 4 * F.col("total_c"), "A")
+        .when(20 * F.col("cum_c") <= 19 * F.col("total_c"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.col("rev_c").cast("decimal(38,0)")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("abc")
+    )

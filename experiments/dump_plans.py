@@ -257,6 +257,12 @@ SHOWCASE = [
      "scan; in-row zip_with distances; per-label pico-unit fold"),
     ("events_page_hinkley", "three calendar-squared triangular self-joins "
      "on the daily frame; everything integer until the emit"),
+    ("stats_dunn_posthoc", "rank sums off the shared prefix-sum frame; "
+     "the BH rank is a 10x10 triangular self-join — deliberately NOT a "
+     "global window, so no Exchange SinglePartition anywhere"),
+    ("orders_abc_classification", "descending cumulative via two-phase "
+     "prefix sums over a packed unique key — no data-sized self-join, "
+     "no global window"),
 ]
 
 

@@ -120,3 +120,171 @@ def test_jarque_bera_gate_not_vacuous_on_normal_data(spark):
     row = g.select((nd * (s * s / F.lit(6.0) + k * k / F.lit(24.0))).alias("jb")).first()
     assert abs(row["jb"] - jb) < 1e-6 * max(1.0, jb)
     assert row["jb"] < 5.991465
+
+
+def _daily_frame(sf_dir):
+    """(d -> (count, Decimal revenue)) — the _daily_traffic_revenue fixture
+    re-derived independently (Decimal(18,6) quantization per value)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev["d"] = ev["ts"].dt.date
+    cnt = defaultdict(int)
+    rev = defaultdict(lambda: Decimal(0))
+    for d, grp in ev.groupby("d"):
+        cnt[d] = len(grp)
+        for v in grp["value"]:
+            if pd.notna(v):
+                rev[d] += Decimal(repr(float(v))).quantize(Decimal("0.000001"))
+    days = sorted(cnt)
+    return [(cnt[d], rev[d]) for d in days]
+
+
+class TestR10StatsAudit:
+    """Non-mirrored known-answer audit of the r9/r10 pairwise-stats family
+    (the Brunner-Munzel lesson applied retroactively: engine-oracle
+    symmetry cannot catch shared-formula algebra errors)."""
+
+    def test_kendall_tau_b(self, spark, sf_dir):
+        import math
+
+        daily = _daily_frame(sf_dir)
+        n = len(daily)
+        c = d = tx = ty = tb = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (daily[i][0] > daily[j][0]) - (daily[i][0] < daily[j][0])
+                dy = (daily[i][1] > daily[j][1]) - (daily[i][1] < daily[j][1])
+                if dx == 0 and dy == 0:
+                    tb += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx == dy:
+                    c += 1
+                else:
+                    d += 1
+        tau = (c - d) / math.sqrt((c + d + ty) * (c + d + tx))
+        got = registry.REGISTRY["stats_kendall_tau"](spark, sf_dir).first()
+        assert (got["concordant"], got["discordant"]) == (c, d)
+        assert (got["tie_x"], got["tie_y"], got["tie_both"]) == (tx, ty, tb)
+        assert abs(got["tau_b"] - tau) < 1e-6
+
+    def test_ccc_lin(self, spark, sf_dir):
+        daily = _daily_frame(sf_dir)
+        x = np.array([t[0] for t in daily], dtype="float64")
+        y = np.array([float(t[1]) for t in daily], dtype="float64")
+        r = np.corrcoef(x, y)[0, 1]
+        ccc = (
+            2 * np.cov(x, y, ddof=0)[0, 1]
+            / (x.var(ddof=0) + y.var(ddof=0) + (x.mean() - y.mean()) ** 2)
+        )
+        got = registry.REGISTRY["stats_ccc_lin"](spark, sf_dir).first()
+        assert abs(got["pearson_r"] - r) < 1e-6
+        assert abs(got["ccc"] - ccc) < 1e-6
+
+    def test_mood_median(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["event_type"].isin(["purchase", "click"]) & ev["value"].notna()]
+        ci = (ev["value"].astype("float64").round(2) * 100).round().astype("int64")
+        pooled = np.sort(ci.to_numpy())
+        med = pooled[(len(pooled) + 1) // 2 - 1]  # lower median, exact rank
+        a = ci[ev["event_type"] == "purchase"].to_numpy()
+        b = ci[ev["event_type"] == "click"].to_numpy()
+        cells = [
+            (a > med).sum(), (a <= med).sum(), (b > med).sum(), (b <= med).sum()
+        ]
+        got = registry.REGISTRY["stats_mood_median"](spark, sf_dir).first()
+        assert abs(got["pooled_median"] * 100 - med) < 0.5
+        assert [got["a_above"], got["a_below"], got["b_above"], got["b_below"]] == [
+            int(v) for v in cells
+        ]
+        aab, abl, bab, bbl = (float(v) for v in cells)
+        n = aab + abl + bab + bbl
+        chi2 = 0.0
+        for obs, rtot, ctot in [
+            (aab, aab + abl, aab + bab),
+            (abl, aab + abl, abl + bbl),
+            (bab, bab + bbl, aab + bab),
+            (bbl, bab + bbl, abl + bbl),
+        ]:
+            e = rtot * ctot / n
+            chi2 += (obs - e) ** 2 / e
+        assert abs(got["chi2"] - chi2) < 1e-5
+        assert got["medians_differ"] == (chi2 > 3.841459)
+
+    def test_hodges_lehmann(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ev["d"] = ev["ts"].dt.date
+        a = ev[ev["event_type"] == "purchase"].groupby("d").size().to_numpy()
+        b = ev[ev["event_type"] == "click"].groupby("d").size().to_numpy()
+        diffs = np.sort((a[:, None] - b[None, :]).ravel())
+        m = len(diffs)
+        hl = (
+            float(diffs[m // 2])
+            if m % 2
+            else (float(diffs[m // 2 - 1]) + float(diffs[m // 2])) / 2.0
+        )
+        got = registry.REGISTRY["stats_hodges_lehmann"](spark, sf_dir).first()
+        assert got["n_pairs"] == m
+        assert abs(got["hl_shift"] - hl) < 1e-9
+
+    def test_cronbach_alpha(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        d0 = ev["ts"].dt.date.min()
+        ev["w"] = ev["ts"].dt.date.map(lambda d: (d - d0).days // 7)
+        ev = ev[ev["w"] <= 3]
+        mat = (
+            ev.groupby(["user_id", "w"]).size().unstack(fill_value=0)
+            .reindex(columns=[0, 1, 2, 3], fill_value=0)
+        )
+        k = 4
+        item_vars = mat.var(axis=0, ddof=0).sum()
+        total_var = mat.sum(axis=1).var(ddof=0)
+        alpha = k / (k - 1) * (1 - item_vars / total_var)
+        got = registry.REGISTRY["stats_cronbach_alpha"](spark, sf_dir).first()
+        assert got["n_users"] == len(mat) and got["k_items"] == k
+        assert abs(got["alpha"] - alpha) < 1e-6
+
+    def test_mann_kendall(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        x = ev.groupby(ev["ts"].dt.date).size().sort_index().to_numpy()
+        n = len(x)
+        s = sum(
+            int(np.sign(x[j] - x[i])) for i in range(n) for j in range(i + 1, n)
+        )
+        ties = Counter(x)
+        v18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        v = v18 / 18.0
+        z = (s - 1) / math.sqrt(v) if s > 0 else ((s + 1) / math.sqrt(v) if s < 0 else 0.0)
+        got = registry.REGISTRY["stats_mann_kendall"](spark, sf_dir).first()
+        assert got["mk_s"] == s and got["n_days"] == n
+        assert abs(got["z"] - z) < 1e-6
+
+    def test_theil_sen(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ev["d"] = ev["ts"].dt.date
+        got = {
+            r["event_type"]: r
+            for r in registry.REGISTRY["stats_theil_sen"](spark, sf_dir).collect()
+        }
+        for et, grp in ev.groupby("event_type"):
+            counts = grp.groupby("d").size().sort_index()
+            days = [(d - counts.index[0]).days for d in counts.index]
+            x = counts.to_numpy(dtype="float64")
+            slopes = sorted(
+                (x[j] - x[i]) / (days[j] - days[i])
+                for i in range(len(x))
+                for j in range(i + 1, len(x))
+            )
+            m = len(slopes)
+            med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+            assert got[et]["n_pairs"] == m, et
+            assert abs(got[et]["slope"] - med) < 1e-9, et

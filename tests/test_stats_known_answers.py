@@ -288,3 +288,86 @@ class TestR10StatsAudit:
             med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
             assert got[et]["n_pairs"] == m, et
             assert abs(got[et]["slope"] - med) < 1e-9, et
+
+
+class TestEvalMetricsAudit:
+    """Same non-mirrored audit for the r10 eval family: the sha-uniform
+    stand-in score is recomputed with hashlib and the metrics with plain
+    Python/numpy."""
+
+    def _scores(self, sf_dir):
+        import hashlib
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+        u = np.array(
+            [
+                int(hashlib.sha256(f"cal:{e}".encode()).hexdigest()[:15], 16)
+                % (1 << 30)
+                for e in ev["event_id"]
+            ],
+            dtype="int64",
+        )
+        y = (ev["event_type"] == "purchase").to_numpy(dtype="int64")
+        return u, y
+
+    def test_brier(self, spark, sf_dir):
+        u, y = self._scores(sf_dir)
+        p = u / float(1 << 30)
+        bs = float(np.mean((p - y) ** 2))
+        rate = y.mean()
+        ref = rate * (1 - rate)
+        got = registry.REGISTRY["eval_brier_score"](spark, sf_dir).first()
+        assert got["n"] == len(y) and got["npos"] == int(y.sum())
+        assert abs(got["brier"] - bs) < 1e-6
+        assert abs(got["brier_ref"] - ref) < 1e-6
+        assert abs(got["brier_skill"] - (1 - bs / ref)) < 1e-5
+
+    def test_log_loss(self, spark, sf_dir):
+        u, y = self._scores(sf_dir)
+        p = (u + 1) / float((1 << 30) + 2)
+        loss = -np.log(np.where(y == 1, p, 1 - p))
+        got = registry.REGISTRY["eval_log_loss"](spark, sf_dir).first()
+        assert got["n"] == len(y)
+        # engine floor-scales per row to 1e-12 before the mean: slack 1e-6
+        assert abs(got["log_loss"] - float(loss.mean())) < 1e-6
+
+    def test_ece(self, spark, sf_dir):
+        u, y = self._scores(sf_dir)
+        bins = (u * 10) // (1 << 30)
+        gap = 0
+        n = len(y)
+        used = 0
+        for b in range(10):
+            m = bins == b
+            if m.any():
+                used += 1
+                gap += abs(int(y[m].sum()) * (1 << 30) - int(u[m].sum()))
+        got = registry.REGISTRY["eval_ece"](spark, sf_dir).first()
+        assert got["n"] == n and got["n_bins"] == used
+        assert abs(got["ece"] - gap / (n * float(1 << 30))) < 1e-6
+
+    def test_average_precision(self, spark, sf_dir):
+        u, y = self._scores(sf_dir)
+        npos = int(y.sum())
+        order = np.argsort(-u, kind="mergesort")
+        us, ys = u[order], y[order]
+        # pessimistic tie convention: whole distinct-score block enters
+        # before precision is read
+        ap = 0.0
+        k = tp = 0
+        i = 0
+        n = len(us)
+        while i < n:
+            j = i
+            while j + 1 < n and us[j + 1] == us[i]:
+                j += 1
+            blk_tp = int(ys[i : j + 1].sum())
+            k += j - i + 1
+            tp += blk_tp
+            if blk_tp:
+                # engine truncates each block term to 1e-12 (integral div)
+                ap += (blk_tp * tp * 10**12) // (k * npos) / 1e12
+            i = j + 1
+        got = registry.REGISTRY["eval_average_precision"](spark, sf_dir).first()
+        assert got["n"] == n and got["npos"] == npos
+        assert abs(got["average_precision"] - ap) < 1e-6

@@ -371,3 +371,100 @@ class TestEvalMetricsAudit:
         got = registry.REGISTRY["eval_average_precision"](spark, sf_dir).first()
         assert got["n"] == n and got["npos"] == npos
         assert abs(got["average_precision"] - ap) < 1e-6
+
+
+class TestR9AgreementAudit:
+    """Non-mirrored audit of the r9 agreement/association ops."""
+
+    def test_mcnemar(self, spark, sf_dir):
+        ev = pd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+        )
+        ev["d"] = ev["ts"].dt.date
+        ev["am"] = (ev["event_type"] == "purchase") & (ev["ts"].dt.hour < 12)
+        ev["pm"] = (ev["event_type"] == "purchase") & (ev["ts"].dt.hour >= 12)
+        g = ev.groupby(["user_id", "d"]).agg(am=("am", "max"), pm=("pm", "max"))
+        n11 = int((g["am"] & g["pm"]).sum())
+        n10 = int((g["am"] & ~g["pm"]).sum())
+        n01 = int((~g["am"] & g["pm"]).sum())
+        n00 = int((~g["am"] & ~g["pm"]).sum())
+        chi2 = (n10 - n01) ** 2 / (n10 + n01)
+        got = registry.REGISTRY["stats_mcnemar"](spark, sf_dir).first()
+        assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (n11, n10, n01, n00)
+        assert got["n_pairs"] == len(g)
+        assert abs(got["mcnemar_chi2"] - chi2) < 1e-5
+
+    def test_cohens_kappa(self, spark, sf_dir):
+        import hashlib
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        ra = (docs["n_chars"] >= 400).to_numpy()
+        u = np.array(
+            [
+                int(hashlib.sha256(f"kap:{d}".encode()).hexdigest()[:15], 16)
+                % (1 << 30)
+                for d in docs["doc_id"]
+            ]
+        )
+        rb = np.where(u * 5 < (1 << 30), ~ra, ra)
+        n = len(docs)
+        n11 = int((ra & rb).sum()); n10 = int((ra & ~rb).sum())
+        n01 = int((~ra & rb).sum()); n00 = int((~ra & ~rb).sum())
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+        kappa = (po - pe) / (1 - pe)
+        got = registry.REGISTRY["stats_cohens_kappa"](spark, sf_dir).first()
+        assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (n11, n10, n01, n00)
+        assert abs(got["po"] - po) < 1e-6 and abs(got["pe"] - pe) < 1e-6
+        assert abs(got["kappa"] - kappa) < 1e-5
+
+    def test_mutual_info(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ev["tod"] = ev["ts"].dt.hour // 6
+        cells = ev.groupby(["event_type", "tod"]).size()
+        n = len(ev)
+        r = cells.groupby(level=0).sum()
+        c = cells.groupby(level=1).sum()
+        mi = sum(
+            (v / n) * np.log(v * n / (r[et] * c[tod]))
+            for (et, tod), v in cells.items()
+        )
+        got = registry.REGISTRY["stats_mutual_info"](spark, sf_dir).first()
+        assert got["n_cells"] == len(cells)
+        assert abs(got["mi_nats"] - mi) < 1e-5
+
+    def test_hhi(self, spark, sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM read_parquet('{sf_dir}/orders.parquet') o
+            JOIN read_parquet('{sf_dir}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{sf_dir}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            JOIN read_parquet('{sf_dir}/region.parquet') r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        from collections import defaultdict
+
+        shares = defaultdict(list)
+        for region, _, rev in rows:
+            shares[region].append(int(rev * 1_000_000))
+        got = {
+            r["region"]: r
+            for r in registry.REGISTRY["stats_hhi_concentration"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(shares)
+        for region, revs in shares.items():
+            tot = sum(revs)
+            hhi = sum(v * v for v in revs) / (tot * tot)
+            g = got[region]
+            assert g["n_nations"] == len(revs)
+            assert abs(g["total_rev"] - tot / 1e6) < 0.01
+            assert abs(g["hhi"] - hhi) < 1e-6, region

@@ -468,3 +468,125 @@ class TestR9AgreementAudit:
             assert g["n_nations"] == len(revs)
             assert abs(g["total_rev"] - tot / 1e6) < 0.01
             assert abs(g["hhi"] - hhi) < 1e-6, region
+
+
+class TestR7DriftAudit:
+    """Non-mirrored audit of the r7/r8 drift & rank-test ops."""
+
+    def _vc(self, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["event_type"].isin(["view", "click"]) & ev["value"].notna()]
+        a = ev.loc[ev["event_type"] == "view", "value"].to_numpy()
+        b = ev.loc[ev["event_type"] == "click", "value"].to_numpy()
+        return a, b
+
+    def test_ks(self, spark, sf_dir):
+        a, b = self._vc(sf_dir)
+        allv = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), allv, side="right")
+        fb = np.searchsorted(np.sort(b), allv, side="right")
+        d_scaled = int(np.max(np.abs(len(b) * fa - len(a) * fb)))
+        got = registry.REGISTRY["stats_ks_test"](spark, sf_dir).first()
+        assert (got["n1"], got["n2"]) == (len(a), len(b))
+        assert got["d_scaled"] == d_scaled
+        assert abs(got["ks_d"] - d_scaled / (len(a) * len(b))) < 1e-12
+
+    def test_psi(self, spark, sf_dir):
+        a, b = self._vc(sf_dir)
+        ba = np.minimum(np.floor(a / 10.0), 19).astype(int)
+        bb = np.minimum(np.floor(b / 10.0), 19).astype(int)
+        psi = 0.0
+        used = skipped = 0
+        for k in sorted(set(ba) | set(bb)):
+            ca, cb = int((ba == k).sum()), int((bb == k).sum())
+            if ca > 0 and cb > 0:
+                used += 1
+                p, q = ca / len(a), cb / len(b)
+                psi += (p - q) * np.log(p / q)
+            else:
+                skipped += 1
+        got = registry.REGISTRY["stats_psi"](spark, sf_dir).first()
+        assert (got["n_bins_used"], got["n_bins_skipped"]) == (used, skipped)
+        assert abs(got["psi"] - psi) < 1e-5
+
+    def test_jsd(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        ref = ev[ev["user_id"] % 2 == 0]["event_type"].value_counts()
+        cur = ev[ev["user_id"] % 2 == 1]["event_type"].value_counts()
+        cats = sorted(set(ref.index) | set(cur.index))
+        na, nb = ref.sum(), cur.sum()
+        jsd = 0.0
+        for c in cats:
+            p = ref.get(c, 0) / na
+            q = cur.get(c, 0) / nb
+            if p > 0:
+                jsd += 0.5 * p * np.log(2 * p / (p + q))
+            if q > 0:
+                jsd += 0.5 * q * np.log(2 * q / (p + q))
+        got = registry.REGISTRY["stats_jensen_shannon"](spark, sf_dir).first()
+        assert (got["n_ref"], got["n_cur"], got["k_cats"]) == (na, nb, len(cats))
+        assert abs(got["jsd"] - jsd) < 1e-5
+
+    def test_mann_whitney(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        a, b = self._vc(sf_dir)
+        n1, n2 = len(a), len(b)
+
+        def midrank(x):
+            order = np.argsort(x, kind="mergesort")
+            ranks = np.empty(len(x))
+            sx = x[order]
+            i = 0
+            while i < len(sx):
+                j = i
+                while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        r = midrank(np.concatenate([a, b]))
+        r1 = float(r[:n1].sum())
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        u2 = n1 * n2 - u1
+        ties = Counter(np.concatenate([a, b]).tolist())
+        tie3 = sum(t**3 - t for t in ties.values())
+        n = n1 + n2
+        var = n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+        mu = n1 * n2 / 2.0
+        # the op's stated convention: asymptotic z WITHOUT the 0.5
+        # continuity correction (scipy defaults to use_continuity=True;
+        # this audit verified the difference is exactly the 0.5 shift)
+        z = (u1 - mu) / math.sqrt(var)
+        got = registry.REGISTRY["stats_mann_whitney"](spark, sf_dir).first()
+        assert (got["n1"], got["n2"]) == (n1, n2)
+        assert got["u1_x2"] == round(2 * u1) and got["u2_x2"] == round(2 * u2)
+        assert abs(got["z"] - z) < 1e-5
+
+    def test_spearman(self, spark, sf_dir):
+        li = pd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+        )
+        x = li["l_quantity"].to_numpy()
+        y = li["l_extendedprice"].to_numpy()
+
+        def midrank(v):
+            order = np.argsort(v, kind="mergesort")
+            ranks = np.empty(len(v))
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        rx, ry = midrank(x), midrank(y)
+        rho = np.corrcoef(rx, ry)[0, 1]
+        got = registry.REGISTRY["stats_spearman"](spark, sf_dir).first()
+        assert got["n"] == len(x)
+        assert abs(got["rho"] - rho) < 1e-9

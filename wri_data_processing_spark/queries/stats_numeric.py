@@ -1484,7 +1484,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-averaged rank is cb + (cnt+1)/2 — a half-integer — so the engine
     carries DOUBLED rank sums (2r = 2*cb + cnt + 1, always integral) and
     emits u1_x2 = 2*U1 as exact BIGINT (U1 = R1 - n1(n1+1)/2 in half-unit
-    precision). The tie-corrected z runs division and sqrt only — both
+    precision). Convention (stated r11 after the audit): the asymptotic
+    z carries NO 0.5 continuity correction (scipy's use_continuity=True
+    default differs by exactly that shift; stats_mann_kendall, by
+    contrast, does apply its standard correction — both stated).
+    The tie-corrected z runs division and sqrt only — both
     exactly-rounded IEEE ops, bit-identical across engines on the mirrored
     expression tree (pow/exp are the unsafe transcendentals, not used).
 

@@ -590,3 +590,131 @@ class TestR7DriftAudit:
         got = registry.REGISTRY["stats_spearman"](spark, sf_dir).first()
         assert got["n"] == len(x)
         assert abs(got["rho"] - rho) < 1e-9
+
+
+class TestR8TestsAudit:
+    """Non-mirrored audit of the r8 classical-test ops."""
+
+    def test_anova_oneway(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["value"].notna()]
+        groups = [g["value"].to_numpy("float64") for _, g in ev.groupby("event_type")]
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        grand = np.concatenate(groups).mean()
+        ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        got = registry.REGISTRY["stats_anova_oneway"](spark, sf_dir).first()
+        assert (got["k"], got["n_tot"]) == (k, n)
+        assert abs(got["ss_between"] - ssb) < 1e-3
+        assert abs(got["ss_within"] - ssw) < 1e-2
+        assert abs(got["f_stat"] - f) < 1e-5
+
+    def test_levene_bf(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ev = ev[ev["value"].notna()]
+        zs = []
+        for _, g in ev.groupby("event_type"):
+            v = np.sort(g["value"].to_numpy("float64"))
+            med = v[int(np.ceil(len(v) / 2)) - 1]  # exact lower median rank
+            zs.append(np.abs(g["value"].to_numpy("float64") - med))
+        k = len(zs)
+        n = sum(len(z) for z in zs)
+        grand = np.concatenate(zs).mean()
+        ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+        ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+        w = (ssb / (k - 1)) / (ssw / (n - k))
+        got = registry.REGISTRY["stats_levene_bf"](spark, sf_dir).first()
+        assert (got["k"], got["n_tot"]) == (k, n)
+        assert abs(got["w_stat"] - w) < 1e-5
+
+    def test_welch_ttest(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        a = ev[ev["event_type"] == "purchase"]["value"].dropna().to_numpy("float64")
+        b = ev[ev["event_type"] == "view"]["value"].dropna().to_numpy("float64")
+        got = registry.REGISTRY["stats_welch_ttest"](spark, sf_dir).first()
+        # probe whether NULLs are dropped before counting: engine n1=202
+        # equals the non-null purchase count
+        assert (got["n1"], got["n2"]) == (len(a), len(b))
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(got["mean_diff"] - (a.mean() - b.mean())) < 1e-6
+        assert abs(got["t_stat"] - t) < 1e-6
+        assert abs(got["welch_df"] - df) < 1e-3
+
+    def test_chi2_and_cramers_v(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        tab = ev.groupby(["event_type", ev["user_id"] % 4]).size()
+        n = len(ev)
+        rt = tab.groupby(level=0).sum()
+        ct = tab.groupby(level=1).sum()
+        chi2 = sum(
+            (v - rt[a] * ct[b] / n) ** 2 / (rt[a] * ct[b] / n)
+            for (a, b), v in tab.items()
+        )
+        got = registry.REGISTRY["stats_chi2_independence"](spark, sf_dir).first()
+        assert got["n_cells"] == len(tab)
+        assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+        assert abs(got["chi2"] - chi2) < 1e-4
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        tab2 = docs.groupby(["lang", "source"]).size()
+        n2 = len(docs)
+        rt2 = tab2.groupby(level=0).sum()
+        ct2 = tab2.groupby(level=1).sum()
+        chi2b = 0.0
+        for a in rt2.index:
+            for b in ct2.index:
+                e = rt2[a] * ct2[b] / n2
+                o = tab2.get((a, b), 0)
+                chi2b += (o - e) ** 2 / e
+        dof = (len(rt2) - 1) * (len(ct2) - 1)
+        v = np.sqrt(chi2b / (n2 * min(len(rt2) - 1, len(ct2) - 1)))
+        gv = registry.REGISTRY["stats_cramers_v"](spark, sf_dir).first()
+        assert (gv["n"], gv["n_langs"], gv["n_sources"], gv["dof"]) == (
+            n2, len(rt2), len(ct2), dof
+        )
+        # note: engine counts only OBSERVED cells in n_cells but chi2 must
+        # still include the zero-cell expected terms IF it matches chi2b;
+        # if it matches the observed-only sum instead, that is a finding
+        chi2_obs_only = sum(
+            (v2 - rt2[a] * ct2[b] / n2) ** 2 / (rt2[a] * ct2[b] / n2)
+            for (a, b), v2 in tab2.items()
+        )
+        assert (
+            abs(gv["chi2"] - chi2b) < 1e-4 or abs(gv["chi2"] - chi2_obs_only) < 1e-4
+        )
+        full = abs(gv["chi2"] - chi2b) < 1e-4
+        assert full, (
+            f"cramers_v chi2 sums OBSERVED cells only ({gv['chi2']} vs full "
+            f"{chi2b:.5f}, observed-only {chi2_obs_only:.5f}) — zero cells "
+            "contribute expected^2/expected = expected, so dropping them "
+            "understates chi2"
+        )
+
+    def test_linear_regression(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        ev = ev[ev["value"].notna()]
+        ev["x"] = ev["ts"].dt.date.map(lambda d: (d - pd.Timestamp("1970-01-01").date()).days)
+        got = {
+            r["event_type"]: r
+            for r in registry.REGISTRY["stats_linear_regression"](spark, sf_dir).collect()
+        }
+        for et, g in ev.groupby("event_type"):
+            x = g["x"].to_numpy("float64")
+            y = g["value"].to_numpy("float64")
+            slope, intercept = np.polyfit(x, y, 1)
+            yhat = slope * x + intercept
+            ssr = ((y - yhat) ** 2).sum()
+            sst = ((y - y.mean()) ** 2).sum()
+            r2 = 1 - ssr / sst
+            row = got[et]
+            assert row["n"] == len(x)
+            assert abs(row["slope"] - slope) < 1e-5, et
+            assert abs(row["intercept"] - intercept) < 1e-2, et
+            assert abs(row["r2"] - r2) < 1e-5, et

@@ -818,12 +818,15 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.event_type, o.cohort,
              (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
                * (CAST(o.obs AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
-               / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE)) AS term
+               / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE)) AS term,
+             CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE) AS ex
       FROM o JOIN rt USING (event_type) JOIN ct USING (cohort), m)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT)
              * CAST(COUNT(DISTINCT cohort) - 1 AS BIGINT) AS dof,
-           ROUND(list_aggregate(list(term ORDER BY term), 'sum'), 6) AS chi2
+           ROUND(list_aggregate(list(term ORDER BY term), 'sum')
+                 + (CAST((SELECT n FROM m) AS DOUBLE)
+                    - list_aggregate(list(ex ORDER BY ex), 'sum')), 6) AS chi2
     FROM cells
     """,
 )
@@ -868,8 +871,16 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "cohort")
         .crossJoin(F.broadcast(m))
-        .select("event_type", "cohort", (dev * dev / expected).alias("term"))
+        .select(
+            "event_type", "cohort", "n",
+            (dev * dev / expected).alias("term"),
+            expected.alias("ex"),
+        )
     )
+    # unobserved cells contribute their expected mass: chi2 += n - SUM(ex)
+    # (the stats_cramers_v r11 audit fix; all 20 cells are observed on the
+    # current fixtures so the value is unchanged here, but the latent
+    # zero-cell understatement is closed)
     return cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (
@@ -882,6 +893,14 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list("term")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
+            )
+            + (
+                F.first("n").cast("double")
+                - F.aggregate(
+                    F.array_sort(F.collect_list("ex")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             ),
             6,
         ).alias("chi2"),
@@ -2409,14 +2428,17 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (CAST(o.obs AS DOUBLE)
               - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
              / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE))
-               AS term
+               AS term,
+             CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(m.n AS DOUBLE) AS ex
       FROM o JOIN rt USING (lang) JOIN ct USING (source), m),
     s AS (
       SELECT CAST((SELECT n FROM m) AS BIGINT) AS n,
              CAST(COUNT(*) AS BIGINT) AS n_cells,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_sources,
-             list_aggregate(list(term ORDER BY term), 'sum') AS chi2
+             list_aggregate(list(term ORDER BY term), 'sum')
+               + (CAST((SELECT n FROM m) AS DOUBLE)
+                  - list_aggregate(list(ex ORDER BY ex), 'sum')) AS chi2
       FROM cells)
     SELECT n, n_cells, n_langs, n_sources,
            (n_langs - 1) * (n_sources - 1) AS dof,
@@ -2461,15 +2483,32 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(rt), "lang")
         .join(F.broadcast(ct), "source")
         .crossJoin(F.broadcast(m))
-        .select("lang", "source", "n", (dev * dev / expected).alias("term"))
+        .select(
+            "lang", "source", "n",
+            (dev * dev / expected).alias("term"),
+            expected.alias("ex"),
+        )
     )
+    # UNOBSERVED (lang, source) cells still contribute (0-e)^2/e = e to
+    # chi2; since SUM(all expected) = n, the missing mass is n - SUM(ex
+    # over observed cells) — added WITHOUT enumerating missing cells
+    # (r11 fix: the known-answer audit caught chi2 understated by the
+    # zero-cell mass, 73.99 vs 77.69 at sf0.001).
     s = cells.agg(
         F.first("n").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
-        F.aggregate(
-            F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            )
+            + (
+                F.first("n").cast("double")
+                - F.aggregate(
+                    F.array_sort(F.collect_list("ex")), F.lit(0.0), lambda a, x: a + x
+                )
+            )
         ).alias("chi2"),
     )
     return s.select(

@@ -718,3 +718,34 @@ class TestR8TestsAudit:
             assert abs(row["slope"] - slope) < 1e-5, et
             assert abs(row["intercept"] - intercept) < 1e-2, et
             assert abs(row["r2"] - r2) < 1e-5, et
+
+
+    def test_runs_test(self, spark, sf_dir):
+        import math
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ev["d"] = ev["ts"].dt.date
+        got = {
+            r["event_type"]: r
+            for r in registry.REGISTRY["stats_runs_test"](spark, sf_dir).collect()
+        }
+        for et, g in ev.groupby("event_type"):
+            counts = g.groupby("d").size().sort_index().to_numpy()
+            dirs = [
+                counts[i] > counts[i - 1]
+                for i in range(1, len(counts))
+                if counts[i] != counts[i - 1]
+            ]
+            n_up = sum(dirs)
+            n_down = len(dirs) - n_up
+            runs = 1 + sum(1 for i in range(1, len(dirs)) if dirs[i] != dirs[i - 1])
+            n1, n2 = n_up, n_down
+            mu = 2 * n1 * n2 / (n1 + n2) + 1
+            var = (
+                2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+            )
+            z = (runs - mu) / math.sqrt(var)
+            row = got[et]
+            assert (row["n_up"], row["n_down"], row["n_runs"]) == (n_up, n_down, runs), et
+            assert abs(row["z"] - z) < 1e-6, et

@@ -749,3 +749,43 @@ class TestR8TestsAudit:
             row = got[et]
             assert (row["n_up"], row["n_down"], row["n_runs"]) == (n_up, n_down, runs), et
             assert abs(row["z"] - z) < 1e-6, et
+
+
+    def test_wilson_ci(self, spark, sf_dir):
+        import math
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        n = len(ev)
+        x = int((ev["event_type"] == "purchase").sum())
+        p = x / n
+        z = 1.959964
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        got = registry.REGISTRY["stats_wilson_ci"](spark, sf_dir).first()
+        assert (got["n"], got["x"]) == (n, x)
+        assert abs(got["wilson_lo95"] - (center - half) / denom) < 1e-6
+        assert abs(got["wilson_hi95"] - (center + half) / denom) < 1e-6
+        assert abs(got["wald_lo95"] - (p - z * math.sqrt(p * (1 - p) / n))) < 1e-6
+
+    def test_macro_f1(self, spark, sf_dir):
+        # independent recompute straight from eval_classifier_report's
+        # per-class table (itself integer-exact)
+        rep = registry.REGISTRY["eval_classifier_report"](spark, sf_dir).collect()
+        f1s = []
+        wsum = 0.0
+        n = tp = fp = fn = 0
+        for r in rep:
+            c_f1 = (
+                2 * r["tp"] / (2 * r["tp"] + r["fp"] + r["fn"])
+                if 2 * r["tp"] + r["fp"] + r["fn"] > 0
+                else 0.0
+            )
+            f1s.append(c_f1)
+            wsum += r["support"] * c_f1
+            n += r["support"]; tp += r["tp"]; fp += r["fp"]; fn += r["fn"]
+        got = registry.REGISTRY["eval_macro_f1"](spark, sf_dir).first()
+        assert got["n_classes"] == len(rep) and got["n_docs"] == n
+        assert abs(got["macro_f1"] - sum(f1s) / len(f1s)) < 1e-6
+        assert abs(got["micro_f1"] - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+        assert abs(got["weighted_f1"] - wsum / n) < 1e-6

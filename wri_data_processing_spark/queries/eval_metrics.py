@@ -1008,3 +1008,146 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prevalence"
         ),
     )
+
+
+@query(
+    "eval_macro_f1",
+    oracle=f"""
+    WITH conf AS (
+      SELECT lang AS labeled, {_PRED_SQL} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    lab AS (
+      SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS support FROM conf GROUP BY 1),
+    prd AS (
+      SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS pred_total FROM conf GROUP BY 1),
+    tp AS (
+      SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS tp
+      FROM conf WHERE labeled = pred GROUP BY 1),
+    j AS (
+      SELECT lab.cls, lab.support,
+             COALESCE(tp.tp, 0) AS tp,
+             COALESCE(prd.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
+             lab.support - COALESCE(tp.tp, 0) AS fn
+      FROM lab LEFT JOIN tp ON lab.cls = tp.cls
+               LEFT JOIN prd ON lab.cls = prd.cls),
+    perc AS (
+      SELECT cls, support, tp, fp, fn,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                  ELSE 0.0 END AS f1
+      FROM j),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(support) AS BIGINT) AS n,
+             CAST(SUM(tp) AS BIGINT) AS tp_tot,
+             CAST(SUM(fp) AS BIGINT) AS fp_tot,
+             CAST(SUM(fn) AS BIGINT) AS fn_tot,
+             list_aggregate(list(f1 ORDER BY cls), 'sum') AS sum_f1,
+             list_aggregate(list(CAST(support AS DOUBLE) * f1 ORDER BY cls),
+                            'sum') AS sum_wf1
+      FROM perc)
+    SELECT k AS n_classes, n AS n_docs,
+           ROUND(sum_f1 / CAST(k AS DOUBLE), 6) AS macro_f1,
+           ROUND(CAST(2 * tp_tot AS DOUBLE)
+                 / CAST(2 * tp_tot + fp_tot + fn_tot AS DOUBLE), 6) AS micro_f1,
+           ROUND(sum_wf1 / CAST(n AS DOUBLE), 6) AS weighted_f1
+    FROM f
+    """,
+)
+def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-, micro- and support-weighted F1 of the text_lang_id
+    heuristic in one row — the three averaging conventions a model card
+    must distinguish (macro exposes the dead minority classes the
+    heuristic never predicts; micro equals accuracy for single-label
+    classification; weighted sits between): the scalar summary layer
+    over eval_classifier_report's per-class table, the way
+    retrieval_eval_pipeline summarizes eval_retrieval_per_query.
+    Convention: absent-class F1 counts as 0 in the macro mean (sklearn's
+    zero_division=0), stated because it is the contested choice.
+
+    Exactness: tp/fp/fn are exact integers; per-class F1 = 2tp/(2tp+
+    fp+fn) from integers; the k-term macro/weighted folds run in FIXED
+    class order (ordered list fold both engines — the stats_ljung_box
+    alternative for a k<=5 frame); micro-F1 is one division of exact
+    integer totals. ROUND-6.
+
+    Plan: the eval_classifier_report confusion topology (scan-fused
+    aggregate to <= |langs|^2 rows, bounded rollups, broadcast joins)
+    into one 1-row fold.
+    """
+    d = table(spark, sf_dir, "documents")
+    conf = (
+        d.select(F.col("lang").alias("labeled"), _lang_pred_col().alias("pred"))
+        .groupBy("labeled", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    lab = conf.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    prd = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("pred_total")
+    )
+    tp = (
+        conf.filter(F.col("labeled") == F.col("pred"))
+        .groupBy(F.col("labeled").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    j = (
+        lab.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(prd), "cls", "left")
+        .select(
+            "cls",
+            "support",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("pred_total"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.col("support") - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        (2 * F.col("tp")).cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    perc = j.select("cls", "support", "tp", "fp", "fn", f1.alias("f1"))
+    f = perc.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("support").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("tp_tot"),
+        F.sum("fp").cast("long").alias("fp_tot"),
+        F.sum("fn").cast("long").alias("fn_tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cls", "f1"))), lambda s: s["f1"]
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sum_f1"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("cls", (F.col("support").cast("double") * F.col("f1")).alias("wf1"))
+                    )
+                ),
+                lambda s: s["wf1"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sum_wf1"),
+    )
+    return f.select(
+        F.col("k").alias("n_classes"),
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sum_f1") / F.col("k").cast("double"), 6).alias("macro_f1"),
+        F.round(
+            (2 * F.col("tp_tot")).cast("double")
+            / (2 * F.col("tp_tot") + F.col("fp_tot") + F.col("fn_tot")).cast("double"),
+            6,
+        ).alias("micro_f1"),
+        F.round(F.col("sum_wf1") / F.col("n").cast("double"), 6).alias("weighted_f1"),
+    )

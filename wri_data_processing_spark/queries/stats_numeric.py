@@ -6677,3 +6677,73 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("bh_rank"),
         "significant",
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "stats_wilson_ci",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events),
+    alg AS (
+      SELECT n, x,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             1.959964 * 1.959964 AS z2,
+             CAST(n AS DOUBLE) AS nd
+      FROM c)
+    SELECT n, x, ROUND(p, 6) AS p_hat,
+           ROUND((p + z2 / (2.0 * nd)
+                  - 1.959964 * sqrt(p * (1.0 - p) / nd
+                                    + z2 / (4.0 * nd * nd)))
+                 / (1.0 + z2 / nd), 6) AS wilson_lo95,
+           ROUND((p + z2 / (2.0 * nd)
+                  + 1.959964 * sqrt(p * (1.0 - p) / nd
+                                    + z2 / (4.0 * nd * nd)))
+                 / (1.0 + z2 / nd), 6) AS wilson_hi95,
+           ROUND(p - 1.959964 * sqrt(p * (1.0 - p) / nd), 6) AS wald_lo95,
+           ROUND(p + 1.959964 * sqrt(p * (1.0 - p) / nd), 6) AS wald_hi95
+    FROM alg
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for the purchase-rate proportion — the
+    CI every conversion report should quote instead of the Wald interval
+    it usually quotes (Wald collapses to zero width at p near 0/1 and
+    undercovers badly below n~100; Wilson inverts the score test and
+    stays calibrated). Both intervals are emitted so the comparison IS
+    the lesson; pairs with stats_proportion_ztest (the test this CI
+    inverts) and stats_odds_ratio (the 2x2 effect).
+
+    Exactness: (n, x) are exact integers; both intervals are ONE
+    mirrored double tree each (safe sqrt, PINNED z = 1.959964, z^2 as
+    the literal product). ROUND-6.
+
+    Plan: one map-side-combined 1-row fold, scalar algebra. Nothing
+    else.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    z = F.lit(1.959964)
+    z2 = z * z
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (F.lit(2.0) * nd)
+    wald_half = z * F.sqrt(p * (F.lit(1.0) - p) / nd)
+    return c.select(
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo95"),
+        F.round((center + half) / denom, 6).alias("wilson_hi95"),
+        F.round(p - wald_half, 6).alias("wald_lo95"),
+        F.round(p + wald_half, 6).alias("wald_hi95"),
+    )

@@ -769,23 +769,63 @@ class TestR8TestsAudit:
         assert abs(got["wald_lo95"] - (p - z * math.sqrt(p * (1 - p) / n))) < 1e-6
 
     def test_macro_f1(self, spark, sf_dir):
-        # independent recompute straight from eval_classifier_report's
-        # per-class table (itself integer-exact)
-        rep = registry.REGISTRY["eval_classifier_report"](spark, sf_dir).collect()
-        f1s = []
-        wsum = 0.0
-        n = tp = fp = fn = 0
-        for r in rep:
-            c_f1 = (
-                2 * r["tp"] / (2 * r["tp"] + r["fp"] + r["fn"])
-                if 2 * r["tp"] + r["fp"] + r["fn"] > 0
-                else 0.0
-            )
+        # Independent recompute STRAIGHT FROM RAW PARQUET (r12, ADVICE
+        # fix): re-derives the marker-word prediction in pure Python
+        # (padded non-overlapping substring counts — the exact semantics
+        # of both engines' replace-length trick), then scores per-class
+        # F1 on the sklearn FULL-UNION class axis (labeled ∪ predicted;
+        # support-0 classes keep F1=0 and their fp in the micro totals).
+        # Zero shared code with eval_metrics.py / eval_classifier_report.
+        from collections import Counter
+
+        markers = {
+            "en": ["the", "and", "with"],
+            "es": ["el", "la", "con"],
+            "fr": ["le", "la", "avec"],
+            "de": ["der", "und", "mit"],
+        }
+
+        def predict(text):
+            padded = f" {text} "
+            score = {
+                lang: sum(padded.count(f" {w} ") for w in ws)
+                for lang, ws in markers.items()
+            }
+            if score["en"] >= max(score["es"], score["fr"], score["de"]) and score["en"] > 0:
+                return "en"
+            if score["es"] >= max(score["fr"], score["de"]) and score["es"] > 0:
+                return "es"
+            if score["fr"] >= score["de"] and score["fr"] > 0:
+                return "fr"
+            if score["de"] > 0:
+                return "de"
+            return "unknown"
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        support = Counter(docs["lang"])
+        preds = [predict(t) for t in docs["text"]]
+        pred_total = Counter(preds)
+        tp_c = Counter(
+            lab for lab, pred in zip(docs["lang"], preds) if lab == pred
+        )
+        classes = sorted(set(support) | set(pred_total))
+        f1s, wsum = [], 0.0
+        tp = fp = fn = 0
+        for c in classes:
+            c_tp = tp_c.get(c, 0)
+            c_fp = pred_total.get(c, 0) - c_tp
+            c_fn = support.get(c, 0) - c_tp
+            denom = 2 * c_tp + c_fp + c_fn
+            c_f1 = 2 * c_tp / denom if denom > 0 else 0.0
             f1s.append(c_f1)
-            wsum += r["support"] * c_f1
-            n += r["support"]; tp += r["tp"]; fp += r["fp"]; fn += r["fn"]
+            wsum += support.get(c, 0) * c_f1
+            tp += c_tp; fp += c_fp; fn += c_fn
+        n = len(docs)
+        accuracy = sum(tp_c.values()) / n
         got = registry.REGISTRY["eval_macro_f1"](spark, sf_dir).first()
-        assert got["n_classes"] == len(rep) and got["n_docs"] == n
+        assert got["n_classes"] == len(classes) and got["n_docs"] == n
         assert abs(got["macro_f1"] - sum(f1s) / len(f1s)) < 1e-6
         assert abs(got["micro_f1"] - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+        # the identity the union axis restores (single-label): micro == accuracy
+        assert abs(got["micro_f1"] - accuracy) < 1e-6
         assert abs(got["weighted_f1"] - wsum / n) < 1e-6

@@ -1023,13 +1023,17 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp AS (
       SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS tp
       FROM conf WHERE labeled = pred GROUP BY 1),
+    cls AS (
+      SELECT cls FROM lab UNION SELECT cls FROM prd),
     j AS (
-      SELECT lab.cls, lab.support,
+      SELECT cls.cls,
+             COALESCE(lab.support, 0) AS support,
              COALESCE(tp.tp, 0) AS tp,
              COALESCE(prd.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
-             lab.support - COALESCE(tp.tp, 0) AS fn
-      FROM lab LEFT JOIN tp ON lab.cls = tp.cls
-               LEFT JOIN prd ON lab.cls = prd.cls),
+             COALESCE(lab.support, 0) - COALESCE(tp.tp, 0) AS fn
+      FROM cls LEFT JOIN lab ON cls.cls = lab.cls
+               LEFT JOIN tp ON cls.cls = tp.cls
+               LEFT JOIN prd ON cls.cls = prd.cls),
     perc AS (
       SELECT cls, support, tp, fp, fn,
              CASE WHEN 2 * tp + fp + fn > 0
@@ -1059,11 +1063,19 @@ def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic in one row — the three averaging conventions a model card
     must distinguish (macro exposes the dead minority classes the
     heuristic never predicts; micro equals accuracy for single-label
-    classification; weighted sits between): the scalar summary layer
-    over eval_classifier_report's per-class table, the way
-    retrieval_eval_pipeline summarizes eval_retrieval_per_query.
-    Convention: absent-class F1 counts as 0 in the macro mean (sklearn's
-    zero_division=0), stated because it is the contested choice.
+    classification; weighted sits between).
+
+    Class axis (r12, ADVICE fix): the FULL OUTER UNION of labeled and
+    predicted classes — sklearn's convention. A predicted-only class
+    (e.g. 'unknown' when no doc is labeled unknown) enters with
+    support=0, tp=0, fn=0 and its false positives COUNT in the micro
+    totals; its per-class F1 is 0 (zero_division=0) and it dilutes the
+    macro mean by widening k. With the union axis micro-F1 provably
+    equals accuracy for single-label classification (fp_tot = fn_tot =
+    n_docs - tp_tot); the pre-r12 labels-only axis broke that identity
+    (micro 0.327 vs accuracy 0.292 on the sf0.01 fixture) by dropping
+    the 'unknown' predictions' fp. Weighted-F1 is numerically unchanged
+    (support-0 classes carry zero weight).
 
     Exactness: tp/fp/fn are exact integers; per-class F1 = 2tp/(2tp+
     fp+fn) from integers; the k-term macro/weighted folds run in FIXED
@@ -1094,16 +1106,16 @@ def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("tp"))
     )
     j = (
-        lab.join(F.broadcast(tp), "cls", "left")
-        .join(F.broadcast(prd), "cls", "left")
+        lab.join(prd, "cls", "full_outer")
+        .join(F.broadcast(tp), "cls", "left")
         .select(
             "cls",
-            "support",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
             F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
             (F.coalesce(F.col("pred_total"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
             .cast("long")
             .alias("fp"),
-            (F.col("support") - F.coalesce(F.col("tp"), F.lit(0)))
+            (F.coalesce(F.col("support"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
             .cast("long")
             .alias("fn"),
         )

@@ -977,3 +977,66 @@ def test_page_hinkley_checkpoint_recovery(spark, sf_dir, tmp_path):
         assert g["n_days"] == t and g["n_alarms"] == nal, et
         assert g["first_alarm_day"] == first, et
         assert abs(g["m_ph"] - m / 1e9) < 1e-6, et
+
+
+def test_page_hinkley_state_survives_int64_overflow(spark, tmp_path):
+    """ADVICE r11: cum_fs = SUM floor(S_s*1e9/s) wraps int64 once a key's
+    cumulative count clears ~9.2e9. The state now carries cum_fs/min_m as
+    decimal-digit strings folded in Python bigints; feed counts of ~4e17
+    per day (cum_fs ~1e28 after 10 days — 10**9 times past int64) split
+    across TWO drops through the SAME checkpoint, and require the exact
+    bigint fold on the far side of both the overflow and the recovery."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        page_hinkley,
+        read_daily_stream,
+    )
+
+    rows = [("big", f"2024-01-{i:02d}", 4 * 10**17 + i * 10**13) for i in range(1, 11)]
+    t = s = cumfs = nal = 0
+    minm = first = None
+    m = gap = 0
+    for d, n in [(r[1], r[2]) for r in rows]:
+        t += 1
+        s += n
+        cumfs += s * 10**9 // t
+        m = s * 10**9 - cumfs
+        minm = m if minm is None else min(minm, m)
+        gap = m - minm
+        if 2 * t * gap > s * 10**9:
+            nal += 1
+            if first is None:
+                first = d
+    assert cumfs > 2**63  # the premise: the old LongType field WOULD wrap
+
+    src = str(tmp_path / "ph_big_src")
+    ckpt = str(tmp_path / "ckpt_ph_big")
+    daily = spark.createDataFrame(rows, "event_type string, d string, n long")
+
+    def _drain(sink):
+        def _s(batch_df, batch_id):
+            sink.extend(batch_df.collect())
+        return _s
+
+    def _run(sink):
+        q = (
+            page_hinkley(read_daily_stream(spark, src))
+            .writeStream.foreachBatch(_drain(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    daily.filter(F.col("d") <= "2024-01-05").coalesce(1).write.mode("append").parquet(src)
+    run1: list = []
+    _run(run1)
+    assert run1 and all(r["n_days"] < t for r in run1)
+    daily.filter(F.col("d") > "2024-01-05").coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    _run(run2)
+    got = max(run2, key=lambda r: r["n_days"])
+    assert got["n_days"] == t and got["n_alarms"] == nal
+    assert got["first_alarm_day"] == first
+    assert abs(got["m_ph"] - m / 1e9) < max(1e-6, abs(m / 1e9) * 1e-12)
+    assert abs(got["gap"] - gap / 1e9) < max(1e-6, abs(gap / 1e9) * 1e-12)

@@ -957,12 +957,18 @@ PH_SCHEMA = StructType(
         StructField("first_alarm_day", StringType()),
     ]
 )
+# cumfs/minm ride as DECIMAL-DIGIT STRINGS, not longs (ADVICE r11): cumfs
+# = SUM_{s<=t} floor(S_s*1e9/s) grows ~n_days * S_mean * 1e9 and wraps
+# int64 once a key's cumulative count S crosses ~9.2e9 — easily reached
+# per event type at 100 TB. Python-bigint arithmetic is exact at any
+# magnitude; stringifying for the state row is the streaming analog of
+# the batch twin folding m_i in DECIMAL(38,0) (events_page_hinkley).
 _PH_STATE_SCHEMA = StructType(
     [
         StructField("t", LongType()),
         StructField("s", LongType()),
-        StructField("cumfs", LongType()),
-        StructField("minm", LongType()),
+        StructField("cumfs", StringType()),
+        StructField("minm", StringType()),
         StructField("nal", LongType()),
         StructField("first", StringType()),
     ]
@@ -978,9 +984,13 @@ def page_hinkley(daily: DataFrame) -> DataFrame:
 
     The batch op's telescoped integer algebra IS the state design:
     m_t = S_t*1e9 - SUM_{s<=t} floor(S_s*1e9/s) needs exactly
-    (t, S_t, cum_fs, min_m) — four BIGINTs per key, constant forever —
+    (t, S_t, cum_fs, min_m) — four integers per key, constant forever —
     instead of the unbounded raw series a naive running-mean recursion
-    would keep. The alarm is the cross-multiplied pure-integer compare
+    would keep. t and S_t are BIGINTs; cum_fs and min_m are carried as
+    decimal-digit STRINGS because cum_fs grows ~t * S_mean * 1e9 and
+    wraps int64 at large per-key counts (ADVICE r11) — Python bigints
+    keep the fold exact at any magnitude, matching the batch twin's
+    DECIMAL(38,0) discipline. The alarm is the cross-multiplied pure-integer compare
     2*t*gap > S_t*1e9 against the RUNNING mean (a stream has no final
     mean; the batch op's lambda uses the full-series mean — the
     equivalence test recomputes this running-lambda convention in exact
@@ -996,9 +1006,11 @@ def page_hinkley(daily: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         et = key[0]
-        t, s, cumfs, minm, nal, first = (
-            state.get if state.exists else (0, 0, 0, None, 0, None)
+        t, s, cumfs_s, minm_s, nal, first = (
+            state.get if state.exists else (0, 0, "0", None, 0, None)
         )
+        cumfs = int(cumfs_s)
+        minm = int(minm_s) if minm_s is not None else None
         batch = pd.concat(list(pdfs), ignore_index=True)
         m = s * 1_000_000_000 - cumfs if t else 0
         gap = (m - minm) if minm is not None else 0
@@ -1014,7 +1026,9 @@ def page_hinkley(daily: DataFrame) -> DataFrame:
                     nal += 1
                     if first is None:
                         first = row.d
-        state.update((t, s, cumfs, minm, nal, first))
+        state.update(
+            (t, s, str(cumfs), str(minm) if minm is not None else None, nal, first)
+        )
         yield pd.DataFrame(
             {
                 "event_type": [et],

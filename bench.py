@@ -397,7 +397,13 @@ def main() -> None:
             quiet_candidates.append(float(_pre["cpu_sec"]))
     except (OSError, ValueError):
         pass
-    quiet_pre_cpu_sec = min(quiet_candidates)
+    # Robust floor (ADVICE r11): an unguarded min would let ONE glitched
+    # (anomalously low) historical probe permanently inflate load_factor
+    # and flatter value_load_normalized forever after. Discard candidates
+    # below half the candidate median before taking the min — the median
+    # itself always survives its own cut, so the set is never empty.
+    _med = statistics.median(quiet_candidates)
+    quiet_pre_cpu_sec = min(c for c in quiet_candidates if c >= 0.5 * _med)
     load_factor = max(1.0, probe_pre["cpu_sec"] / quiet_pre_cpu_sec)
     raw_total = round(sum(timings.values()), 3)
     out = {

@@ -263,6 +263,30 @@ SHOWCASE = [
     ("orders_abc_classification", "descending cumulative via two-phase "
      "prefix sums over a packed unique key — no data-sized self-join, "
      "no global window"),
+    # r12: close the r11 doc drift (VERDICT #5/#7) — the two unpinned
+    # expensive headline plans plus the five r11 ops PLANS.md missed
+    ("dedup_clusters_unique", "exact-dup collapse is ONE sha2-digest "
+     "groupBy (32-byte keys, map-side combined) checkpointed once for "
+     "both consumers; near-dup join runs on representatives only; star "
+     "edges keep the graph linear in duplication; LPA pointer-jumping "
+     "rounds localCheckpoint per round"),
+    ("stats_bartlett", "one map-side-combined per-type moment fold "
+     "(n, sum, sum of squares in decimal38), then the k-group pooled-"
+     "variance algebra on the |types|-row frame — no joins, no window"),
+    ("stats_wilson_ci", "ONE map-side-combined scalar fold over the scan "
+     "(n, x); Wilson and Wald bounds are scalar algebra on the 1-row "
+     "frame"),
+    ("eval_macro_f1", "scan-fused confusion aggregate to <= |langs|^2 "
+     "rows, two bounded rollups, FULL-OUTER class-union join "
+     "(broadcastable), ordered per-class F1 fold in one 1-row close"),
+    ("multimodal_image_entropy", "decode + 8-bin histogram inside the "
+     "Arrow-batched mapInPandas (8 longs cross the boundary per image); "
+     "the c·ln c entropy algebra is JVM column expressions in fixed "
+     "b0..b7 order"),
+    ("maintenance_compaction_plan", "one partition rollup, first-fit "
+     "assignment as integer floor over an exact ordered cumulative sum "
+     "on the |months|-row frame — planning-as-data, no data-sized stage "
+     "after the rollup"),
 ]
 
 

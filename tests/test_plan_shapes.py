@@ -501,3 +501,81 @@ def test_retrieval_eval_pipeline_plan(spark, sf_dir):
             assert "qid" in cols, f"global sort over the pool: {cols}"
     # one ranked pool, one closing fold: a single row_number subtree
     assert plan.count("row_number") <= 2  # spec + function slot, one window
+
+
+def test_lpa_round_shape(spark, sf_dir):
+    """VERDICT r11 item 5: pin ONE label-propagation round of the
+    dedup_clusters_unique core (the slowest previously-unpinned headline
+    plan). The round is three equi-joins + one min-aggregate over
+    checkpointed inputs: all JVM-side (no Python eval anywhere in the
+    hot loop) and at most 7 shuffle exchanges (2 per data-sized join +
+    the union-aggregate; AQE shrinks these at runtime but the compiled
+    shape is the scale contract). A refactor that sneaks a cartesian,
+    a Python boundary, or an extra exchange into the per-round loop
+    fails here."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark.queries.llm_dedup import cluster_edges_unique
+
+    edges = cluster_edges_unique(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    msgs = edges.join(labels, edges.dst == labels.node).select(
+        edges.src.alias("node"), "lbl"
+    )
+    hop = msgs.unionByName(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+    new_labels = (
+        hop.join(
+            hop.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")),
+            hop.lbl == F.col("jnode"),
+            "left",
+        )
+        .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
+    )
+    plan = new_labels._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, node
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _n_exchanges(plan) <= 7, plan
+
+
+def test_bpe_round_shape(spark, sf_dir):
+    """VERDICT r11 item 5: pin ONE BPE training round (the
+    tokenizer_pipeline / bpe_train_rounds core). The pair-count is the
+    round's ONLY shuffle (pairs zip inside the symbol array — no
+    posexplode self-join), it partial-aggregates map-side, the argmax is
+    TakeOrderedAndProject(1) (never a global sort), and nothing crosses
+    into Python."""
+    from pyspark.sql import functions as F
+
+    from wri_data_processing_spark.catalog import table
+    from wri_data_processing_spark.queries.llm_pipeline import _bpe_word_syms
+
+    syms = _bpe_word_syms(table(spark, sf_dir, "documents"))
+    idx = F.sequence(F.lit(0), F.size("syms") - 2)
+    pair_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("syms"), (i + 1).cast("int")).alias("left_tok"),
+            F.element_at(F.col("syms"), (i + 2).cast("int")).alias("right_tok"),
+        ),
+    )
+    pc = (
+        syms.filter(F.size("syms") >= 2)
+        .select("cnt", F.explode(pair_structs).alias("p"))
+        .groupBy("p.left_tok", "p.right_tok")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+    )
+    best = pc.orderBy(F.col("n_pairs").desc(), "left_tok", "right_tok").limit(1)
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node

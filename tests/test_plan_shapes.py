@@ -579,3 +579,23 @@ def test_bpe_round_shape(spark, sf_dir):
     assert _n_exchanges(plan) == 1, plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
+
+
+def test_pii_and_quality_ops_are_scan_stage_only(spark, sf_dir):
+    """r12 family contract: pii_detect_report, pii_redact and
+    quality_classifier_score are per-document projections — ZERO shuffle
+    exchanges, zero Python nodes (regex, Luhn fold, trigram hash fold
+    all JVM-side). At 100 TB these run at reader throughput."""
+    for name in ("pii_detect_report", "pii_redact", "quality_classifier_score"):
+        plan = _plan(spark, sf_dir, name)
+        assert _n_exchanges(plan) == 0, (name, plan)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
+
+
+def test_pii_prevalence_single_shuffle(spark, sf_dir):
+    """The rollup's ONLY exchange is the map-side-combined source groupBy
+    (plus its ORDER BY range partitioning for the |sources|-row output)."""
+    plan = _plan(spark, sf_dir, "pii_prevalence_by_source")
+    assert _n_exchanges(plan) <= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

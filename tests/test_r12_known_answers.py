@@ -363,3 +363,104 @@ class TestPageHinkleyKnownAnswer:
             assert abs(r["m_ph"] - m_ph) < 1e-9, d
             assert abs(r["gap"] - gap) < 1e-9, d
             assert r["alarm"] == alarm, d
+
+
+class TestQualityClassifierKnownAnswer:
+    def test_quality_classifier_score(self, spark, sf_dir):
+        # independent recompute: hashlib sha256 per trigram, the pinned
+        # weight formula restated (weights are CONFIG; what this verifies
+        # independently is the hashing/feature/fold/sigmoid pipeline)
+        W = [((j * 2654435761) % 4097) - 2048 for j in range(64)]
+        d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        want = {}
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            if len(text) < 3:
+                continue
+            wsum = 0
+            for i in range(len(text) - 2):
+                h = int(
+                    hashlib.sha256(text[i : i + 3].encode()).hexdigest()[:15], 16
+                )
+                wsum += W[h % 64]
+            n = len(text) - 2
+            logit = wsum / (1024.0 * n)
+            score = 1.0 / (1.0 + math.exp(-logit))
+            bucket = "high" if score >= 0.6 else ("low" if score <= 0.4 else "mid")
+            want[int(doc_id)] = (n, logit, score, bucket)
+        got = {
+            r["doc_id"]: r
+            for r in registry.REGISTRY["quality_classifier_score"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for doc_id, (n, logit, score, bucket) in want.items():
+            r = got[doc_id]
+            assert r["n_ngrams"] == n, doc_id
+            assert abs(r["logit"] - logit) < 1e-6, doc_id
+            assert abs(r["score"] - score) < 1e-6, doc_id
+            assert r["bucket"] == bucket, doc_id
+        # the classifier must be a live decision on this fixture, not a
+        # constant column
+        assert len({b for (_, _, _, b) in want.values()}) >= 2
+
+
+class TestPiiKnownAnswer:
+    def test_pii_detect_report(self, spark, sf_dir):
+        # independent recompute with Python re + a hand-rolled Luhn — no
+        # shared regex engine, no shared augmentation code (restated here)
+        d = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def augment(doc_id, text):
+            t = text
+            if doc_id % 7 == 0:
+                t += f" mail u{doc_id}@example.com"
+            if doc_id % 5 == 0:
+                t += f" call 415-555-{doc_id % 10000:04d}"
+            if doc_id % 11 == 0:
+                t += f" ip 10.{doc_id % 256}.0.{(doc_id * 3) % 256}"
+            if doc_id % 13 == 0:
+                t += f" ssn {doc_id % 1000:03d}-{doc_id % 100:02d}-{doc_id % 10000:04d}"
+            if doc_id % 3 == 0:
+                t += f" card {(doc_id * 7919) % 10**16:016d}"
+            return t
+
+        def luhn_ok(s):
+            total = 0
+            for i, ch in enumerate(reversed(s)):
+                v = int(ch)
+                total += (v * 2 - 9 if v * 2 > 9 else v * 2) if i % 2 == 1 else v
+            return total % 10 == 0
+
+        pats = {
+            "n_emails": re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            "n_phones": re.compile(r"\b\d{3}-\d{3}-\d{4}\b"),
+            "n_ipv4": re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+            "n_ssn": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+        }
+        card = re.compile(r"\b\d{16}\b")
+        got = {
+            r["doc_id"]: r
+            for r in registry.REGISTRY["pii_detect_report"](spark, sf_dir).collect()
+        }
+        n_luhn_total = 0
+        n_card_total = 0
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            t = augment(doc_id, text)
+            r = got[doc_id]
+            for col, pat in pats.items():
+                assert r[col] == len(pat.findall(t)), (doc_id, col)
+            cards = card.findall(t)
+            valid = sum(1 for c in cards if luhn_ok(c))
+            assert r["n_cards_luhn"] == valid, doc_id
+            n_card_total += len(cards)
+            n_luhn_total += valid
+            want_any = any(
+                len(p.findall(t)) for p in pats.values()
+            ) or valid > 0
+            assert r["has_pii"] == want_any, doc_id
+        # Luhn must be a real decision: some candidates pass, most don't
+        assert 0 < n_luhn_total < n_card_total

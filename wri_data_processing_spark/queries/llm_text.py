@@ -1578,3 +1578,99 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kn_xent"),
     )
+
+
+# fastText-style linear quality scorer (r12 — VERDICT r11 item 4): hashed
+# char-trigram features x a PINNED weight vector. The weights are CONFIG,
+# not data: W[j] = ((j * 2654435761) % 4097) - 2048 (Knuth's multiplicative
+# constant; values span [-2048, 2048]), evaluated once at import so the
+# plans see only integer literals (the _DCG_W discipline). A real
+# deployment ships trained weights in exactly this shape; the operator —
+# feature hashing, bucket lookup, fold, sigmoid — is unchanged.
+_QC_D = 64
+_QC_W = [((j * 2654435761) % 4097) - 2048 for j in range(_QC_D)]
+_QC_SCALE = 1024.0  # integer weights -> logit units
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, CAST(length(text) - 2 AS BIGINT) AS n_ngrams
+      FROM documents WHERE length(text) >= 3),
+    f AS (
+      SELECT doc_id, n_ngrams,
+             list_aggregate(
+               list_transform(generate_series(1, CAST(n_ngrams AS INTEGER)),
+                 i -> ([{", ".join(str(w) for w in _QC_W)}])[
+                        CAST((CAST(('0x' || substring(
+                               sha256(substring(text, i, 3)), 1, 15))
+                              AS BIGINT) % {_QC_D}) + 1 AS INTEGER)]),
+               'sum') AS wsum
+      FROM s),
+    alg AS (
+      SELECT doc_id, n_ngrams,
+             CAST(wsum AS DOUBLE)
+               / ({_QC_SCALE} * CAST(n_ngrams AS DOUBLE)) AS logit
+      FROM f)
+    SELECT doc_id, n_ngrams,
+           ROUND(logit, 6) AS logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS score,
+           CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.6 THEN 'high'
+                WHEN 1.0 / (1.0 + exp(-logit)) <= 0.4 THEN 'low'
+                ELSE 'mid' END AS bucket
+    FROM alg
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over hashed char-trigram
+    features — the standard quality-filtering stage between
+    text_gopher_rules (hand rules) and quality_perplexity_buckets (LM
+    score): every overlapping 3-char window hashes into one of 64
+    buckets (sha-slice mod D — the oracle-mirrorable hash; a production
+    run swaps in xxhash64 with the same topology), the bucket's PINNED
+    integer weight accumulates, and the mean weight passes through a
+    sigmoid to a [0,1] quality score with high/mid/low buckets at
+    0.6/0.4.
+
+    Exactness: the weight fold is an exact integer sum (|W| <= 2048,
+    n-gram count <= |text|, no overflow until ~4e15 chars/doc); the
+    logit is ONE division of exact values -> bit-identical double; exp
+    round-trips bit-identically on identical input (the stats_odds_ratio
+    probe), and the bucket compares the UNROUNDED sigmoid. ROUND-6 on
+    emitted logit/score.
+
+    Plan at 100 TB: scan-stage only — trigram windows materialize
+    inside transform() (never exploded), the fold runs per row, zero
+    exchanges (pinned). Reader-throughput, like pii_detect_report.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    w_arr = F.array(*[F.lit(w) for w in _QC_W])
+    text = F.col("text")
+    n_ngrams = (F.length(text) - 2).cast("long")
+
+    def bucket_weight(i: F.Column) -> F.Column:
+        ng = F.substr(text, i, F.lit(3))
+        h = F.conv(F.substring(F.sha2(ng, 256), 1, 15), 16, 10).cast("long")
+        return F.element_at(w_arr, (h % _QC_D + 1).cast("int"))
+
+    wsum = F.aggregate(
+        F.sequence(F.lit(1), F.length(text) - 2),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + bucket_weight(i),
+    )
+    s = d.select("doc_id", n_ngrams.alias("n_ngrams"), wsum.alias("wsum"))
+    logit = F.col("wsum").cast("double") / (
+        F.lit(_QC_SCALE) * F.col("n_ngrams").cast("double")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return s.select(
+        "doc_id",
+        "n_ngrams",
+        F.round(logit, 6).alias("logit"),
+        F.round(score, 6).alias("score"),
+        F.when(score >= 0.6, F.lit("high"))
+        .when(score <= 0.4, F.lit("low"))
+        .otherwise(F.lit("mid"))
+        .alias("bucket"),
+    )

@@ -155,6 +155,7 @@ def load_all() -> None:
         llm_similarity,
         llm_text,
         multimodal,
+        pii,
         relational,
         scalar_fns,
         scale_patterns,

@@ -287,6 +287,17 @@ SHOWCASE = [
      "assignment as integer floor over an exact ordered cumulative sum "
      "on the |months|-row frame — planning-as-data, no data-sized stage "
      "after the rollup"),
+    # r12 wave: PII family + quality classifier
+    ("pii_detect_report", "SCAN-STAGE ONLY: regex counts and the Luhn "
+     "digit fold are per-document projections inside WholeStageCodegen "
+     "— zero exchanges, zero Python; reader throughput at 100 TB"),
+    ("pii_redact", "the regexp_replace masking chain as one scan-stage "
+     "projection — zero exchanges; text never shuffles"),
+    ("pii_prevalence_by_source", "detectors scan-stage, ONE map-side-"
+     "combined groupBy on source; |sources| rows out"),
+    ("quality_classifier_score", "trigram windows materialize inside "
+     "transform() (never exploded); hash + weight lookup + fold are one "
+     "scan-stage expression — zero exchanges"),
 ]
 
 

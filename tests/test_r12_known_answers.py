@@ -464,3 +464,21 @@ class TestPiiKnownAnswer:
             assert r["has_pii"] == want_any, doc_id
         # Luhn must be a real decision: some candidates pass, most don't
         assert 0 < n_luhn_total < n_card_total
+
+    def test_pii_redact_leaves_no_detectable_pii(self, spark, sf_dir):
+        """Completeness property: running the detectors (independent
+        Python re) over the REDACTED text finds zero matches of any type
+        — masking that misses a span or re-creates a match by
+        concatenation fails here."""
+        pats = [
+            re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            re.compile(r"\b\d{3}-\d{3}-\d{4}\b"),
+            re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+            re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+            re.compile(r"\b\d{16}\b"),
+        ]
+        rows = registry.REGISTRY["pii_redact"](spark, sf_dir).collect()
+        assert any(r["changed"] for r in rows)
+        for r in rows:
+            for pat in pats:
+                assert not pat.search(r["redacted_text"]), (r["doc_id"], pat.pattern)

@@ -2,7 +2,11 @@
 
 The §2.12 staple the registry lacked: for a 100 TB training-data pipeline
 PII handling is a day-one requirement alongside dedup/decontamination.
-Three operators:
+(The r2-era ``text_pii_scrub`` in llm_text.py is the two-pattern teaching
+twin — email+phone on a 200-doc slice; this family is the
+production-shaped surface: five types, a Luhn checksum that actually
+decides, a per-document report and the per-source prevalence rollup a
+privacy review reads.) Three operators:
 
 - ``pii_detect_report``  — per-document counts by PII type (email, phone,
   IPv4, SSN-shaped, credit-card with Luhn check);

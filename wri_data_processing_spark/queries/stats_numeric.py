@@ -3622,7 +3622,7 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cv)
     SELECT n, w2_plus, w2_minus,
            ROUND(CAST(w2_plus - n * (n + 1) // 2 AS DOUBLE)
-                 / (2.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) // 6 AS DOUBLE))),
+                 / sqrt(CAST(n * (n + 1) * (2 * n + 1) // 6 AS DOUBLE)),
                  6) AS z
     FROM t
     """,
@@ -3639,12 +3639,16 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (x 1e6), so |d| grouping and ordering are pure integers.
     Average tie ranks use the DOUBLED-rank trick from
     stats_kruskal_wallis (2*cnt_less + cnt_eq + 1 is always integer), so
-    W2+ = 2*W+ stays BIGINT. The z numerator 2*(W+ - n(n+1)/4) =
-    W2+ - n(n+1)/2 is integer (n(n+1) is even), the variance
-    n(n+1)(2n+1)/6 is the integer sum of squares, and z is one IEEE
-    division over 2*sqrt(integer) — sqrt is cross-engine safe, ROUND-6
-    closes it. (No tie-correction term; ties are measure-zero in scaled
-    micro-units and both engines would drop the identical term.)
+    W2+ = 2*W+ stays BIGINT. The z statistic works entirely on the
+    DOUBLED scale: E[W2+] = n(n+1)/2 (integer — n(n+1) is even) and
+    Var(W2+) = 4*Var(W+) = n(n+1)(2n+1)/6, the integer sum of squares,
+    so z = (W2+ - n(n+1)/2) / sqrt(n(n+1)(2n+1)/6) — ONE IEEE division
+    over the safe sqrt, ROUND-6. (r12 fix, found by the known-answer
+    net: the original denominator carried a spurious extra factor 2 —
+    2*sqrt(Var(W2+)) = 4*sigma(W+) — emitting z/2; the mirrored oracle
+    shared the error, the 4th formula bug caught this way. No
+    tie-correction term; ties are measure-zero in scaled micro-units
+    and both engines would drop the identical term.)
 
     Plan: one map-side-combined per-user aggregate (the epoch midpoint
     is ALL-INTEGER, a 1-row broadcast — the stats_proportion_ztest
@@ -3693,9 +3697,8 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (
         F.col("w2_plus") - F.expr("n * (n + 1) div 2")
-    ).cast("double") / (
-        F.lit(2.0)
-        * F.sqrt(F.expr("CAST(n * (n + 1) * (2 * n + 1) div 6 AS DOUBLE)"))
+    ).cast("double") / F.sqrt(
+        F.expr("CAST(n * (n + 1) * (2 * n + 1) div 6 AS DOUBLE)")
     )
     return t.select("n", "w2_plus", "w2_minus", F.round(z, 6).alias("z"))
 

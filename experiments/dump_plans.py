@@ -298,6 +298,10 @@ SHOWCASE = [
     ("quality_classifier_score", "trigram windows materialize inside "
      "transform() (never exploded); hash + weight lookup + fold are one "
      "scan-stage expression — zero exchanges"),
+    ("privacy_pipeline", "the 8th flagship: detect + redact + residual-"
+     "verify fuse into ONE scan-stage projection (text never shuffles); "
+     "the per-source rollup is the family's single map-side-combined "
+     "groupBy"),
 ]
 
 

@@ -599,3 +599,14 @@ def test_pii_prevalence_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_prevalence_by_source")
     assert _n_exchanges(plan) <= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_privacy_pipeline_single_shuffle(spark, sf_dir):
+    """The 8th flagship's composition contract: detect + redact + verify
+    fuse into the scan stage; the ONLY exchanges are the source rollup
+    (+ its ORDER BY range partitioning). No Python, no join."""
+    plan = _plan(spark, sf_dir, "privacy_pipeline")
+    assert _n_exchanges(plan) <= 2, plan
+    assert "Join" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

@@ -482,3 +482,72 @@ class TestPiiKnownAnswer:
         for r in rows:
             for pat in pats:
                 assert not pat.search(r["redacted_text"]), (r["doc_id"], pat.pattern)
+
+    def test_privacy_pipeline(self, spark, sf_dir):
+        """Composed-flagship reference: rebuild the per-source rollup from
+        the wave-1 detect/redact references and require docs_residual_pii
+        == 0 everywhere (the release gate the verify stage exists for)."""
+        d = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+
+        def augment(doc_id, text):
+            t = text
+            if doc_id % 7 == 0:
+                t += f" mail u{doc_id}@example.com"
+            if doc_id % 5 == 0:
+                t += f" call 415-555-{doc_id % 10000:04d}"
+            if doc_id % 11 == 0:
+                t += f" ip 10.{doc_id % 256}.0.{(doc_id * 3) % 256}"
+            if doc_id % 13 == 0:
+                t += f" ssn {doc_id % 1000:03d}-{doc_id % 100:02d}-{doc_id % 10000:04d}"
+            if doc_id % 3 == 0:
+                t += f" card {(doc_id * 7919) % 10**16:016d}"
+            return t
+
+        def luhn_ok(s):
+            total = 0
+            for i, ch in enumerate(reversed(s)):
+                v = int(ch)
+                total += (v * 2 - 9 if v * 2 > 9 else v * 2) if i % 2 == 1 else v
+            return total % 10 == 0
+
+        pats = [
+            re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            re.compile(r"\b\d{3}-\d{3}-\d{4}\b"),
+            re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+            re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+        ]
+        card = re.compile(r"\b\d{16}\b")
+        reps = [
+            (pats[0], "[EMAIL]"), (card, "[CARD]"), (pats[3], "[SSN]"),
+            (pats[1], "[PHONE]"), (pats[2], "[IP]"),
+        ]
+
+        def n_pii(t):
+            return sum(len(p.findall(t)) for p in pats) + sum(
+                1 for c in card.findall(t) if luhn_ok(c)
+            )
+
+        per = {}
+        for doc_id, text, src in zip(d["doc_id"], d["text"], d["source"]):
+            t = augment(int(doc_id), text)
+            rt = t
+            for pat, tok in reps:
+                rt = pat.sub(tok, rt)
+            row = per.setdefault(src, [0, 0, 0, 0, 0])
+            row[0] += 1
+            row[1] += int(n_pii(t) > 0)
+            row[2] += int(rt != t)
+            row[3] += len(t) - len(rt)
+            row[4] += int(n_pii(rt) > 0)
+        got = registry.REGISTRY["privacy_pipeline"](spark, sf_dir).collect()
+        assert {r["source"] for r in got} == set(per)
+        for r in got:
+            n, had, chg, rem, res = per[r["source"]]
+            assert (
+                r["n_docs"], r["docs_with_pii"], r["docs_redacted"],
+                r["chars_removed"], r["docs_residual_pii"],
+            ) == (n, had, chg, rem, res), r["source"]
+            assert r["docs_residual_pii"] == 0, r["source"]
+            assert abs(r["pii_doc_rate"] - had / n) < 1e-6, r["source"]

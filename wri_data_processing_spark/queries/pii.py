@@ -371,3 +371,120 @@ def pii_prevalence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _detect_exprs_sql(t: str) -> str:
+    """Total PII matches over a text expression ``t`` (DuckDB side)."""
+    return (
+        f"len(regexp_extract_all({t}, '{_RE_EMAIL}'))"
+        f" + len(regexp_extract_all({t}, '{_RE_PHONE}'))"
+        f" + len(regexp_extract_all({t}, '{_RE_IPV4}'))"
+        f" + len(regexp_extract_all({t}, '{_RE_SSN}'))"
+        f" + len(list_filter(regexp_extract_all({t}, '{_RE_CARD}'),"
+        f"                   c -> {_luhn_ok_sql('c')}))"
+    )
+
+
+@query(
+    "privacy_pipeline",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_PII_TEXT_SQL} AS t FROM documents),
+    red AS (
+      SELECT doc_id, source, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                     '{_RE_CARD}', '[CARD]', 'g'),
+                   '{_RE_SSN}', '[SSN]', 'g'),
+                 '{_RE_PHONE}', '[PHONE]', 'g'),
+               '{_RE_IPV4}', '[IP]', 'g') AS rt
+      FROM aug),
+    per AS (
+      SELECT source,
+             CASE WHEN {_detect_exprs_sql('t')} > 0 THEN 1 ELSE 0 END AS had,
+             CASE WHEN rt <> t THEN 1 ELSE 0 END AS changed,
+             CAST(length(t) - length(rt) AS BIGINT) AS removed,
+             CASE WHEN {_detect_exprs_sql('rt')} > 0 THEN 1 ELSE 0 END AS residual
+      FROM red)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(had) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(changed) AS BIGINT) AS docs_redacted,
+           CAST(SUM(removed) AS BIGINT) AS chars_removed,
+           CAST(SUM(residual) AS BIGINT) AS docs_residual_pii,
+           ROUND(CAST(SUM(had) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS pii_doc_rate
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH composed flagship: the privacy pass a corpus release runs
+    end to end — DETECT (the pii_detect_report detectors), REDACT (the
+    pii_redact masking chain), VERIFY (re-run the detectors on the
+    REDACTED text — the residual count is the release gate and must be
+    zero), and the per-source rollup a privacy review signs off on.
+    The verify stage is what makes it a pipeline rather than a join of
+    the two ops: a masking chain that misses a span, or re-creates a
+    match by concatenating fragments, shows up as docs_residual_pii > 0
+    in BOTH engines — the oracle proves the closure property itself.
+
+    Exactness: all stage outputs are exact integers off JVM regex/Luhn
+    expressions; one mirrored division (the rate), ROUND-6.
+
+    Plan at 100 TB: detect + redact + verify are ONE scan-stage
+    projection (the three stages fuse — no intermediate materialization,
+    text never shuffles); the rollup is the family's single map-side-
+    combined groupBy on source. Composition overhead over
+    pii_prevalence_by_source: one regexp_replace chain and one second
+    detector pass, both per-row scan work.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _pii_text_col()
+
+    def n_pii(col: F.Column) -> F.Column:
+        total = sum(
+            (
+                F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0)))
+                for p in (_RE_PHONE, _RE_IPV4, _RE_SSN)
+            ),
+            F.size(F.regexp_extract_all(col, F.lit(_RE_EMAIL), F.lit(0))),
+        )
+        cards = F.filter(
+            F.regexp_extract_all(col, F.lit(_RE_CARD), F.lit(0)),
+            lambda c: _luhn_ok_col(c),
+        )
+        return total + F.size(cards)
+
+    red = t
+    for pat, tok in [
+        (_RE_EMAIL, "[EMAIL]"),
+        (_RE_CARD, "[CARD]"),
+        (_RE_SSN, "[SSN]"),
+        (_RE_PHONE, "[PHONE]"),
+        (_RE_IPV4, "[IP]"),
+    ]:
+        red = F.regexp_replace(red, pat, tok)
+    per = d.select(
+        "source",
+        F.when(n_pii(t) > 0, 1).otherwise(0).alias("had"),
+        F.when(red != t, 1).otherwise(0).alias("changed"),
+        (F.length(t) - F.length(red)).cast("long").alias("removed"),
+        F.when(n_pii(red) > 0, 1).otherwise(0).alias("residual"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("had").cast("long").alias("docs_with_pii"),
+            F.sum("changed").cast("long").alias("docs_redacted"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+            F.sum("residual").cast("long").alias("docs_residual_pii"),
+            F.round(
+                F.sum("had").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )

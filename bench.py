@@ -130,6 +130,14 @@ HEADLINE = [
     # TakeOrdered argmax + array-fold rewrite is a plan shape nothing
     # else in the headline exercises.
     "tokenizer_pipeline",
+    # r12: the eighth composed flagship (admission rule c) — the corpus-
+    # release privacy pass (detect -> masked redact -> residual-verify ->
+    # per-source rollup). Its plan shape is unique in the headline: a
+    # heavy regex/Luhn expression pipeline fused into ONE scan-stage
+    # projection (text never shuffles) — the pure-codegen-throughput
+    # regression class (a refactor that breaks the fusion or drops a
+    # boundary into Python shows up here, not in any shuffle-bound query).
+    "privacy_pipeline",
 ]
 
 SPREAD_TARGET = 0.20

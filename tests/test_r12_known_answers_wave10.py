@@ -220,3 +220,89 @@ class TestIrAndUrlWave10:
             assert (r["n_copies"], r["keeper_doc_id"]) == (len(ids), min(ids)), url
         # the rule chain must actually merge variants (4 surface forms/group)
         assert any(len(ids) >= 4 for ids in groups.values())
+
+
+class TestIntegerFixedPointsWave11:
+    def test_embed_pca_power(self, spark, sf_dir):
+        """Bit-exact replay of the 3-round integer power iteration: Q20
+        quantize, int second-moment matrix, decimal matvec, renormalize
+        by max|y| with TRUNCATE-toward-zero division (Spark decimal div /
+        DuckDB HUGEINT // — NOT Python's floor //)."""
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        qvs = [
+            [math.floor(float(x) * 1048576.0) for x in a] for a in emb["embedding"]
+        ]
+        dim = len(qvs[0])
+        C = [[0] * dim for _ in range(dim)]
+        for qv in qvs:
+            for i in range(dim):
+                qi = qv[i]
+                row = C[i]
+                for j in range(dim):
+                    row[j] += qi * qv[j]
+
+        def trunc_div(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        x = [1048576] * dim
+        for _ in range(3):
+            y = [sum(C[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+            m = max(abs(v) for v in y)
+            x = [trunc_div(v * 1048576, m) for v in y]
+        got = registry.REGISTRY["embed_pca_power"](spark, sf_dir).collect()
+        assert [r["component"] for r in got] == list(range(dim))
+        assert [r["loading_q"] for r in got] == x
+
+    def test_sim_ann_sq8(self, spark, sf_dir):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = {int(i): [float(x) for x in a] for i, a in zip(emb["vec_id"], emb["embedding"])}
+        labels = {int(i): l for i, l in zip(emb["vec_id"], emb["label"])}
+        dim = len(vecs[0])
+        mns = [min(v[i] for v in vecs.values()) for i in range(dim)]
+        mxs = [max(v[i] for v in vecs.values()) for i in range(dim)]
+
+        def q8(v):
+            return [
+                0 if mxs[i] == mns[i]
+                else math.floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)
+                for i in range(dim)
+            ]
+
+        codes = {vid: q8(v) for vid, v in vecs.items()}
+        qc = [2 * c - 255 for c in codes[0]]
+        scored = sorted(
+            (
+                (-sum((2 * c - 255) * q for c, q in zip(codes[vid], qc)), vid)
+                for vid in vecs
+                if vid != 0
+            )
+        )
+        pool = scored[:50]
+
+        def norm(v):
+            acc = 0.0
+            for x in v:
+                acc += x * x
+            return math.sqrt(acc)
+
+        qv = vecs[0]
+        nq = norm(qv)
+
+        def cos6(vid):
+            acc = 0.0
+            for x, y in zip(vecs[vid], qv):
+                acc += x * y
+            return float(
+                Decimal(repr(acc / (norm(vecs[vid]) * nq))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+
+        rer = sorted(((-cos6(vid), vid, -s) for s, vid in pool))[:10]
+        got = registry.REGISTRY["sim_ann_sq8"](spark, sf_dir).collect()
+        assert [(r["vec_id"], r["approx_score"], r["cosine_sim"]) for r in got] == [
+            (vid, sc, -c) for c, vid, sc in rer
+        ]
+        for r in got:
+            assert r["label"] == labels[r["vec_id"]]

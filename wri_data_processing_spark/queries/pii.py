@@ -488,3 +488,165 @@ def privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- release-shape privacy audits (k-anonymity / l-diversity) ---------------
+#
+# The other half of a privacy review: AFTER PII strings are redacted, can a
+# row still be re-identified by the combination of quasi-identifiers it
+# carries? k-anonymity (Sweeney 2002) and l-diversity (Machanavelli et al.
+# 2007) are the standard release gates. Both are pure grouped folds — the
+# equivalence-class table is ONE map-side-combined groupBy bounded by QI
+# cardinality, never by row count, so the audit costs a scan at 100 TB.
+
+_K_THRESHOLDS = (2, 5, 10, 25)
+_L_THRESHOLDS = (2, 5, 8, 12)
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH ec AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _K_THRESHOLDS)})
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           ROUND(CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS pct_rows_at_risk,
+           (MIN(n) >= k) AS k_anonymous
+    FROM ec CROSS JOIN ks
+    GROUP BY k ORDER BY k
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: quasi-identifiers are
+    (nation, market segment, account-balance band of 1000) — the classic
+    "zip/gender/birthdate" shape. A release is k-anonymous iff every
+    equivalence class holds >= k rows; the report sweeps k in
+    {ks} and counts classes and rows below each threshold (the
+    rows_below_k population is exactly who a linkage attack singles
+    out). min_class_size and the boolean gate make it a one-glance
+    release decision.
+
+    Exactness: class sizes and threshold sums are exact integers; the
+    one at-risk rate is a single mirrored division, ROUND-6.
+
+    Plan at 100 TB: ONE map-side-combined groupBy to the equivalence-
+    class table (bounded by |QI| combinations, NOT rows — here
+    25x5x11), then a broadcast sweep of 4 thresholds over it and a
+    4-row re-aggregate. Customer rows never shuffle twice; text never
+    shuffles at all.
+    """.format(ks=_K_THRESHOLDS)
+    c = table(spark, sf_dir, "customer")
+    ec = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _K_THRESHOLDS], "k int")
+    below = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(F.lit(0))
+    return (
+        ec.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_size"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(below).cast("long").alias("rows_below_k"),
+            F.round(
+                F.sum(below).cast("double") / F.sum("n").cast("double"), 6
+            ).alias("pct_rows_at_risk"),
+            (F.min("n") >= F.col("k")).alias("k_anonymous"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH ec AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS band,
+             COUNT(*) AS n,
+             COUNT(DISTINCT c_nationkey) AS d
+      FROM customer GROUP BY 1, 2),
+    ls(l) AS (VALUES {", ".join(f"({lv})" for lv in _L_THRESHOLDS)})
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(d) AS BIGINT) AS min_diversity,
+           CAST(SUM(CASE WHEN d < l THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_l,
+           CAST(SUM(CASE WHEN d < l THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_l,
+           ROUND(CAST(SUM(CASE WHEN d < l THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS pct_rows_at_risk,
+           (MIN(d) >= l) AS l_diverse
+    FROM ec CROSS JOIN ls
+    GROUP BY l ORDER BY l
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: k-anonymity's complement — a class of 100
+    identical quasi-identifier rows is still unsafe if they all share
+    ONE sensitive value (the homogeneity attack). Quasi-identifiers are
+    (market segment, balance band of 500); the sensitive attribute is
+    nationality; a class is l-diverse iff it contains >= l distinct
+    sensitive values. Sweeps l in {ls} with the same
+    classes/rows-below/gate report shape as privacy_k_anonymity.
+
+    Exactness: per-class COUNT(DISTINCT sensitive) is exact (one extra
+    dedup shuffle keyed by QI+sensitive); threshold sums are exact
+    integers; one mirrored division, ROUND-6.
+
+    Plan at 100 TB: groupBy(QI, sensitive) partial-dedup then
+    groupBy(QI) — two bounded map-side-combined exchanges (the second
+    over |QI| x |sensitive| rows at most), then the broadcast threshold
+    sweep. Equivalent shape to agg_multi_distinct; never row-bounded.
+    """.format(ls=_L_THRESHOLDS)
+    c = table(spark, sf_dir, "customer")
+    ec = (
+        c.select(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 500).cast("long").alias("band"),
+            "c_nationkey",
+        )
+        .groupBy("c_mktsegment", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_nationkey").alias("d"),
+        )
+    )
+    ls = spark.createDataFrame([(lv,) for lv in _L_THRESHOLDS], "l int")
+    below = F.when(F.col("d") < F.col("l"), F.col("n")).otherwise(F.lit(0))
+    return (
+        ec.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("d").cast("long").alias("min_diversity"),
+            F.sum(F.when(F.col("d") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_l"),
+            F.sum(below).cast("long").alias("rows_below_l"),
+            F.round(
+                F.sum(below).cast("double") / F.sum("n").cast("double"), 6
+            ).alias("pct_rows_at_risk"),
+            (F.min("d") >= F.col("l")).alias("l_diverse"),
+        )
+        .orderBy("l")
+    )

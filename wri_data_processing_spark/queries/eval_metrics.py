@@ -1163,3 +1163,140 @@ def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("micro_f1"),
         F.round(F.col("sum_wf1") / F.col("n").cast("double"), 6).alias("weighted_f1"),
     )
+
+
+# -- Bradley-Terry pairwise-preference ranking (r12) -------------------------
+
+_BT_S = 1_000_000  # Q6 fixed point for strengths
+_BT_S2 = _BT_S * _BT_S
+_BT_ROUNDS = 3  # unrolled MM iterations (Hunter 2004)
+
+
+def _bt_oracle() -> str:
+    iters = []
+    for r in range(1, _BT_ROUNDS + 1):
+        prev = f"p{r - 1}"
+        iters.append(f""",
+    d{r} AS (
+      SELECT dir.i, SUM((dir.n * {_BT_S2}) // (pi.p + pj.p)) AS den
+      FROM dir
+      JOIN {prev} pi ON dir.i = pi.i
+      JOIN {prev} pj ON dir.j = pj.i
+      GROUP BY dir.i),
+    r{r} AS (
+      SELECT w.i,
+             CASE WHEN d.den > 0 THEN (w.w * {_BT_S2}) // d.den
+                  ELSE CAST(0 AS HUGEINT) END AS praw
+      FROM wins w JOIN d{r} d ON w.i = d.i),
+    t{r} AS (SELECT SUM(praw) AS tot, COUNT(*) AS k FROM r{r}),
+    p{r} AS (SELECT i, (praw * k * {_BT_S}) // tot AS p FROM r{r}, t{r})""")
+    return f"""
+    WITH uc AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    duel AS (
+      SELECT a.event_type AS i, b.event_type AS j
+      FROM uc a JOIN uc b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      WHERE a.c > b.c),
+    pw AS (SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS w FROM duel GROUP BY 1, 2),
+    g AS (SELECT i, j, w FROM pw UNION ALL SELECT j AS i, i AS j, w FROM pw),
+    dir AS (SELECT i, j, CAST(SUM(w) AS HUGEINT) AS n FROM g GROUP BY 1, 2),
+    items AS (SELECT DISTINCT i FROM dir),
+    wins AS (
+      SELECT items.i, CAST(COALESCE(SUM(pw.w), 0) AS HUGEINT) AS w
+      FROM items LEFT JOIN pw ON pw.i = items.i GROUP BY items.i),
+    p0 AS (SELECT i, CAST({_BT_S} AS HUGEINT) AS p FROM items){"".join(iters)}
+    SELECT i AS event_type,
+           CAST(p AS BIGINT) AS strength_q,
+           CAST(CAST(p AS BIGINT) AS DOUBLE) / {_BT_S} AS strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY p DESC, i) AS BIGINT) AS bt_rank
+    FROM p{_BT_ROUNDS}
+    """
+
+
+@query("eval_bradley_terry", oracle=_bt_oracle())
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths from pairwise preferences via {r} unrolled
+    minorization-maximization rounds (Hunter 2004) in Q6 integer fixed
+    point — the arena-style ranking every LLM-eval leaderboard runs over
+    pairwise human/model judgments, here over a deterministic duel
+    fixture: for each user and each event-type pair, the type with the
+    higher event count wins (ties contribute nothing), so w_ij = #users
+    preferring i over j.
+
+    MM update per round: p_i' = W_i / sum_j n_ij/(p_i+p_j), then
+    normalize to mean 1. All arithmetic is DECIMAL(38,0) products with
+    truncating integer division (Spark `div` / DuckDB HUGEINT `//`, the
+    embed_pca_power convention) — bit-identical across engines and
+    partitionings; a float MM would reorder its denominator sums under
+    shuffle. W_i (total wins) and n_ij (total games) are exact integers
+    fixed before iteration; the comparison graph here is complete, and
+    zero-win items converge to strength 0 (documented: items outside any
+    duel drop out; a disconnected comparison graph makes BT
+    non-identifiable and needs a regularizer upstream).
+
+    Plan at 100 TB: ONE groupBy to per-user type counts, one user-keyed
+    self-join bounded by |types|^2 rows per user, then every iteration
+    frame (pw/dir/wins/p) is |types|^2-bounded — broadcast joins, no
+    data-sized shuffle after the duel stage.
+
+    Output: (event_type, strength_q, strength, bt_rank) — Q6 strengths,
+    mean-1 normalized, rank 1 = strongest.
+    """.format(r=_BT_ROUNDS)
+    ev = table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = uc.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("i"), F.col("c").alias("ca")
+    )
+    b = uc.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("j"), F.col("c").alias("cb")
+    )
+    duel = a.join(b, "u").filter((F.col("i") != F.col("j")) & (F.col("ca") > F.col("cb")))
+    pw = duel.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("w")
+    )
+    g = pw.select("i", "j", "w").unionAll(
+        pw.select(F.col("j").alias("i"), F.col("i").alias("j"), "w")
+    )
+    dir_ = g.groupBy("i", "j").agg(F.sum("w").cast("decimal(38,0)").alias("n"))
+    items = dir_.select("i").distinct()
+    wins = (
+        items.join(pw.groupBy("i").agg(F.sum("w").alias("wsum")), "i", "left")
+        .select("i", F.coalesce(F.col("wsum"), F.lit(0)).cast("decimal(38,0)").alias("w"))
+    )
+    p = items.select("i", F.lit(_BT_S).cast("decimal(38,0)").alias("p"))
+    for _ in range(_BT_ROUNDS):
+        pi = p.select("i", F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        den = (
+            dir_.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .select("i", F.expr(f"CAST(n * {_BT_S2} div (p_i + p_j) AS DECIMAL(38,0))").alias("term"))
+            .groupBy("i")
+            .agg(F.sum("term").cast("decimal(38,0)").alias("den"))
+        )
+        praw = wins.join(den, "i").select(
+            "i",
+            F.when(F.col("den") > 0, F.expr(f"w * {_BT_S2} div den"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("praw"),
+        )
+        tot = praw.agg(
+            F.sum("praw").cast("decimal(38,0)").alias("tot"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        )
+        p = praw.crossJoin(F.broadcast(tot)).select(
+            "i",
+            F.expr(f"CAST(praw * k * {_BT_S} div tot AS DECIMAL(38,0))").alias("p"),
+        )
+    w_rank = Window.orderBy(F.col("strength_q").desc(), F.col("event_type"))
+    return (
+        p.select(F.col("i").alias("event_type"), F.col("p").cast("long").alias("strength_q"))
+        .select(
+            "event_type",
+            "strength_q",
+            (F.col("strength_q").cast("double") / F.lit(float(_BT_S))).alias("strength"),
+        )
+        .withColumn("bt_rank", F.row_number().over(w_rank).cast("long"))
+    )

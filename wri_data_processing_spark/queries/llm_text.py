@@ -1674,3 +1674,105 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("mid"))
         .alias("bucket"),
     )
+
+
+# -- n-gram novelty (train-vs-holdout memorization surface) ------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CASE WHEN substring(md5(text), 1, 1) <= 'b'
+                  THEN 'train' ELSE 'holdout' END AS split,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT source, split,
+             CAST(('0x' || substring(
+               sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+               1, 15)) AS BIGINT) AS h
+      FROM tk, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)),
+    tr AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+    ho AS (SELECT DISTINCT source, h FROM sh WHERE split = 'holdout'),
+    nv AS (SELECT source, h FROM ho ANTI JOIN tr USING (h)),
+    rep AS (SELECT source, COUNT(*) AS n_hold FROM ho GROUP BY source),
+    nvc AS (SELECT source, COUNT(*) AS n_novel FROM nv GROUP BY source)
+    SELECT rep.source,
+           CAST(rep.n_hold AS BIGINT) AS holdout_ngrams,
+           CAST(COALESCE(nvc.n_novel, 0) AS BIGINT) AS novel_ngrams,
+           ROUND(CAST(COALESCE(nvc.n_novel, 0) AS DOUBLE)
+                 / CAST(rep.n_hold AS DOUBLE), 6) AS novelty_rate
+    FROM rep LEFT JOIN nvc ON rep.source = nvc.source
+    ORDER BY rep.source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source holdout n-gram novelty — the memorization-surface
+    metric an eval split is judged by: what fraction of the holdout's
+    distinct word 3-grams never appear anywhere in the train split? A
+    rate near 0 means the holdout is paraphrases of training text (eval
+    scores will be inflated by memorization); near 1 means genuinely
+    novel text. Reuses split_train_holdout's md5(text) assignment, so
+    byte-identical duplicates can never straddle the split.
+
+    Shingles hash to the sha256 60-bit slice (the minhash/simhash
+    oracle-exact convention) so the set algebra runs over int64 keys —
+    text never shuffles. Counts are exact distinct-set sizes; one
+    mirrored division, ROUND-6.
+
+    Plan at 100 TB: per-doc distinct shingles explode scan-stage; ONE
+    distinct shuffle per side over int64 keys; the novelty test is one
+    partitioned LEFT ANTI join (hash-partitioned on the shingle key —
+    broadcast is wrong here, the train set is corpus-sized; a bloom
+    prefilter à la join_bloom_prefilter cuts the holdout probe volume
+    when the novel fraction is known to be small); then a |sources|-row
+    rollup. No all-pairs anything.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = 3
+    d2 = d.select(
+        "source",
+        F.when(F.substring(F.md5("text"), 1, 1) <= "b", "train")
+        .otherwise("holdout")
+        .alias("split"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    hs = d2.select(
+        "source",
+        "split",
+        F.explode_outer(F.array_distinct(sh)).alias("shingle"),
+    ).select(
+        "source",
+        "split",
+        F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    train = hs.filter(F.col("split") == "train").select("h").distinct()
+    hold = hs.filter(F.col("split") == "holdout").select("source", "h").distinct()
+    novel = hold.join(train, "h", "left_anti")
+    rep = hold.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("holdout_ngrams"))
+    nvc = novel.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    return (
+        rep.join(nvc, "source", "left")
+        .select(
+            "source",
+            "holdout_ngrams",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("novel_ngrams"),
+            F.round(
+                F.coalesce(F.col("nv"), F.lit(0)).cast("double")
+                / F.col("holdout_ngrams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

@@ -302,6 +302,21 @@ SHOWCASE = [
      "verify fuse into ONE scan-stage projection (text never shuffles); "
      "the per-source rollup is the family's single map-side-combined "
      "groupBy"),
+    # r12 late wave: release audits, BT ranking, novelty
+    ("privacy_k_anonymity", "ONE map-side-combined groupBy to the "
+     "QI-bounded equivalence-class table, then a broadcast 4-threshold "
+     "sweep and a 4-row re-aggregate — rows never shuffle twice"),
+    ("privacy_l_diversity", "two bounded exchanges (QI+sensitive partial "
+     "dedup, then the QI fold with COUNT DISTINCT) + the broadcast "
+     "threshold sweep — agg_multi_distinct topology"),
+    ("eval_bradley_terry", "one groupBy to per-user type counts, one "
+     "user-keyed self-join bounded by |types|^2 per user; all 3 MM "
+     "rounds ride |types|^2-bounded broadcast joins — no data-sized "
+     "shuffle after the duel stage"),
+    ("text_ngram_novelty", "per-doc distinct shingles hash scan-stage to "
+     "int64; one distinct exchange per side; ONE partitioned left-anti "
+     "join (train side corpus-sized — deliberately not broadcast); "
+     "|sources|-row rollup"),
 ]
 
 

@@ -1238,7 +1238,10 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: ONE groupBy to per-user type counts, one user-keyed
     self-join bounded by |types|^2 rows per user, then every iteration
     frame (pw/dir/wins/p) is |types|^2-bounded — broadcast joins, no
-    data-sized shuffle after the duel stage.
+    data-sized shuffle after the duel stage. dir_/wins/p are
+    localCheckpointed (the propagate_min_labels idiom): dir_ feeds every
+    round twice, so lazy lineage would re-derive the duel subtree
+    ~2^rounds times and the analyzed plan blows up with it.
 
     Output: (event_type, strength_q, strength, bt_rank) — Q6 strengths,
     mean-1 normalized, rank 1 = strongest.
@@ -1258,11 +1261,22 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pw.select("i", "j", "w").unionAll(
         pw.select(F.col("j").alias("i"), F.col("i").alias("j"), "w")
     )
-    dir_ = g.groupBy("i", "j").agg(F.sum("w").cast("decimal(38,0)").alias("n"))
+    # The duel stage is the only data-sized work; everything after is
+    # |types|^2-bounded. localCheckpoint the iteration inputs ONCE and p
+    # per round (the propagate_min_labels idiom) — dir_ feeds every round
+    # TWICE (p_i and p_j sides), so a lazy plan would duplicate the whole
+    # duel subtree ~2^rounds times (measured: a 45k-line formatted plan
+    # at 3 rounds vs ~200 lines checkpointed).
+    dir_ = (
+        g.groupBy("i", "j")
+        .agg(F.sum("w").cast("decimal(38,0)").alias("n"))
+        .localCheckpoint()
+    )
     items = dir_.select("i").distinct()
     wins = (
         items.join(pw.groupBy("i").agg(F.sum("w").alias("wsum")), "i", "left")
         .select("i", F.coalesce(F.col("wsum"), F.lit(0)).cast("decimal(38,0)").alias("w"))
+        .localCheckpoint()
     )
     p = items.select("i", F.lit(_BT_S).cast("decimal(38,0)").alias("p"))
     for _ in range(_BT_ROUNDS):
@@ -1286,9 +1300,13 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("praw").cast("decimal(38,0)").alias("tot"),
             F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
         )
-        p = praw.crossJoin(F.broadcast(tot)).select(
-            "i",
-            F.expr(f"CAST(praw * k * {_BT_S} div tot AS DECIMAL(38,0))").alias("p"),
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.expr(f"CAST(praw * k * {_BT_S} div tot AS DECIMAL(38,0))").alias("p"),
+            )
+            .localCheckpoint()
         )
     w_rank = Window.orderBy(F.col("strength_q").desc(), F.col("event_type"))
     return (

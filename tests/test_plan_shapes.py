@@ -610,3 +610,42 @@ def test_privacy_pipeline_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_privacy_audits_bounded_exchanges(spark, sf_dir):
+    """r12 release audits: the equivalence-class fold plus the broadcast
+    threshold sweep. k-anonymity: class groupBy + 4-row re-agg (+ ORDER
+    BY range) — the threshold table must ride a BroadcastExchange, never
+    a shuffle. l-diversity adds the QI+sensitive partial-dedup exchange
+    (COUNT DISTINCT expansion). Customer rows shuffle at most twice."""
+    plan = _plan(spark, sf_dir, "privacy_k_anonymity")
+    assert _n_exchanges(plan) <= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    plan = _plan(spark, sf_dir, "privacy_l_diversity")
+    assert _n_exchanges(plan) <= 4, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+
+
+def test_bradley_terry_iterations_stay_broadcast(spark, sf_dir):
+    """The MM rounds run over |types|^2-bounded checkpointed frames: after
+    the duel stage every join must be broadcast — a SortMergeJoin in an
+    iteration means a 25-row frame got shuffle-joined. No Python."""
+    plan = _plan(spark, sf_dir, "eval_bradley_terry")
+    assert "SortMergeJoin" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+
+
+def test_ngram_novelty_anti_join_carries_keys_not_text(spark, sf_dir):
+    """The novelty test is one LEFT ANTI join over int64 shingle keys:
+    the anti join must exist, and no exchange may carry the shingle
+    STRING — text hashes scan-stage, only h/source shuffle."""
+    plan = _plan(spark, sf_dir, "text_ngram_novelty")
+    assert "LeftAnti" in plan, plan
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "shingle" not in ex, ex
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node

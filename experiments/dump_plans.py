@@ -304,11 +304,11 @@ SHOWCASE = [
      "groupBy"),
     # r12 late wave: release audits, BT ranking, novelty
     ("privacy_k_anonymity", "ONE map-side-combined groupBy to the "
-     "QI-bounded equivalence-class table, then a broadcast 4-threshold "
-     "sweep and a 4-row re-aggregate — rows never shuffle twice"),
+     "QI-bounded equivalence-class table, then an in-stage literal-array "
+     "4-threshold explode and a 4-row re-aggregate — no join anywhere"),
     ("privacy_l_diversity", "two bounded exchanges (QI+sensitive partial "
-     "dedup, then the QI fold with COUNT DISTINCT) + the broadcast "
-     "threshold sweep — agg_multi_distinct topology"),
+     "dedup, then the QI fold with COUNT DISTINCT) + the in-stage "
+     "threshold explode — agg_multi_distinct topology"),
     ("eval_bradley_terry", "one groupBy to per-user type counts, one "
      "user-keyed self-join bounded by |types|^2 per user; all 3 MM "
      "rounds ride |types|^2-bounded broadcast joins — no data-sized "

@@ -269,6 +269,9 @@ WINDOW_SINGLE_PARTITION_WHITELIST: frozenset[str] = frozenset(
         "events_cusum",  # cumulative sum over per-day aggregates
         "orders_yoy_growth",  # lag over per-year aggregates
         "skyline_pareto_frontier",  # running max over per-price aggregates
+        "eval_bradley_terry",  # rank over the |event types|-row (5-row)
+        # checkpointed strength frame — reduced by construction before
+        # the window (the MM rounds end on a broadcast-sized frame)
     }
 )
 

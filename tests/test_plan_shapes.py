@@ -613,14 +613,15 @@ def test_privacy_pipeline_single_shuffle(spark, sf_dir):
 
 
 def test_privacy_audits_bounded_exchanges(spark, sf_dir):
-    """r12 release audits: the equivalence-class fold plus the broadcast
-    threshold sweep. k-anonymity: class groupBy + 4-row re-agg (+ ORDER
-    BY range) — the threshold table must ride a BroadcastExchange, never
-    a shuffle. l-diversity adds the QI+sensitive partial-dedup exchange
-    (COUNT DISTINCT expansion). Customer rows shuffle at most twice."""
+    """r12 release audits: the equivalence-class fold plus an in-stage
+    literal-array threshold explode (NO join of any kind — the sweep
+    itself pins that). k-anonymity: class groupBy + 4-row re-agg (+
+    ORDER BY range). l-diversity adds the QI+sensitive partial-dedup
+    exchange (COUNT DISTINCT expansion). Customer rows shuffle at most
+    twice."""
     plan = _plan(spark, sf_dir, "privacy_k_anonymity")
     assert _n_exchanges(plan) <= 3, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Join" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
     plan = _plan(spark, sf_dir, "privacy_l_diversity")

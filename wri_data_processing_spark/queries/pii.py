@@ -541,8 +541,8 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at 100 TB: ONE map-side-combined groupBy to the equivalence-
     class table (bounded by |QI| combinations, NOT rows — here
-    25x5x11), then a broadcast sweep of 4 thresholds over it and a
-    4-row re-aggregate. Customer rows never shuffle twice; text never
+    25x5x11), then a literal-array threshold explode inside that
+    frame's own stage and a 4-row re-aggregate — no join of any kind. Customer rows never shuffle twice; text never
     shuffles at all.
     """.format(ks=_K_THRESHOLDS)
     c = table(spark, sf_dir, "customer")
@@ -555,10 +555,14 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment", "band")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ks = spark.createDataFrame([(k,) for k in _K_THRESHOLDS], "k int")
+    # Threshold sweep via a literal-array explode (no join at all — the
+    # 4x expansion happens inside the class frame's own stage; a
+    # crossJoin against a 4-row frame would plan a nested loop and trip
+    # the repo-wide join-shape sweep for no benefit).
+    ks = F.explode(F.array(*[F.lit(k) for k in _K_THRESHOLDS])).alias("k")
     below = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(F.lit(0))
     return (
-        ec.crossJoin(F.broadcast(ks))
+        ec.select("n", ks)
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_classes"),
@@ -615,8 +619,8 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at 100 TB: groupBy(QI, sensitive) partial-dedup then
     groupBy(QI) — two bounded map-side-combined exchanges (the second
-    over |QI| x |sensitive| rows at most), then the broadcast threshold
-    sweep. Equivalent shape to agg_multi_distinct; never row-bounded.
+    over |QI| x |sensitive| rows at most), then the in-stage
+    threshold explode. Equivalent shape to agg_multi_distinct; never row-bounded.
     """.format(ls=_L_THRESHOLDS)
     c = table(spark, sf_dir, "customer")
     ec = (
@@ -631,10 +635,11 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_nationkey").alias("d"),
         )
     )
-    ls = spark.createDataFrame([(lv,) for lv in _L_THRESHOLDS], "l int")
+    # literal-array explode, not a crossJoin — see privacy_k_anonymity
+    ls = F.explode(F.array(*[F.lit(lv) for lv in _L_THRESHOLDS])).alias("l")
     below = F.when(F.col("d") < F.col("l"), F.col("n")).otherwise(F.lit(0))
     return (
-        ec.crossJoin(F.broadcast(ls))
+        ec.select("n", "d", ls)
         .groupBy("l")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_classes"),

@@ -138,6 +138,13 @@ HEADLINE = [
     # regression class (a refactor that breaks the fusion or drops a
     # boundary into Python shows up here, not in any shuffle-bound query).
     "privacy_pipeline",
+    # r12 late wave: the global set-difference family rep — two corpus-
+    # wide DISTINCTs over int64 shingle keys feeding ONE partitioned
+    # LEFT ANTI join (deliberately not broadcast: the build side is
+    # corpus-sized). No other headline query exercises a large anti
+    # join; a regression that flips it to broadcast (driver OOM at
+    # scale) or lets text reach the exchange shows up here.
+    "text_ngram_novelty",
 ]
 
 SPREAD_TARGET = 0.20

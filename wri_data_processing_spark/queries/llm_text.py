@@ -1730,9 +1730,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the novel fraction is known to be small); then a |sources|-row
     rollup. No all-pairs anything.
     """
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
     d = table(spark, sf_dir, "documents")
     n = 3
-    d2 = d.select(
+    # Spread the under-parallel local scan before the sha-per-shingle CPU
+    # (the llm_dedup discipline): the single-file-split local scan
+    # serializes the hashing on BOTH distinct branches; A/B at sf0.1
+    # (warm, best-of-3, same process): 1.95 s unspread vs 1.57 s spread.
+    # A 100 TB scan has thousands of splits and skips the exchange.
+    d2 = _spread_small_scan(d).select(
         "source",
         F.when(F.substring(F.md5("text"), 1, 1) <= "b", "train")
         .otherwise("holdout")

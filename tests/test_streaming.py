@@ -1122,3 +1122,99 @@ def test_stream_stream_join_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert straddle_key in got2
     # and the two incarnations together equal the unbroken batch join
     assert got1 | got2 == want
+
+
+def test_stream_stream_outer_join_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Outer-join twin recovery: beyond the inner test's buffered-match
+    property, the LEFT-OUTER path must also emit the NULL row for a click
+    buffered BEFORE the kill whose interval only closes (purchase-side
+    watermark passes click_ts + 30 min) AFTER the restart — proving the
+    watermark position and the unmatched-click buffer both came off the
+    checkpoint, not the stopped JVM."""
+    from wri_data_processing_spark.streaming.pipelines import (
+        click_purchase_join_outer,
+        read_event_stream,
+    )
+
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch = c.join(p, cond, "left").collect()
+    want_matched = {
+        (r["c_user"], r["click_id"], r["purchase_id"])
+        for r in batch
+        if r["purchase_id"] is not None
+    }
+    want_null = {(r["c_user"], r["click_id"]) for r in batch if r["purchase_id"] is None}
+    click_ts = {r["click_id"]: r["click_ts"] for r in c.collect()}
+
+    # split at the global median event time: plenty of pre-cut clicks
+    # whose NULL can only emit after drop 2 advances the watermark
+    all_ts = sorted(r["ts"] for r in e.select("ts").collect())
+    cut = all_ts[len(all_ts) // 2]
+
+    src = str(tmp_path / "ssjo_rec_src")
+    ckpt = str(tmp_path / "ckpt_ssjo_recovery")
+    e.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+
+    def _drain(emitted):
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+        return _sink
+
+    def _run(emitted):
+        s = read_event_stream(spark, src)
+        q = (
+            click_purchase_join_outer(
+                s.filter(F.col("event_type") == "click"),
+                s.filter(F.col("event_type") == "purchase"),
+            )
+            .writeStream.foreachBatch(_drain(emitted))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run1: list = []
+    _run(run1)
+    null1 = {(r["user_id"], r["click_id"]) for r in run1 if r["purchase_id"] is None}
+
+    e.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    _run(run2)
+    rows = run1 + run2
+    got_matched = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    got_null = {(r["user_id"], r["click_id"]) for r in rows if r["purchase_id"] is None}
+
+    # matched rows across both incarnations == batch, exactly (inner logic)
+    assert got_matched == want_matched and want_matched
+    # never a false NULL, before or after the restart
+    assert got_null.issubset(want_null)
+    # the recovery-specific evidence: some click from BEFORE the cut
+    # (buffered across the kill, absent from run 1's NULLs) emits its
+    # NULL only in incarnation 2
+    recovered_nulls = {
+        key for key in got_null - null1 if click_ts[key[1]] <= cut
+    }
+    assert recovered_nulls, "no pre-cut click emitted NULL after restart"
+    # a NULL click never also matches
+    assert not {(u, cid) for (u, cid, _) in got_matched} & got_null

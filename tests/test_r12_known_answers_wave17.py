@@ -68,17 +68,22 @@ class TestSuperAggregates:
 
 class TestSetOperators:
     def test_semantics(self, spark, sf_dir):
-        c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+        c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_custkey"])
         s = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
         cset = set(int(x) for x in c["c_nationkey"])
         sset = set(int(x) for x in s["s_nationkey"])
-        # EXCEPT / INTERSECT are SET (distinct) operators
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        # EXCEPT / INTERSECT are SET (distinct) operators; set_except's
+        # operands are custkeys-minus-event-users (r12 liveness fix — the
+        # nations pairing was empty at sf0.01)
         got_ex = [
-            r["nationkey"]
+            r["custkey"]
             for r in registry.REGISTRY["set_except"](spark, sf_dir).collect()
         ]
-        assert sorted(got_ex) == sorted(cset - sset)
+        want_ex = set(int(x) for x in c["c_custkey"]) - set(int(x) for x in ev["user_id"])
+        assert sorted(got_ex) == sorted(want_ex)
         assert len(got_ex) == len(set(got_ex))  # no duplicates survive
+        assert got_ex  # live at every driver SF
         got_in = [
             r["nationkey"]
             for r in registry.REGISTRY["set_intersect"](spark, sf_dir).collect()

@@ -35,9 +35,16 @@ class TestExistenceJoins:
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         )
         o = _orders(sf_dir, ["o_custkey", "o_totalprice"])
-        all_buyers = set(int(k) for k in o["o_custkey"])
         big_buyers = set(
             int(k) for k, p in zip(o["o_custkey"], o["o_totalprice"]) if p > 100000
+        )
+        op = pd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        urgent_buyers = set(
+            int(k)
+            for k, pr in zip(op["o_custkey"], op["o_orderpriority"])
+            if pr == "1-URGENT"
         )
         custs = [int(k) for k in c["c_custkey"]]
 
@@ -45,7 +52,10 @@ class TestExistenceJoins:
             r["c_custkey"]
             for r in registry.REGISTRY["join_left_anti"](spark, sf_dir).collect()
         )
-        assert got_anti == sorted(k for k in custs if k not in all_buyers)
+        # r12 liveness fix: anti against URGENT orders (the unpredicated
+        # form was structurally empty — every customer has orders)
+        assert got_anti == sorted(k for k in custs if k not in urgent_buyers)
+        assert got_anti  # live at every driver SF
 
         seg = dict(zip((int(k) for k in c["c_custkey"]), c["c_mktsegment"]))
         got_semi = sorted(

@@ -1,0 +1,174 @@
+"""Round-12 known-answer certification, wave 20: the hardest TPC-H
+shapes replayed in pandas, and liveness proofs for the de-vacuumed
+fixtures.
+
+A row-count audit of the driver history found SEVEN structurally
+vacuous oracles — q4/q12 (date windows before the synthetic data's
+1995 epoch), q7/q8/q9 (FRANCE/GERMANY/BRAZIL/'green' literals absent
+from the synthetic vocabulary), q22 and join_left_anti (every synthetic
+customer has orders, so "no orders" is empty by construction) and
+set_except (suppliers staff all 25 nations at sf0.01) — all passing the
+driver as 0==0 hash matches. Each was re-pointed at live constants/
+semantics; this wave replays the fixed queries end to end and asserts
+non-emptiness, plus full replays of q21's sole-late-supplier double
+correlation and q20's excess-inventory threshold. The q12 fix also
+surfaced a LATENT TYPE MISMATCH (DuckDB SUM(int)->HUGEINT->float vs
+Spark long) that zero rows had hidden — now explicitly BIGINT on both
+sides and locked by the live rows."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from wri_data_processing_spark import registry
+
+registry.load_all()
+
+
+def _dec6(x) -> Decimal:
+    return Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def _read(sf_dir, t, cols):
+    return pd.read_parquet(f"{sf_dir}/{t}.parquet", columns=cols)
+
+
+class TestQ21SoleLateSupplier:
+    def test_replay(self, spark, sf_dir):
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"])
+        s = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        odate = {
+            int(k): pd.Timestamp(d)
+            for k, d, st in zip(o["o_orderkey"], o["o_orderdate"], o["o_orderstatus"])
+            if st == "F"
+        }
+        late = set()
+        all_supp = defaultdict(set)
+        for ok, sk, sd in zip(li["l_orderkey"], li["l_suppkey"], li["l_shipdate"]):
+            ok, sk = int(ok), int(sk)
+            all_supp[ok].add(sk)
+            if ok in odate and pd.Timestamp(sd) > odate[ok] + pd.Timedelta(days=60):
+                late.add((ok, sk))
+        n_late = Counter(ok for ok, _ in late)
+        sname = {int(k): n for k, n in zip(s["s_suppkey"], s["s_name"])}
+        waits = Counter()
+        for ok, sk in late:
+            if len(all_supp[ok]) > 1 and n_late[ok] == 1:
+                waits[sname[sk]] += 1
+        want = sorted(waits.items(), key=lambda t: (-t[1], t[0]))[:20]
+        got = [
+            (r["s_name"], r["numwait"])
+            for r in registry.REGISTRY["q21_waiting_suppliers"](spark, sf_dir).collect()
+        ]
+        assert got == want and want
+
+
+class TestQ20ExcessInventory:
+    def test_replay(self, spark, sf_dir):
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        p = _read(sf_dir, "part", ["p_partkey", "p_name"])
+        s = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        n = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        bolt = {int(k) for k, nm in zip(p["p_partkey"], p["p_name"]) if "bolt" in nm}
+        agg = defaultdict(lambda: [0.0, 0.0])
+        y0, y1 = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-01-01")
+        for pk, sk, q, sd in zip(
+            li["l_partkey"], li["l_suppkey"], li["l_quantity"], li["l_shipdate"]
+        ):
+            if int(pk) in bolt:
+                cell = agg[(int(pk), int(sk))]
+                cell[0] += q
+                if y0 <= pd.Timestamp(sd) < y1:
+                    cell[1] += q
+        excess = {sk for (_, sk), (tot, q95) in agg.items() if tot > 3.5 * q95}
+        nat3 = {
+            int(k) for k, nm in zip(n["n_nationkey"], n["n_name"]) if nm == "NATION_3"
+        }
+        want = sorted(
+            (int(sk), nm)
+            for sk, nm, nk in zip(s["s_suppkey"], s["s_name"], s["s_nationkey"])
+            if int(nk) in nat3 and int(sk) in excess
+        )
+        got = sorted(
+            (r["s_suppkey"], r["s_name"])
+            for r in registry.REGISTRY["q20_excess_inventory"](spark, sf_dir).collect()
+        )
+        assert got == want and want
+
+
+class TestDevacuumedFixtures:
+    def test_q4_window(self, spark, sf_dir):
+        o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        want = Counter()
+        lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+        ships = li.groupby("l_orderkey")["l_shipdate"].agg(list)
+        for ok, od, pri in zip(o["o_orderkey"], o["o_orderdate"], o["o_orderpriority"]):
+            if not (lo <= pd.Timestamp(od) < hi):
+                continue
+            if int(ok) in ships.index and any(
+                pd.Timestamp(sd) > pd.Timestamp(od) for sd in ships[int(ok)]
+            ):
+                want[pri] += 1
+        got = {
+            r["o_orderpriority"]: r["order_count"]
+            for r in registry.REGISTRY["q4_order_priority"](spark, sf_dir).collect()
+        }
+        assert got == dict(want) and want
+
+    def test_q12_priority_split(self, spark, sf_dir):
+        o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+        ometa = {
+            int(k): (pd.Timestamp(d), pri)
+            for k, d, pri in zip(o["o_orderkey"], o["o_orderdate"], o["o_orderpriority"])
+            if lo <= pd.Timestamp(d) < hi
+        }
+        want = defaultdict(lambda: [0, 0])
+        for ok, sd, rf in zip(li["l_orderkey"], li["l_shipdate"], li["l_returnflag"]):
+            meta = ometa.get(int(ok))
+            if meta and pd.Timestamp(sd) > meta[0] + pd.Timedelta(days=90):
+                hi_pri = meta[1] in ("1-URGENT", "2-HIGH")
+                want[rf][0 if hi_pri else 1] += 1
+        got = {
+            r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+            for r in registry.REGISTRY["q12_late_shipments"](spark, sf_dir).collect()
+        }
+        assert got == {rf: (h, l) for rf, (h, l) in want.items()} and want
+
+    def test_q22_lapsed_rich(self, spark, sf_dir):
+        c = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+        o = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        pos = [b for b in c["c_acctbal"] if b > 0.0]
+        avg_f = float(sum(float(b) for b in pos) / len(pos))
+        recent = {
+            int(k)
+            for k, d in zip(o["o_custkey"], o["o_orderdate"])
+            if pd.Timestamp(d) >= pd.Timestamp("2000-08-01")
+        }
+        want = defaultdict(lambda: [0, Decimal(0)])
+        for ck, bal, seg in zip(c["c_custkey"], c["c_acctbal"], c["c_mktsegment"]):
+            if bal > avg_f and int(ck) not in recent:
+                cell = want[seg]
+                cell[0] += 1
+                cell[1] += _dec6(float(bal))
+        got = {
+            r["c_mktsegment"]: (r["numcust"], r["totacctbal"])
+            for r in registry.REGISTRY["q22_global_sales_opportunity"](spark, sf_dir).collect()
+        }
+        assert got == {seg: (n, float(s)) for seg, (n, s) in want.items()} and want
+
+    def test_q7_q8_live_shares(self, spark, sf_dir):
+        # bilateral volume live in at least one direction, and the market
+        # share strictly between 0 and 1 somewhere — the vacuous-fixture
+        # regression guard for the re-pointed nation literals
+        q7 = registry.REGISTRY["q7_nation_volume"](spark, sf_dir).collect()
+        assert q7 and all(r["revenue"] > 0 for r in q7)
+        assert {r["supp_nation"] for r in q7} <= {"NATION_20", "NATION_11"}
+        q8 = registry.REGISTRY["q8_market_share"](spark, sf_dir).collect()
+        assert q8 and any(0.0 < r["mkt_share"] < 1.0 for r in q8)

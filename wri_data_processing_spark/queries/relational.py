@@ -162,12 +162,20 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (resume support): customers who never placed an URGENT
+    order. The original unpredicated form ("customers with no orders")
+    was structurally EMPTY on the synthetic data — every customer has
+    orders at every SF, so the driver row was a vacuous 0==0 match (r12
+    fix; liveness certified in test_r12_known_answers_wave20). The
+    predicate pushes into the build side before the anti join, so the
+    plan shape is unchanged: filtered keys build, fact probes."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 

@@ -37,15 +37,20 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT user_id AS custkey FROM events
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # SQL EXCEPT = distinct difference
+    """SQL EXCEPT (distinct difference): customers who never generated a
+    behavioral event. The original operands (customer nations minus
+    supplier nations) came up EMPTY at sf0.01 — suppliers staff all 25
+    nations there, a vacuous 0==0 oracle (r12 fix; liveness certified in
+    test_r12_known_answers_wave20)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    e = table(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
+    return c.subtract(e)  # SQL EXCEPT = distinct difference
 
 
 @query(

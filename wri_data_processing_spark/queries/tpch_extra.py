@@ -103,8 +103,8 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
     GROUP BY o_orderpriority
@@ -112,10 +112,14 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape adapted to this schema (no commitdate): EXISTS becomes
-    a left-semi join — no row duplication, the build side only carries keys."""
+    a left-semi join — no row duplication, the build side only carries keys.
+
+    Quarter window is 1996Q3 (synthetic orders start 1995-01-01; the
+    original 1994Q3 literal selected ZERO orders — a vacuous 0==0 oracle;
+    r12 fix, certified live in test_r12_known_answers_wave20)."""
     o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-10-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -307,14 +311,20 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN customer ON c_custkey = o_custkey
                   JOIN nation sn ON s_nationkey = sn.n_nationkey
                   JOIN nation cn ON c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    WHERE ((sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11')
+        OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_20'))
     GROUP BY 1, 2, 3
     """,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year. Both nation lookups
-    broadcast; the fact chain shuffles lineitem once on orderkey."""
+    broadcast; the fact chain shuffles lineitem once on orderkey.
+
+    The bilateral pair is NATION_20/NATION_11 — live at every driver SF
+    (NATION_20 is a supplier nation even in sf0.001's 10-nation staffing).
+    The original literals were FRANCE/GERMANY, which the synthetic nation
+    table lacks: the query returned ZERO rows — a vacuous 0==0 oracle
+    (r12 fix, certified live in test_r12_known_answers_wave20)."""
     n = table(spark, sf_dir, "nation")
     sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
@@ -323,8 +333,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
     return (
         l.join(F.broadcast(s.join(F.broadcast(sn), s.s_nationkey == sn.sk)),
                l.l_suppkey == s.s_suppkey)
@@ -342,7 +352,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT l_year,
-           CAST(CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN rev
+           CAST(CAST(SUM(CASE WHEN n_name = 'NATION_20' THEN rev
                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
                 / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
     FROM (
@@ -356,7 +366,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's revenue share per year — a conditional
-    ratio over the full fact join, exact decimal numerators/denominators."""
+    ratio over the full fact join, exact decimal numerators/denominators.
+
+    The share nation is NATION_20 — a supplier nation at EVERY driver SF
+    (sf0.001 staffs only 10 of the 25 nations). The original literal was
+    BRAZIL, which the synthetic nation table lacks: every share was
+    exactly 0 — a vacuous oracle, the degenerate-fixture class the PII
+    augmentation lesson exists for (r12 fix, certified live in
+    test_r12_known_answers_wave20)."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
@@ -372,7 +389,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     brazil = F.sum(
-        F.when(F.col("n_name") == "BRAZIL", F.col("rev")).otherwise(
+        F.when(F.col("n_name") == "NATION_20", F.col("rev")).otherwise(
             F.lit(0).cast("decimal(18,6)")
         )
     ).cast("double")
@@ -428,20 +445,35 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM rich
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
     GROUP BY c_mktsegment
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no orders —
-    scalar-subquery average (broadcast) + anti join against the fact."""
+    """TPC-H Q22 shape: above-average-balance customers gone quiet — no
+    order since 2000-08-01 — via scalar-subquery average (broadcast) +
+    anti join against the RECENT slice of the fact.
+
+    The original unconditioned NOT EXISTS was structurally empty here:
+    every synthetic customer has at least one order at every SF, so the
+    op returned zero rows forever — a vacuous 0==0 oracle. The lapsed-
+    customer window restores the query's actual business point (who has
+    money but stopped buying) with live rows at every driver SF (r12
+    fix, certified in test_r12_known_answers_wave20)."""
     c = table(spark, sf_dir, "customer")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
     o = table(spark, sf_dir, "orders")
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2000-08-01 00:00:00").cast("timestamp")
+            ),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -454,14 +486,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
-      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -472,10 +504,15 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The lateness predicate references both sides, so it stays a residual on
     the orderkey equi-join; the priority CASE-sums are a single hash agg.
+    Year window is 1996 (orders start 1995; the original 1994 literal
+    selected zero rows — vacuous; r12 fix, wave-20 certified live). The
+    zero-row era also HID a latent type mismatch: DuckDB's SUM(int)
+    surfaces as HUGEINT->float while Spark's is long — invisible while
+    both sides hashed zero rows; both now CAST to BIGINT explicitly.
     """
     o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     l = table(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -487,8 +524,8 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_returnflag")
     )
@@ -643,7 +680,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN supplier ON s_suppkey = l_suppkey
                   JOIN orders ON o_orderkey = l_orderkey
                   JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, o_year
     ORDER BY nation, o_year DESC
     """,
@@ -652,9 +689,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp: supply cost modeled as 60% of
     p_retailprice): profit by supplier nation and order year for parts
     matching a name pattern. Part+supplier+nation all broadcast; lineitem
-    shuffles once on orderkey for the orders join."""
+    shuffles once on orderkey for the orders join.
+
+    The name token is 'red' (the synthetic p_name vocabulary has no
+    'green'; the original literal matched ZERO parts — a vacuous 0==0
+    oracle; r12 fix, certified live in test_r12_known_answers_wave20)."""
     l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("green"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")

@@ -163,6 +163,24 @@ class TestDevacuumedFixtures:
         }
         assert got == {seg: (n, float(s)) for seg, (n, s) in want.items()} and want
 
+    def test_q6_live_revenue(self, spark, sf_dir):
+        # the 1994 window summed zero rows to NULL at every SF — a 1-row
+        # vacuous oracle the ROW-COUNT audit missed and the VALUE audit
+        # caught; the 1996 window is replayed exactly here
+        li = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+        total = Decimal(0)
+        n = 0
+        for sd, d, q, ep in zip(
+            li["l_shipdate"], li["l_discount"], li["l_quantity"], li["l_extendedprice"]
+        ):
+            if lo <= pd.Timestamp(sd) < hi and 0.05 <= d <= 0.07 and q < 24:
+                total += _dec6(float(ep * d))
+                n += 1
+        assert n > 0
+        rows = registry.REGISTRY["q6_forecast_revenue"](spark, sf_dir).collect()
+        assert len(rows) == 1 and rows[0]["revenue"] == float(total)
+
     def test_q7_q8_live_shares(self, spark, sf_dir):
         # bilateral volume live in at least one direction, and the market
         # share strictly between 0 and 1 somewhere — the vacuous-fixture

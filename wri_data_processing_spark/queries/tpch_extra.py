@@ -139,20 +139,25 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
              AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan-filter-aggregate — every predicate must reach the
-    parquet scan (PushedFilters) and the agg is a single partial+final pass."""
+    parquet scan (PushedFilters) and the agg is a single partial+final pass.
+
+    Year window is 1996 (synthetic shipdates start 1995-01-02; the
+    original 1994 literal summed ZERO rows to a NULL revenue at every SF
+    — a vacuous 1-row oracle the row-count audit missed and the VALUE
+    audit caught; r12 fix, replayed live in wave 20)."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)

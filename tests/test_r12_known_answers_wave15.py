@@ -32,17 +32,19 @@ def _fmt(ts) -> str:
     return pd.Timestamp(ts).strftime("%Y-%m-%d %H:%M:%S")
 
 
-def _orders_dedup(sf_dir):
-    o = pd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+def _purchases_dedup(sf_dir):
+    # the r12 re-pointed as-of fixture: purchases per (user, ts), max id
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
     best = {}
-    for ck, od, ok in zip(o["o_custkey"], o["o_orderdate"], o["o_orderkey"]):
-        key = (int(ck), pd.Timestamp(od))
-        best[key] = max(best.get(key, -1), int(ok))
+    for i, u, t, et in zip(e["event_id"], e["user_id"], e["ts"], e["event_type"]):
+        if et == "purchase":
+            key = (int(u), pd.Timestamp(t))
+            best[key] = max(best.get(key, -1), int(i))
     per_user = defaultdict(list)
-    for (ck, od), ok in best.items():
-        per_user[ck].append((od, ok))
+    for (u, t), i in best.items():
+        per_user[u].append((t, i))
     for lst in per_user.values():
         lst.sort()
     return per_user
@@ -50,30 +52,53 @@ def _orders_dedup(sf_dir):
 
 def _events(sf_dir):
     e = pd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
     return [
         (int(i), int(u), pd.Timestamp(t))
-        for i, u, t in zip(e["event_id"], e["user_id"], e["ts"])
+        for i, u, t, et in zip(e["event_id"], e["user_id"], e["ts"], e["event_type"])
+        if et == "click"
     ]
 
 
 class TestAsofFamily:
     def test_backward(self, spark, sf_dir):
-        per_user = _orders_dedup(sf_dir)
+        per_user = _purchases_dedup(sf_dir)
         want = {}
         for eid, uid, ts in _events(sf_dir):
             lst = per_user.get(uid, [])
             k = bisect.bisect_right([d for d, _ in lst], ts)
             want[eid] = (lst[k - 1][1], _fmt(lst[k - 1][0])) if k else (None, None)
         got = {
-            r["event_id"]: (r["last_orderkey"], r["last_orderdate"])
+            r["event_id"]: (r["last_purchase_id"], r["last_purchase_ts"])
             for r in registry.REGISTRY["join_asof"](spark, sf_dir).collect()
         }
         assert got == want
+        # every branch is live on the re-pointed fixture
+        assert any(v == (None, None) for v in want.values())
+        assert any(v != (None, None) for v in want.values())
+
+    def test_tolerance(self, spark, sf_dir):
+        per_user = _purchases_dedup(sf_dir)
+        tol = pd.Timedelta(hours=12)
+        want = {}
+        for eid, uid, ts in _events(sf_dir):
+            lst = per_user.get(uid, [])
+            k = bisect.bisect_right([d for d, _ in lst], ts)
+            if k and ts - lst[k - 1][0] <= tol:
+                want[eid] = (lst[k - 1][1], _fmt(lst[k - 1][0]))
+            else:
+                want[eid] = (None, None)
+        got = {
+            r["event_id"]: (r["last_purchase_id"], r["last_purchase_ts"])
+            for r in registry.REGISTRY["join_asof_tolerance"](spark, sf_dir).collect()
+        }
+        assert got == want
+        assert any(v != (None, None) for v in want.values())
+        assert any(v == (None, None) for v in want.values())
 
     def test_forward(self, spark, sf_dir):
-        per_user = _orders_dedup(sf_dir)
+        per_user = _purchases_dedup(sf_dir)
         want = {}
         for eid, uid, ts in _events(sf_dir):
             lst = per_user.get(uid, [])
@@ -82,13 +107,15 @@ class TestAsofFamily:
                 (lst[k][1], _fmt(lst[k][0])) if k < len(lst) else (None, None)
             )
         got = {
-            r["event_id"]: (r["next_orderkey"], r["next_orderdate"])
+            r["event_id"]: (r["next_purchase_id"], r["next_purchase_ts"])
             for r in registry.REGISTRY["join_asof_forward"](spark, sf_dir).collect()
         }
         assert got == want
+        assert any(v == (None, None) for v in want.values())
+        assert any(v != (None, None) for v in want.values())
 
     def test_nearest(self, spark, sf_dir):
-        per_user = _orders_dedup(sf_dir)
+        per_user = _purchases_dedup(sf_dir)
         want = {}
         for eid, uid, ts in _events(sf_dir):
             lst = per_user.get(uid, [])
@@ -106,10 +133,12 @@ class TestAsofFamily:
             else:
                 want[eid] = (fwd[1], _fmt(fwd[0]), "fwd")
         got = {
-            r["event_id"]: (r["nearest_orderkey"], r["nearest_orderdate"], r["direction"])
+            r["event_id"]: (r["nearest_purchase_id"], r["nearest_purchase_ts"], r["direction"])
             for r in registry.REGISTRY["join_asof_nearest"](spark, sf_dir).collect()
         }
         assert got == want
+        dirs = {v[2] for v in want.values()}
+        assert "back" in dirs and "fwd" in dirs  # both directions live
 
 
 def _components(edges):
@@ -270,7 +299,9 @@ class TestTextMechanics:
             r["doc_id"]: r
             for r in registry.REGISTRY["text_stats"](spark, sf_dir).collect()
         }
-        for doc_id, text in zip(d["doc_id"], d["text"]):
+        tails = {0: "", 1: ".", 2: "!?", 3: ";:,"}  # r12 punct augmentation
+        for doc_id, raw in zip(d["doc_id"], d["text"]):
+            text = raw + tails[int(doc_id) % 4]
             r = got[int(doc_id)]
             n_tok = len(re.split(r"\s+", text.strip()))
             assert r["n_chars_calc"] == len(text)
@@ -278,6 +309,9 @@ class TestTextMechanics:
             assert r["avg_token_len"] == len(text.replace(" ", "")) / max(n_tok, 1)
             n_punct = sum(1 for c in text if c in ".,!?;:")
             assert r["punct_ratio"] == n_punct / max(len(text), 1)
+        # the augmentation keeps both branches live
+        assert any(r["punct_ratio"] > 0 for r in got.values())
+        assert any(r["punct_ratio"] == 0 for r in got.values())
 
     def test_token_count(self, spark, sf_dir):
         d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

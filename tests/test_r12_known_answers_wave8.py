@@ -296,8 +296,10 @@ class TestTextTailWave8:
             toks = t.strip().split()
             per_doc[int(doc_id)] = toks
             freq.update(toks)
+        # K=20 (r12 fix: K=100 swallowed the whole 31-token vocabulary and
+        # oov_rate was identically zero)
         vocab = set(
-            sorted(freq, key=lambda w: (-freq[w], w))[:100]
+            sorted(freq, key=lambda w: (-freq[w], w))[:20]
         )
         got = {r["doc_id"]: r for r in registry.REGISTRY["vocab_coverage"](spark, sf_dir).collect()}
         assert set(got) == set(per_doc)
@@ -306,6 +308,8 @@ class TestTextTailWave8:
             r = got[doc_id]
             assert (r["n_tokens"], r["n_in_vocab"]) == (len(toks), n_in), doc_id
             assert abs(r["oov_rate"] - (1.0 - n_in / len(toks))) < 1e-6, doc_id
+        # the OOV column is live (r12 de-vacuuming)
+        assert any(r["oov_rate"] > 0 for r in got.values())
 
     def test_corpus_datasheet(self, spark, sf_dir):
         d = pd.read_parquet(

@@ -209,4 +209,7 @@ class TestQualityGatesWave9:
         assert [(r["o_orderkey"]) for r in got] == [k for _, k, _ in want]
         for r, (key, k, p) in zip(got, want):
             assert float(r["o_totalprice"]) == p, k
-            assert abs(r["pps_key"] - key) < 1e-6, k
+            # ROUND-12 keys are live (~1e-7); the old ROUND-6 column was
+            # identically zero and this check was vacuously loose
+            assert abs(r["pps_key"] - key) < 1e-12, k
+            assert r["pps_key"] > 0, k

@@ -1642,7 +1642,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VOCAB_COVERAGE_K = 100  # fixed-vocab size for the coverage audit
+_VOCAB_COVERAGE_K = 20  # fixed-vocab size: the synthetic corpus has only
+# 31 distinct tokens, so the original K=100 covered EVERYTHING and the
+# oov_rate column was identically zero (degeneracy-audit catch); K=20
+# leaves 11 live OOV tokens at every driver SF
 
 
 @query(
@@ -2575,7 +2578,7 @@ def _bpe_loop(
                   % 1073741824 + 1) / 1073741826.0)
                / CAST(o_totalprice AS DOUBLE) AS key
       FROM orders)
-    SELECT o_orderkey, o_totalprice, ROUND(key, 6) AS pps_key
+    SELECT o_orderkey, o_totalprice, ROUND(key, 12) AS pps_key
     FROM k ORDER BY key, o_orderkey LIMIT 20
     """,
 )
@@ -2594,7 +2597,10 @@ def sample_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed r7); w is an exact decimal cast to double (<= 2^53); each key
     is ONE identical expression tree both engines evaluate bitwise-
     identically, so the global min-20 ordering (key, then orderkey)
-    agrees exactly. Emitted key is ROUND-6.
+    agrees exactly. Emitted key is ROUND-12: the keys are ~1/w ~ 1e-7,
+    so the family's usual ROUND-6 flattened the whole column to zero
+    (the degeneracy audit's catch — membership was always exact, but the
+    reported key carried no information).
 
     Plan: scan-stage key expression + TakeOrderedAndProject(20) — no
     global sort, no shuffle beyond the top-k combine (the
@@ -2619,7 +2625,7 @@ def sample_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_totalprice", key.alias("key"))
         .orderBy("key", "o_orderkey")
         .limit(20)
-        .select("o_orderkey", "o_totalprice", F.round("key", 6).alias("pps_key"))
+        .select("o_orderkey", "o_totalprice", F.round("key", 12).alias("pps_key"))
     )
 
 

@@ -24,9 +24,30 @@ from wri_data_processing_spark.registry import query
 _PUNCT_RE = "[.,!?;:]"
 
 
+# text_stats fixture augmentation (r12): the synthetic text contains ZERO
+# punctuation, so punct_ratio was identically 0 — a dead column the
+# degeneracy audit caught (the pii zero-digit lesson again). Both engines
+# append a deterministic doc_id-residue punctuation tail; residue 0 stays
+# bare so the zero branch remains exercised too.
+_TS_TEXT_SQL = """(text || CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 1 THEN '.' WHEN 2 THEN '!?' WHEN 3 THEN ';:,' ELSE '' END)"""
+
+
+def _ts_text_col() -> F.Column:
+    did = (F.col("doc_id") % 4).cast("int")
+    tail = (
+        F.when(did == 1, F.lit("."))
+        .when(did == 2, F.lit("!?"))
+        .when(did == 3, F.lit(";:,"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.col("text"), tail)
+
+
 @query(
     "text_stats",
-    oracle=r"""
+    oracle=rf"""
+    WITH aug AS (SELECT doc_id, {_TS_TEXT_SQL} AS text FROM documents)
     SELECT doc_id,
       CAST(length(text) AS BIGINT) AS n_chars_calc,
       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -34,11 +55,11 @@ _PUNCT_RE = "[.,!?;:]"
         / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS avg_token_len,
       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
         / greatest(length(text), 1) AS punct_ratio
-    FROM documents
+    FROM aug
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select("doc_id", _ts_text_col().alias("text"))
     text = F.col("text")
     n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("long")
     return d.select(

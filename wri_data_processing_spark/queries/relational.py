@@ -297,53 +297,72 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_RIGHT_SQL = """
+      SELECT user_id, ts AS pts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+"""
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    """Shared as-of fixture (r12 re-pointing): CLICK events matched to the
+    same user's PURCHASE events. The original right side was the orders
+    table, whose 1995-2001 dates sit 23 years before the 2024 event
+    stream: backward matched every event to the user's FINAL order (one
+    branch only) and forward/tolerance matched NOTHING — two fully
+    vacuous match columns the degeneracy audit caught. Clicks and
+    purchases interleave, so every branch (match both directions,
+    NULL both edges, in/out of tolerance) is live at every driver SF.
+    Dedup contract unchanged: one purchase per (user, ts), max event_id."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "rts", "purchase_id")
+    )
+    return clicks, purchases
+
+
 @query(
     "join_asof",
-    oracle="""
-    WITH o1 AS (
-      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    )
-    SELECT e.event_id,
-           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-           o.o_orderkey AS last_orderkey,
-           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
-    FROM events e
-    ASOF LEFT JOIN o1 o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    oracle=f"""
+    WITH p1 AS ({_ASOF_RIGHT_SQL}),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           p.purchase_id AS last_purchase_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+    FROM c
+    ASOF LEFT JOIN p1 p
+      ON c.user_id = p.user_id AND c.ts >= p.pts
     """,
 )
 def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each event, the user's most recent order at/before ts.
+    """As-of join: for each click, the user's most recent purchase
+    at/before it (the attribution lookup).
 
-    DuckDB validates via native ASOF JOIN; Spark side uses the union+window
-    implementation in operators/asof.py (single shuffle per side).
-    Tie-break on equal o_orderdate: highest o_orderkey wins on both sides is
-    NOT guaranteed by ASOF — so orders are pre-deduped to one row per
-    (custkey, orderdate): the max o_orderkey, matching DuckDB's argmax-free
-    deterministic reduction on both sides.
+    DuckDB validates via native ASOF JOIN; Spark side uses the
+    union+window implementation in operators/asof.py (single shuffle per
+    side). Tie-break on equal purchase ts: highest event_id wins on both
+    sides is NOT guaranteed by ASOF — so purchases are pre-deduped to one
+    row per (user, ts), max event_id (see _asof_sides for the r12
+    fixture re-pointing rationale).
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    # Deterministic: one order per (custkey, orderdate) — keep max orderkey.
-    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    clicks, purchases = _asof_sides(spark, sf_dir)
     joined = asof_join(
-        left=e.select("event_id", "user_id", "ts"),
-        right=o1.select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("rts"),
-            "o_orderkey",
-        ),
+        left=clicks,
+        right=purchases,
         on="user_id",
         left_ts="ts",
         right_ts="rts",
-        value_cols=["o_orderkey", "rts"],
+        value_cols=["purchase_id", "rts"],
     )
     return joined.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
-        F.col("o_orderkey").alias("last_orderkey"),
-        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("last_orderdate"),
+        F.col("purchase_id").alias("last_purchase_id"),
+        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
     )
 
 
@@ -609,49 +628,42 @@ def materialized_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_forward",
-    oracle="""
-    WITH o1 AS (
-      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    )
-    SELECT e.event_id,
-           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-           o1.o_orderkey AS next_orderkey,
-           strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_orderdate
-    FROM events e
-    ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate
+    oracle=f"""
+    WITH p1 AS ({_ASOF_RIGHT_SQL}),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           p.purchase_id AS next_purchase_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM c
+    ASOF LEFT JOIN p1 p ON c.user_id = p.user_id AND c.ts <= p.pts
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: each event matched to the user's NEXT order on
-    or after the event time ("time to next conversion" lookups).
+    """Forward as-of join: each click matched to the user's NEXT purchase
+    on or after it ("time to next conversion" lookups).
 
     Same union + window machinery as join_asof but scanning forward
     (operators/asof.py asof_join_forward) — one shuffle per side, linear
-    window, no range-join blowup. Orders pre-deduped to one row per
-    (custkey, orderdate), max orderkey, because ASOF picks an arbitrary
-    row among equal timestamps — determinism must come from the input.
+    window, no range-join blowup. Purchases pre-deduped per (user, ts),
+    max event_id, because ASOF picks an arbitrary row among equal
+    timestamps — determinism must come from the input (fixture
+    re-pointing rationale in _asof_sides).
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    clicks, purchases = _asof_sides(spark, sf_dir)
     joined = asof_join_forward(
-        left=e.select("event_id", "user_id", "ts"),
-        right=o1.select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("rts"),
-            "o_orderkey",
-        ),
+        left=clicks,
+        right=purchases,
         on="user_id",
         left_ts="ts",
         right_ts="rts",
-        value_cols=["o_orderkey", "rts"],
+        value_cols=["purchase_id", "rts"],
     )
     return joined.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
-        F.col("o_orderkey").alias("next_orderkey"),
-        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("next_orderdate"),
+        F.col("purchase_id").alias("next_purchase_id"),
+        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
     )
 
 
@@ -762,28 +774,26 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_nearest",
-    oracle="""
-    WITH o1 AS (
-      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    ),
+    oracle=f"""
+    WITH p1 AS ({_ASOF_RIGHT_SQL}),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     b AS (
-      SELECT e.event_id, e.ts, o.o_orderkey AS bk, o.o_orderdate AS bts
-      FROM events e
-      ASOF LEFT JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+      SELECT c.event_id, c.ts, p.purchase_id AS bk, p.pts AS bts
+      FROM c
+      ASOF LEFT JOIN p1 p ON c.user_id = p.user_id AND c.ts >= p.pts),
     f AS (
-      SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fts
-      FROM events e
-      ASOF LEFT JOIN o1 o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+      SELECT c.event_id, p.purchase_id AS fk, p.pts AS fts
+      FROM c
+      ASOF LEFT JOIN p1 p ON c.user_id = p.user_id AND c.ts <= p.pts)
     SELECT b.event_id,
            strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
            CASE WHEN f.fts IS NULL
                   OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
-                THEN b.bk ELSE f.fk END AS nearest_orderkey,
+                THEN b.bk ELSE f.fk END AS nearest_purchase_id,
            strftime(CASE WHEN f.fts IS NULL
                   OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
                 THEN b.bts ELSE f.fts END, '%Y-%m-%d %H:%M:%S')
-             AS nearest_orderdate,
+             AS nearest_purchase_ts,
            CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
                 WHEN f.fts IS NULL
                   OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
@@ -793,7 +803,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join (pandas merge_asof direction='nearest'): each
-    event matched to the user's CLOSEST order in either time direction —
+    click matched to the user's CLOSEST purchase in either direction —
     completes the as-of family (backward r3, forward r5). Ties at equal
     distance break BACKWARD (the earlier order), the merge_asof
     convention; comparisons are on interval values both engines derive
@@ -804,23 +814,15 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on event_id stitches the two candidates and a CASE picks the winner —
     3 keyed shuffles total, still no N x M range explosion.
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
-    right = o1.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("rts"),
-        "o_orderkey",
-    )
-    left = e.select("event_id", "user_id", "ts")
+    left, right = _asof_sides(spark, sf_dir)
     b = asof_join(
         left=left, right=right, on="user_id", left_ts="ts", right_ts="rts",
-        value_cols=["o_orderkey", "rts"],
-    ).select("event_id", "ts", F.col("o_orderkey").alias("bk"), F.col("rts").alias("bts"))
+        value_cols=["purchase_id", "rts"],
+    ).select("event_id", "ts", F.col("purchase_id").alias("bk"), F.col("rts").alias("bts"))
     f = asof_join_forward(
         left=left, right=right, on="user_id", left_ts="ts", right_ts="rts",
-        value_cols=["o_orderkey", "rts"],
-    ).select("event_id", F.col("o_orderkey").alias("fk"), F.col("rts").alias("fts"))
+        value_cols=["purchase_id", "rts"],
+    ).select("event_id", F.col("purchase_id").alias("fk"), F.col("rts").alias("fts"))
     j = b.join(f, "event_id")
     back_wins = F.col("fts").isNull() | (
         F.col("bts").isNotNull()
@@ -829,11 +831,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
-        F.when(back_wins, F.col("bk")).otherwise(F.col("fk")).alias("nearest_orderkey"),
+        F.when(back_wins, F.col("bk")).otherwise(F.col("fk")).alias("nearest_purchase_id"),
         F.date_format(
             F.when(back_wins, F.col("bts")).otherwise(F.col("fts")),
             "yyyy-MM-dd HH:mm:ss",
-        ).alias("nearest_orderdate"),
+        ).alias("nearest_purchase_ts"),
         F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
         .when(back_wins, F.lit("back"))
         .otherwise(F.lit("fwd"))
@@ -930,33 +932,34 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_tolerance",
-    oracle="""
-    WITH o1 AS (
-      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    ),
+    oracle=f"""
+    WITH p1 AS ({_ASOF_RIGHT_SQL}),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     m AS (
-      SELECT e.event_id,
-             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-             o.o_orderkey, o.o_orderdate,
-             e.ts - o.o_orderdate <= INTERVAL 30 DAY AS in_tol
-      FROM events e
-      ASOF LEFT JOIN o1 o
-        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      SELECT c.event_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+             p.purchase_id, p.pts,
+             c.ts - p.pts <= INTERVAL 12 HOUR AS in_tol
+      FROM c
+      ASOF LEFT JOIN p1 p
+        ON c.user_id = p.user_id AND c.ts >= p.pts)
     SELECT event_id, event_ts,
-           CASE WHEN in_tol THEN o_orderkey END AS last_orderkey,
+           CASE WHEN in_tol THEN purchase_id END AS last_purchase_id,
            CASE WHEN in_tol
-                THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END
-             AS last_orderdate
+                THEN strftime(pts, '%Y-%m-%d %H:%M:%S') END
+             AS last_purchase_ts
     FROM m
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a match-window TOLERANCE (pandas merge_asof's
-    ``tolerance=``): the user's most recent order at/before the event, but
-    only if it is at most 30 days old — staler state must read as NO match
-    (NULL), the semantics every feature-store point-in-time lookup needs
-    so a years-old attribute cannot leak into a fresh training row.
+    ``tolerance=``): the user's most recent purchase at/before the click,
+    but only if it is at most 12 hours old — staler state must read as NO
+    match (NULL), the semantics every feature-store point-in-time lookup
+    needs so a years-old attribute cannot leak into a fresh training row.
+    12 hours sits inside the event stream's inter-purchase gap
+    distribution, so matched and NULLed clicks BOTH occur at every driver
+    SF (fixture re-pointing rationale in _asof_sides).
 
     Because backward as-of picks the NEAREST previous match, nulling a
     beyond-tolerance winner is exactly equivalent to restricting the match
@@ -965,28 +968,22 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     range explosion), then one scan-stage CASE on the matched timestamp.
     Tie-break and dedup contract identical to join_asof.
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    o1 = o.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    clicks, purchases = _asof_sides(spark, sf_dir)
     joined = asof_join(
-        left=e.select("event_id", "user_id", "ts"),
-        right=o1.select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("rts"),
-            "o_orderkey",
-        ),
+        left=clicks,
+        right=purchases,
         on="user_id",
         left_ts="ts",
         right_ts="rts",
-        value_cols=["o_orderkey", "rts"],
+        value_cols=["purchase_id", "rts"],
     )
-    in_tol = F.col("rts") >= F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    in_tol = F.col("rts") >= F.col("ts") - F.expr("INTERVAL 12 HOURS")
     return joined.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
-        F.when(in_tol, F.col("o_orderkey")).alias("last_orderkey"),
+        F.when(in_tol, F.col("purchase_id")).alias("last_purchase_id"),
         F.when(in_tol, F.date_format("rts", "yyyy-MM-dd HH:mm:ss")).alias(
-            "last_orderdate"
+            "last_purchase_ts"
         ),
     )
 

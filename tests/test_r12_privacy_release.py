@@ -55,7 +55,10 @@ class TestKAnonymity:
             assert r["min_class_size"] == min(sizes)
             assert r["classes_below_k"] == sum(1 for n in sizes if n < k)
             assert r["rows_below_k"] == rows_below
-            assert r["pct_rows_at_risk"] == round(rows_below / total, 6)
+            # abs-diff tolerance, not exact ==: Python round() is banker's
+            # rounding while Spark's F.round is HALF_UP — a tie at the 6th
+            # decimal would fail an exact compare spuriously (ADVICE r12)
+            assert abs(r["pct_rows_at_risk"] - rows_below / total) < 5e-7
             assert r["k_anonymous"] == (min(sizes) >= k)
 
     def test_at_risk_monotone_in_k(self, spark, sf_dir):
@@ -95,7 +98,10 @@ class TestLDiversity:
             assert r["min_diversity"] == min(d for _, d in classes)
             assert r["classes_below_l"] == sum(1 for _, d in classes if d < lv)
             assert r["rows_below_l"] == rows_below
-            assert r["pct_rows_at_risk"] == round(rows_below / total, 6)
+            # abs-diff tolerance, not exact ==: Python round() is banker's
+            # rounding while Spark's F.round is HALF_UP — a tie at the 6th
+            # decimal would fail an exact compare spuriously (ADVICE r12)
+            assert abs(r["pct_rows_at_risk"] - rows_below / total) < 5e-7
             assert r["l_diverse"] == (min(d for _, d in classes) >= lv)
 
     def test_gate_consistency(self, spark, sf_dir):

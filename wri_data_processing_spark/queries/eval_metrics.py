@@ -1178,7 +1178,10 @@ def _bt_oracle() -> str:
         prev = f"p{r - 1}"
         iters.append(f""",
     d{r} AS (
-      SELECT dir.i, SUM((dir.n * {_BT_S2}) // (pi.p + pj.p)) AS den
+      SELECT dir.i,
+             SUM(CASE WHEN pi.p + pj.p > 0
+                      THEN (dir.n * {_BT_S2}) // (pi.p + pj.p)
+                      ELSE CAST(0 AS HUGEINT) END) AS den
       FROM dir
       JOIN {prev} pi ON dir.i = pi.i
       JOIN {prev} pj ON dir.j = pj.i
@@ -1216,7 +1219,7 @@ def _bt_oracle() -> str:
 
 @query("eval_bradley_terry", oracle=_bt_oracle())
 def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley-Terry strengths from pairwise preferences via {r} unrolled
+    """Bradley-Terry strengths from pairwise preferences via ``_BT_ROUNDS`` (=3) unrolled
     minorization-maximization rounds (Hunter 2004) in Q6 integer fixed
     point — the arena-style ranking every LLM-eval leaderboard runs over
     pairwise human/model judgments, here over a deterministic duel
@@ -1245,7 +1248,7 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (event_type, strength_q, strength, bt_rank) — Q6 strengths,
     mean-1 normalized, rank 1 = strongest.
-    """.format(r=_BT_ROUNDS)
+    """
     ev = table(spark, sf_dir, "events")
     uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
     a = uc.select(
@@ -1285,7 +1288,17 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = (
             dir_.join(F.broadcast(pi), "i")
             .join(F.broadcast(pj), "j")
-            .select("i", F.expr(f"CAST(n * {_BT_S2} div (p_i + p_j) AS DECIMAL(38,0))").alias("term"))
+            # Guard p_i + p_j = 0 (two items both floored to strength 0 by
+            # the normalization under skewed duel counts): Spark's non-ANSI
+            # `div` would yield NULL (silently dropped from SUM) while the
+            # DuckDB HUGEINT `//` raises — mirrored CASE on both engines.
+            .select(
+                "i",
+                F.expr(
+                    f"CASE WHEN p_i + p_j > 0 THEN CAST(n * {_BT_S2} div (p_i + p_j)"
+                    " AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"
+                ).alias("term"),
+            )
             .groupBy("i")
             .agg(F.sum("term").cast("decimal(38,0)").alias("den"))
         )

@@ -531,7 +531,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, market segment, account-balance band of 1000) — the classic
     "zip/gender/birthdate" shape. A release is k-anonymous iff every
     equivalence class holds >= k rows; the report sweeps k in
-    {ks} and counts classes and rows below each threshold (the
+    ``_K_THRESHOLDS`` (=(2, 5, 10, 25)) and counts classes and rows below each threshold (the
     rows_below_k population is exactly who a linkage attack singles
     out). min_class_size and the boolean gate make it a one-glance
     release decision.
@@ -544,7 +544,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     25x5x11), then a literal-array threshold explode inside that
     frame's own stage and a 4-row re-aggregate — no join of any kind. Customer rows never shuffle twice; text never
     shuffles at all.
-    """.format(ks=_K_THRESHOLDS)
+    """
     c = table(spark, sf_dir, "customer")
     ec = (
         c.select(
@@ -610,7 +610,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE sensitive value (the homogeneity attack). Quasi-identifiers are
     (market segment, balance band of 500); the sensitive attribute is
     nationality; a class is l-diverse iff it contains >= l distinct
-    sensitive values. Sweeps l in {ls} with the same
+    sensitive values. Sweeps l in ``_L_THRESHOLDS`` (=(2, 5, 8, 12)) with the same
     classes/rows-below/gate report shape as privacy_k_anonymity.
 
     Exactness: per-class COUNT(DISTINCT sensitive) is exact (one extra
@@ -621,7 +621,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(QI) — two bounded map-side-combined exchanges (the second
     over |QI| x |sensitive| rows at most), then the in-stage
     threshold explode. Equivalent shape to agg_multi_distinct; never row-bounded.
-    """.format(ls=_L_THRESHOLDS)
+    """
     c = table(spark, sf_dir, "customer")
     ec = (
         c.select(

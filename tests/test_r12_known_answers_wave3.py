@@ -225,7 +225,7 @@ class TestSurvivalAndSeries:
             for i, (d, x) in enumerate(zip(days, xs)):
                 s = max(s + x - mu, 0.0) if i else max(x - mu, 0.0)
                 smax = max(smax, s)
-                if s > 2.0 * mu:
+                if s > 3.0 * math.sqrt(mu):
                     nal += 1
                     if first is None:
                         first = str(d)

@@ -1170,9 +1170,9 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
            ROUND(max_by(s, t), 6) AS s_final,
            ROUND(MAX(s), 6) AS s_max,
-           CAST(SUM(CASE WHEN s > 2.0 * mu THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN s > 3.0 * sqrt(mu) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_alarms,
-           CAST(MIN(CASE WHEN s > 2.0 * mu THEN d END) AS VARCHAR)
+           CAST(MIN(CASE WHEN s > 3.0 * sqrt(mu) THEN d END) AS VARCHAR)
              AS first_alarm_day
     FROM walk GROUP BY 1 ORDER BY 1
     """,
@@ -1229,7 +1229,13 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(acc, x):
         s = F.greatest(acc["s"] + x["n"].cast("double") - F.col("mu"), F.lit(0.0))
-        alarm = s > 2.0 * F.col("mu")
+        # h = 3*sqrt(mu0), NOT k*mu0: a mean-proportional threshold goes
+        # dead as volume grows (Poisson fluctuations scale with sqrt(mu),
+        # so at sf0.01 the old 2*mu never fired and first_alarm_day sat
+        # all-NULL through nine driver rounds — the r13 degeneracy gate's
+        # first catch). sqrt is correctly rounded in IEEE-754, so the
+        # comparison mirrors bit-exactly across Spark/DuckDB/Python.
+        alarm = s > 3.0 * F.sqrt(F.col("mu"))
         return F.struct(
             s.alias("s"),
             F.greatest(acc["smax"], s).alias("smax"),

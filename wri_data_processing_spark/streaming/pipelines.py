@@ -15,6 +15,7 @@ change.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -665,11 +666,13 @@ def _round6_half_up(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
-def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 2.0) -> DataFrame:
+def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 3.0) -> DataFrame:
     """Streaming twin of events_cusum_alarm: per-key one-sided CUSUM
     S_t = max(0, S_{t-1} + (x_t - mu0[key])) as a custom stateful operator
     (applyInPandasWithState) over the daily-count stream, alarming when
-    S_t > h_factor * mu0. The baseline mu0 is a PINNED config dict (the
+    S_t > h_factor * sqrt(mu0) (scale-free Poisson-fluctuation units,
+    matching the batch op — a mean-proportional threshold goes dead as
+    volume grows). The baseline mu0 is a PINNED config dict (the
     production pattern: derived once from a reference window, shipped with
     the job), so the recursion is closed per key and the state row is one
     (s, smax, n_alarms, first_alarm_day, n_days) struct — constant bytes
@@ -687,7 +690,7 @@ def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 2.0) 
     ) -> Iterator[pd.DataFrame]:
         et = key[0]
         mu = float(mu0.get(et, 0.0))
-        h = h_factor * mu
+        h = h_factor * math.sqrt(mu)
         s, smax, nal, first, ndays = (
             state.get if state.exists else (0.0, float("-inf"), 0, None, 0)
         )

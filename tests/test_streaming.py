@@ -1218,3 +1218,124 @@ def test_stream_stream_outer_join_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert recovered_nulls, "no pre-cut click emitted NULL after restart"
     # a NULL click never also matches
     assert not {(u, cid) for (u, cid, _) in got_matched} & got_null
+
+
+def test_url_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the first-arrival URL dedup state (VERDICT r12
+    item 5): incarnation 1 drains the even-doc_id drop and stops; the odd
+    drop lands while NO query runs; a brand-new query object restarts from
+    the SAME checkpoint. The recovered dropDuplicates state must suppress
+    every canonical key already won in run 1 (at sf0.001 every even-side
+    key recurs on the odd side — 125 forced collisions), so run 2 may emit
+    only NET-NEW keys, and run1 ∪ run2 must equal the batch op's key set."""
+    from wri_data_processing_spark import registry
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_doc_stream,
+        url_deduped,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt_url_recovery")
+
+    def _drain(emitted):
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+        return _sink
+
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run1: list = []
+    q = (
+        url_deduped(read_doc_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run1))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys1 = {r["canonical_url"] for r in run1}
+    assert keys1
+
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    q = (
+        url_deduped(read_doc_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run2))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys2 = {r["canonical_url"] for r in run2}
+
+    # The recovery proof: run 2 re-emitted NOTHING run 1 already won, even
+    # though every run-1 key recurs in drop 2 — that state came off disk.
+    assert not keys1 & keys2, sorted(keys1 & keys2)[:5]
+
+    registry.load_all()
+    want = {
+        r["canonical_url"]
+        for r in registry.REGISTRY["dedup_url_canonical"](spark, sf_dir).collect()
+    }
+    assert keys1 | keys2 == want
+
+
+def test_segment_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the C4-style segment dedup state: same two-
+    incarnation protocol as the URL twin, over the 16-token segment hash
+    keys (the even/odd doc split forces 41 cross-drop duplicate segments
+    at sf0.001). Run 2 may emit only segments unseen in run 1, and the
+    union must equal the batch op's distinct-segment set."""
+    from wri_data_processing_spark.queries.llm_segments import _segments
+    from wri_data_processing_spark.streaming.pipelines import (
+        read_doc_stream,
+        segment_deduped,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt_seg_recovery")
+
+    def _drain(emitted):
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+        return _sink
+
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run1: list = []
+    q = (
+        segment_deduped(read_doc_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run1))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    whs1 = {r["wh"] for r in run1}
+    assert whs1
+
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    run2: list = []
+    q = (
+        segment_deduped(read_doc_stream(spark, src))
+        .writeStream.foreachBatch(_drain(run2))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    whs2 = {r["wh"] for r in run2}
+
+    assert not whs1 & whs2, f"{len(whs1 & whs2)} segments re-emitted after restart"
+    batch_whs = {
+        r["wh"]
+        for r in _segments(d)
+        .select(F.substring(F.sha2(F.col("seg"), 256), 1, 16).alias("wh"))
+        .distinct()
+        .collect()
+    }
+    assert whs1 | whs2 == batch_whs

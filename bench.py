@@ -376,6 +376,64 @@ def main() -> None:
             timings["web_corpus_pipeline"] - lm_sec, 3
         )
 
+    # retrieval_pipeline attribution (VERDICT r12 item 4): the pool's
+    # localCheckpoint is the stage boundary — time the IVF-probe + exact
+    # rerank half alone so a driver-bench spike is attributable to the
+    # index/rerank stage vs the MMR tail (r12's 5.9 s loaded-box reading
+    # vs the 1.5 s quiet median was unattributable without this split).
+    if "retrieval_pipeline" in timings:
+        from wri_data_processing_spark.catalog import table as _tbl
+        from wri_data_processing_spark.queries.llm_similarity import (
+            _IVF_NLIST,
+            _MMR_POOL,
+            _RP_NPROBE,
+            _idot,
+            _qvec,
+            ivf_assign,
+        )
+        from pyspark.sql import functions as F_rp
+
+        def _pool_half(s, d):
+            e = _tbl(s, d, "embeddings")
+            qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+            cents = qt.filter(F_rp.col("vec_id") < _IVF_NLIST).select(
+                F_rp.col("vec_id").alias("cid"), F_rp.col("qv").alias("cv")
+            )
+            d2 = F_rp.aggregate(
+                F_rp.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F_rp.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            probes = (
+                qt.filter(F_rp.col("vec_id") == 0)
+                .crossJoin(F_rp.broadcast(cents))
+                .select("cid", d2.alias("d2"))
+                .orderBy("d2", "cid")
+                .limit(_RP_NPROBE)
+                .select("cid")
+            )
+            q0 = qt.filter(F_rp.col("vec_id") == 0).select(F_rp.col("qv").alias("q0"))
+            return (
+                qt.filter(F_rp.col("vec_id") != 0)
+                .join(ivf_assign(e), "vec_id")
+                .join(F_rp.broadcast(probes), "cid")
+                .crossJoin(F_rp.broadcast(q0))
+                .select("vec_id", _idot(F_rp.col("qv"), F_rp.col("q0")).alias("rel"))
+                .orderBy(F_rp.col("rel").desc(), "vec_id")
+                .limit(_MMR_POOL)
+            )
+
+        _time_once(_pool_half, spark, sf_dir)  # warmup
+        pool_runs = [_time_once(_pool_half, spark, sf_dir) for _ in range(n_runs)]
+        pool_sec = statistics.median(pool_runs)
+        detail["retrieval_pipeline"]["probe_rerank_sec"] = round(pool_sec, 3)
+        detail["retrieval_pipeline"]["probe_rerank_spread_pct"] = round(
+            100.0 * (max(pool_runs) - min(pool_runs)) / max(pool_sec, 1e-9), 1
+        )
+        detail["retrieval_pipeline"]["mmr_residual_sec"] = round(
+            timings["retrieval_pipeline"] - pool_sec, 3
+        )
+
     probe_post = _env_probe(spark, n_runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

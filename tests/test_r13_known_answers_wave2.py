@@ -1,0 +1,217 @@
+"""r13 wave-2 known-answer tests: pure-Python replays of the four new ops
+(events_hazard_nelson_aalen, eval_krippendorff_alpha, text_mattr,
+eval_rank_biased_overlap) — independent arithmetic, not the engine's or the
+oracle's expression trees (the Wilcoxon-catch house rule).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+
+from tests.test_r13_known_answers import _py_pred, _py_scores
+from wri_data_processing_spark import registry
+
+registry.load_all()
+
+
+class TestNelsonAalen:
+    def test_life_table_replay(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+            ["user_id", "event_type", "ts"]
+        ]
+        ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+        rows = []
+        for _u, g in ev.groupby("user_id"):
+            fd, ld = g["d"].min(), g["d"].max()
+            p = g.loc[g["event_type"] == "purchase", "d"]
+            if len(p):
+                rows.append(((p.min() - fd).days, 1))
+            else:
+                rows.append(((ld - fd).days, 0))
+        tab = Counter()
+        for dur, evt in rows:
+            tab[dur] = (tab[dur][0] + evt, tab[dur][1] + (1 - evt)) if dur in tab else (evt, 1 - evt)
+        durs = sorted(tab)
+        ntot = len(rows)
+        got = {
+            r["dur"]: r
+            for r in registry.REGISTRY["events_hazard_nelson_aalen"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert sorted(got) == durs
+        at_risk = ntot
+        H = V = 0.0
+        for dur in durs:
+            d, c = tab[dur]
+            H += d / at_risk
+            V += d / (at_risk * at_risk)
+            r = got[dur]
+            assert (r["n_risk"], r["n_event"], r["n_censor"]) == (at_risk, d, c), dur
+            assert abs(r["cum_hazard"] - H) < 1e-5, dur
+            assert abs(r["hazard_var"] - V) < 5e-7, dur  # emitted ROUND-6
+            at_risk -= d + c
+        # liveness: hazard accumulates and the final at-risk pool empties
+        assert H > 0 and at_risk == 0
+
+    def test_cum_hazard_ge_neg_ln_surv(self, spark, sf_dir):
+        """Textbook inequality H_NA(t) <= -ln(S_KM(t)) with equality only
+        when every d_i = 0 or 1 — a cross-op sanity link to the KM twin."""
+        na = {
+            r["dur"]: r["cum_hazard"]
+            for r in registry.REGISTRY["events_hazard_nelson_aalen"](
+                spark, sf_dir
+            ).collect()
+        }
+        km = {
+            r["dur"]: r["ln_surv"]
+            for r in registry.REGISTRY["events_survival_km"](spark, sf_dir).collect()
+        }
+        assert set(na) == set(km)
+        for dur, h in na.items():
+            if km[dur] is not None:
+                assert h <= -km[dur] + 1e-9, dur
+
+
+_MARKERS = {
+    "en": ["the", "and", "with"],
+    "es": ["el", "la", "con"],
+    "fr": ["le", "la", "avec"],
+    "de": ["der", "und", "mit"],
+}
+
+
+def _marker_pred(text: str) -> str:
+    padded = f" {text} "
+    s = {}
+    for lang, ws in _MARKERS.items():
+        tot = 0.0
+        for w in ws:
+            pat = f" {w} "
+            # non-overlapping str.replace counting — the engine/oracle
+            # convention ("the the the" counts 2, not 3)
+            tot += (len(padded) - len(padded.replace(pat, ""))) / len(pat)
+        s[lang] = tot
+    if s["en"] >= max(s["es"], s["fr"], s["de"]) and s["en"] > 0:
+        return "en"
+    if s["es"] >= max(s["fr"], s["de"]) and s["es"] > 0:
+        return "es"
+    if s["fr"] >= s["de"] and s["fr"] > 0:
+        return "fr"
+    if s["de"] > 0:
+        return "de"
+    return "unknown"
+
+
+class TestKrippendorffAlpha:
+    def test_alpha_replay(self, spark, sf_dir):
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+            ["doc_id", "text", "lang"]
+        ]
+        docs = docs[docs["text"].str.len() >= 3]
+        o: Counter = Counter()
+        for _i, row in docs.iterrows():
+            for cat in (
+                row["lang"],
+                _marker_pred(row["text"]),
+                _py_pred(_py_scores(row["text"])),
+            ):
+                o[(row["doc_id"], cat)] += 1
+        n_units = docs["doc_id"].nunique()
+        big_n = 3 * n_units
+        s_o = sum(c * (3 - c) for c in o.values())
+        nc: Counter = Counter()
+        for (_u, cat), c in o.items():
+            nc[cat] += c
+        s_e = sum(c * (big_n - c) for c in nc.values())
+        alpha = 1.0 - s_o * (big_n - 1) / (s_e * 2.0)
+        [r] = registry.REGISTRY["eval_krippendorff_alpha"](spark, sf_dir).collect()
+        assert r["n_units"] == n_units
+        assert r["n_categories"] == len(nc)
+        assert (r["s_o"], r["s_e"]) == (s_o, s_e)
+        assert abs(r["alpha"] - alpha) < 5e-7
+        assert abs(r["d_o"] - s_o / (big_n * 2.0)) < 5e-7
+        assert abs(r["d_e"] - s_e / (big_n * (big_n - 1.0))) < 5e-7
+        # liveness: with three genuinely disagreeing raters alpha must be
+        # a real interior value, not a degenerate 0/1 constant
+        assert 0.0 < r["d_o"] < 1.0
+
+
+class TestMattr:
+    def test_per_doc_replay(self, spark, sf_dir):
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        got = {
+            r["doc_id"]: r
+            for r in registry.REGISTRY["text_mattr"](spark, sf_dir).collect()
+        }
+        W = 25
+        saw_window = saw_short = False
+        for _i, row in docs.iterrows():
+            t = row["text"].strip()
+            if not t:
+                assert row["doc_id"] not in got
+                continue
+            toks = re.split(r"\s+", t)
+            n = len(toks)
+            r = got[row["doc_id"]]
+            assert r["n_tokens"] == n
+            assert r["n_types"] == len(set(toks))
+            assert abs(r["ttr"] - len(set(toks)) / n) < 5e-7
+            if n >= W:
+                saw_window = True
+                s = sum(len(set(toks[i : i + W])) for i in range(n - W + 1))
+                assert abs(r["mattr"] - s / (W * (n - W + 1))) < 5e-7
+            else:
+                saw_short = True
+                assert r["mattr"] is None
+        # both branches of the window CASE must be live on this corpus
+        assert saw_window and saw_short
+
+
+class TestRankBiasedOverlap:
+    def test_rbo_replay(self, spark, sf_dir):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        qt = {
+            int(i): [math.floor(float(x) * 1048576.0) for x in a]
+            for i, a in zip(emb["vec_id"], emb["embedding"])
+        }
+        q0 = qt[0]
+        rel = {
+            v: sum(a * b for a, b in zip(qv, q0)) for v, qv in qt.items() if v != 0
+        }
+        exact = [v for v in sorted(rel, key=lambda v: (-rel[v], v))][:10]
+        cents = {c: qt[c] for c in sorted(qt) if c < 8}
+
+        def nearest(qv):
+            best = None
+            for c, cv in cents.items():
+                d2 = sum((a - b) * (a - b) for a, b in zip(qv, cv))
+                if best is None or (d2, c) < best:
+                    best = (d2, c)
+            return best
+
+        probe_cells = sorted(
+            ((sum((a - b) * (a - b) for a, b in zip(q0, cv)), c) for c, cv in cents.items())
+        )[:3]
+        probed = {c for _d, c in probe_cells}
+        ivf = [
+            v
+            for v in sorted(rel, key=lambda v: (-rel[v], v))
+            if nearest(qt[v])[1] in probed
+        ][:10]
+        o = [len(set(exact[:d]) & set(ivf[:d])) for d in range(1, 11)]
+        ao = sum(o[d - 1] / d for d in range(1, 11)) / 10.0
+        rbo = sum(
+            (1.0 - 0.9) * 0.9 ** (d - 1) * o[d - 1] / d for d in range(1, 11)
+        )
+        [r] = registry.REGISTRY["eval_rank_biased_overlap"](spark, sf_dir).collect()
+        assert r["depth"] == 10
+        assert r["overlap_at_depth"] == o[-1]
+        assert abs(r["average_overlap"] - ao) < 5e-7
+        assert abs(r["rbo"] - rbo) < 5e-7
+        # liveness: the probe must find SOME of the exact list
+        assert r["overlap_at_depth"] > 0

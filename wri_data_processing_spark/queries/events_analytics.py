@@ -3063,3 +3063,152 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("sn").cast("decimal(38,0)") * F.lit(1000000000)
         ).alias("alarm"),
     ).orderBy("d")
+
+
+@query(
+    "events_hazard_nelson_aalen",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS fd,
+             MAX(CAST(ts AS DATE)) AS ld,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS pd
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT CASE WHEN pd IS NOT NULL THEN date_diff('day', fd, pd)
+                  ELSE date_diff('day', fd, ld) END AS dur,
+             CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    g AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM f GROUP BY 1),
+    one AS (
+      SELECT CAST(SUM(d + c) AS BIGINT) AS ntot,
+             list(struct_pack(dur := dur, d := d, c := c) ORDER BY dur) AS rs
+      FROM g),
+    enr AS (
+      SELECT ntot, rs,
+             list_transform(rs, (r, i) ->
+               ntot - CAST(COALESCE(list_aggregate(
+                 list_transform(rs[1:i-1], x -> x.d + x.c), 'sum'), 0)
+                 AS BIGINT)) AS atrisk
+      FROM one),
+    t AS (
+      SELECT rs, atrisk,
+             list_transform(rs, (r, i) ->
+               CAST(r.d AS DOUBLE) / CAST(atrisk[i] AS DOUBLE)) AS hterms,
+             list_transform(rs, (r, i) ->
+               CAST(r.d AS DOUBLE)
+                 / (CAST(atrisk[i] AS DOUBLE) * CAST(atrisk[i] AS DOUBLE)))
+               AS vterms
+      FROM enr)
+    SELECT rs[i].dur AS dur,
+           atrisk[i] AS n_risk,
+           rs[i].d AS n_event,
+           rs[i].c AS n_censor,
+           ROUND(list_aggregate(hterms[1:i], 'sum'), 6) AS cum_hazard,
+           ROUND(list_aggregate(vterms[1:i], 'sum'), 6) AS hazard_var
+    FROM t, UNNEST(range(1, len(rs) + 1)) AS ix(i)
+    ORDER BY dur
+    """,
+)
+def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard life table — the estimator twin of
+    events_survival_km over the SAME censoring fixture (duration = days
+    from first activity to first purchase, never-converters censored at
+    last active day): H(t) = sum_{t_i <= t} d_i/n_i, with the Poisson
+    variance estimate sum d_i/n_i^2. Where KM answers "what fraction
+    survives", NA answers "how much hazard has accumulated" — the form
+    additive-risk models and hazard-ratio eyeballing consume, and the
+    better-behaved estimator when per-time event counts are tiny.
+
+    Determinism: each term is ONE exact division of two BIGINTs (d_i,
+    n_i come out of exact integer folds; no transcendental anywhere, so
+    this is stricter than KM's ln path), and the prefix fold over the
+    ordered single-row array uses the same list discipline in both
+    engines — identical association order, closed with ROUND-6. No NULL
+    branch exists: n_i >= d_i + c_i >= 1 at every observed duration by
+    construction.
+
+    Plan: identical shape to events_survival_km (one per-user
+    conditional min/max shuffle, one per-duration count shuffle bounded
+    by the calendar span, then a single-row ordered fold + posexplode);
+    the O(k^2) slice sums run over k <= span-days elements inside one
+    row, unchanged at 100 TB where |users| grows but the calendar
+    doesn't.
+    """
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.max(F.to_date("ts")).alias("ld"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("pd"),
+    )
+    f = u.select(
+        F.when(F.col("pd").isNotNull(), F.datediff("pd", "fd"))
+        .otherwise(F.datediff("ld", "fd"))
+        .alias("dur"),
+        F.when(F.col("pd").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = f.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    one = g.agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("ntot"),
+        F.array_sort(F.collect_list(F.struct("dur", "d", "c"))).alias("rs"),
+    )
+    enr = one.select(
+        "ntot",
+        "rs",
+        F.transform(
+            "rs",
+            lambda r, i: F.col("ntot")
+            - F.coalesce(
+                F.aggregate(
+                    F.slice("rs", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x["d"] + x["c"],
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("atrisk"),
+    )
+    t = enr.select(
+        "rs",
+        "atrisk",
+        F.transform(
+            "rs",
+            lambda r, i: r["d"].cast("double")
+            / F.element_at("atrisk", i + 1).cast("double"),
+        ).alias("hterms"),
+        F.transform(
+            "rs",
+            lambda r, i: r["d"].cast("double")
+            / (
+                F.element_at("atrisk", i + 1).cast("double")
+                * F.element_at("atrisk", i + 1).cast("double")
+            ),
+        ).alias("vterms"),
+    )
+    ex = t.select(F.posexplode("rs").alias("p", "r"), "atrisk", "hterms", "vterms")
+
+    def prefix(col: str) -> F.Column:
+        return F.round(
+            F.aggregate(
+                F.slice(col, F.lit(1), F.col("p") + 1), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        )
+
+    return ex.select(
+        F.col("r.dur").alias("dur"),
+        F.element_at("atrisk", F.col("p") + 1).alias("n_risk"),
+        F.col("r.d").alias("n_event"),
+        F.col("r.c").alias("n_censor"),
+        prefix("hterms").alias("cum_hazard"),
+        prefix("vterms").alias("hazard_var"),
+    ).orderBy("dur")

@@ -2540,3 +2540,157 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# -- rank-biased overlap between the exact and IVF-probed rankings (r13) -----
+
+_RBO_P = 0.9
+_RBO_D = 10
+# (1-p)*p^(d-1) weights authored as literals at import (the _DCG_W
+# discipline) — repr() round-trips doubles exactly, so both engines parse
+# the identical IEEE value; no runtime pow.
+_RBO_W = [(1.0 - _RBO_P) * _RBO_P**d for d in range(_RBO_D)]
+
+
+@query(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+    WITH {ivf_assign_ctes()},
+    qv0 AS MATERIALIZED (SELECT qv FROM qt WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id,
+             CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+               i -> p.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS rel
+      FROM qt p, (SELECT qv FROM qv0) c
+      WHERE p.vec_id <> 0),
+    probes AS MATERIALIZED (
+      SELECT cid FROM cdist WHERE vec_id = 0
+      ORDER BY d2, cid LIMIT {_RP_NPROBE}),
+    exact_l AS (
+      SELECT list(vec_id ORDER BY rel DESC, vec_id) AS xs FROM (
+        SELECT vec_id, rel FROM rel
+        ORDER BY rel DESC, vec_id LIMIT {_RBO_D})),
+    ivf_l AS (
+      SELECT list(vec_id ORDER BY rel DESC, vec_id) AS ys FROM (
+        SELECT r.vec_id, r.rel
+        FROM rel r
+        JOIN assigned a ON r.vec_id = a.vec_id
+        JOIN probes pr ON a.cid = pr.cid
+        ORDER BY r.rel DESC, r.vec_id LIMIT {_RBO_D})),
+    ov AS (
+      SELECT xs, ys,
+             list_transform(generate_series(1, {_RBO_D}),
+               d -> CAST(len(list_intersect(xs[1:d], ys[1:d])) AS BIGINT))
+               AS o
+      FROM exact_l, ivf_l)
+    SELECT CAST({_RBO_D} AS BIGINT) AS depth,
+           o[{_RBO_D}] AS overlap_at_depth,
+           ROUND(list_aggregate(list_transform(generate_series(1, {_RBO_D}),
+                   d -> CAST(o[d] AS DOUBLE) / CAST(d AS DOUBLE)), 'sum')
+                 / {_RBO_D}.0, 6) AS average_overlap,
+           ROUND(list_aggregate(list_transform(generate_series(1, {_RBO_D}),
+                   d -> ([{", ".join(repr(w) for w in _RBO_W)}])[d]
+                        * CAST(o[d] AS DOUBLE) / CAST(d AS DOUBLE)), 'sum'), 6)
+             AS rbo
+    FROM ov
+    """,
+)
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber 2010, truncated at depth 10, p = 0.9)
+    between the EXACT integer-dot ranking and the IVF 3-of-8-probe
+    ranking for query vec 0 — the top-weighted agreement scalar that
+    complements eval_ann_recall's set-recall: recall@10 treats rank 1
+    and rank 10 the same, RBO pays (1-p)p^(d-1) per depth, so an index
+    that finds the right set in the wrong order is visibly worse.
+    average_overlap (unweighted AO@10) and overlap_at_depth ride along.
+
+    Exactness: both rankings order by the exact BIGINT dot product with
+    vec_id tiebreak (the sim_topk discipline); per-depth overlap counts
+    are exact integers from prefix-slice intersections; the weighted sum
+    folds authored double literals x one exact division per depth in
+    identical list order on both engines, ROUND-6.
+
+    Plan at 100 TB: two TakeOrdered(10) pools over the rel frame (the
+    IVF side pruned by the probe join BEFORE ranking), then all RBO
+    algebra on two 10-element arrays in one row — broadcast-tiny. The
+    comparison itself costs two index lookups, never a cross product.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    q0 = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    rel = (
+        qt.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", _idot(F.col("qv"), F.col("q0")).alias("rel"))
+    )
+    cents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        qt.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select("cid", d2.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(_RP_NPROBE)
+        .select("cid")
+    )
+
+    def ranked_list(df: DataFrame, name: str) -> DataFrame:
+        top = df.orderBy(F.col("rel").desc(), "vec_id").limit(_RBO_D)
+        return top.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("rel")).alias("nr"), "vec_id"))
+                ),
+                lambda s: s["vec_id"],
+            ).alias(name)
+        )
+
+    exact_l = ranked_list(rel, "xs")
+    ivf_l = ranked_list(
+        rel.join(ivf_assign(e), "vec_id").join(F.broadcast(probes), "cid"), "ys"
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    ov = exact_l.crossJoin(F.broadcast(ivf_l)).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RBO_D)),
+            lambda d: F.size(
+                F.array_intersect(F.slice("xs", 1, d), F.slice("ys", 1, d))
+            ).cast("long"),
+        ).alias("o")
+    )
+    depth_seq = F.sequence(F.lit(1), F.lit(_RBO_D))
+    return ov.select(
+        F.lit(_RBO_D).cast("long").alias("depth"),
+        F.element_at("o", _RBO_D).alias("overlap_at_depth"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    depth_seq,
+                    lambda d: F.element_at("o", d).cast("double") / d.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(float(_RBO_D)),
+            6,
+        ).alias("average_overlap"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    depth_seq,
+                    lambda d: F.element_at(w_arr, d)
+                    * F.element_at("o", d).cast("double")
+                    / d.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("rbo"),
+    )

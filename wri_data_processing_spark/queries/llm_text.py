@@ -2035,3 +2035,211 @@ def eval_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy("cls")
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH {_lid_score_sql()},
+    ratings AS (
+      SELECT doc_id, lang AS cat FROM documents WHERE length(text) >= 3
+      UNION ALL
+      SELECT doc_id, {_PRED_SQL} AS cat
+      FROM documents WHERE length(text) >= 3
+      UNION ALL
+      SELECT doc_id, pred_lang AS cat FROM p),
+    o AS (
+      SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS o_uc
+      FROM ratings GROUP BY 1, 2),
+    so AS (
+      SELECT CAST(SUM(o_uc * (3 - o_uc)) AS BIGINT) AS s_o,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units,
+             CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_categories
+      FROM o),
+    nc AS (SELECT cat, CAST(SUM(o_uc) AS BIGINT) AS n_c FROM o GROUP BY 1),
+    se AS (
+      SELECT CAST(SUM(n_c * ((SELECT 3 * n_units FROM so) - n_c)) AS BIGINT)
+               AS s_e
+      FROM nc)
+    SELECT so.n_units, so.n_categories, so.s_o, se.s_e,
+           ROUND(CAST(so.s_o AS DOUBLE)
+                 / (CAST(3 * so.n_units AS DOUBLE) * 2.0), 6) AS d_o,
+           ROUND(CAST(se.s_e AS DOUBLE)
+                 / (CAST(3 * so.n_units AS DOUBLE)
+                    * CAST(3 * so.n_units - 1 AS DOUBLE)), 6) AS d_e,
+           ROUND(1.0 - CAST(so.s_o AS DOUBLE)
+                       * CAST(3 * so.n_units - 1 AS DOUBLE)
+                       / (CAST(se.s_e AS DOUBLE) * 2.0), 6) AS alpha
+    FROM so, se
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over three deterministic "raters"
+    per document — the labeled lang column, the marker-word predictor
+    (text_lang_id's rule chain), and the hashed-trigram multiclass
+    scorer (text_lang_id_multi) — the inter-annotator reliability
+    scalar that closes the agreement family (Cohen's kappa = 2 raters,
+    Fleiss = m raters fixed marginals, Krippendorff = the general
+    disagreement form; here with complete data and m=3).
+
+    Coincidence form with every sum EXACT INTEGER: per unit u and
+    category c, o_uc = raters assigning c; observed disagreement mass
+    S_o = sum o_uc*(3-o_uc); expected mass S_e = sum_c n_c*(N-n_c) with
+    n_c the category totals and N = 3n. alpha = 1 - S_o*(N-1)/(S_e*2) —
+    ONE mirrored double division of exact integers (products stay under
+    2^53 below ~10^8 docs; past that, lift the two products to
+    DECIMAL(38,0) — noted, not needed at any test SF). d_o/d_e emitted
+    ROUND-6 for interpretability.
+
+    Plan at 100 TB: the two scorers run in the documents scan stage
+    (zero exchanges each), the ratings union is a same-scan 3x
+    projection, then ONE map-side-combined (doc, cat) count whose
+    output is bounded by 3 rows/doc and two category-bounded folds.
+    No join of any kind.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    scores = {
+        lang: sum((_count_col(w) for w in ws), F.lit(0.0))
+        for lang, ws in _MARKERS.items()
+    }
+    marker_pred = (
+        F.when(
+            (scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"]))
+            & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["es"] >= F.greatest(scores["fr"], scores["de"])) & (scores["es"] > 0), "es")
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
+        .when(scores["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    ratings = (
+        d.select("doc_id", F.col("lang").alias("cat"))
+        .unionAll(d.select("doc_id", marker_pred.alias("cat")))
+        .unionAll(
+            _lid_scored(spark, sf_dir).select("doc_id", F.col("pred_lang").alias("cat"))
+        )
+    )
+    o = ratings.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).cast("long").alias("o_uc"))
+    so = o.agg(
+        F.sum(F.col("o_uc") * (3 - F.col("o_uc"))).cast("long").alias("s_o"),
+        F.countDistinct("doc_id").cast("long").alias("n_units"),
+        F.countDistinct("cat").cast("long").alias("n_categories"),
+    )
+    nc = o.groupBy("cat").agg(F.sum("o_uc").cast("long").alias("n_c"))
+    se = (
+        nc.crossJoin(F.broadcast(so.select("n_units")))
+        .agg(
+            F.sum(F.col("n_c") * (3 * F.col("n_units") - F.col("n_c")))
+            .cast("long")
+            .alias("s_e")
+        )
+    )
+    big_n = (3 * F.col("n_units")).cast("double")
+    return (
+        so.crossJoin(F.broadcast(se))
+        .select(
+            "n_units",
+            "n_categories",
+            "s_o",
+            "s_e",
+            F.round(F.col("s_o").cast("double") / (big_n * F.lit(2.0)), 6).alias("d_o"),
+            F.round(
+                F.col("s_e").cast("double")
+                / (big_n * (3 * F.col("n_units") - 1).cast("double")),
+                6,
+            ).alias("d_e"),
+            F.round(
+                F.lit(1.0)
+                - F.col("s_o").cast("double")
+                * (3 * F.col("n_units") - 1).cast("double")
+                / (F.col("s_e").cast("double") * F.lit(2.0)),
+                6,
+            ).alias("alpha"),
+        )
+    )
+
+
+_MATTR_W = 25  # moving-average TTR window (tokens)
+
+
+@query(
+    "text_mattr",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0),
+    base AS (
+      SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+      FROM toks)
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           CASE WHEN n_tokens >= {_MATTR_W} THEN
+             ROUND(CAST(list_aggregate(
+                     list_transform(
+                       generate_series(1, CAST(n_tokens - {_MATTR_W} + 1 AS INTEGER)),
+                       i -> len(list_distinct(tk[i:i + {_MATTR_W} - 1]))),
+                     'sum') AS DOUBLE)
+                   / (CAST({_MATTR_W} AS DOUBLE)
+                      * CAST(n_tokens - {_MATTR_W} + 1 AS DOUBLE)), 6)
+           END AS mattr
+    FROM base
+    """,
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall 2010) — the
+    length-invariant lexical-diversity score plain TTR is not (TTR falls
+    mechanically with document length, so corpus-quality dashboards that
+    rank on it systematically favor short docs). Per document: every
+    25-token sliding window's type count, averaged and normalized by the
+    window size; docs shorter than the window emit NULL mattr (plain ttr
+    still emitted) rather than a silently incomparable number.
+
+    Exactness: the window type counts are exact integers summed exactly
+    (array_distinct over string slices); ttr and mattr are each ONE
+    mirrored double division, ROUND-6.
+
+    Plan at 100 TB: scan-stage only — the token array materializes once
+    per row as a projected column, the O(n*W) window sweep runs inside
+    transform() on that row (n <= doc tokens, W = 25), zero exchanges.
+    Reader-throughput like quality_classifier_score.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    b = d.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_types"),
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("n_tokens") - _MATTR_W + 1).cast("int")),
+            lambda i: F.size(F.array_distinct(F.slice("tk", i, _MATTR_W))),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr"),
+        F.when(
+            F.col("n_tokens") >= _MATTR_W,
+            F.round(
+                wsum.cast("double")
+                / (
+                    F.lit(float(_MATTR_W))
+                    * (F.col("n_tokens") - _MATTR_W + 1).cast("double")
+                ),
+                6,
+            ),
+        ).alias("mattr"),
+    )

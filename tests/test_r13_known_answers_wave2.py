@@ -215,3 +215,40 @@ class TestRankBiasedOverlap:
         assert abs(r["rbo"] - rbo) < 5e-7
         # liveness: the probe must find SOME of the exact list
         assert r["overlap_at_depth"] > 0
+
+
+class TestLogRank:
+    def test_mantel_cox_replay(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+            ["user_id", "event_type", "ts"]
+        ]
+        ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+        per_user = []
+        for u, g in ev.groupby("user_id"):
+            fd, ld = g["d"].min(), g["d"].max()
+            p = g.loc[g["event_type"] == "purchase", "d"]
+            dur = (p.min() - fd).days if len(p) else (ld - fd).days
+            per_user.append((int(u) % 2, dur, 1 if len(p) else 0))
+        durs = sorted({d for _g, d, _e in per_user})
+        n1 = sum(1 for g, _d, _e in per_user if g == 1)
+        nt = len(per_user)
+        o1 = e1 = v = 0.0
+        for t in durs:
+            d1 = sum(1 for g, d, e in per_user if g == 1 and d == t and e)
+            dt = sum(1 for _g, d, e in per_user if d == t and e)
+            o1 += d1
+            e1 += dt * n1 / nt
+            if nt > 1:
+                v += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+            n1 -= sum(1 for g, d, _e in per_user if g == 1 and d == t)
+            nt -= sum(1 for _g, d, _e in per_user if d == t)
+        chi2 = (o1 - e1) ** 2 / v
+        [r] = registry.REGISTRY["stats_logrank_test"](spark, sf_dir).collect()
+        assert r["n_durations"] == len(durs)
+        assert r["o1"] == int(o1)
+        assert abs(r["e1"] - e1) < 5e-7
+        assert abs(r["var_lr"] - v) < 5e-7
+        assert abs(r["chi2"] - chi2) < 5e-6
+        assert r["reject_5pct"] == (chi2 > 3.841459)
+        # liveness: a real two-sided decision needs mass on both sides
+        assert r["o1"] > 0 and r["e1"] > 0 and r["var_lr"] > 0

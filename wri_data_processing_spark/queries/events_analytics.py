@@ -3212,3 +3212,188 @@ def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix("hterms").alias("cum_hazard"),
         prefix("vterms").alias("hazard_var"),
     ).orderBy("dur")
+
+
+@query(
+    "stats_logrank_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             MIN(CAST(ts AS DATE)) AS fd,
+             MAX(CAST(ts AS DATE)) AS ld,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS pd
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT grp,
+             CASE WHEN pd IS NOT NULL THEN date_diff('day', fd, pd)
+                  ELSE date_diff('day', fd, ld) END AS dur,
+             CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    g AS (
+      SELECT dur,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c0
+      FROM f GROUP BY 1),
+    one AS (
+      SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1tot,
+             CAST(SUM(d0 + c0) AS BIGINT) AS n0tot,
+             list(struct_pack(dur := dur, d1 := d1, c1 := c1,
+                              d0 := d0, c0 := c0) ORDER BY dur) AS rs
+      FROM g),
+    enr AS (
+      SELECT rs,
+             list_transform(rs, (r, i) ->
+               n1tot - CAST(COALESCE(list_aggregate(
+                 list_transform(rs[1:i-1], x -> x.d1 + x.c1), 'sum'), 0)
+                 AS BIGINT)) AS n1,
+             list_transform(rs, (r, i) ->
+               n1tot + n0tot - CAST(COALESCE(list_aggregate(
+                 list_transform(rs[1:i-1],
+                                x -> x.d1 + x.c1 + x.d0 + x.c0), 'sum'), 0)
+                 AS BIGINT)) AS nt
+      FROM one),
+    t AS (
+      SELECT rs,
+             list_transform(rs, (r, i) ->
+               CAST(r.d1 + r.d0 AS DOUBLE) * CAST(n1[i] AS DOUBLE)
+                 / CAST(nt[i] AS DOUBLE)) AS eterms,
+             list_transform(rs, (r, i) ->
+               CASE WHEN nt[i] > 1 THEN
+                 CAST(r.d1 + r.d0 AS DOUBLE)
+                   * (CAST(n1[i] AS DOUBLE) / CAST(nt[i] AS DOUBLE))
+                   * (1.0 - CAST(n1[i] AS DOUBLE) / CAST(nt[i] AS DOUBLE))
+                   * (CAST(nt[i] - (r.d1 + r.d0) AS DOUBLE)
+                      / CAST(nt[i] - 1 AS DOUBLE))
+               ELSE 0.0 END) AS vterms
+      FROM enr)
+    SELECT CAST(len(rs) AS BIGINT) AS n_durations,
+           CAST(list_aggregate(list_transform(rs, x -> x.d1), 'sum')
+                AS BIGINT) AS o1,
+           ROUND(list_aggregate(eterms, 'sum'), 6) AS e1,
+           ROUND(list_aggregate(vterms, 'sum'), 6) AS var_lr,
+           ROUND(pow(CAST(list_aggregate(list_transform(rs, x -> x.d1), 'sum')
+                          AS DOUBLE)
+                     - list_aggregate(eterms, 'sum'), 2)
+                 / list_aggregate(vterms, 'sum'), 6) AS chi2,
+           pow(CAST(list_aggregate(list_transform(rs, x -> x.d1), 'sum')
+                    AS DOUBLE)
+               - list_aggregate(eterms, 'sum'), 2)
+             / list_aggregate(vterms, 'sum') > 3.841459 AS reject_5pct
+    FROM t
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test between two user cohorts' time-to-conversion
+    curves — the standard "did arm B convert faster?" significance gate
+    over the SAME censoring fixture as events_survival_km /
+    events_hazard_nelson_aalen, completing the survival family (estimate
+    KM, accumulate NA, compare log-rank). Cohort = user_id % 2, the
+    hash-arm surrogate every A/B assignment reduces to.
+
+    Per event time t: observed d_1t vs hypergeometric expectation
+    E_1t = d_t * n_1t / n_t and variance
+    V_t = d_t * (n_1t/n_t)(1 - n_1t/n_t)(n_t - d_t)/(n_t - 1);
+    chi2(1) = (O_1 - E_1)^2 / sum V_t, 5% critical value 3.841459 PINNED
+    (no runtime distribution call), reject boolean compares the UNROUNDED
+    statistic. O_1 and every life-table count are exact integers off
+    integer folds; E/V terms are mirrored double trees over exact values,
+    folded in identical duration order on both engines (the KM list
+    discipline), ROUND-6 on emitted aggregates.
+
+    Plan at 100 TB: identical to the KM/NA shape — ONE per-user
+    conditional min/max shuffle (grp rides the same aggregate), one
+    calendar-bounded per-duration count shuffle, then all test algebra
+    over the single-row ordered array. The two-group split adds columns,
+    not exchanges.
+    """
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.max(F.to_date("ts")).alias("ld"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("pd"),
+    )
+    f = u.select(
+        "grp",
+        F.when(F.col("pd").isNotNull(), F.datediff("pd", "fd"))
+        .otherwise(F.datediff("ld", "fd"))
+        .alias("dur"),
+        F.when(F.col("pd").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = f.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, 1 - F.col("ev")).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0)).cast("long").alias("d0"),
+        F.sum(F.when(F.col("grp") == 0, 1 - F.col("ev")).otherwise(0)).cast("long").alias("c0"),
+    )
+    one = g.agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("long").alias("n1tot"),
+        F.sum(F.col("d0") + F.col("c0")).cast("long").alias("n0tot"),
+        F.array_sort(F.collect_list(F.struct("dur", "d1", "c1", "d0", "c0"))).alias("rs"),
+    )
+
+    def prefix_drop(fields: list[str]) -> F.Column:
+        return lambda r, i: F.coalesce(
+            F.aggregate(
+                F.slice("rs", F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda a, x: a + sum((x[fl] for fl in fields), F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    enr = one.select(
+        "rs",
+        F.transform(
+            "rs", lambda r, i: F.col("n1tot") - prefix_drop(["d1", "c1"])(r, i)
+        ).alias("n1"),
+        F.transform(
+            "rs",
+            lambda r, i: F.col("n1tot")
+            + F.col("n0tot")
+            - prefix_drop(["d1", "c1", "d0", "c0"])(r, i),
+        ).alias("nt"),
+    )
+
+    def at(arr: str, i: F.Column) -> F.Column:
+        return F.element_at(arr, i + 1).cast("double")
+
+    t = enr.select(
+        "rs",
+        F.transform(
+            "rs",
+            lambda r, i: (r["d1"] + r["d0"]).cast("double") * at("n1", i) / at("nt", i),
+        ).alias("eterms"),
+        F.transform(
+            "rs",
+            lambda r, i: F.when(
+                F.element_at("nt", i + 1) > 1,
+                (r["d1"] + r["d0"]).cast("double")
+                * (at("n1", i) / at("nt", i))
+                * (F.lit(1.0) - at("n1", i) / at("nt", i))
+                * (
+                    (F.element_at("nt", i + 1) - (r["d1"] + r["d0"])).cast("double")
+                    / (F.element_at("nt", i + 1) - 1).cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        ).alias("vterms"),
+    )
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    o1 = F.aggregate(
+        F.transform("rs", lambda x: x["d1"]), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    chi2 = F.pow(o1.cast("double") - fsum(F.col("eterms")), F.lit(2.0)) / fsum(
+        F.col("vterms")
+    )
+    return t.select(
+        F.size("rs").cast("long").alias("n_durations"),
+        o1.alias("o1"),
+        F.round(fsum(F.col("eterms")), 6).alias("e1"),
+        F.round(fsum(F.col("vterms")), 6).alias("var_lr"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("reject_5pct"),
+    )

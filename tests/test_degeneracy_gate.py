@@ -18,7 +18,9 @@ The gate checks the DuckDB side only, on purpose: the driver's gate is
 spark_hash == oracle_hash, and test_registry_oracle.py proves that equality
 locally for every op — so a live oracle forces a live Spark result, while a
 dead oracle is exactly the vacuous-match failure mode this gate exists to
-catch. DuckDB-only keeps the full 400+-fixture sweep at ~20 s.
+catch. DuckDB-only keeps the full 400+-fixture sweep at ~20 s. The seven
+rows-only ops (no oracle to sweep) get the same liveness contract on the
+Spark side at the bottom of this module.
 
 First catch (found while building the gate): events_cusum_alarm's
 first_alarm_day was all-NULL at sf0.01 — the 2*mu threshold scales with
@@ -118,3 +120,17 @@ class TestGateIsNotVacuous:
     def test_live_fixture_passes(self, degen_con):
         df = degen_con.execute("SELECT r_regionkey, r_name FROM region").df()
         assert degeneracy_problems(df, "live") == []
+
+
+# Rows-only ops have no oracle for the DuckDB-side sweep above, so their
+# liveness is checked on the Spark side directly (same contract: >= 1 row,
+# no 100%-NULL column at the driver SF). Seven ops today — cheap enough to
+# execute at sf0.01 in-session.
+ROWS_ONLY = sorted(set(registry.REGISTRY) - set(registry.ORACLE))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_fixture_is_live(name, spark):
+    df = registry.REGISTRY[name](spark, DEGEN_SF_DIR).toPandas()
+    problems = degeneracy_problems(df, name)
+    assert not problems, f"{name}: {problems}"

@@ -650,3 +650,49 @@ def test_ngram_novelty_anti_join_carries_keys_not_text(spark, sf_dir):
         assert "shingle" not in ex, ex
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
+
+
+def test_r13_scan_stage_ops_zero_exchanges(spark, sf_dir):
+    """text_lang_id_multi and text_mattr are per-document projections —
+    zero shuffle exchanges, zero Python nodes (the trigram bucket array
+    and the token window sweep are JVM-side transform/aggregate). At
+    100 TB these run at reader throughput, the pii_detect_report class."""
+    for name in ("text_lang_id_multi", "text_mattr"):
+        plan = _plan(spark, sf_dir, name)
+        assert _n_exchanges(plan) == 0, (name, plan)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
+
+
+def test_krippendorff_no_join(spark, sf_dir):
+    """The three raters are a same-scan 3x projection: the whole alpha
+    computation has NO shuffle join — only the (doc, cat) count exchange
+    and category-bounded folds (broadcast joins close the scalar)."""
+    plan = _plan(spark, sf_dir, "eval_krippendorff_alpha")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_rbo_pools_are_take_ordered(spark, sf_dir):
+    """Both ranking pools must compile to TakeOrderedAndProject (never a
+    global sort), and the IVF side's probe restriction must broadcast."""
+    plan = _plan(spark, sf_dir, "eval_rank_biased_overlap")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_survival_family_single_user_shuffle(spark, sf_dir):
+    """KM / Nelson-Aalen / log-rank share the plan shape: the per-user
+    aggregate and the calendar-bounded duration aggregate are the only
+    data-sized exchanges; everything after runs on a one-row array."""
+    for name in (
+        "events_hazard_nelson_aalen",
+        "stats_logrank_test",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert _n_exchanges(plan) <= 4, (name, _n_exchanges(plan), plan)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)

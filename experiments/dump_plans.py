@@ -317,6 +317,18 @@ SHOWCASE = [
      "int64; one distinct exchange per side; ONE partitioned left-anti "
      "join (train side corpus-sized — deliberately not broadcast); "
      "|sources|-row rollup"),
+    ("text_lang_id_multi", "r13 multiclass lang-ID: the trigram bucket "
+     "array materializes ONCE per row, all five class folds read it — "
+     "zero exchanges, zero Python; reader throughput"),
+    ("eval_krippendorff_alpha", "three raters as a same-scan 3x "
+     "projection (union, not join); ONE (doc,cat) count exchange; the "
+     "scalar closes over broadcast 1-row frames"),
+    ("eval_rank_biased_overlap", "both ranking pools compile to "
+     "TakeOrderedAndProject; the IVF side's probe restriction is a "
+     "broadcast join BEFORE ranking; all RBO algebra on one row"),
+    ("stats_logrank_test", "the KM/NA survival plan shape: per-user "
+     "conditional min/max shuffle + calendar-bounded duration agg, then "
+     "the whole hypergeometric test on a single-row ordered array"),
 ]
 
 

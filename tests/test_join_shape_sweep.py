@@ -236,6 +236,14 @@ NLJ_WHITELIST: dict[str, str] = {
     "pair join and a 1-row tie-term broadcast — all constant-size",
     "orders_abc_classification": "1-row total-revenue broadcast over "
     "the per-part cumulative frame — the stats_quantiles_exact shape",
+    "eval_krippendorff_alpha": "1-row n_units broadcast onto the "
+    "|categories|-row frame + the 1-row S_o x S_e scalar stitch — both "
+    "constant-size (the stats_ks_test shape); the ratings path itself "
+    "is join-free (pinned in test_plan_shapes)",
+    "eval_rank_biased_overlap": "1-row query-vector broadcast onto the "
+    "rel frame (the sim_topk/retrieval_pipeline shape) + the 1-row "
+    "exact-list x ivf-list stitch — both constant-size; the probe "
+    "restriction is a broadcast EQUI-join (pinned)",
 }
 
 

@@ -145,6 +145,18 @@ HEADLINE = [
     # join; a regression that flips it to broadcast (driver OOM at
     # scale) or lets text reach the exchange shows up here.
     "text_ngram_novelty",
+    # r13: the sha-per-trigram reader-throughput class at its heaviest —
+    # five per-class folds over a ONCE-materialized bucket array. The
+    # regression this slot catches is the subexpression one: an edit
+    # that inlines the bucket array re-hashes per class (5x sha) with
+    # zero correctness signal, visible only as wall-clock here.
+    "text_lang_id_multi",
+    # r13: the survival family rep (KM/NA/log-rank share the shape) —
+    # per-user conditional min/max aggregate + calendar-bounded duration
+    # agg, then single-row O(k^2) array folds; the one headline slot
+    # where single-row array-expression evaluation dominates the
+    # shuffles, a distinct regression class.
+    "stats_logrank_test",
 ]
 
 SPREAD_TARGET = 0.20

@@ -252,3 +252,43 @@ class TestLogRank:
         assert r["reject_5pct"] == (chi2 > 3.841459)
         # liveness: a real two-sided decision needs mass on both sides
         assert r["o1"] > 0 and r["e1"] > 0 and r["var_lr"] > 0
+
+
+class TestBreuschPagan:
+    def test_lm_replay(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+            ["event_type", "ts", "value"]
+        ]
+        ev = ev[ev["value"].notna()].copy()
+        ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+        got = {
+            r["event_type"]: r
+            for r in registry.REGISTRY["stats_breusch_pagan"](spark, sf_dir).collect()
+        }
+        saw_positive = False
+        for et, g in ev.groupby("event_type"):
+            daily = g.groupby("d")["value"].sum().sort_index()
+            ys = [float(v) for v in daily.values]
+            n = len(ys)
+            xs = list(range(n))
+            sx, sxx = sum(xs), sum(x * x for x in xs)
+            sy = sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            a = (sy - b * sx) / n
+            z = [(y - a - b * x) ** 2 for x, y in zip(xs, ys)]
+            sz, szz = sum(z), sum(v * v for v in z)
+            sxz = sum(x * v for x, v in zip(xs, z))
+            dz = n * szz - sz * sz
+            lm = n * (n * sxz - sx * sz) ** 2 / ((n * sxx - sx * sx) * dz) if dz > 0 else 0.0
+            r = got[et]
+            assert r["n_days"] == n, et
+            assert abs(r["lm_stat"] - lm) < 5e-5, (et, r["lm_stat"], lm)
+            # the boolean gate must be the replayed decision, not a
+            # constant wired in: the synthetic daily trend is genuinely
+            # homoscedastic (all types sit below 3.841459 at every SF —
+            # a real negative verdict), so the pin is against the
+            # replayed threshold compare
+            assert r["reject_5pct"] == (lm > 3.841459), et
+            saw_positive = saw_positive or lm > 0
+        assert saw_positive  # the LM surface itself must be live

@@ -6756,3 +6756,170 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p - wald_half, 6).alias("wald_lo95"),
         F.round(p + wald_half, 6).alias("wald_hi95"),
     )
+
+
+@query(
+    "stats_breusch_pagan",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type,
+             list(struct_pack(d := d, y := y) ORDER BY d) AS rs
+      FROM daily GROUP BY 1),
+    mom AS (
+      SELECT event_type, rs, CAST(len(rs) AS BIGINT) AS n,
+             list_aggregate(list_transform(rs, (r, i) ->
+               CAST(i - 1 AS DOUBLE)), 'sum') AS sx,
+             list_aggregate(list_transform(rs, (r, i) ->
+               CAST(i - 1 AS DOUBLE) * CAST(i - 1 AS DOUBLE)), 'sum') AS sxx,
+             list_aggregate(list_transform(rs, (r, i) ->
+               CAST(r.y AS DOUBLE)), 'sum') AS sy,
+             list_aggregate(list_transform(rs, (r, i) ->
+               CAST(i - 1 AS DOUBLE) * CAST(r.y AS DOUBLE)), 'sum') AS sxy
+      FROM arr),
+    ab AS (
+      SELECT event_type, rs, n, sx, sxx,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+             (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE) AS a
+      FROM mom),
+    res AS (
+      SELECT event_type, rs, n, sx, sxx,
+             list_transform(rs, (r, i) ->
+               pow(CAST(r.y AS DOUBLE) - a - b * CAST(i - 1 AS DOUBLE), 2))
+               AS z
+      FROM ab),
+    aux AS (
+      SELECT event_type, n, sx, sxx,
+             list_aggregate(z, 'sum') AS sz,
+             list_aggregate(list_transform(z, x -> x * x), 'sum') AS szz,
+             list_aggregate(list_transform(z, (x, i) ->
+               CAST(i - 1 AS DOUBLE) * x), 'sum') AS sxz
+      FROM res)
+    SELECT event_type, n AS n_days,
+           ROUND(CASE WHEN (CAST(n AS DOUBLE) * szz - sz * sz) > 0.0 THEN
+             CAST(n AS DOUBLE)
+               * pow(CAST(n AS DOUBLE) * sxz - sx * sz, 2)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * szz - sz * sz))
+           ELSE 0.0 END, 6) AS lm_stat,
+           CASE WHEN (CAST(n AS DOUBLE) * szz - sz * sz) > 0.0 THEN
+             CAST(n AS DOUBLE)
+               * pow(CAST(n AS DOUBLE) * sxz - sx * sz, 2)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * szz - sz * sz))
+           ELSE 0.0 END > 3.841459 AS reject_5pct
+    FROM aux ORDER BY event_type
+    """,
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan LM heteroscedasticity test (Koenker's studentized
+    n*R2 form) per event type over the daily-total trend — the diagnostic
+    that closes the regression family: stats_linear_regression estimates
+    the trend, stats_durbin_watson checks residual AUTOCORRELATION, this
+    checks residual VARIANCE drift (a fanning-out residual plot means the
+    OLS standard errors everyone quotes are wrong). Auxiliary regression:
+    squared OLS residuals on the day index; LM = n * R2_aux ~ chi2(1),
+    5% critical 3.841459 PINNED.
+
+    Determinism (the events_acf discipline, NOT the stats_linear_
+    regression one — residuals need per-element arithmetic, so everything
+    runs on the per-type day-ordered array inside ONE row): daily totals
+    are exact DECIMAL sums; x is the 0-based day index; every moment is
+    an identical-order list fold of one mirrored double expression; a, b,
+    the residual squares, and the closing LM tree are the same IEEE
+    expression DAG on both engines. Zero-variance residuals (an exactly
+    linear series) short to LM = 0 by a mirrored CASE — never a 0/0.
+
+    Plan at 100 TB: ONE map-side-combined (type, day) aggregate — the
+    only data-sized shuffle — then a |types|-row frame of calendar-
+    bounded arrays; the two regressions are in-row folds. The raw event
+    log never reaches a window or a join.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("y")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("rs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def fold(expr_fn) -> F.Column:
+        # identical-order in-row fold over the day-sorted array:
+        # posexplode-free, partitioning-independent
+        return F.aggregate(
+            F.transform("rs", expr_fn), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    xd = lambda i: i.cast("double")  # noqa: E731
+    yd = lambda r: r["y"].cast("double")  # noqa: E731
+    mom = arr.select(
+        "event_type",
+        "rs",
+        "n",
+        fold(lambda r, i: xd(i)).alias("sx"),
+        fold(lambda r, i: xd(i) * xd(i)).alias("sxx"),
+        fold(lambda r, i: yd(r)).alias("sy"),
+        fold(lambda r, i: xd(i) * yd(r)).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    b = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = mom.select(
+        "event_type",
+        "rs",
+        "n",
+        "sx",
+        "sxx",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / nD).alias("a"),
+    )
+    res = ab.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        F.transform(
+            "rs",
+            lambda r, i: F.pow(
+                yd(r) - F.col("a") - F.col("b") * xd(i), F.lit(2.0)
+            ),
+        ).alias("z"),
+    )
+
+    def zfold(expr_fn) -> F.Column:
+        return F.aggregate(
+            F.transform("z", expr_fn), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    aux = res.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        zfold(lambda x, i: x).alias("sz"),
+        zfold(lambda x, i: x * x).alias("szz"),
+        zfold(lambda x, i: i.cast("double") * x).alias("sxz"),
+    )
+    denom_z = nD * F.col("szz") - F.col("sz") * F.col("sz")
+    lm = F.when(
+        denom_z > 0.0,
+        nD
+        * F.pow(nD * F.col("sxz") - F.col("sx") * F.col("sz"), F.lit(2.0))
+        / ((nD * F.col("sxx") - F.col("sx") * F.col("sx")) * denom_z),
+    ).otherwise(F.lit(0.0))
+    return aux.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(lm, 6).alias("lm_stat"),
+        (lm > F.lit(3.841459)).alias("reject_5pct"),
+    ).orderBy("event_type")

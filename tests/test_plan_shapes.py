@@ -696,3 +696,14 @@ def test_survival_family_single_user_shuffle(spark, sf_dir):
         assert _n_exchanges(plan) <= 4, (name, _n_exchanges(plan), plan)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, (name, node)
+
+
+def test_breusch_pagan_single_data_shuffle(spark, sf_dir):
+    """BP's only data-sized exchange is the (type, day) aggregate; both
+    regressions are in-row folds over the day-sorted array — the raw
+    event log never reaches a window or a join."""
+    plan = _plan(spark, sf_dir, "stats_breusch_pagan")
+    assert _n_exchanges(plan) <= 3, (_n_exchanges(plan), plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

@@ -40,8 +40,11 @@ from wri_data_processing_spark import registry
 registry.load_all()
 
 # The driver's correctness SF — degeneracy at sf0.001 is tolerable (tiny
-# fixtures legitimately starve some ops, e.g. q11's HAVING at sf0.001);
-# degeneracy at sf0.01 means the driver's hash gate is comparing vacuum.
+# fixtures can legitimately starve an op); degeneracy at sf0.01 means the
+# driver's hash gate is comparing vacuum. A one-off sweep at sf0.1 (the
+# bench SF) is also worth re-running each round: it caught
+# graph_jaccard_linkpred's cn>=2 floor and q11's 0.1%-of-total fraction
+# going empty as data GREW — the inverse of the cusum failure mode.
 DEGEN_SF_DIR = os.environ.get("SPARK_GRAFT_DEGEN_SF_DIR", "/root/testdata/sf0.01")
 
 # Ops allowed to return ZERO rows at sf0.01. Every entry needs a one-line

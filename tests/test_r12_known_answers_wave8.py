@@ -203,8 +203,10 @@ class TestGraphScoresWave8:
                 for v in nl[i + 1 :]:
                     cn_cnt[(u, v)] += 1
         for (u, v), cn in cn_cnt.items():
-            if cn >= 2 and (u, v) not in eset:
-                du, dv = len(adj[u]), len(adj[v])
+            du, dv = len(adj[u]), len(adj[v])
+            # r13 scale-robust rule: min-degree floor, not a cn floor
+            # (cn >= 2 went empty at sf0.1 as the graph sparsified)
+            if min(du, dv) >= 2 and (u, v) not in eset:
                 cand.append((cn / (du + dv - cn), u, v, cn, du, dv))
         cand.sort(key=lambda r: (-r[0], r[1], r[2]))
         want = cand[:10]

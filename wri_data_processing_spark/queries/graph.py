@@ -303,11 +303,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn AS (
       SELECT a1.node AS u, a2.node AS v, CAST(COUNT(*) AS BIGINT) AS cn
       FROM adj a1 JOIN adj a2 ON a1.nb = a2.nb AND a1.node < a2.node
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      GROUP BY 1, 2),
     cand AS (
       SELECT cn.u, cn.v, cn.cn, du.d AS du, dv.d AS dv
       FROM cn JOIN deg du ON cn.u = du.node JOIN deg dv ON cn.v = dv.node
-      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cn.u AND e.pb = cn.v))
+      WHERE least(du.d, dv.d) >= 2
+        AND NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cn.u AND e.pb = cn.v))
     SELECT u, v, cn, du, dv,
            ROUND(CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE), 6)
              AS jaccard
@@ -323,9 +324,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic common-neighbors/Jaccard recommender primitive, and the
     graph-native twin of dedup_ngram_jaccard's set similarity.
 
-    Semantics: candidates are non-adjacent pairs with >= 2 common
-    neighbors (the cn floor drops the degree-1 tail whose Jaccard is a
-    vacuous 1.0 and bounds the wedge output); NOT-an-edge is a left_anti
+    Semantics: candidates are non-adjacent pairs with >= 1 common
+    neighbor where BOTH endpoints have degree >= 2 — the min-degree
+    floor drops the degree-1 tail whose Jaccard is a vacuous 1.0. (The
+    pre-r13 rule was cn >= 2, which is VOLUME-DEPENDENT the way the old
+    cusum 2*mu threshold was: the co-purchase graph gets sparser as
+    parts grow, max cn falls to 1 by sf0.1 and the op went empty — the
+    r13 degeneracy sweep at bench SF caught it. A degree floor prunes
+    the same vacuous tail at every scale.) NOT-an-edge is a left_anti
     on the canonical pa<pb edge list — one check suffices since both
     sides store u<v.
     jaccard = cn / (du + dv - cn) with all three terms exact BIGINTs, so
@@ -367,7 +373,6 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("cn"))
-        .filter(F.col("cn") >= 2)
     )
     cand = (
         cn.join(
@@ -377,6 +382,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .filter(F.least("du", "dv") >= 2)
     )
     jac = F.col("cn").cast("double") / (
         F.col("du") + F.col("dv") - F.col("cn")

@@ -830,28 +830,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_dec
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                       JOIN nation ON n_nationkey = s_nationkey
-        WHERE n_name = 'NATION_7'
+        WHERE n_name = 'NATION_12'
         GROUP BY l_partkey
     )
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
     FROM v
-    WHERE value_dec > 0.001 * (SELECT SUM(value_dec) FROM v)
+    WHERE CAST(value_dec AS DOUBLE) * CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+          > 2.5 * CAST((SELECT SUM(value_dec) FROM v) AS DOUBLE)
     ORDER BY value DESC, l_partkey
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp: per-part "stock value" is
     SUM(l_extendedprice * l_quantity) over lineitem rows of the nation's
-    suppliers): parts whose value exceeds 0.1% of the nation total.
+    suppliers): parts whose value exceeds 2.5x the MEAN per-part value.
+
+    The importance rule is deliberately scale-free (r13): the pre-r13
+    "0.1% of the nation total" fraction is volume-dependent exactly the
+    way real TPC-H acknowledges (the spec divides its fraction by SF) —
+    per-part shares shrink as |parts| grows, and the fixture went empty
+    at sf0.1 (the r13 bench-SF degeneracy sweep's second catch, after
+    graph_jaccard_linkpred). 2.5x-mean keeps a stable ~5% of parts
+    "important" at every SF. NATION_12 replaces NATION_7, which has no
+    suppliers at sf0.001 — the fixture is now live at ALL three SFs.
 
     The scalar subquery is a second aggregation over the SAME grouped
     result, broadcast back as a one-row cross join — the grouped DF is the
     only shuffle; no second pass over lineitem. Group sums are exact
-    DECIMAL(18,6), so total = sum-of-group-sums equals the oracle's direct
-    total and the threshold compare is bit-deterministic."""
+    DECIMAL(18,6); the threshold compare cross-multiplies by the exact
+    part count (value*n > 2.5*total as doubles of exact values), one
+    mirrored expression, bit-deterministic."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     v = (
         l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
@@ -861,10 +872,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_dec")
         )
     )
-    total = v.agg(F.sum("value_dec").alias("total"))
+    total = v.agg(
+        F.sum("value_dec").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.lit(0.001) * F.col("total"))
+        .filter(
+            F.col("value_dec").cast("double") * F.col("n_parts").cast("double")
+            > F.lit(2.5) * F.col("total").cast("double")
+        )
         .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )

@@ -138,7 +138,7 @@ class TestEventsRelationalWave6:
         for (uid, et), grp in ev.assign(d=day).groupby(["user_id", "event_type"]):
             before = {d for d in grp["d"] if d <= cut}
             last7 = sum(1 for d in grp["d"] if d > cut)
-            if len(before) >= 10 and last7 == 0:
+            if len(before) >= 5 and last7 == 0:
                 last_seen = max(grp["d"])
                 want.append(
                     ((maxd - last_seen).days, int(uid), et, len(before), str(last_seen))

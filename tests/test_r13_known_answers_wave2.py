@@ -292,3 +292,40 @@ class TestBreuschPagan:
             assert r["reject_5pct"] == (lm > 3.841459), et
             saw_positive = saw_positive or lm > 0
         assert saw_positive  # the LM surface itself must be live
+
+
+class TestDriftPositiveControl:
+    def test_pager_fires_and_replays(self, spark, sf_dir):
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+        base = [float(v) for v in ev.loc[(ev["event_type"] == "view") & ev["value"].notna(), "value"]]
+        shifted = [2.0 * v + 50.0 for v in base]
+        n = len(base)
+        # exact KS over the pooled distinct values (cross-multiplied form)
+        pooled = sorted(set(base) | set(shifted))
+        ca = cb = 0
+        from collections import Counter as _C
+        cnt_a, cnt_b = _C(base), _C(shifted)
+        d_scaled = 0
+        for v in pooled:
+            ca += cnt_a[v]
+            cb += cnt_b[v]
+            d_scaled = max(d_scaled, abs(n * ca - n * cb))
+        ks = d_scaled / (n * n)
+        # PSI over the value/10 cap-19 grid, both-sides-used bins
+        bins_a = _C(min(int(v // 10), 19) for v in base)
+        bins_b = _C(min(int(v // 10), 19) for v in shifted)
+        used = sorted(set(bins_a) & set(bins_b))
+        ta, tb = sum(bins_a[b] for b in used), sum(bins_b[b] for b in used)
+        psi = sum(
+            (bins_a[b] / ta - bins_b[b] / tb)
+            * math.log((bins_a[b] / ta) / (bins_b[b] / tb))
+            for b in used
+        )
+        [r] = registry.REGISTRY["drift_positive_control"](spark, sf_dir).collect()
+        assert r["n_per_cohort"] == n
+        assert abs(r["ks_d"] - ks) < 5e-7
+        assert abs(r["psi"] - psi) < 5e-7
+        assert r["n_bins_used"] == len(used)
+        # the whole point: the pager MUST fire on the known-drifted pair
+        assert r["drifted"] is True
+        assert psi >= 0.25 and ks >= 0.2

@@ -6923,3 +6923,156 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lm, 6).alias("lm_stat"),
         (lm > F.lit(3.841459)).alias("reject_5pct"),
     ).orderBy("event_type")
+
+
+@query(
+    "drift_positive_control",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL),
+    s AS (
+      SELECT v AS value, 1 AS is_a FROM base
+      UNION ALL
+      SELECT 2.0 * v + 50.0 AS value, 0 AS is_a FROM base),
+    n AS (SELECT CAST(SUM(is_a) AS BIGINT) AS n1,
+                 CAST(SUM(1 - is_a) AS BIGINT) AS n2 FROM s),
+    g AS (
+      SELECT value,
+             CAST(SUM(is_a) AS BIGINT) AS a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b
+      FROM s GROUP BY value),
+    c AS (
+      SELECT SUM(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g),
+    ks AS (
+      SELECT n.n1, n.n2,
+             CAST(MAX(ABS(n.n2 * c.ca - n.n1 * c.cb)) AS DOUBLE)
+               / (n.n1 * n.n2) AS ks_d
+      FROM c, n GROUP BY n.n1, n.n2),
+    bins AS (
+      SELECT CAST(least(floor(value / 10.0), 19) AS BIGINT) AS bin,
+             CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb
+      FROM s GROUP BY 1),
+    used AS (SELECT bin, na, nb FROM bins WHERE na > 0 AND nb > 0),
+    tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                   CAST(SUM(nb) AS BIGINT) AS tb,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                   list(struct_pack(bin := bin, na := na, nb := nb)
+                        ORDER BY bin) AS rs
+            FROM used),
+    psi AS (
+      SELECT n_bins_used,
+             ROUND(list_aggregate(list_transform(rs, r ->
+               (CAST(r.na AS DOUBLE) / ta - CAST(r.nb AS DOUBLE) / tb)
+               * ln((CAST(r.na AS DOUBLE) / ta)
+                    / (CAST(r.nb AS DOUBLE) / tb))), 'sum'), 6) AS psi
+      FROM tot)
+    SELECT n1 AS n_per_cohort,
+           ROUND(ks_d, 6) AS ks_d,
+           psi.psi,
+           psi.n_bins_used,
+           psi.psi >= 0.25 OR ks_d >= 0.2 AS drifted
+    FROM ks, psi
+    """,
+)
+def drift_positive_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-control drift check — the pager test every monitoring
+    stack runs: push a KNOWN-drifted cohort pair through the exact same
+    detectors and require the alert to FIRE. The r13 boolean-gate audit
+    found the real scorecard's `drifted` flag has never been True on the
+    synthetic corpus (the view/click cohorts genuinely don't drift) —
+    correct, but it meant no fixture ever exercised the alerting branch
+    end-to-end. Here the pair is (view values) vs (2.0*v + 50.0 of the
+    SAME values): a deterministic scale+shift drift, margins measured at
+    ks 0.62-0.64 / psi 0.42-0.80 across the three SFs vs the 0.2/0.25 gates, so `drifted` is
+    True by construction and a regression that silences the pager (sign
+    flip, wrong threshold, broken ECDF) turns this fixture red.
+
+    Statistics are the registered conventions re-applied, not new math:
+    exact cross-multiplied integer ECDF sup-distance (the stats_ks_test
+    machinery — reused via _two_phase_cumsum) and binned PSI on the
+    stream_drift_monitor value/10 20-bin grid with both-sides-used bin
+    normalization; the shift itself is one exact IEEE multiply-add per
+    element on both engines.
+
+    Plan at 100 TB: ONE scan of the view cohort projected twice (the
+    union never re-reads), the KS two-phase distributed prefix sum (no
+    Exchange SinglePartition), one 20-row bin aggregate, and 1-row
+    broadcast stitches for the scalars.
+    """
+    e = table(spark, sf_dir, "events")
+    base = e.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v"))
+    s = base.select(F.col("v").alias("value"), F.lit(1).alias("is_a")).unionAll(
+        base.select((F.lit(2.0) * F.col("v") + F.lit(50.0)).alias("value"),
+                    F.lit(0).alias("is_a"))
+    )
+    g = s.groupBy("value").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+    )
+    cw = _two_phase_cumsum(g, "value", ["a", "b"])
+    n = cw.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+    )
+    ks = (
+        cw.select("cum_a", "cum_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b")).alias("dd"),
+        )
+        .groupBy("n1", "n2")
+        .agg(
+            (F.max("dd").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias("ks_d")
+        )
+    )
+    bins = s.groupBy(
+        F.least(F.floor(F.col("value") / 10.0), F.lit(19)).cast("long").alias("bin")
+    ).agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+    )
+    used = bins.filter((F.col("na") > 0) & (F.col("nb") > 0))
+    # bin-ordered in-row fold (the stream_drift_monitor discipline): an
+    # unordered SUM of double terms could flip ROUND-6 at a boundary
+    # under a different partial-aggregation order.
+    tot = used.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.array_sort(F.collect_list(F.struct("bin", "na", "nb"))).alias("rs"),
+    )
+    ta = F.col("ta").cast("double")
+    tb = F.col("tb").cast("double")
+    psi = tot.select(
+        "n_bins_used",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "rs",
+                    lambda r: (r["na"].cast("double") / ta - r["nb"].cast("double") / tb)
+                    * F.log((r["na"].cast("double") / ta) / (r["nb"].cast("double") / tb)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("psi"),
+    )
+    return (
+        ks.crossJoin(F.broadcast(psi))
+        .select(
+            F.col("n1").alias("n_per_cohort"),
+            F.round("ks_d", 6).alias("ks_d"),
+            "psi",
+            "n_bins_used",
+            ((F.col("psi") >= 0.25) | (F.col("ks_d") >= 0.2)).alias("drifted"),
+        )
+    )

@@ -329,3 +329,43 @@ class TestDriftPositiveControl:
         # the whole point: the pager MUST fire on the known-drifted pair
         assert r["drifted"] is True
         assert psi >= 0.25 and ks >= 0.2
+
+
+class TestSeparationControl:
+    def test_every_anchor_separated_and_replayed(self, spark, sf_dir):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        B = 1 << 30
+        qt = {}
+        for i, lab, a in zip(emb["vec_id"], emb["label"], emb["embedding"]):
+            d = len(a)
+            qv = [math.floor(float(x) * 1048576.0) for x in a]
+            qv[int(lab) % d] += B
+            qt[int(i)] = (int(lab), qv)
+        got = {
+            r["anchor_id"]: r
+            for r in registry.REGISTRY["embed_separation_control"](
+                spark, sf_dir
+            ).collect()
+        }
+        anchors = [v for v in sorted(qt) if v % 25 == 0]
+        assert sorted(got) == anchors
+        for aid in anchors:
+            alab, aqv = qt[aid]
+            best_pos = best_neg = None
+            for v, (lab, qv) in qt.items():
+                if v == aid:
+                    continue
+                dd = sum((x - y) * (x - y) for x, y in zip(aqv, qv))
+                if lab == alab:
+                    k = (-dd, v)
+                    if best_pos is None or k < best_pos:
+                        best_pos = k
+                else:
+                    k = (dd, v)
+                    if best_neg is None or k < best_neg:
+                        best_neg = k
+            r = got[aid]
+            assert (r["pos_id"], r["pos_d2"]) == (best_pos[1], -best_pos[0]), aid
+            assert (r["neg_id"], r["neg_d2"]) == (best_neg[1], best_neg[0]), aid
+            # the whole point: the separated branch MUST be live
+            assert r["separated"] is True, aid

@@ -2694,3 +2694,129 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+_SEP_BOOST = 1 << 30  # Q20-grid label-dimension boost for the separation control
+
+
+@query(
+    "embed_separation_control",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               (x, i) -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+                         + CASE WHEN i - 1 = label % len(embedding)
+                                THEN CAST({_SEP_BOOST} AS BIGINT)
+                                ELSE 0 END) AS qv
+      FROM embeddings),
+    anch AS (SELECT vec_id AS aid, label AS alabel, qv AS aqv
+             FROM q WHERE vec_id % 25 = 0),
+    d AS (
+      SELECT anch.aid, anch.alabel, q.vec_id, q.label,
+             CAST(SUM((anch.aqv[u.i] - q.qv[u.i])
+                      * (anch.aqv[u.i] - q.qv[u.i])) AS BIGINT) AS d2
+      FROM anch, q, unnest(generate_series(1, len(anch.aqv))) u(i)
+      WHERE q.vec_id <> anch.aid
+      GROUP BY 1, 2, 3, 4),
+    pos AS (
+      SELECT aid, alabel, vec_id AS pos_id, d2 AS pos_d2,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY d2 DESC, vec_id) AS rn
+      FROM d WHERE label = alabel),
+    neg AS (
+      SELECT aid, vec_id AS neg_id, d2 AS neg_d2,
+             ROW_NUMBER() OVER (PARTITION BY aid
+                                ORDER BY d2, vec_id) AS rn
+      FROM d WHERE label <> alabel)
+    SELECT p.aid AS anchor_id, p.alabel AS anchor_label,
+           p.pos_id, p.pos_d2, n.neg_id, n.neg_d2,
+           n.neg_d2 > p.pos_d2 AS separated
+    FROM pos p JOIN neg n ON p.aid = n.aid AND p.rn = 1 AND n.rn = 1
+    ORDER BY anchor_id
+    """,
+)
+def embed_separation_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separation positive control for the hard-triplet miner — the
+    embedding-side twin of drift_positive_control, closing the last r13
+    boolean-gate watchlist item: embed_triplet_mining's `separated` flag
+    is genuinely never True on the random synthetic embeddings, so no
+    fixture ever exercised the separated branch. Here the SAME mining
+    runs on a KNOWN-separated variant: each vector's Q20 integer grid
+    gets a 2^30 boost on dimension (label mod dim). Same-label pairs
+    share the boosted dimension, so positive distances are UNCHANGED
+    from the base space; different-label pairs differ by +-2^30 on two
+    dimensions, so negative d2 gains ~2*2^60 — dwarfing any base
+    distance (<= dim * (2*2^20)^2 ~ 5.6e14) while staying well inside
+    int64 (~2.3e18). `separated` is therefore True for EVERY anchor by
+    arithmetic, and a miner regression (flipped window order, wrong
+    label predicate, broken d2 fold) turns the fixture red.
+
+    Determinism: identical to embed_triplet_mining — the boost is an
+    exact integer add inside the same _qvec grid, d2 stays an exact
+    int64, both window ranks order pure integers with vec_id tie-break.
+
+    Plan: identical shape to embed_triplet_mining (broadcast anchor
+    sample over the scan, per-anchor partitioned window ranks); the
+    boost is one more scan-stage expression.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    boosted = F.transform(
+        _qvec("embedding"),
+        lambda x, i: x
+        + F.when(
+            i == F.col("label") % F.size("embedding"), F.lit(_SEP_BOOST).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    q = e.select("vec_id", "label", boosted.alias("qv"))
+    anch = q.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aqv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("aqv", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        q.crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select("aid", "alabel", "vec_id", "label", d2.alias("d2"))
+    )
+    wpos = Window.partitionBy("aid").orderBy(F.col("d2").desc(), "vec_id")
+    wneg = Window.partitionBy("aid").orderBy("d2", "vec_id")
+    pos = (
+        d.filter(F.col("label") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("alabel").alias("anchor_label"),
+            F.col("vec_id").alias("pos_id"),
+            F.col("d2").alias("pos_d2"),
+        )
+    )
+    neg = (
+        d.filter(F.col("label") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("d2").alias("neg_d2"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            "pos_d2",
+            "neg_id",
+            "neg_d2",
+            (F.col("neg_d2") > F.col("pos_d2")).alias("separated"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -244,6 +244,12 @@ NLJ_WHITELIST: dict[str, str] = {
     "rel frame (the sim_topk/retrieval_pipeline shape) + the 1-row "
     "exact-list x ivf-list stitch — both constant-size; the probe "
     "restriction is a broadcast EQUI-join (pinned)",
+    "drift_positive_control": "1-row cohort-total and 1-row psi/ks "
+    "scalar stitches (the stats_ks_test shape); the data-sized work is "
+    "the two-phase ECDF and a 20-row bin aggregate",
+    "embed_separation_control": "constant-fraction anchor-set broadcast "
+    "over the scan — the embed_triplet_mining shape verbatim (same "
+    "mining, boosted space)",
 }
 
 

@@ -329,6 +329,15 @@ SHOWCASE = [
     ("stats_logrank_test", "the KM/NA survival plan shape: per-user "
      "conditional min/max shuffle + calendar-bounded duration agg, then "
      "the whole hypergeometric test on a single-row ordered array"),
+    ("stats_breusch_pagan", "one (type, day) aggregate; both the trend "
+     "and the squared-residual auxiliary regression are in-row folds "
+     "over the day-sorted array — the raw log never joins or windows"),
+    ("drift_positive_control", "one view-cohort scan projected twice "
+     "(union, no re-read), the KS two-phase distributed prefix sum, a "
+     "20-row bin aggregate, 1-row scalar stitches"),
+    ("embed_separation_control", "the embed_triplet_mining shape on the "
+     "boosted space: broadcast anchor sample over the scan, per-anchor "
+     "partitioned window ranks — never a global window"),
 ]
 
 

@@ -589,7 +589,7 @@ class TestR7DriftAudit:
         rho = np.corrcoef(rx, ry)[0, 1]
         got = registry.REGISTRY["stats_spearman"](spark, sf_dir).first()
         assert got["n"] == len(x)
-        assert abs(got["rho"] - rho) < 1e-9
+        assert abs(got["rho"] - rho) < 5e-7  # rho emitted ROUND-6 since r13
 
 
 class TestR8TestsAudit:

@@ -1612,9 +1612,9 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(ry2) AS sy
       FROM j)
     SELECT CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
     FROM t
     """,
 )
@@ -1631,8 +1631,13 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     five moment sums accumulate in decimal(38,0) (DuckDB HUGEINT) — the
     per-row product (2r_x)(2r_y) ~ 4n^2 would overflow int64 near n ~ 2e9
     rows, so the cast happens BEFORE the multiply. The closing rho is one
-    division and one sqrt over mirrored expression trees — both
-    exactly-rounded IEEE ops, bit-identical across engines.
+    division and one sqrt over mirrored expression trees, ROUND-6: the
+    division/sqrt are exactly rounded, but the decimal->double casts of
+    the moment terms are NOT once they exceed 2^53 — at sf0.1 (n = 6e5,
+    num ~ 5e23) DuckDB's HUGEINT->double and Spark's Decimal->double
+    differ by one ULP (found by the r13 full sf0.1 sweep; sf0.01 was
+    exact because every term fit in 2^53). ROUND-6 absorbs the cast ULP
+    the way it absorbs ln/exp ULP drift elsewhere.
 
     Scale: sixth _two_phase_cumsum consumer, twice (one global rank frame
     per column — each a distinct-value grouped shuffle + bucket-parallel
@@ -1670,9 +1675,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return t.select(
         F.col("n").cast("long").alias("n"),
-        (
+        F.round(
             num.cast("double")
-            / F.sqrt(denx.cast("double") * deny.cast("double"))
+            / F.sqrt(denx.cast("double") * deny.cast("double")),
+            6,
         ).alias("rho"),
     )
 

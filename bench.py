@@ -425,12 +425,19 @@ def main() -> None:
                 .select("cid")
             )
             q0 = qt.filter(F_rp.col("vec_id") == 0).select(F_rp.col("qv").alias("q0"))
+            # NOTE: this mirrors retrieval_pipeline's pool construction in
+            # llm_similarity.py (qv carried through the TakeOrdered exactly
+            # as the real pool carries it for the MMR stage) — if that
+            # pool's shape changes, update this block or the attribution
+            # times a stale plan (r13 review finding).
             return (
                 qt.filter(F_rp.col("vec_id") != 0)
                 .join(ivf_assign(e), "vec_id")
                 .join(F_rp.broadcast(probes), "cid")
                 .crossJoin(F_rp.broadcast(q0))
-                .select("vec_id", _idot(F_rp.col("qv"), F_rp.col("q0")).alias("rel"))
+                .select(
+                    "vec_id", "qv", _idot(F_rp.col("qv"), F_rp.col("q0")).alias("rel")
+                )
                 .orderBy(F_rp.col("rel").desc(), "vec_id")
                 .limit(_MMR_POOL)
             )

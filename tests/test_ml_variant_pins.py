@@ -33,8 +33,10 @@ registry.load_all()
 
 # The verdict asks for the pin at sf0.01 (the driver's correctness SF):
 # sf0.001's 50-doc corpus has too few true near-dup pairs to make a
-# recall bound meaningful.
-PIN_SF_DIR = os.environ.get("SPARK_GRAFT_DEGEN_SF_DIR", "/root/testdata/sf0.01")
+# recall bound meaningful. Deliberately NOT the degeneracy sweep's env
+# var: re-running that sweep at sf0.1 must not silently move these pins
+# off the SF where their thresholds were measured (r13 review finding).
+PIN_SF_DIR = os.environ.get("SPARK_GRAFT_PIN_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _pairs(rows):

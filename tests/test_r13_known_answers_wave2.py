@@ -341,6 +341,15 @@ class TestSeparationControl:
             qv = [math.floor(float(x) * 1048576.0) for x in a]
             qv[int(lab) % d] += B
             qt[int(i)] = (int(lab), qv)
+        # precondition of the control's 'separated by arithmetic' claim:
+        # labels injective mod dim (see the op docstring) — assert on the
+        # live data so a regenerated fixture with a wider label vocabulary
+        # fails here instead of silently weakening the control
+        dims = {len(a) for a in emb["embedding"]}
+        assert len(dims) == 1
+        dim = dims.pop()
+        labels = sorted(set(int(l) for l in emb["label"]))
+        assert len({l % dim for l in labels}) == len(labels)
         got = {
             r["anchor_id"]: r
             for r in registry.REGISTRY["embed_separation_control"](

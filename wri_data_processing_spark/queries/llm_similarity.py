@@ -2749,8 +2749,14 @@ def embed_separation_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions, so negative d2 gains ~2*2^60 — dwarfing any base
     distance (<= dim * (2*2^20)^2 ~ 5.6e14) while staying well inside
     int64 (~2.3e18). `separated` is therefore True for EVERY anchor by
-    arithmetic, and a miner regression (flipped window order, wrong
-    label predicate, broken d2 fold) turns the fixture red.
+    arithmetic — PRECONDITION: labels must be injective mod dim (two
+    labels congruent mod 64 would share the boosted dimension and that
+    negative pair would stay unboosted); holds with room to spare on
+    this corpus (labels 0..9, dim 64) and the replay test asserts it on
+    the live data so a fixture regeneration that widens the label
+    vocabulary fails loudly instead of silently weakening the control.
+    A miner regression (flipped window order, wrong label predicate,
+    broken d2 fold) turns the fixture red.
 
     Determinism: identical to embed_triplet_mining — the boost is an
     exact integer add inside the same _qvec grid, d2 stays an exact

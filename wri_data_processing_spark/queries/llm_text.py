@@ -132,18 +132,16 @@ _PRED_SQL = f"""
 """
 
 
-@query(
-    "text_lang_id",
-    oracle=f"""
-    SELECT lang AS labeled_lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
-    FROM documents GROUP BY 1, 2
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/marker-word language ID vs the labeled lang column (confusion counts)."""
-    d = table(spark, sf_dir, "documents")
-    scores = {lang: sum((_count_col(w) for w in ws), F.lit(0.0)) for lang, ws in _MARKERS.items()}
-    pred = (
+def _marker_pred_col() -> F.Column:
+    """Spark twin of _PRED_SQL — the marker-word prediction as one column
+    expression over `text`. Shared by text_lang_id and
+    eval_krippendorff_alpha so the rule chain cannot silently diverge
+    between the op and its reuse as a rater."""
+    scores = {
+        lang: sum((_count_col(w) for w in ws), F.lit(0.0))
+        for lang, ws in _MARKERS.items()
+    }
+    return (
         F.when(
             (scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"]))
             & (scores["en"] > 0),
@@ -154,8 +152,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["de"] > 0, "de")
         .otherwise("unknown")
     )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language ID vs the labeled lang column (confusion counts)."""
+    d = table(spark, sf_dir, "documents")
     return (
-        d.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        d.select(F.col("lang").alias("labeled_lang"), _marker_pred_col().alias("pred_lang"))
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1862,13 +1872,14 @@ def _lid_score_sql() -> str:
       FROM f)"""
 
 
-def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _lid_score_sql: doc -> per-class scores + argmax."""
+def _lid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan frame (doc_id, lang, text, s_de..s_zh): the bucket array
+    materializes ONCE per row (a real projected column) so the five
+    per-class folds reference it instead of re-hashing — one sha256 per
+    trigram, not five — and `text` rides along so a consumer that also
+    needs text-level raters (eval_krippendorff_alpha) stays single-scan."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     text = F.col("text")
-    # Materialize the bucket array ONCE per row (a real projected column),
-    # so the five per-class folds reference it instead of re-hashing —
-    # one sha256 per trigram, not five.
     bkts = F.transform(
         F.sequence(F.lit(1), F.length(text) - 2),
         lambda i: (
@@ -1877,7 +1888,7 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _LID_D
         ).cast("int"),
     )
-    b = d.select("doc_id", "lang", bkts.alias("bkts"))
+    b = d.select("doc_id", "lang", "text", bkts.alias("bkts"))
 
     def score(c: str) -> F.Column:
         w_arr = F.array(*[F.lit(w) for w in _LID_W[c]])
@@ -1887,8 +1898,12 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.element_at(w_arr, x + 1),
         ).alias(f"s_{c}")
 
-    s = b.select("doc_id", "lang", *[score(c) for c in _LID_CLASSES])
-    pred = (
+    return b.select("doc_id", "lang", "text", *[score(c) for c in _LID_CLASSES])
+
+
+def _lid_pred_col() -> F.Column:
+    """Argmax CASE over the s_* columns — fixed tie order de<en<es<fr<zh."""
+    return (
         F.when(
             F.col("s_de") >= F.greatest("s_en", "s_es", "s_fr", "s_zh"), F.lit("de")
         )
@@ -1897,7 +1912,12 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_fr") >= F.col("s_zh"), "fr")
         .otherwise("zh")
     )
-    return s.withColumn("pred_lang", pred)
+
+
+def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _lid_score_sql: doc -> per-class scores + argmax."""
+    s = _lid_frame(spark, sf_dir).drop("text")
+    return s.withColumn("pred_lang", _lid_pred_col())
 
 
 @query(
@@ -2092,35 +2112,32 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND-6 for interpretability.
 
     Plan at 100 TB: the two scorers run in the documents scan stage
-    (zero exchanges each), the ratings union is a same-scan 3x
-    projection, then ONE map-side-combined (doc, cat) count whose
-    output is bounded by 3 rows/doc and two category-bounded folds.
-    No join of any kind.
+    (zero exchanges each), the 3x ratings expansion is an IN-ROW explode
+    over one scan (all three raters are columns of the same row), then
+    ONE map-side-combined (doc, cat) count whose output is bounded by
+    3 rows/doc and two category-bounded folds. No join of any kind.
     """
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    scores = {
-        lang: sum((_count_col(w) for w in ws), F.lit(0.0))
-        for lang, ws in _MARKERS.items()
-    }
-    marker_pred = (
-        F.when(
-            (scores["en"] >= F.greatest(scores["es"], scores["fr"], scores["de"]))
-            & (scores["en"] > 0),
-            F.lit("en"),
-        )
-        .when((scores["es"] >= F.greatest(scores["fr"], scores["de"])) & (scores["es"] > 0), "es")
-        .when((scores["fr"] >= scores["de"]) & (scores["fr"] > 0), "fr")
-        .when(scores["de"] > 0, "de")
-        .otherwise("unknown")
+    # ONE scan: _lid_frame carries text + the per-class scores, so all
+    # three raters (label, marker rule via _marker_pred_col, multiclass
+    # argmax via _lid_pred_col) are columns of one row and the 3x ratings
+    # expansion is an in-row explode — not a union of three scans (the
+    # r13 review caught the unionAll form re-reading the parquet 3x).
+    ratings = _lid_frame(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("lang"), _marker_pred_col(), _lid_pred_col())
+        ).alias("cat"),
     )
-    ratings = (
-        d.select("doc_id", F.col("lang").alias("cat"))
-        .unionAll(d.select("doc_id", marker_pred.alias("cat")))
-        .unionAll(
-            _lid_scored(spark, sf_dir).select("doc_id", F.col("pred_lang").alias("cat"))
-        )
+    # localCheckpoint (the eval_bradley_terry dir_ idiom): o feeds both
+    # the disagreement fold and the category totals — without the barrier
+    # each consumer re-derives the scan + trigram-hash subtree, tripling
+    # the only data-sized work. o is 3 rows/doc of (id, cat, count) —
+    # cheap to materialize vs re-hashing the text.
+    o = (
+        ratings.groupBy("doc_id", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("o_uc"))
+        .localCheckpoint()
     )
-    o = ratings.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).cast("long").alias("o_uc"))
     so = o.agg(
         F.sum(F.col("o_uc") * (3 - F.col("o_uc"))).cast("long").alias("s_o"),
         F.countDistinct("doc_id").cast("long").alias("n_units"),

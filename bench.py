@@ -394,53 +394,14 @@ def main() -> None:
     # index/rerank stage vs the MMR tail (r12's 5.9 s loaded-box reading
     # vs the 1.5 s quiet median was unattributable without this split).
     if "retrieval_pipeline" in timings:
-        from wri_data_processing_spark.catalog import table as _tbl
-        from wri_data_processing_spark.queries.llm_similarity import (
-            _IVF_NLIST,
-            _MMR_POOL,
-            _RP_NPROBE,
-            _idot,
-            _qvec,
-            ivf_assign,
-        )
-        from pyspark.sql import functions as F_rp
+        # Shared helper (r14, ADVICE r13): the attribution times the
+        # pipeline's OWN pool plan (checkpoint=False = the pre-barrier
+        # plan, same work the old inline copy measured), so a pool-shape
+        # change in llm_similarity.py can never leave this stale.
+        from wri_data_processing_spark.queries.llm_similarity import retrieval_pool
 
         def _pool_half(s, d):
-            e = _tbl(s, d, "embeddings")
-            qt = e.select("vec_id", _qvec("embedding").alias("qv"))
-            cents = qt.filter(F_rp.col("vec_id") < _IVF_NLIST).select(
-                F_rp.col("vec_id").alias("cid"), F_rp.col("qv").alias("cv")
-            )
-            d2 = F_rp.aggregate(
-                F_rp.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-                F_rp.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            probes = (
-                qt.filter(F_rp.col("vec_id") == 0)
-                .crossJoin(F_rp.broadcast(cents))
-                .select("cid", d2.alias("d2"))
-                .orderBy("d2", "cid")
-                .limit(_RP_NPROBE)
-                .select("cid")
-            )
-            q0 = qt.filter(F_rp.col("vec_id") == 0).select(F_rp.col("qv").alias("q0"))
-            # NOTE: this mirrors retrieval_pipeline's pool construction in
-            # llm_similarity.py (qv carried through the TakeOrdered exactly
-            # as the real pool carries it for the MMR stage) — if that
-            # pool's shape changes, update this block or the attribution
-            # times a stale plan (r13 review finding).
-            return (
-                qt.filter(F_rp.col("vec_id") != 0)
-                .join(ivf_assign(e), "vec_id")
-                .join(F_rp.broadcast(probes), "cid")
-                .crossJoin(F_rp.broadcast(q0))
-                .select(
-                    "vec_id", "qv", _idot(F_rp.col("qv"), F_rp.col("q0")).alias("rel")
-                )
-                .orderBy(F_rp.col("rel").desc(), "vec_id")
-                .limit(_MMR_POOL)
-            )
+            return retrieval_pool(s, d, checkpoint=False)
 
         _time_once(_pool_half, spark, sf_dir)  # warmup
         pool_runs = [_time_once(_pool_half, spark, sf_dir) for _ in range(n_runs)]

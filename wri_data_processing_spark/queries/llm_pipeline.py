@@ -450,10 +450,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("spark", "join", "vector")
 
-
-@query(
-    "text_bm25_rank",
-    oracle=r"""
+# Module-level so retrieval_hybrid_rrf's oracle can embed the SAME lexical
+# ranking as a derived table — one source of truth for the BM25 arithmetic.
+_BM25_TOP20_SQL = r"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents),
@@ -501,8 +500,10 @@ _BM25_TERMS = ("spark", "join", "vector")
     WHERE tf1 + tf2 + tf3 > 0
     ORDER BY score DESC, doc_id
     LIMIT 20
-    """,
-)
+    """
+
+
+@query("text_bm25_rank", oracle=_BM25_TOP20_SQL)
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring: rank documents against the fixed query
     {spark, join, vector} with Okapi BM25 (k1=1.2, b=0.75) and return the

@@ -1964,6 +1964,17 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid broadcast bounded — the sim_ann_ivf scale note, now as the
     front half of a full serving program.
     """
+    return _mmr_greedy(retrieval_pool(spark, sf_dir))
+
+
+def retrieval_pool(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
+    """retrieval_pipeline's IVF-probe + exact-rerank pool — the stage
+    BEFORE the MMR tail, factored out (r14, ADVICE r13) so bench.py's
+    probe/rerank attribution times THIS plan, not a hand-maintained
+    inline copy that silently goes stale when the pool shape changes.
+    checkpoint=False gives the un-materialized plan (what the bench
+    counts); the pipeline itself takes the localCheckpoint barrier so
+    the <=20-row MMR rounds never re-derive the data-sized subtree."""
     e = table(spark, sf_dir, "embeddings")
     qt = e.select("vec_id", _qvec("embedding").alias("qv"))
     cents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
@@ -1992,9 +2003,8 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "qv", _idot(F.col("qv"), F.col("q0")).alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint()
     )
-    return _mmr_greedy(pool)
+    return pool.localCheckpoint() if checkpoint else pool
 
 
 @query(
@@ -2567,11 +2577,17 @@ _RBO_W = [(1.0 - _RBO_P) * _RBO_P**d for d in range(_RBO_D)]
       SELECT cid FROM cdist WHERE vec_id = 0
       ORDER BY d2, cid LIMIT {_RP_NPROBE}),
     exact_l AS (
-      SELECT list(vec_id ORDER BY rel DESC, vec_id) AS xs FROM (
+      -- COALESCE (r14, ADVICE r13): list() over zero rows is NULL in
+      -- DuckDB while Spark's collect_list is an empty array; without it
+      -- an empty candidate set sends o/rbo NULL here but 0.0 in the
+      -- engine — a mirrored-expression gap in the degenerate case.
+      SELECT COALESCE(list(vec_id ORDER BY rel DESC, vec_id),
+                      CAST([] AS BIGINT[])) AS xs FROM (
         SELECT vec_id, rel FROM rel
         ORDER BY rel DESC, vec_id LIMIT {_RBO_D})),
     ivf_l AS (
-      SELECT list(vec_id ORDER BY rel DESC, vec_id) AS ys FROM (
+      SELECT COALESCE(list(vec_id ORDER BY rel DESC, vec_id),
+                      CAST([] AS BIGINT[])) AS ys FROM (
         SELECT r.vec_id, r.rel
         FROM rel r
         JOIN assigned a ON r.vec_id = a.vec_id

@@ -2078,7 +2078,12 @@ def eval_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o),
     nc AS (SELECT cat, CAST(SUM(o_uc) AS BIGINT) AS n_c FROM o GROUP BY 1),
     se AS (
-      SELECT CAST(SUM(n_c * ((SELECT 3 * n_units FROM so) - n_c)) AS BIGINT)
+      -- Exact-128 multiply AND sum (r14, ADVICE r13): HUGEINT here,
+      -- DECIMAL(38,0) on the Spark side — neither engine's S_e
+      -- intermediate can wrap or raise below 1e38; only the final
+      -- BIGINT cast narrows, identically late on both engines.
+      SELECT CAST(SUM(CAST(n_c AS HUGEINT)
+                      * ((SELECT 3 * n_units FROM so) - n_c)) AS BIGINT)
                AS s_e
       FROM nc)
     SELECT so.n_units, so.n_categories, so.s_o, se.s_e,
@@ -2106,10 +2111,12 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     category c, o_uc = raters assigning c; observed disagreement mass
     S_o = sum o_uc*(3-o_uc); expected mass S_e = sum_c n_c*(N-n_c) with
     n_c the category totals and N = 3n. alpha = 1 - S_o*(N-1)/(S_e*2) —
-    ONE mirrored double division of exact integers (products stay under
-    2^53 below ~10^8 docs; past that, lift the two products to
-    DECIMAL(38,0) — noted, not needed at any test SF). d_o/d_e emitted
-    ROUND-6 for interpretability.
+    ONE mirrored double division of exact integers. The S_e fold runs in
+    exact 128-bit space on BOTH engines (Spark DECIMAL(38,0) multiply +
+    sum, DuckDB HUGEINT — r14, closing ADVICE r13's silent-int64-wrap
+    note); the binding limit is the 2^53 double cast in the alpha
+    division (~10^8 docs), which ROUND-6 closes per the spearman house
+    rule. d_o/d_e emitted ROUND-6 for interpretability.
 
     Plan at 100 TB: the two scorers run in the documents scan stage
     (zero exchanges each), the 3x ratings expansion is an IN-ROW explode
@@ -2144,10 +2151,18 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cat").cast("long").alias("n_categories"),
     )
     nc = o.groupBy("cat").agg(F.sum("o_uc").cast("long").alias("n_c"))
+    # Both the multiply AND the sum run in DECIMAL(38,0) (r14, ADVICE
+    # r13): the pre-r14 long fold wrapped silently past int64 (~1e9 docs)
+    # where the DuckDB oracle's BIGINT raises — a divergent failure mode.
+    # DECIMAL(38,0) is exact to 1e38 (mirroring the oracle's HUGEINT);
+    # only the final cast narrows to the emitted BIGINT, on both engines.
     se = (
         nc.crossJoin(F.broadcast(so.select("n_units")))
         .agg(
-            F.sum(F.col("n_c") * (3 * F.col("n_units") - F.col("n_c")))
+            F.sum(
+                F.col("n_c").cast("decimal(38,0)")
+                * (3 * F.col("n_units") - F.col("n_c")).cast("decimal(38,0)")
+            )
             .cast("long")
             .alias("s_e")
         )

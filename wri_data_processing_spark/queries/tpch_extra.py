@@ -832,11 +832,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       JOIN nation ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_12'
         GROUP BY l_partkey
+    ),
+    vu AS (
+        SELECT l_partkey, value_dec,
+               CAST(value_dec * 1000000 AS HUGEINT) AS value_u
+        FROM v
     )
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
-    FROM v
-    WHERE CAST(value_dec AS DOUBLE) * CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
-          > 2.5 * CAST((SELECT SUM(value_dec) FROM v) AS DOUBLE)
+    FROM vu
+    WHERE 2 * value_u * (SELECT CAST(COUNT(*) AS HUGEINT) FROM vu)
+          > 5 * (SELECT SUM(value_u) FROM vu)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -857,9 +862,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scalar subquery is a second aggregation over the SAME grouped
     result, broadcast back as a one-row cross join — the grouped DF is the
     only shuffle; no second pass over lineitem. Group sums are exact
-    DECIMAL(18,6); the threshold compare cross-multiplies by the exact
-    part count (value*n > 2.5*total as doubles of exact values), one
-    mirrored expression, bit-deterministic."""
+    DECIMAL(18,6); the threshold compare cross-multiplies ENTIRELY in
+    exact 128-bit integer space (r14, ADVICE r13: a double-space compare
+    flips row MEMBERSHIP on a decimal->double cast ULP above 2^53, which
+    no ROUND-6 can absorb): values become exact integer micros
+    (value_dec*1e6 — integral by construction at scale 6), and the rule
+    is 2*value_u*n_parts > 5*total_u — Spark DECIMAL(38,0) vs DuckDB
+    HUGEINT, both exact at any magnitude below 1e38, so membership is
+    bit-identical on both engines at every SF."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
@@ -871,16 +881,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)"))
             .alias("value_dec")
         )
+        .withColumn(
+            "value_u", (F.col("value_dec") * F.lit(1000000)).cast("decimal(38,0)")
+        )
     )
     total = v.agg(
-        F.sum("value_dec").alias("total"),
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("value_u").cast("decimal(38,0)").alias("total_u"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_parts"),
     )
     return (
         v.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value_dec").cast("double") * F.col("n_parts").cast("double")
-            > F.lit(2.5) * F.col("total").cast("double")
+            F.col("value_u") * F.col("n_parts") * F.lit(2).cast("decimal(38,0)")
+            > F.col("total_u") * F.lit(5).cast("decimal(38,0)")
         )
         .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")

@@ -666,13 +666,18 @@ def _round6_half_up(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
-def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 3.0) -> DataFrame:
+def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_sigma: float = 3.0) -> DataFrame:
     """Streaming twin of events_cusum_alarm: per-key one-sided CUSUM
     S_t = max(0, S_{t-1} + (x_t - mu0[key])) as a custom stateful operator
     (applyInPandasWithState) over the daily-count stream, alarming when
-    S_t > h_factor * sqrt(mu0) (scale-free Poisson-fluctuation units,
+    S_t > h_sigma * sqrt(mu0) (scale-free Poisson-fluctuation units,
     matching the batch op — a mean-proportional threshold goes dead as
-    volume grows). The baseline mu0 is a PINNED config dict (the
+    volume grows). RENAMED from the pre-r13 `h_factor` (ADVICE r13): that
+    name survived a semantic change (h = factor*mu -> factor*sqrt(mu),
+    default 2.0 -> 3.0), so a caller passing an explicit value silently
+    got different threshold semantics — the new name makes stale call
+    sites fail loudly at the signature. The baseline mu0 is a PINNED
+    config dict (the
     production pattern: derived once from a reference window, shipped with
     the job), so the recursion is closed per key and the state row is one
     (s, smax, n_alarms, first_alarm_day, n_days) struct — constant bytes
@@ -690,7 +695,7 @@ def cusum_alarm(daily: DataFrame, mu0: dict[str, float], h_factor: float = 3.0) 
     ) -> Iterator[pd.DataFrame]:
         et = key[0]
         mu = float(mu0.get(et, 0.0))
-        h = h_factor * math.sqrt(mu)
+        h = h_sigma * math.sqrt(mu)
         s, smax, nal, first, ndays = (
             state.get if state.exists else (0.0, float("-inf"), 0, None, 0)
         )

@@ -120,6 +120,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "sample_coreset_kcenter": "<=5-row chosen-center broadcast per greedy round — the embed_kmeans_assign shape, K times",
     "sim_mmr_rerank": "1-row query broadcast for the pool cut, then <=5-row chosen broadcasts over a 20-row checkpointed frame — the kcenter shape on a constant pool",
     "retrieval_pipeline": "nlist-row centroid broadcast (assignment + probe) and 1-row query broadcast, then the sim_mmr_rerank shape over the probed 20-row pool",
+    "retrieval_hybrid_rrf": "its two source rankings' own bounded "
+    "broadcasts — text_bm25_rank's 1-row corpus-stats row and the 1-row "
+    "query-vector broadcast of the sim_topk shape; the fusion itself is a "
+    "20-row x 20-row full outer equi-join on doc id",
     "embed_pca_power": "1-row max|y| renormalizer broadcast per power-"
     "iteration round (3 rounds, each bounded)",
     "embed_kmeans_iterate": "k-row centroid table broadcast, twice (one "

@@ -19,7 +19,7 @@ table layout without a repartition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -571,6 +571,301 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
+    )
+
+
+_RRF_K0 = 60  # the Cormack/Clarke/Buettcher constant — rank dampener
+_RRF_DEPTH = 20  # fusion depth: both source rankings contribute their top-20
+# Pinned weight literals (the _DCG_W discipline): 1/(k0+rank) authored ONCE
+# as Python doubles and emitted verbatim into both engines' plans, so the
+# fused score is a sum of two identical literals — bit-exact with no
+# division anywhere in either plan.
+_RRF_W = tuple(1.0 / (_RRF_K0 + r) for r in range(1, _RRF_DEPTH + 1))
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH lex20 AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM ({_BM25_TOP20_SQL})),
+    qe AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    q0 AS (SELECT qv AS q0 FROM qe WHERE vec_id = 0),
+    drel AS (
+      SELECT e.vec_id,
+             CAST(list_aggregate(list_transform(range(1, len(e.qv) + 1),
+               i -> e.qv[i] * q.q0[i]), 'sum') AS BIGINT) AS rel
+      FROM qe e, q0 q WHERE e.vec_id <> 0),
+    dense20 AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS BIGINT)
+               AS dense_rank
+      FROM (SELECT vec_id, rel FROM drel
+            ORDER BY rel DESC, vec_id LIMIT {_RRF_DEPTH})),
+    w AS (SELECT [{", ".join(repr(x) for x in _RRF_W)}] AS ws),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             ROUND(COALESCE(w.ws[CAST(l.lex_rank AS INT)], 0.0)
+                   + COALESCE(w.ws[CAST(d.dense_rank AS INT)], 0.0), 6)
+               AS rrf_score
+      FROM lex20 l FULL JOIN dense20 d ON l.doc_id = d.vec_id
+      CROSS JOIN w)
+    SELECT doc_id, lex_rank, dense_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) — the single most common
+    production retrieval shape, and the engine's missing link between
+    its two registered rankings: BM25 (text_bm25_rank, query {spark,
+    join, vector} over documents) and exact integer-dot vector top-k
+    (the sim_topk/retrieval_pipeline rel frame, query vec_id 0 over
+    embeddings; doc_id and vec_id share the id space). Each side
+    contributes its top-20; a document's fused score is
+    sum(1/(60+rank)) over the rankings that contain it, and the top-10
+    fused results are served with both source ranks attached (NULL
+    where a side didn't rank the doc — the outer join IS the fusion
+    semantics, so both one-sided branches stay live).
+
+    Exactness: the weights 1/(60+r) are PINNED module literals indexed
+    by rank on both engines (the _DCG_W discipline) — the fused score
+    is one fixed-order sum of two authored doubles, bit-identical with
+    zero divisions in either plan; ROUND-6 on emission is belt only.
+    Both input rankings are already deterministic total orders (BM25's
+    ROUND-6 score + doc_id tiebreak; the exact BIGINT dot + vec_id).
+
+    Plan at 100 TB: the two source rankings are each ONE data-sized
+    stage ending in a TakeOrdered(20) (BM25's per-term tf stays
+    scan-stage array-filter work; the dense side is the brute-force
+    anchor — swap in retrieval_pool's IVF probe for the indexed path);
+    the fusion itself joins two 20-row frames and never touches data
+    again. RRF is rank-only, so the two sides' incomparable score
+    scales (ln-space BM25 vs BIGINT dots) need no normalization — the
+    reason RRF wins hybrid-search bakeoffs despite its simplicity.
+    """
+    from wri_data_processing_spark.queries.llm_similarity import _idot, _qvec
+
+    lex = text_bm25_rank(spark, sf_dir)  # 20 rows, deterministic order
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_r = (
+        lex.select("doc_id", "score")
+        .withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .select(F.col("doc_id").alias("id"), "lex_rank")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qt = e.select("vec_id", _qvec("embedding").alias("qv"))
+    q0 = qt.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    rel = (
+        qt.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", _idot(F.col("qv"), F.col("q0")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_RRF_DEPTH)
+    )
+    wd = Window.orderBy(F.col("rel").desc(), "vec_id")
+    dense_r = (
+        rel.withColumn("dense_rank", F.row_number().over(wd).cast("long"))
+        .select(F.col("vec_id").alias("id"), "dense_rank")
+    )
+    w_arr = F.array(*[F.lit(x) for x in _RRF_W])
+    fused = lex_r.join(dense_r, ["id"], "full_outer")
+
+    def _w(rank_col: Column) -> Column:
+        # Explicit NULL gate: Spark's element_at(arr, NULL) resolves to the
+        # LAST element (probed on 4.1 — not the NULL DuckDB's ws[NULL]
+        # yields), so a bare coalesce(element_at(...), 0) silently credits
+        # absent-side docs the rank-20 weight.
+        return F.when(rank_col.isNull(), F.lit(0.0)).otherwise(
+            F.element_at(w_arr, rank_col.cast("int"))
+        )
+
+    rrf = _w(F.col("lex_rank")) + _w(F.col("dense_rank"))
+    return (
+        fused.select(
+            F.col("id").alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "eval_bleu",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 AS side,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT pair, side, n.n AS n,
+             CAST(('0x' || substring(sha256(
+               CASE n.n
+                 WHEN 1 THEN toks[u.i]
+                 WHEN 2 THEN toks[u.i] || ' ' || toks[u.i+1]
+                 WHEN 3 THEN toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2]
+                 ELSE toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2]
+                      || ' ' || toks[u.i+3]
+               END), 1, 15)) AS BIGINT) AS h
+      FROM tk,
+           (VALUES (1), (2), (3), (4)) AS n(n),
+           unnest(generate_series(1, greatest(len(toks) - n.n + 1, 0))) AS u(i)),
+    c AS (
+      SELECT pair, n, h,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+      FROM g GROUP BY 1, 2, 3),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN n = 1 THEN LEAST(c_cnt, r_cnt) ELSE 0 END) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN n = 2 THEN LEAST(c_cnt, r_cnt) ELSE 0 END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN n = 3 THEN LEAST(c_cnt, r_cnt) ELSE 0 END) AS BIGINT) AS m3,
+        CAST(SUM(CASE WHEN n = 4 THEN LEAST(c_cnt, r_cnt) ELSE 0 END) AS BIGINT) AS m4,
+        CAST(SUM(CASE WHEN n = 1 THEN c_cnt ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN n = 2 THEN c_cnt ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN n = 3 THEN c_cnt ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN n = 4 THEN c_cnt ELSE 0 END) AS BIGINT) AS t4,
+        CAST(SUM(CASE WHEN n = 1 THEN r_cnt ELSE 0 END) AS BIGINT) AS ref_tokens
+      FROM c)
+    SELECT m1, t1, m2, t2, m3, t3, m4, t4, ref_tokens,
+           ROUND(CASE WHEN t1 >= ref_tokens THEN 1.0
+                      ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+                                     / CAST(t1 AS DOUBLE)) END, 6) AS bp,
+           ROUND((CASE WHEN t1 >= ref_tokens THEN 1.0
+                       ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+                                      / CAST(t1 AS DOUBLE)) END)
+                 * exp((ln((CAST(m1 AS DOUBLE) + 1.0) / (CAST(t1 AS DOUBLE) + 1.0))
+                      + ln((CAST(m2 AS DOUBLE) + 1.0) / (CAST(t2 AS DOUBLE) + 1.0))
+                      + ln((CAST(m3 AS DOUBLE) + 1.0) / (CAST(t3 AS DOUBLE) + 1.0))
+                      + ln((CAST(m4 AS DOUBLE) + 1.0) / (CAST(t4 AS DOUBLE) + 1.0)))
+                       / 4.0), 6) AS bleu
+    FROM m
+    """,
+)
+def eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level smoothed BLEU-4 (Papineni 2002; add-one smoothing à la
+    Lin & Och 2004) — the sequence-overlap metric that closes the eval
+    family's generated-text gap: every other eval op scores classifiers or
+    rankers; this one scores candidate TEXT against reference TEXT.
+    Deterministic pairing on the synthetic corpus: doc 2k+1 is the
+    "candidate", doc 2k its "reference" (pair = doc_id//2), and the metric
+    aggregates corpus-level — clipped n-gram matches m_n = sum over pairs
+    of sum_g min(count_cand, count_ref) and candidate totals t_n, n=1..4,
+    then BLEU = BP * exp(mean_n ln((m_n+1)/(t_n+1))) with brevity penalty
+    BP = exp(min(0, 1 - r/c)). The +1 smoothing keeps ln() defined where
+    4-gram matches are sparse (they are, at sf0.001) — documented, not
+    hidden. Emits the exact integer evidence (m1..m4, t1..t4, ref_tokens;
+    cand_tokens IS t1) plus bp/bleu.
+
+    Exactness: all counts are exact integers off one (pair, n, gram-hash)
+    fold; grams hash to the sha256 60-bit slice (the text_ngram_novelty
+    convention) so ONLY int64 keys cross the exchange — text never
+    shuffles. The closing bp/bleu combine exact-integer ratios through
+    exp/ln (JVM vs glibc last-ULP drift, the bm25 measurement), so both
+    emit ROUND-6. Integer terms stay under 2^53 to ~10^15 candidate
+    tokens — beyond any real corpus.
+
+    Plan at 100 TB: the 4-way n-gram expansion is one in-row
+    flatten+explode in the scan stage (~4x token volume, the shingle
+    cost every dedup op already pays); ONE map-side-combined groupBy on
+    (pair, n, h) where BOTH sides' counts come from conditional sums (no
+    cand-vs-ref join — pairing is in the key); then one all-columns
+    1-row fold. Nothing is quadratic, nothing collects.
+    """
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    d = table(spark, sf_dir, "documents")
+    base = _spread_small_scan(d).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("pair"),
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    )
+
+    def _ngrams(k: int):
+        idx = F.sequence(F.lit(0), F.size("toks") - k)
+
+        def gram(i):
+            return F.concat_ws(
+                " ",
+                *[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(k)],
+            )
+
+        arr = F.transform(idx, lambda i: F.struct(F.lit(k).alias("n"), gram(i).alias("g")))
+        # Guard: sequence(0, size-k) runs DESCENDING when size < k.
+        return F.when(F.size("toks") >= k, arr).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    g = base.select(
+        "pair",
+        "side",
+        F.explode(F.flatten(F.array(*[_ngrams(k) for k in (1, 2, 3, 4)]))).alias("ng"),
+    ).select(
+        "pair",
+        "side",
+        F.col("ng.n").alias("n"),
+        F.conv(F.substring(F.sha2(F.col("ng.g"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    c = g.groupBy("pair", "n", "h").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_cnt"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("r_cnt"),
+    )
+    m = c.agg(
+        *[
+            F.sum(F.when(F.col("n") == k, F.least("c_cnt", "r_cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"m{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("c_cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"t{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        F.sum(F.when(F.col("n") == 1, F.col("r_cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ref_tokens"),
+    )
+    c_d = F.col("t1").cast("double")
+    r_d = F.col("ref_tokens").cast("double")
+    bp = F.when(F.col("t1") >= F.col("ref_tokens"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_d / c_d)
+    )
+
+    def lp(k: int):
+        return F.log(
+            (F.col(f"m{k}").cast("double") + F.lit(1.0))
+            / (F.col(f"t{k}").cast("double") + F.lit(1.0))
+        )
+
+    bleu = bp * F.exp((lp(1) + lp(2) + lp(3) + lp(4)) / F.lit(4.0))
+    return m.select(
+        "m1",
+        "t1",
+        "m2",
+        "t2",
+        "m3",
+        "t3",
+        "m4",
+        "t4",
+        "ref_tokens",
+        F.round(bp, 6).alias("bp"),
+        F.round(bleu, 6).alias("bleu"),
     )
 
 

@@ -338,6 +338,14 @@ SHOWCASE = [
     ("embed_separation_control", "the embed_triplet_mining shape on the "
      "boosted space: broadcast anchor sample over the scan, per-anchor "
      "partitioned window ranks — never a global window"),
+    ("retrieval_hybrid_rrf", "zero hash/range exchanges: both source "
+     "rankings end in TakeOrderedAndProject(20) (BM25 tf = scan-stage "
+     "array filters + 1-row stats broadcast; dense dot = 1-row query "
+     "broadcast), then a 20x20 full outer fusion join on bounded frames"),
+    ("eval_bleu", "one (pair, n, h) count shuffle carries the whole metric: "
+     "4-way n-gram expansion is an in-row flatten+explode in the scan "
+     "stage, cand/ref counts are conditional sums in the SAME aggregate "
+     "(no cand-vs-ref join), corpus fold is a 1-row aggregate"),
 ]
 
 

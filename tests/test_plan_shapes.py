@@ -707,3 +707,30 @@ def test_breusch_pagan_single_data_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_hybrid_rrf_no_data_shuffle(spark, sf_dir):
+    """RRF fusion (r14): both source rankings end in TakeOrdered(20) — the
+    plan has ZERO hash/range shuffle exchanges (BM25's tf counts are
+    scan-stage array-filter sizes, the dense dot is a 1-row broadcast); the
+    20x20 full outer fusion join and the rank windows run on single
+    partitions of bounded frames. Data is never touched after the cuts."""
+    plan = _plan(spark, sf_dir, "retrieval_hybrid_rrf")
+    assert _n_exchanges(plan) == 0, (_n_exchanges(plan), plan)
+    assert "TakeOrderedAndProject" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_bleu_one_gram_shuffle(spark, sf_dir):
+    """eval_bleu (r14): the ONLY data-sized exchanges are the deliberate
+    _spread_small_scan repartition and the one (pair, n, h) count shuffle —
+    cand and ref counts are conditional sums in the SAME aggregate, so
+    there is no cand-vs-ref join of any kind; the corpus fold is a
+    single-partition 1-row aggregate."""
+    plan = _plan(spark, sf_dir, "eval_bleu")
+    assert _n_exchanges(plan) <= 2, (_n_exchanges(plan), plan)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before the gram shuffle
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

@@ -214,7 +214,10 @@ class TestParetoShare:
                 r = got[(seg, cust)]
                 assert r["rnk"] == rnk
                 assert r["revenue"] == float(rv)
-                assert abs(r["cum_share"] - float(running) / float(total)) <= 1e-12
+                # ROUND-6 since r14 (cast audit): the share's operands are
+                # segment-scale decimal sums whose double casts diverge by
+                # one ULP across engines above 2^53 scaled.
+                assert abs(r["cum_share"] - float(running) / float(total)) <= 5e-7
 
 
 class TestBacklogAging:

@@ -366,12 +366,13 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c_mktsegment, o_custkey
     )
     SELECT c_mktsegment, o_custkey,
-           CAST(rev_dec AS DOUBLE) AS revenue,
-           CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
-                                   ORDER BY rev_dec DESC, o_custkey
-                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-           / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
-             AS cum_share,
+           CAST(CAST(rev_dec * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+             AS revenue,
+           ROUND(CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY rev_dec DESC, o_custkey
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE),
+                 6) AS cum_share,
            CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                    ORDER BY rev_dec DESC, o_custkey) AS BIGINT) AS rnk
     FROM rev
@@ -382,11 +383,18 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment, with cumulative revenue share (the 80/20 curve).
 
     Running and total sums stay in exact DECIMAL inside the window
-    (order-independent), converting to double only for the final ratio —
-    one division, identical on both engines. One shuffle on segment; the
-    two window specs and the rank share a single sort. This is the query
-    that decides "what fraction of the corpus do the top-k sources
-    contribute" in a training-data audit — same shape, swap tables.
+    (order-independent), converting to double only for the final ratio.
+    r14 cast-audit closes: per-customer revenue emits through the
+    micros-int64 BRIDGE — (rev*1e6)::BIGINT::DOUBLE/1e6 — because a
+    direct DECIMAL->double cast is engine-divergent by one ULP once the
+    scaled value passes 2^53 (the spearman mechanism; bridge is exact and
+    bit-identical to $9.2e12/customer, int64->double casts agree per
+    IEEE at ANY magnitude); cum_share's operands are segment-scale sums
+    whose casts CAN diverge at 100 TB, so the O(1) ratio closes with the
+    house ROUND-6. One shuffle on segment; the two window specs and the
+    rank share a single sort. This is the query that decides "what
+    fraction of the corpus do the top-k sources contribute" in a
+    training-data audit — same shape, swap tables.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -401,10 +409,12 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "c_mktsegment",
         "o_custkey",
-        F.col("rev_dec").cast("double").alias("revenue"),
-        (
+        ((F.col("rev_dec") * 1000000).cast("long").cast("double") / F.lit(1000000.0))
+        .alias("revenue"),
+        F.round(
             F.sum("rev_dec").over(w_run).cast("double")
-            / F.sum("rev_dec").over(w_all).cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double"),
+            6,
         ).alias("cum_share"),
         F.row_number().over(w_ord).cast("long").alias("rnk"),
     )
@@ -439,15 +449,16 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH yearly AS (
       SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
-             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS rev_u,
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1
     )
     SELECT yr,
-           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue,
            n_orders,
-           CAST(rev_dec AS DOUBLE)
-             / CAST(LAG(rev_dec) OVER (ORDER BY yr) AS DOUBLE) - 1.0
+           CAST(rev_u AS DOUBLE)
+             / CAST(LAG(rev_u) OVER (ORDER BY yr) AS DOUBLE) - 1.0
              AS yoy_growth
     FROM yearly
     """,
@@ -456,24 +467,33 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth: yearly exact-decimal totals with a
     lag ratio — the canonical reporting query for any time-grain trend.
 
-    The growth ratio divides the two exact decimal totals AFTER casting
-    each to double (one division on identical operands per engine). The
-    window runs over |years| rows — a single-partition sort of a handful
-    of rows is fine precisely because the heavy reduction already
-    happened; this is the shape where a global window is NOT a scale bug.
+    r14 cast-audit close: yearly totals narrow to exact int64 MICROS
+    before any double appears — a direct DECIMAL->double cast diverges by
+    one ULP across engines above 2^53 scaled (yearly corpus revenue
+    crosses $9e9 long before 100 TB), while int64->double casts agree per
+    IEEE at any magnitude, so both the emitted revenue (micros/1e6) and
+    the growth ratio (micros/micros — the 1e6 cancels) are bit-identical
+    on both engines as long as a year stays under $9.2e12 (the BIGINT
+    micros ceiling — overflow is loud, not wrong: DuckDB raises, Spark
+    nulls). The window runs over |years| rows — a single-partition sort
+    of a handful of rows is fine precisely because the heavy reduction
+    already happened; this is the shape where a global window is NOT a
+    scale bug.
     """
     o = table(spark, sf_dir, "orders")
     yearly = o.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("rev_u"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
     w = Window.orderBy("yr")
     return yearly.select(
         "yr",
-        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_u").cast("double") / F.lit(1000000.0)).alias("revenue"),
         "n_orders",
         (
-            F.col("rev_dec").cast("double") / F.lag("rev_dec").over(w).cast("double")
+            F.col("rev_u").cast("double") / F.lag("rev_u").over(w).cast("double")
             - 1.0
         ).alias("yoy_growth"),
     )

@@ -133,7 +133,8 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(last_ts, '{_TS_FMT_DUCK}') AS last_seen,
            freq,
-           CAST(monetary_dec AS DOUBLE) AS monetary,
+           CAST(CAST(monetary_dec * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+             AS monetary,
            NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_quartile,
            NTILE(4) OVER (ORDER BY freq, user_id) AS f_quartile,
            NTILE(4) OVER (ORDER BY monetary_dec, user_id) AS m_quartile
@@ -178,7 +179,13 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("last_ts", _TS_FMT_SPARK).alias("last_seen"),
         "freq",
-        F.col("monetary_dec").cast("double").alias("monetary"),
+        # micros-int64 bridge (r14 cast audit): exact to $9.2e12/user,
+        # engine-identical at any magnitude (int64->double is IEEE on
+        # both); a direct DECIMAL->double cast diverges above 2^53 scaled.
+        (
+            (F.col("monetary_dec") * 1000000).cast("long").cast("double")
+            / F.lit(1000000.0)
+        ).alias("monetary"),
         "r_quartile",
         "f_quartile",
         "m_quartile",
@@ -2361,8 +2368,10 @@ def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
                   AS DECIMAL(38,6)) AS cum_rev
       FROM w)
     SELECT cohort_week, week_n,
-           CAST(rev AS DOUBLE) AS revenue,
-           CAST(cum_rev AS DOUBLE) AS ltv_cum
+           CAST(CAST(rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+             AS revenue,
+           CAST(CAST(cum_rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+             AS ltv_cum
     FROM c ORDER BY cohort_week, week_n
     """,
 )
@@ -2376,8 +2385,11 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the retention op's integer week arithmetic verbatim
     (date_trunc to Monday both engines, day-diff // 7); revenue
     accumulates in exact DECIMAL through both the weekly sum AND the
-    running window (decimal window sums are order-independent — no float
-    enters until the final double cast per emitted cell).
+    running window (decimal window sums are order-independent), and each
+    emitted cell leaves decimal space through the micros-int64 bridge —
+    (x*1e6)::BIGINT::DOUBLE/1e6 — not a direct DECIMAL->double cast,
+    which is engine-divergent by one ULP above 2^53 scaled (r14 cast
+    audit; exact to $9.2e12 per cell, loud past it).
 
     Plan: one per-user MIN, a first-ts join back onto the filtered
     purchase scan (the retention shape), a (cohort, week) aggregate
@@ -2418,8 +2430,16 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort_week",
             "week_n",
-            F.col("rev").cast("double").alias("revenue"),
-            F.col("cum_rev").cast("double").alias("ltv_cum"),
+            # micros-int64 bridge (r14 cast audit): a direct DECIMAL->double
+            # cast diverges one ULP across engines above 2^53 scaled — a
+            # cohort-week cell crosses $9e9 well inside 100 TB. The bridge
+            # is bit-exact to $9.2e12/cell; int64->double agrees per IEEE.
+            ((F.col("rev") * 1000000).cast("long").cast("double") / F.lit(1000000.0))
+            .alias("revenue"),
+            (
+                (F.col("cum_rev") * 1000000).cast("long").cast("double")
+                / F.lit(1000000.0)
+            ).alias("ltv_cum"),
         )
         .orderBy("cohort_week", "week_n")
     )

@@ -9,8 +9,18 @@ Determinism note (applies to every aggregate query in this package): double
 summation is order-dependent, and Spark's round() disagrees with DuckDB's at
 decimal midpoints. We therefore sum EXACTLY over DECIMAL(18,6) casts —
 order-independent in both engines — and emit the final value as a DOUBLE
-cast of the exact decimal, which is bit-identical on both sides. No rounding
-needed or wanted.
+cast of the exact decimal. BOUND (r14 cast audit, SCALE.md): that cast is
+bit-identical across engines only while the SCALED decimal stays under 2^53
+(value < ~$9e9 at scale 6); above it, Spark's one-rounding
+BigDecimal.doubleValue and DuckDB's two-rounding int128-then-scale cast can
+differ by one ULP — and above ~$9e15 a double cannot represent the sum
+exactly at all. The published contract for corpus-scale sums is therefore:
+the DOUBLE is a correct-to-1-ULP projection; exact cross-engine equality at
+any magnitude needs the DECIMAL itself or the micros-int64 bridge
+((x*1e6)::BIGINT::DOUBLE/1e6 — exact to $9.2e12/cell, used by the per-entity
+emitters: events_cohort_ltv, user_rfm_segments, orders_yoy_growth,
+agg_pareto_share). At every driver-tested SF all sums sit far below 2^53
+scaled, so the casts are exact there.
 
 Scale notes: single wide scan -> partial aggregation map-side -> tiny final
 shuffle (grouping cardinality is 6). The shipdate filter and the 7-column

@@ -34,10 +34,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
-def sweep_sf(spark: SparkSession, sf_dir: str) -> dict[str, dict]:
+def sweep_sf(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, dict]:
     con = duck_con(sf_dir)
     out: dict[str, dict] = {}
     names = sorted(registry.REGISTRY)
+    if only:
+        names = [n for n in names if any(n.startswith(p) for p in only)]
     for i, name in enumerate(names, 1):
         t0 = time.time()
         rec: dict = {}
@@ -71,6 +75,13 @@ def main() -> None:
     ap.add_argument("--sf", action="append", default=None, help="sf dir (repeatable)")
     ap.add_argument("--threads", type=int, default=16)
     ap.add_argument("--out", default=None, help="output path (default SWEEP_r{N}.json)")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated name prefixes — sweep only matching ops (the "
+        "sf0.3synth stress run targets the integer-moment families; the "
+        "O(N^2) correctness anchors are deliberately out of scope there)",
+    )
     args = ap.parse_args()
     sfs = args.sf or list(DEFAULT_SFS)
 
@@ -89,7 +100,9 @@ def main() -> None:
         label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         print(f"== sweeping {label} ({len(registry.REGISTRY)} ops)", flush=True)
         t0 = time.time()
-        per_op = sweep_sf(spark, sf_dir)
+        per_op = sweep_sf(
+            spark, sf_dir, tuple(args.only.split(",")) if args.only else None
+        )
         statuses = [r["status"] for r in per_op.values()]
         summary = {s: statuses.count(s) for s in sorted(set(statuses))}
         bad = [n for n, r in per_op.items() if r["status"] in ("fail", "error")]

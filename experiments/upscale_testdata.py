@@ -54,11 +54,54 @@ KEY_OF = {
 DIMS = ("region", "nation")
 
 
+def check(out: str) -> None:
+    """Validate the synthesized output: key uniqueness and FK containment.
+
+    The stress sweep's value rests on the data being a VALID instance of
+    the schema — a broken FK would make join-family divergences look like
+    engine bugs. Raises on the first violation."""
+    con = duckdb.connect()
+    uniq = {
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for t, k in uniq.items():
+        n, d = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT {k}) FROM '{out}/{t}.parquet'"
+        ).fetchone()
+        assert n == d, f"{t}.{k}: {n} rows, {d} distinct"
+    fks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    for ct, ck, pt, pk in fks:
+        orphans = con.execute(
+            f"SELECT COUNT(*) FROM '{out}/{ct}.parquet' c "
+            f"ANTI JOIN '{out}/{pt}.parquet' p ON c.{ck} = p.{pk}"
+        ).fetchone()[0]
+        assert orphans == 0, f"{ct}.{ck} -> {pt}.{pk}: {orphans} orphans"
+    print("check OK: keys unique, FKs contained")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf0.3synth")
     ap.add_argument("--copies", type=int, default=3)
+    ap.add_argument("--check", action="store_true", help="validate only")
     args = ap.parse_args()
+    if args.check:
+        check(args.out)
+        return
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
@@ -92,6 +135,7 @@ def main() -> None:
         )
         n = con.execute(f"SELECT COUNT(*) FROM '{args.out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows ({args.copies} shifted copies)")
+    check(args.out)
 
 
 if __name__ == "__main__":

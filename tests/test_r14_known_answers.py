@@ -22,7 +22,10 @@ registry.load_all()
 
 
 def _toks(text: str) -> list[str]:
-    return re.split(r"\s+", text.strip()) if text.strip() else []
+    # Engine/oracle convention (ADVICE r14): split(trim('')) yields [''] on
+    # BOTH engines, so an empty/whitespace-only doc contributes ONE
+    # empty-string unigram — the replay must count it too, not return [].
+    return re.split(r"\s+", text.strip())
 
 
 class TestEvalBleu:

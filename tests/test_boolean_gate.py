@@ -63,6 +63,7 @@ BOOL_CONST_OK: dict[tuple[str, str], tuple[bool, str]] = {
     ("agg_approx_distinct", "orders_within_3rsd"): (True, _CONTRACT),
     ("agg_approx_percentile", "p50_within_1pct"): (True, _CONTRACT),
     ("agg_approx_percentile", "p95_within_1pct"): (True, _CONTRACT),
+    ("dq_volume_positive_control", "anomaly"): (True, _POSCTRL),
     ("drift_positive_control", "drifted"): (True, _POSCTRL),
     ("drift_report_pipeline", "drifted"): (False, _NULL_TRUE),
     ("embed_separation_control", "separated"): (True, _POSCTRL),

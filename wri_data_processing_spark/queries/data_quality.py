@@ -187,12 +187,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_day_over_day_anomaly",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+# The production day-over-day rule's SQL body, shared by the monitor's
+# oracle and its positive control's (one source of truth for the
+# arithmetic — the control's oracle differs ONLY in which daily frame
+# feeds it). Expects a CTE named `daily` with (event_type, d, n).
+_DOD_RULE_SQL = """
     delta AS (
       SELECT event_type, d, n,
              LAG(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
@@ -202,22 +201,23 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)) > 0.5
              AS anomaly
     FROM delta WHERE prev_n IS NOT NULL
-    """,
-)
-def dq_day_over_day_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly monitor: day-over-day count swings per event type.
+"""
 
-    The standard pipeline health check — ingestion volume that halves or
-    doubles overnight is the first symptom of an upstream break. The
-    change ratio is one division of two exact daily counts; the 50%
-    alert threshold compares that double against a literal, so the
-    boolean is engine-stable. The window partitions by event_type over
-    |days| rows per type — everything reduces before anything sorts.
-    """
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+def _daily_counts(e: DataFrame) -> DataFrame:
+    """Per-(event_type, day) exact row counts — the monitor's input frame."""
+    return e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _dod_rule(daily: DataFrame) -> DataFrame:
+    """THE day-over-day volume rule — shared verbatim by the production
+    monitor (dq_day_over_day_anomaly) and its positive control
+    (dq_volume_positive_control), so the control exercises the exact
+    expression tree that pages, not a reimplementation. Input: one row per
+    (event_type, d) with exact BIGINT count n; output: the per-transition
+    change ratio and the >50% alert boolean."""
     w = Window.partitionBy("event_type").orderBy("d")
     delta = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
         F.col("prev_n").isNotNull()
@@ -233,6 +233,98 @@ def dq_day_over_day_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.alias("pct_change"),
         (F.abs(pct) > 0.5).alias("anomaly"),
     )
+
+
+@query(
+    "dq_day_over_day_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    {_DOD_RULE_SQL}
+    """,
+)
+def dq_day_over_day_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: day-over-day count swings per event type.
+
+    The standard pipeline health check — ingestion volume that halves or
+    doubles overnight is the first symptom of an upstream break. The
+    change ratio is one division of two exact daily counts; the 50%
+    alert threshold compares that double against a literal, so the
+    boolean is engine-stable. The window partitions by event_type over
+    |days| rows per type — everything reduces before anything sorts.
+
+    Liveness: the synthetic corpus's daily counts concentrate as volume
+    grows, so the alert branch goes genuinely dead at sf0.1 (SCALE.md
+    "r14 cross-SF degeneracy"); the True branch is pinned at every SF by
+    dq_volume_positive_control, which drives this SAME ``_dod_rule``
+    with an injected 3x volume swing.
+    """
+    e = table(spark, sf_dir, "events")
+    return _dod_rule(_daily_counts(e))
+
+
+@query(
+    "dq_volume_positive_control",
+    oracle=f"""
+    WITH real_daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+      FROM real_daily GROUP BY 1),
+    daily AS (
+      SELECT r.event_type, r.d,
+             CAST(t.t * (1 + 2 * (ROW_NUMBER() OVER (
+               PARTITION BY r.event_type ORDER BY r.d) % 2)) AS BIGINT) AS n
+      FROM real_daily r JOIN tot t ON r.event_type = t.event_type),
+    {_DOD_RULE_SQL}
+    """,
+)
+def dq_volume_positive_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive control for the volume monitor — the pager test
+    (VERDICT r14 item 1; the drift_positive_control template): push a
+    KNOWN volume break through the exact ``_dod_rule`` expression tree
+    dq_day_over_day_anomaly pages on and require ``anomaly = TRUE`` on
+    every transition. The r14 cross-SF sweep found the production
+    monitor's True branch goes dead at sf0.1 — correctly (the synthetic
+    daily counts concentrate as volume grows), but that meant nothing at
+    the bench SF proved the alert still fires.
+
+    The injected series keeps the REAL day axis per event_type but
+    replaces each day's count with T (the type's total, a constant) on
+    even day-ranks and 3*T on odd day-ranks: every transition is exactly
+    a 3x surge (pct = +2.0) or a collapse to a third (pct = -2/3), both
+    strictly past the 50% gate at EVERY scale factor by construction —
+    the swing is scale-free, unlike a count threshold. Deliberately NOT
+    a pure halving: a 2x drop lands exactly ON the boundary
+    (pct = -0.5, ABS(...) > 0.5 false) — the strict inequality is part
+    of the production rule, so the control injects a swing with margin.
+
+    Exactness: n = T or 3*T is an exact BIGINT product; pct_change is
+    ONE int64-difference/int64 double division — IEEE-identical across
+    engines (no rounding needed, same as the production monitor).
+
+    Plan at 100 TB: the same one-reduce daily rollup as the monitor, a
+    |types|-row total broadcast back, and the rule's per-type window
+    over |days| rows — everything reduces before anything sorts; the
+    injection adds zero data-sized stages.
+    """
+    e = table(spark, sf_dir, "events")
+    real_daily = _daily_counts(e)
+    tot = real_daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+    ctl = (
+        real_daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "d",
+            (F.col("t") * (1 + 2 * (rn % 2))).cast("long").alias("n"),
+        )
+    )
+    return _dod_rule(ctl)
 
 
 @query(

@@ -37,6 +37,10 @@ NLJ_WHITELIST: dict[str, str] = {
     "text_bm25_rank": "1-row corpus-stats broadcast (N, sum_dl, per-term "
     "df — constant width for a fixed query) over the scan; tf counts are "
     "map-side array-filter sizes, no token shuffle at all",
+    "text_bm25_batch": "the text_bm25_rank 1-row corpus-stats broadcast, "
+    "widened to the query set's 8 distinct terms (still constant width); "
+    "the per-query fan-out is an in-row struct-array explode, and the only "
+    "data-sized exchange is the WindowGroupLimit-pruned per-query rank",
     "stream_watermark": "1-row max-ts watermark scalar broadcast",
     "events_rate_test": "1-row integer-midpoint scalar broadcast over the "
     "scan — the stream_watermark shape",

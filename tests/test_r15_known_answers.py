@@ -83,6 +83,82 @@ class TestEvalRougeN:
             assert (m, sum(rc.values())) == (exp_m, exp_r)
 
 
+class TestTextBm25Batch:
+    def test_q1_equals_single_query_ranking(self, spark, sf_dir):
+        """Batch query 1 is PINNED to text_bm25_rank's registered query, so
+        its top-10 must be exactly the single-query op's top-20 prefix —
+        the cross-op consistency contract that proves the batch shape
+        changed the PLAN, not the arithmetic."""
+        from wri_data_processing_spark.queries.llm_pipeline import (
+            _BM25_BATCH_QUERIES,
+            _BM25_TERMS,
+        )
+
+        assert _BM25_BATCH_QUERIES[0][1] == _BM25_TERMS
+        rank = registry.REGISTRY["text_bm25_rank"](spark, sf_dir).collect()
+        batch = registry.REGISTRY["text_bm25_batch"](spark, sf_dir).collect()
+        q1 = [r for r in batch if r["query_id"] == 1]
+        assert [r["doc_id"] for r in q1] == [r["doc_id"] for r in rank[:10]]
+        for b, s in zip(q1, rank[:10]):
+            assert b["score"] == s["score"]
+
+    def test_two_term_query_replay(self, spark, sf_dir):
+        """Independent pure-Python BM25 for query 3 (the 2-term query —
+        different term count than the pinned single-query op, so this
+        replay exercises the |terms|-generic path): Counters + math.log,
+        not either engine's expression tree."""
+        import math
+
+        from wri_data_processing_spark.queries.llm_pipeline import (
+            _BM25_BATCH_QUERIES,
+        )
+
+        qid, terms = _BM25_BATCH_QUERIES[2]
+        assert len(terms) == 2
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        toks = {int(r.doc_id): _toks(r.text) for r in docs.itertuples()}
+        n_docs = len(toks)
+        sum_dl = sum(len(t) for t in toks.values())
+        avgdl = sum_dl / n_docs
+        df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+        scored = []
+        for did, tk in toks.items():
+            tf = {t: tk.count(t) for t in terms}
+            if sum(tf.values()) == 0:
+                continue
+            s = 0.0
+            for t in terms:  # fixed query-tuple order, as both engines
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf[t] * 2.2) / (
+                    tf[t] + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+                )
+            scored.append((did, sum(1 for t in terms if tf[t] > 0), round(s, 6)))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        got = [
+            r
+            for r in registry.REGISTRY["text_bm25_batch"](spark, sf_dir).collect()
+            if r["query_id"] == qid
+        ]
+        assert len(got) == 10
+        for g, (did, n_terms, score) in zip(got, scored[:10]):
+            assert g["doc_id"] == did
+            assert g["n_terms"] == n_terms
+            assert abs(g["score"] - score) < 2e-6  # both ROUND-6
+
+    def test_plan_shape(self, spark, sf_dir):
+        """The serving-shape pin (VERDICT r14 item 4 'done' criterion): the
+        per-query rank must compile to WindowGroupLimit (map-side rank
+        pruning before the exchange), and the only nested loop is the
+        whitelisted 1-row corpus-stats broadcast — no cartesian product."""
+        df = registry.REGISTRY["text_bm25_batch"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        # one documents scan feeds the tf columns, one the corpus stats —
+        # the text_bm25_rank budget; more means a regression re-reads text
+        assert plan.count("Scan parquet") <= 2
+
+
 class TestDqVolumePositiveControl:
     def _replay(self, sf_dir):
         """Independent replay in pandas: daily counts -> per-type total ->

@@ -574,6 +574,188 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The parameterized serving batch (VERDICT r14 item 4): query terms arrive
+# as DATA, not plan literals. Pinned literal query set — query 1 IS
+# text_bm25_rank's registered query, so the two rankings are
+# cross-checkable (tests/test_r15_known_answers.py pins batch q1 top-10 ==
+# rank top-20 prefix); query 3 has a different term count, proving the
+# shape is |Q|- and |terms|-generic.
+_BM25_BATCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("spark", "join", "vector")),
+    (2, ("data", "stream", "table")),
+    (3, ("hash", "filter")),
+)
+_BM25_BATCH_TERMS: tuple[str, ...] = tuple(
+    sorted({t for _, ts in _BM25_BATCH_QUERIES for t in ts})
+)
+
+
+def _bm25_batch_sql() -> str:
+    """Oracle builder: the batch BM25 SQL generated from the SAME pinned
+    query structure the engine compiles, so term order (the fixed-order
+    score chain), df column wiring, and the rank window can never drift
+    between the two plans."""
+    idx = {t: i for i, t in enumerate(_BM25_BATCH_TERMS)}
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_BATCH_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_BATCH_TERMS))
+    )
+
+    def term_score(i: int) -> str:
+        return (
+            f"ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(s.df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(d.tf_{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(d.tf_{i} AS DOUBLE) + 1.2 * (0.25"
+            f" + (0.75 * CAST(d.dl AS DOUBLE))"
+            f" / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))"
+        )
+
+    blocks = []
+    for qid, terms in _BM25_BATCH_QUERIES:
+        ids = [idx[t] for t in terms]
+        score = "\n               + ".join(term_score(i) for i in ids)
+        nterms = " + ".join(f"(CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END)" for i in ids)
+        anymatch = " + ".join(f"d.tf_{i}" for i in ids)
+        blocks.append(
+            f"SELECT {qid} AS query_id, d.doc_id,\n"
+            f"             CAST({nterms} AS BIGINT) AS n_terms,\n"
+            f"             ROUND({score}, 6) AS score\n"
+            f"      FROM d CROSS JOIN s WHERE {anymatch} > 0"
+        )
+    union = "\n      UNION ALL\n      ".join(blocks)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM t),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM d),
+    sc AS (
+      {union})
+    SELECT query_id, doc_id, n_terms, score, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      FROM sc)
+    WHERE rn <= 10
+    ORDER BY query_id, rn
+    """
+
+
+@query("text_bm25_batch", oracle=_bm25_batch_sql())
+def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 serving: score EVERY query in a query set against the
+    corpus in one pass and return each query's top-10 — the
+    parameterized-lexical-retrieval surface text_bm25_rank's own docstring
+    promises (VERDICT r14 item 4): the single-query op bakes its terms
+    into the plan as literals; a serving tier re-planning per query would
+    be absurd, so here the query set is DATA and the plan is query-count
+    generic (the sim_topk_batch shape, lexical edition). Arithmetic is
+    text_bm25_rank's verbatim: Okapi BM25, k1=1.2, b=0.75,
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Cross-engine exactness: per-query scores are FIXED-ORDER chains of
+    per-term scores in the query's pinned term order on both engines
+    (generated from the same tuple — never a reorderable SUM aggregate);
+    ln() forces ROUND-6 (the bm25 ULP measurement) and the per-query rank
+    orders by the ROUNDED score with a doc_id tie-break.
+
+    Plan at 100 TB: zero explodes of raw tokens and zero token shuffles —
+    per-term tfs are array-filter sizes inside the scan stage (one column
+    per DISTINCT term across the whole query set, shared by every query
+    that uses the term); the 1-row corpus-stats aggregate broadcasts back
+    (the whitelisted bounded NLJ); each doc emits one in-row |Q|-element
+    struct array explode carrying (query_id, n_terms, rounded score), and
+    the ONLY data-sized exchange is the per-query rank window, which
+    WindowGroupLimit prunes map-side to <=10 rows per partition before
+    anything shuffles. At a real serving batch (|Q| in the thousands) the
+    term table would broadcast-join an inverted tf long-form instead of
+    widening the scan — the registered shape keeps the scan-local
+    variant because distinct terms here are bounded (8).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def _eq(term):
+        # Close over the term: a 2-arg lambda would receive the element
+        # index as the second argument (the text_bm25_rank note).
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_BATCH_TERMS)
+    ]
+    dd = d.select("doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols)
+    s = dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("long").alias(f"df_{i}")
+            for i in range(len(_BM25_BATCH_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(0.25) + (F.lit(0.75) * F.col("dl").cast("double")) / avgdl
+
+    def term_score(i: int):
+        tfd = F.col(f"tf_{i}").cast("double")
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfd + F.lit(0.5))
+            / (dfd + F.lit(0.5))
+        )
+        return idf * (tfd * F.lit(2.2)) / (tfd + F.lit(1.2) * norm)
+
+    tidx = {t: i for i, t in enumerate(_BM25_BATCH_TERMS)}
+    entries = []
+    for qid, terms in _BM25_BATCH_QUERIES:
+        ids = [tidx[t] for t in terms]
+        score = term_score(ids[0])
+        nterms = (F.col(f"tf_{ids[0]}") > 0).cast("int")
+        anymatch = F.col(f"tf_{ids[0]}")
+        for i in ids[1:]:
+            score = score + term_score(i)
+            nterms = nterms + (F.col(f"tf_{i}") > 0).cast("int")
+            anymatch = anymatch + F.col(f"tf_{i}")
+        entries.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                nterms.cast("long").alias("n_terms"),
+                F.round(score, 6).alias("score"),
+                (anymatch > 0).alias("keep"),
+            )
+        )
+    long = (
+        dd.crossJoin(F.broadcast(s))
+        .select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.keep"))
+        .select(
+            F.col("e.query_id").alias("query_id"),
+            "doc_id",
+            F.col("e.n_terms").alias("n_terms"),
+            F.col("e.score").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        long.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "n_terms", "score", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 _RRF_K0 = 60  # the Cormack/Clarke/Buettcher constant — rank dampener
 _RRF_DEPTH = 20  # fusion depth: both source rankings contribute their top-20
 # Pinned weight literals (the _DCG_W discipline): 1/(k0+rank) authored ONCE

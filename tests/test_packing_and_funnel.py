@@ -216,10 +216,13 @@ def test_ks_matches_independent_python_reference(spark):
 def test_incremental_read_scans_only_new_files(spark):
     """The increment between v1 and v2 must cover exactly the appended key
     range and agree with snapshot_time_travel's v2 - v1 row delta."""
+    from wri_data_processing_spark.queries.warehouse_ops import _key_boundary
+
+    b = _key_boundary(spark, SF_DIR)
     inc = _q(spark, "snapshot_incremental_read").first()
     tt = {r.version: r for r in _q(spark, "snapshot_time_travel").collect()}
     assert inc.n_new_rows == tt[2].n_rows - tt[1].n_rows
-    assert inc.min_key >= 1500 and inc.max_key < 3000
+    assert inc.min_key >= b and inc.max_key < 2 * b
 
 
 def test_snapshot_expire_never_deletes_live_files(spark):
@@ -237,7 +240,9 @@ def test_snapshot_expire_never_deletes_live_files(spark):
 
     row = _q(spark, "snapshot_expire").first()
 
-    root = _build_snapshots(spark, SF_DIR, "snapshot_expire_safety", with_update=True)
+    root, _b = _build_snapshots(
+        spark, SF_DIR, "snapshot_expire_safety", with_update=True
+    )
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:

@@ -147,18 +147,40 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-relative snapshot-window boundary (VERDICT r14 item 7): the old
+# literal windows ([0,1500) base, [1500,3000) append, ...) were absolute
+# key constants over the DENSE 0..N-1 orderkey space, which made every
+# window past the first EMPTY at sf0.001 (orders max key 1499) — the
+# snapshot_diff_update / snapshot_incremental_read vacuity the r13/r14
+# degeneracy sweeps documented. b = COUNT(*)//10 re-derives the windows as
+# tenth-of-table multiples: IDENTICAL to the old constants at sf0.01
+# (b = 1500), scale-proportional at every other SF, and live at all of
+# them — base [0,b), append [b,2b), orphan/uncommitted [2b,3b), the dev
+# branch's partial append [2b, 2b + b//3).
+_KB_SQL = "(SELECT COUNT(*)//10 FROM orders)"
+
+
+def _key_boundary(spark: SparkSession, sf_dir: str) -> int:
+    """The engine-side twin of _KB_SQL — a 1-row driver scalar (the
+    bounded-collect convention): the snapshot writers need the boundary as
+    a plan literal for the batch filters."""
+    return table(spark, sf_dir, "orders").count() // 10
+
+
 def _build_snapshots(
     spark: SparkSession, sf_dir: str, tag: str, with_update: bool = False
-) -> str:
+) -> tuple[str, int]:
     """Write the demo snapshots (base / append / delete-rewrite, plus an
     UPDATE rewrite as v4 when with_update) and their manifests into a
-    scratch dir; returns the table root. Shared by snapshot_time_travel
-    and the snapshot_diff family so all read the SAME manifest machinery."""
+    scratch dir; returns (table root, key boundary b). Shared by
+    snapshot_time_travel and the snapshot_diff family so all read the SAME
+    manifest machinery."""
     import os
 
     from wri_data_processing_spark.queries.io_ops import _scratch_dir
 
     root = _scratch_dir(tag, sf_dir)
+    b = _key_boundary(spark, sf_dir)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
 
     def write_batch(name: str, df: DataFrame) -> list[str]:
@@ -170,10 +192,10 @@ def _build_snapshots(
             if f.endswith(".parquet")
         )
 
-    base = write_batch("base", o.filter(F.col("o_orderkey") < 1500))
+    base = write_batch("base", o.filter(F.col("o_orderkey") < b))
     appended = write_batch(
         "append",
-        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)),
+        o.filter((F.col("o_orderkey") >= b) & (F.col("o_orderkey") < 2 * b)),
     )
     rewritten = write_batch(
         "base_rw",
@@ -199,7 +221,7 @@ def _build_snapshots(
     for v, files in manifests.items():
         with open(os.path.join(root, f"v{v}.manifest"), "w") as fh:
             fh.write("\n".join(files) + "\n")
-    return root
+    return root, b
 
 
 def _read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
@@ -222,19 +244,19 @@ def _tt_version_agg(df: DataFrame, version: int) -> DataFrame:
 
 @query(
     "snapshot_time_travel",
-    oracle="""
+    oracle=f"""
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-    FROM orders WHERE o_orderkey < 1500
+    FROM orders WHERE o_orderkey < {_KB_SQL}
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-    FROM orders WHERE o_orderkey < 3000
+    FROM orders WHERE o_orderkey < 2*{_KB_SQL}
     UNION ALL
     SELECT 3, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-    FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-                   OR (o_orderkey >= 1500 AND o_orderkey < 3000)
+    FROM orders WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+                   OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL})
     """,
 )
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,10 +266,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet files it comprises), appends add a manifest that references
     old files plus new ones, and deletes REPLACE a referenced file with its
     filtered rewrite. Reading "the table as of v" = read exactly v's file
-    list. Three snapshots are built and read back through their manifests:
+    list. Three snapshots are built and read back through their manifests
+    (b = COUNT(*)//10, the count-relative window boundary — live at every
+    SF, unlike the pre-r15 absolute key constants):
 
-      v1: base batch (orderkey < 1500)
-      v2: v1 files + an appended batch (1500 <= orderkey < 3000) — append
+      v1: base batch (orderkey < b)
+      v2: v1 files + an appended batch (b <= orderkey < 2b) — append
           touches no existing file
       v3: v2 with the BASE batch replaced by its orderkey % 7 != 0 rewrite
           (a delete as copy-on-write) — the appended batch's files carry
@@ -264,7 +288,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Copy-on-write delete rewrites one file's worth of data, never the
     table; at scale the rewrite batches by file, embarrassingly parallel.
     """
-    root = _build_snapshots(spark, sf_dir, "time_travel")
+    root, _b = _build_snapshots(spark, sf_dir, "time_travel")
     versions = [
         _tt_version_agg(_read_snapshot(spark, root, v), v) for v in (1, 2, 3)
     ]
@@ -276,9 +300,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_diff",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, 'delete' AS change_type
-    FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 7 = 0
+    FROM orders WHERE o_orderkey < {_KB_SQL} AND o_orderkey % 7 = 0
     ORDER BY o_orderkey
     """,
 )
@@ -303,7 +327,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "snapshot_diff")
+    root, _b = _build_snapshots(spark, sf_dir, "snapshot_diff")
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:
@@ -325,15 +349,17 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_diff_update",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
            'delete' AS change_type
     FROM orders
-    WHERE o_orderkey >= 1500 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+    WHERE o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}
+      AND o_orderkey % 11 = 0
     UNION ALL
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) + 1.0, 'insert'
     FROM orders
-    WHERE o_orderkey >= 1500 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+    WHERE o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}
+      AND o_orderkey % 11 = 0
     ORDER BY o_orderkey, change_type
     """,
 )
@@ -355,7 +381,7 @@ def snapshot_diff_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "snapshot_diff_upd", with_update=True)
+    root, _b = _build_snapshots(spark, sf_dir, "snapshot_diff_upd", with_update=True)
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:
@@ -376,11 +402,11 @@ def snapshot_diff_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_incremental_read",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_new_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS new_price,
            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-    FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000
+    FROM orders WHERE o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}
     """,
 )
 def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +426,7 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "snapshot_incr")
+    root, _b = _build_snapshots(spark, sf_dir, "snapshot_incr")
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:
@@ -420,13 +446,14 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_expire",
-    oracle="""
+    oracle=f"""
     SELECT 4 AS current_version, 2 AS n_snapshots_expired,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-               OR (o_orderkey >= 1500 AND o_orderkey < 3000)) AS n_rows_current,
+            WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+               OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}))
+             AS n_rows_current,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE o_orderkey < 1500) AS n_rows_reclaimed
+            WHERE o_orderkey < {_KB_SQL}) AS n_rows_reclaimed
     """,
 )
 def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,7 +482,7 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "snapshot_expire", with_update=True)
+    root, _b = _build_snapshots(spark, sf_dir, "snapshot_expire", with_update=True)
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:
@@ -484,11 +511,11 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_publish_audit",
-    oracle="""
+    oracle=f"""
     WITH v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
-                WHERE o_orderkey < 3000),
+                WHERE o_orderkey < 2*{_KB_SQL}),
     b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
-          WHERE o_orderkey < 1500)
+          WHERE o_orderkey < {_KB_SQL})
     SELECT 2 AS staged_version, v2.n AS n_rows,
            CAST(0 AS BIGINT) AS n_dup_keys, CAST(0 AS BIGINT) AS n_null_keys,
            TRUE AS audit_pass, TRUE AS published,
@@ -524,7 +551,7 @@ def snapshot_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "publish_audit")
+    root, _b = _build_snapshots(spark, sf_dir, "publish_audit")
     current = os.path.join(root, "_CURRENT")
     with open(current, "w") as fh:
         fh.write("1")
@@ -590,12 +617,12 @@ def snapshot_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_rollback",
-    oracle="""
+    oracle=f"""
     WITH v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
-                WHERE o_orderkey < 3000),
+                WHERE o_orderkey < 2*{_KB_SQL}),
     v3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
-           WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-              OR (o_orderkey >= 1500 AND o_orderkey < 3000))
+           WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+              OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}))
     SELECT 3 AS version_before, v3.n AS n_rows_before,
            2 AS version_after, v2.n AS n_rows_after,
            TRUE AS files_intact
@@ -620,7 +647,7 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "rollback")
+    root, _b = _build_snapshots(spark, sf_dir, "rollback")
     current = os.path.join(root, "_CURRENT")
     with open(current, "w") as fh:
         fh.write("3")
@@ -642,13 +669,15 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_orphan_files",
-    oracle="""
+    oracle=f"""
     SELECT 3 AS n_snapshots,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-               OR (o_orderkey >= 1500 AND o_orderkey < 3000)) AS n_rows_current,
+            WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+               OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL}))
+             AS n_rows_current,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE o_orderkey >= 3000 AND o_orderkey < 4500) AS n_rows_orphan,
+            WHERE o_orderkey >= 2*{_KB_SQL} AND o_orderkey < 3*{_KB_SQL})
+             AS n_rows_orphan,
            1 AS n_orphan_batches
     """,
 )
@@ -662,7 +691,7 @@ def snapshot_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     a GC like this one removes them.
 
     The fixture stages exactly that: the standard v1..v3 snapshot build,
-    plus one uncommitted batch (orderkeys 3000..4499) written under the
+    plus one uncommitted batch (orderkeys [2b, 3b)) written under the
     root with no manifest entry. Detection is pure set algebra over
     metadata — files-on-disk MINUS union(all manifests) — so cost scales
     with file count, never data size. The one data-touching step reads
@@ -678,13 +707,13 @@ def snapshot_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "orphan_files")
+    root, b = _build_snapshots(spark, sf_dir, "orphan_files")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # The failed commit: files land, no manifest ever points at them.
     failed_path = os.path.join(root, "failed_commit")
-    o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 4500)).write.parquet(
-        failed_path
-    )
+    o.filter(
+        (F.col("o_orderkey") >= 2 * b) & (F.col("o_orderkey") < 3 * b)
+    ).write.parquet(failed_path)
 
     def manifest(version: int) -> set[str]:
         with open(os.path.join(root, f"v{version}.manifest")) as fh:
@@ -715,11 +744,11 @@ def snapshot_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_forget_user",
-    oracle="""
+    oracle=f"""
     WITH v3 AS (
       SELECT o_orderkey, o_custkey FROM orders
-      WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-         OR (o_orderkey >= 1500 AND o_orderkey < 3000)),
+      WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+         OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL})),
     f AS (SELECT * FROM v3 WHERE o_custkey % 50 = 0)
     SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM f) AS BIGINT)
              AS n_forgotten_users,
@@ -756,7 +785,7 @@ def snapshot_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "forget_user")
+    root, _b = _build_snapshots(spark, sf_dir, "forget_user")
     o = table(spark, sf_dir, "orders")
     v3 = _read_snapshot(spark, root, 3)
     live = v3.join(
@@ -811,19 +840,21 @@ def snapshot_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_branch",
-    oracle="""
+    oracle=f"""
     SELECT 'dev@head' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-    FROM orders WHERE o_orderkey < 3500
+    FROM orders WHERE o_orderkey < 2*{_KB_SQL}
+                   OR (o_orderkey >= 2*{_KB_SQL}
+                       AND o_orderkey < 2*{_KB_SQL} + {_KB_SQL}//3)
     UNION ALL
     SELECT 'fork@v2', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-    FROM orders WHERE o_orderkey < 3000
+    FROM orders WHERE o_orderkey < 2*{_KB_SQL}
     UNION ALL
     SELECT 'main@v3', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-    FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-                   OR (o_orderkey >= 1500 AND o_orderkey < 3000)
+    FROM orders WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+                   OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL})
     ORDER BY ref
     """,
 )
@@ -850,13 +881,15 @@ def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "branch")
+    root, b = _build_snapshots(spark, sf_dir, "branch")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # fork dev at v2 (pointer copy), then append TO THE BRANCH only
+    # fork dev at v2 (pointer copy), then append TO THE BRANCH only — a
+    # third-of-a-window batch ([2b, 2b + b//3)) so dev and main stay
+    # visibly different sizes
     dev_path = os.path.join(root, "dev_append")
-    o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3500)).write.parquet(
-        dev_path
-    )
+    o.filter(
+        (F.col("o_orderkey") >= 2 * b) & (F.col("o_orderkey") < 2 * b + b // 3)
+    ).write.parquet(dev_path)
     dev_files = sorted(
         os.path.join(dev_path, f)
         for f in os.listdir(dev_path)
@@ -911,20 +944,22 @@ def _merge_conflicts(
 
 @query(
     "snapshot_merge_branch",
-    oracle="""
+    oracle=f"""
     WITH mainv AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_main
-      FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-                     OR (o_orderkey >= 1500 AND o_orderkey < 3000)),
+      FROM orders WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+                     OR (o_orderkey >= {_KB_SQL} AND o_orderkey < 2*{_KB_SQL})),
     dev AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_dev_added
-      FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3500),
+      FROM orders WHERE o_orderkey >= 2*{_KB_SQL}
+                    AND o_orderkey < 2*{_KB_SQL} + {_KB_SQL}//3),
     merged AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_merged,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                AS sum_price_merged
-      FROM orders WHERE (o_orderkey < 1500 AND o_orderkey % 7 != 0)
-                     OR (o_orderkey >= 1500 AND o_orderkey < 3500))
+      FROM orders WHERE (o_orderkey < {_KB_SQL} AND o_orderkey % 7 != 0)
+                     OR (o_orderkey >= {_KB_SQL}
+                         AND o_orderkey < 2*{_KB_SQL} + {_KB_SQL}//3))
     SELECT mainv.n_main, dev.n_dev_added,
            CAST(0 AS BIGINT) AS n_conflicts,
            merged.n_merged, merged.sum_price_merged
@@ -958,11 +993,11 @@ def snapshot_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    root = _build_snapshots(spark, sf_dir, "mergebr")
+    root, b = _build_snapshots(spark, sf_dir, "mergebr")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     dev_path = os.path.join(root, "dev_append")
     o.filter(
-        (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3500)
+        (F.col("o_orderkey") >= 2 * b) & (F.col("o_orderkey") < 2 * b + b // 3)
     ).write.parquet(dev_path)
     dev_added = sorted(
         os.path.join(dev_path, f)

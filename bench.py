@@ -157,6 +157,17 @@ HEADLINE = [
     # where single-row array-expression evaluation dominates the
     # shuffles, a distinct regression class.
     "stats_logrank_test",
+    # r15 (VERDICT r14 item 5): the two r14 flagships get tracked timings
+    # against their shipped A/B baselines. eval_bleu is the 4-way n-gram
+    # explode + one map-side-combined (pair, n, h) fold — the measured
+    # one-scan shape (1.49 s vs the 3.07 s union-of-scans alternative);
+    # a regression back to per-n scans shows up here first.
+    "eval_bleu",
+    # retrieval_hybrid_rrf composes BOTH registered ranking plans (BM25's
+    # scan-local tf + the exact integer-dot top-k) plus the 20x20 fusion
+    # join — the serving-latency twin of retrieval_pipeline for the
+    # hybrid path.
+    "retrieval_hybrid_rrf",
 ]
 
 SPREAD_TARGET = 0.20

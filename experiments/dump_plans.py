@@ -346,6 +346,11 @@ SHOWCASE = [
      "4-way n-gram expansion is an in-row flatten+explode in the scan "
      "stage, cand/ref counts are conditional sums in the SAME aggregate "
      "(no cand-vs-ref join), corpus fold is a 1-row aggregate"),
+    ("text_bm25_batch", "the parameterized serving shape: per-term tfs are "
+     "scan-stage array filters (one column per distinct term in the query "
+     "SET), 1-row widened stats broadcast, in-row |Q|-struct explode fans "
+     "out per query, and the only data-sized exchange is the per-query "
+     "rank — WindowGroupLimit prunes map-side to <=10 before the shuffle"),
 ]
 
 

@@ -35,13 +35,21 @@ DEFAULT_SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
 def sweep_sf(
-    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    only: tuple[str, ...] | None = None,
+    exclude: tuple[str, ...] | None = None,
 ) -> dict[str, dict]:
     con = duck_con(sf_dir)
     out: dict[str, dict] = {}
     names = sorted(registry.REGISTRY)
     if only:
         names = [n for n in names if any(n.startswith(p) for p in only)]
+    if exclude:
+        dropped = [n for n in names if n in exclude]
+        names = [n for n in names if n not in exclude]
+        if dropped:  # no silent caps: say what a scoped sweep skipped
+            print(f"  excluded ({len(dropped)}): {dropped}", flush=True)
     for i, name in enumerate(names, 1):
         t0 = time.time()
         rec: dict = {}
@@ -82,6 +90,15 @@ def main() -> None:
         "sf0.3synth stress run targets the integer-moment families; the "
         "O(N^2) correctness anchors are deliberately out of scope there)",
     )
+    ap.add_argument(
+        "--exclude",
+        default=None,
+        help="comma-separated EXACT op names dropped from the scope (the "
+        "10x-synth cast audit drops the four linear-cost sha-oracle ops "
+        "whose DuckDB side alone runs ~30 min each at 10x and whose "
+        "arithmetic is hash-equality, not moment-bounded casts; each "
+        "exclusion is printed, never silent)",
+    )
     args = ap.parse_args()
     sfs = args.sf or list(DEFAULT_SFS)
 
@@ -101,7 +118,10 @@ def main() -> None:
         print(f"== sweeping {label} ({len(registry.REGISTRY)} ops)", flush=True)
         t0 = time.time()
         per_op = sweep_sf(
-            spark, sf_dir, tuple(args.only.split(",")) if args.only else None
+            spark,
+            sf_dir,
+            tuple(args.only.split(",")) if args.only else None,
+            tuple(args.exclude.split(",")) if args.exclude else None,
         )
         statuses = [r["status"] for r in per_op.values()]
         summary = {s: statuses.count(s) for s in sorted(set(statuses))}

@@ -211,3 +211,168 @@ class TestDqVolumePositiveControl:
         and must NOT alarm under the production rule."""
         pct = (1 - 2) / 2  # count halves: prev=2T -> n=T
         assert abs(pct) == 0.5 and not (abs(pct) > 0.5)
+
+
+class TestEvalChrf:
+    def _replay(self, sf_dir):
+        """Independent chrF counts: whitespace-stripped char n-grams from
+        Counters, NOT the engine's (pair, n, gram-hash) fold."""
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        cand: dict[int, dict[int, Counter]] = {}
+        ref: dict[int, dict[int, Counter]] = {}
+        for _, row in docs.iterrows():
+            pair, side = int(row.doc_id) // 2, int(row.doc_id) % 2
+            s = re.sub(r"\s+", "", row.text)
+            by_n = (cand if side == 1 else ref).setdefault(pair, {})
+            for n in range(1, 7):
+                by_n[n] = Counter(s[i : i + n] for i in range(len(s) - n + 1))
+        m = dict.fromkeys(range(1, 7), 0)
+        t = dict.fromkeys(range(1, 7), 0)
+        r = dict.fromkeys(range(1, 7), 0)
+        for pair in set(cand) | set(ref):
+            c_by_n = cand.get(pair, {n: Counter() for n in range(1, 7)})
+            r_by_n = ref.get(pair, {n: Counter() for n in range(1, 7)})
+            for n in range(1, 7):
+                t[n] += sum(c_by_n[n].values())
+                r[n] += sum(r_by_n[n].values())
+                m[n] += sum(
+                    min(cnt, r_by_n[n].get(g, 0)) for g, cnt in c_by_n[n].items()
+                )
+        return m, t, r
+
+    def test_corpus_chrf_replay(self, spark, sf_dir):
+        m, t, r = self._replay(sf_dir)
+        got = registry.REGISTRY["eval_chrf"](spark, sf_dir).collect()
+        assert len(got) == 1
+        row = got[0]
+        for n in range(1, 7):
+            assert row[f"m{n}"] == m[n], f"m{n}"
+            assert row[f"t{n}"] == t[n], f"t{n}"
+            assert row[f"r{n}"] == r[n], f"r{n}"
+        # fixed-order 6-term chains, then beta=2 harmonic combine
+        chrp = sum((m[n] / t[n] if t[n] else 0.0) for n in range(1, 7)) / 6.0
+        chrr = sum((m[n] / r[n] if r[n] else 0.0) for n in range(1, 7)) / 6.0
+        chrf = 5.0 * chrp * chrr / (4.0 * chrp + chrr) if chrp + chrr else 0.0
+        assert row["chrp"] == round(chrp, 6)
+        assert row["chrr"] == round(chrr, 6)
+        assert abs(row["chrf"] - round(chrf, 6)) <= 1e-6  # reassoc-tolerant
+
+    def test_liveness(self, spark, sf_dir):
+        """chrF must be a real fraction: unigram char overlap is dense
+        (shared alphabet), 6-gram overlap sparse — strictly decreasing
+        per-order precision is the shape a real corpus shows."""
+        row = registry.REGISTRY["eval_chrf"](spark, sf_dir).collect()[0]
+        assert 0 < row["m6"] < row["m1"]
+        assert 0.0 < row["chrf"] < 1.0
+        assert row["m1"] / row["t1"] > row["m6"] / row["t6"]
+
+    def test_hand_computed_fixture(self):
+        """cand='ab cd', ref='ab ce' -> stripped 'abcd' vs 'abce'.
+        1-grams: m=3 (a,b,c; d vs e miss), t=r=4. 2-grams: cand
+        {ab,bc,cd}, ref {ab,bc,ce}: m=2, t=r=3."""
+        c, r = "abcd", "abce"
+        for n, exp_m, exp_t in ((1, 3, 4), (2, 2, 3)):
+            cc = Counter(c[i : i + n] for i in range(len(c) - n + 1))
+            rc = Counter(r[i : i + n] for i in range(len(r) - n + 1))
+            m = sum(min(v, rc.get(g, 0)) for g, v in cc.items())
+            assert (m, sum(cc.values())) == (exp_m, exp_t)
+
+
+class TestEvalTokenF1:
+    def _replay(self, sf_dir):
+        """Independent macro token-F1: Python big-int pico fixed-point —
+        the documented definition ((x*10^12) // denom per pair, exact sum),
+        not either engine's decimal expression tree."""
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        cand: dict[int, Counter] = {}
+        ref: dict[int, Counter] = {}
+        for _, row in docs.iterrows():
+            pair, side = int(row.doc_id) // 2, int(row.doc_id) % 2
+            (cand if side == 1 else ref)[pair] = Counter(_toks(row.text))
+        P = 10**12
+        n_pairs = p_sum = r_sum = f_sum = m_tot = tc_tot = tr_tot = 0
+        for pair in set(cand) | set(ref):
+            cc = cand.get(pair, Counter())
+            rc = ref.get(pair, Counter())
+            m = sum(min(v, rc.get(g, 0)) for g, v in cc.items())
+            tc, tr = sum(cc.values()), sum(rc.values())
+            n_pairs += 1
+            m_tot += m
+            tc_tot += tc
+            tr_tot += tr
+            p_sum += (m * P) // tc if tc else 0
+            r_sum += (m * P) // tr if tr else 0
+            f_sum += (2 * m * P) // (tc + tr)
+        return {
+            "n_pairs": n_pairs,
+            "m_tot": m_tot,
+            "cand_tokens": tc_tot,
+            "ref_tokens": tr_tot,
+            "macro_precision": round(p_sum / (n_pairs * P), 6),
+            "macro_recall": round(r_sum / (n_pairs * P), 6),
+            "macro_f1": round(f_sum / (n_pairs * P), 6),
+        }
+
+    def test_macro_f1_replay(self, spark, sf_dir):
+        exp = self._replay(sf_dir)
+        got = registry.REGISTRY["eval_token_f1"](spark, sf_dir).collect()
+        assert len(got) == 1
+        row = got[0].asDict()
+        for k, v in exp.items():
+            assert row[k] == v, k
+
+    def test_liveness_and_harmonic_bound(self, spark, sf_dir):
+        """F1 must sit strictly between 0 and min(P, R)'s harmonic reach:
+        for every pair f1 <= max(p, r), so the macro means obey the same
+        bound; all three must be real fractions at the tested SF."""
+        row = registry.REGISTRY["eval_token_f1"](spark, sf_dir).collect()[0]
+        assert 0.0 < row["macro_f1"] < 1.0
+        assert 0.0 < row["macro_precision"] < 1.0
+        assert 0.0 < row["macro_recall"] < 1.0
+        assert row["macro_f1"] <= max(row["macro_precision"], row["macro_recall"]) + 1e-9
+
+    def test_hand_computed_fixture(self):
+        """cand='a b a c' vs ref='a b b d': m=2, tc=tr=4 ->
+        p=r=0.5, f1=2*2/8=0.5 (harmonic identity: 2pr/(p+r)=2m/(tc+tr))."""
+        cc, rc = Counter(["a", "b", "a", "c"]), Counter(["a", "b", "b", "d"])
+        m = sum(min(v, rc.get(g, 0)) for g, v in cc.items())
+        tc, tr = sum(cc.values()), sum(rc.values())
+        assert (m, tc, tr) == (2, 4, 4)
+        assert 2 * m / (tc + tr) == 0.5 == (2 * (m / tc) * (m / tr)) / (m / tc + m / tr)
+
+
+class TestEvalDistinctN:
+    def _replay(self, sf_dir):
+        """Independent distinct-n: Python sets over candidate-side token
+        n-grams (doc_id odd), not the engine's hash fold."""
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        docs = docs[docs.doc_id % 2 == 1][["text"]]
+        out = {}
+        for n in (1, 2):
+            seen: set = set()
+            total = 0
+            for text in docs.text:
+                toks = _toks(text)
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                total += len(grams)
+                seen.update(grams)
+            out[n] = (len(seen), total)
+        return out
+
+    def test_distinct_n_replay(self, spark, sf_dir):
+        exp = self._replay(sf_dir)
+        got = registry.REGISTRY["eval_distinct_n"](spark, sf_dir).collect()
+        assert len(got) == 1
+        row = got[0]
+        for n in (1, 2):
+            d, t = exp[n]
+            assert row[f"d{n}"] == d, f"d{n}"
+            assert row[f"t{n}"] == t, f"t{n}"
+            assert row[f"distinct_{n}"] == (d / t if t else 0.0)
+
+    def test_liveness_and_ordering(self, spark, sf_dir):
+        """Bigram diversity must exceed unigram diversity on any natural
+        corpus (d2/t2 > d1/t1 — vocab reuse outpaces bigram reuse), and
+        both must be real fractions: neither all-unique nor collapsed."""
+        row = registry.REGISTRY["eval_distinct_n"](spark, sf_dir).collect()[0]
+        assert 0.0 < row["distinct_1"] < row["distinct_2"] < 1.0

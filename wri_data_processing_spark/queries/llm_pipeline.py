@@ -1154,6 +1154,395 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_chargram_counts(spark: SparkSession, sf_dir: str, ks: tuple) -> DataFrame:
+    """Character-n-gram sibling of ``_pair_ngram_counts``: per (pair, n,
+    gram-hash), candidate- and reference-side occurrence counts over
+    WHITESPACE-STRIPPED text (the chrF convention — Popović 2015 scores
+    character n-grams of the de-spaced string so tokenization never enters).
+    Same key discipline: grams hash to the sha256 60-bit slice so only
+    int64 keys cross the exchange; the n-gram expansion is one in-row
+    transform+flatten+explode in the scan stage."""
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    d = table(spark, sf_dir, "documents")
+    base = _spread_small_scan(d).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("pair"),
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        F.regexp_replace(F.col("text"), r"\s+", "").alias("s"),
+    )
+
+    def _grams(k: int):
+        idx = F.sequence(F.lit(1), F.length("s") - k + 1)
+        arr = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("n"), F.col("s").substr(i.cast("int"), F.lit(k)).alias("g")
+            ),
+        )
+        # Guard: sequence(1, len-k+1) runs DESCENDING when len < k.
+        return F.when(F.length("s") >= k, arr).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    g = base.select(
+        "pair",
+        "side",
+        F.explode(F.flatten(F.array(*[_grams(k) for k in ks]))).alias("ng"),
+    ).select(
+        "pair",
+        "side",
+        F.col("ng.n").alias("n"),
+        F.conv(F.substring(F.sha2(F.col("ng.g"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return g.groupBy("pair", "n", "h").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_cnt"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("r_cnt"),
+    )
+
+
+@query(
+    "eval_chrf",
+    oracle=r"""
+    WITH ck AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 AS side,
+             regexp_replace(text, '\s+', '', 'g') AS s
+      FROM documents),
+    g AS (
+      SELECT pair, side, n.n AS n,
+             CAST(('0x' || substring(sha256(substring(s, u.i, n.n)), 1, 15))
+               AS BIGINT) AS h
+      FROM ck,
+           (VALUES (1), (2), (3), (4), (5), (6)) AS n(n),
+           unnest(generate_series(1, greatest(length(s) - n.n + 1, 0))) AS u(i)),
+    c AS (
+      SELECT pair, n, h,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+      FROM g GROUP BY 1, 2, 3),
+    m AS (
+      SELECT n,
+             CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS m,
+             CAST(SUM(c_cnt) AS BIGINT) AS t,
+             CAST(SUM(r_cnt) AS BIGINT) AS r
+      FROM c GROUP BY n),
+    w AS (
+      SELECT
+        MAX(CASE WHEN n = 1 THEN m END) AS m1, MAX(CASE WHEN n = 1 THEN t END) AS t1,
+        MAX(CASE WHEN n = 1 THEN r END) AS r1,
+        MAX(CASE WHEN n = 2 THEN m END) AS m2, MAX(CASE WHEN n = 2 THEN t END) AS t2,
+        MAX(CASE WHEN n = 2 THEN r END) AS r2,
+        MAX(CASE WHEN n = 3 THEN m END) AS m3, MAX(CASE WHEN n = 3 THEN t END) AS t3,
+        MAX(CASE WHEN n = 3 THEN r END) AS r3,
+        MAX(CASE WHEN n = 4 THEN m END) AS m4, MAX(CASE WHEN n = 4 THEN t END) AS t4,
+        MAX(CASE WHEN n = 4 THEN r END) AS r4,
+        MAX(CASE WHEN n = 5 THEN m END) AS m5, MAX(CASE WHEN n = 5 THEN t END) AS t5,
+        MAX(CASE WHEN n = 5 THEN r END) AS r5,
+        MAX(CASE WHEN n = 6 THEN m END) AS m6, MAX(CASE WHEN n = 6 THEN t END) AS t6,
+        MAX(CASE WHEN n = 6 THEN r END) AS r6
+      FROM m),
+    f AS (
+      SELECT *,
+        ((CASE WHEN t1 = 0 THEN 0.0 ELSE CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE) END
+        + CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE) END
+        + CASE WHEN t3 = 0 THEN 0.0 ELSE CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE) END
+        + CASE WHEN t4 = 0 THEN 0.0 ELSE CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE) END
+        + CASE WHEN t5 = 0 THEN 0.0 ELSE CAST(m5 AS DOUBLE) / CAST(t5 AS DOUBLE) END
+        + CASE WHEN t6 = 0 THEN 0.0 ELSE CAST(m6 AS DOUBLE) / CAST(t6 AS DOUBLE) END)
+         / 6.0) AS chrp_u,
+        ((CASE WHEN r1 = 0 THEN 0.0 ELSE CAST(m1 AS DOUBLE) / CAST(r1 AS DOUBLE) END
+        + CASE WHEN r2 = 0 THEN 0.0 ELSE CAST(m2 AS DOUBLE) / CAST(r2 AS DOUBLE) END
+        + CASE WHEN r3 = 0 THEN 0.0 ELSE CAST(m3 AS DOUBLE) / CAST(r3 AS DOUBLE) END
+        + CASE WHEN r4 = 0 THEN 0.0 ELSE CAST(m4 AS DOUBLE) / CAST(r4 AS DOUBLE) END
+        + CASE WHEN r5 = 0 THEN 0.0 ELSE CAST(m5 AS DOUBLE) / CAST(r5 AS DOUBLE) END
+        + CASE WHEN r6 = 0 THEN 0.0 ELSE CAST(m6 AS DOUBLE) / CAST(r6 AS DOUBLE) END)
+         / 6.0) AS chrr_u
+      FROM w)
+    SELECT m1, t1, r1, m2, t2, r2, m3, t3, r3,
+           m4, t4, r4, m5, t5, r5, m6, t6, r6,
+           ROUND(chrp_u, 6) AS chrp,
+           ROUND(chrr_u, 6) AS chrr,
+           ROUND(CASE WHEN 4.0 * chrp_u + chrr_u = 0.0 THEN 0.0
+                      ELSE 5.0 * chrp_u * chrr_u
+                           / (4.0 * chrp_u + chrr_u) END, 6) AS chrf
+    FROM f
+    """,
+)
+def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chrF (Popović 2015, β=2, character n=1..6) — the
+    tokenization-free member of the generated-text-eval trio: BLEU scores
+    token-precision, ROUGE token-recall, chrF scores CHARACTER n-gram
+    overlap of the whitespace-stripped strings, so it is robust to
+    tokenizer and word-segmentation choices (the reason it is the WMT
+    metric-task baseline). Same corpus pairing (candidate = doc 2k+1,
+    reference = doc 2k); micro-averaged: per order n, corpus precision
+    P_n = m_n/t_n and recall R_n = m_n/r_n from clipped matches; chrP/chrR
+    average the six orders (the sacrebleu convention — average P and R
+    across orders, THEN combine); chrF = (1+β²)·P·R/(β²·P+R) with β=2.
+    Emits the exact integer evidence (m/t/r per order) plus chrp/chrr/chrf.
+
+    Exactness: all counts are exact integers off one (pair, n, gram-hash)
+    fold (``_pair_chargram_counts`` — the eval_bleu fold at character
+    grain); each P_n/R_n is one int64/int64 division (IEEE-identical),
+    the 6-term averages are FIXED-ORDER chains written identically on
+    both engines (never a reorderable SUM), and the closing harmonic
+    combine is plain *,/ arithmetic — ROUND-6 on the three emitted
+    doubles per house convention. Zero-guards: an order with no
+    candidate (resp. reference) grams contributes P_n = 0 (resp.
+    R_n = 0), sacrebleu's effective behavior.
+
+    Plan at 100 TB: identical topology to eval_bleu — the 6-order
+    char-gram expansion is one in-row transform+flatten+explode in the
+    scan stage (~6x char volume — bounded, no join), ONE map-side-
+    combined groupBy on (pair, n, h) where both sides' counts are
+    conditional sums (pairing lives in the key, no cand-vs-ref join),
+    a ≤6-row per-n fold, then a 1-row finish. Nothing quadratic,
+    nothing collects.
+    """
+    c = _pair_chargram_counts(spark, sf_dir, (1, 2, 3, 4, 5, 6))
+    per_n = c.groupBy("n").agg(
+        F.sum(F.least("c_cnt", "r_cnt")).cast("long").alias("m"),
+        F.sum("c_cnt").cast("long").alias("t"),
+        F.sum("r_cnt").cast("long").alias("r"),
+    )
+    w = per_n.agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col(col))).alias(f"{col}{k}")
+            for k in (1, 2, 3, 4, 5, 6)
+            for col in ("m", "t", "r")
+        ]
+    )
+
+    def ratio(mc: str, dc: str):
+        return F.when(F.col(dc) == 0, F.lit(0.0)).otherwise(
+            F.col(mc).cast("double") / F.col(dc).cast("double")
+        )
+
+    chrp_u = (
+        ratio("m1", "t1") + ratio("m2", "t2") + ratio("m3", "t3")
+        + ratio("m4", "t4") + ratio("m5", "t5") + ratio("m6", "t6")
+    ) / F.lit(6.0)
+    chrr_u = (
+        ratio("m1", "r1") + ratio("m2", "r2") + ratio("m3", "r3")
+        + ratio("m4", "r4") + ratio("m5", "r5") + ratio("m6", "r6")
+    ) / F.lit(6.0)
+    w = w.withColumn("chrp_u", chrp_u).withColumn("chrr_u", chrr_u)
+    denom = F.lit(4.0) * F.col("chrp_u") + F.col("chrr_u")
+    chrf = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        F.lit(5.0) * F.col("chrp_u") * F.col("chrr_u") / denom
+    )
+    return w.select(
+        *[f"{col}{k}" for k in (1, 2, 3, 4, 5, 6) for col in ("m", "t", "r")],
+        F.round(F.col("chrp_u"), 6).alias("chrp"),
+        F.round(F.col("chrr_u"), 6).alias("chrr"),
+        F.round(chrf, 6).alias("chrf"),
+    )
+
+
+@query(
+    "eval_token_f1",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 AS side,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT pair, side,
+             CAST(('0x' || substring(sha256(toks[u.i]), 1, 15)) AS BIGINT) AS h
+      FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+    c AS (
+      SELECT pair, h,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+      FROM g GROUP BY 1, 2),
+    p AS (
+      SELECT pair,
+             CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS m,
+             CAST(SUM(c_cnt) AS BIGINT) AS tc,
+             CAST(SUM(r_cnt) AS BIGINT) AS tr
+      FROM c GROUP BY 1),
+    terms AS (
+      SELECT pair, m, tc, tr,
+        CASE WHEN tc = 0 THEN CAST(0 AS HUGEINT)
+             ELSE CAST(m AS HUGEINT) * 1000000000000 // tc END AS p_i,
+        CASE WHEN tr = 0 THEN CAST(0 AS HUGEINT)
+             ELSE CAST(m AS HUGEINT) * 1000000000000 // tr END AS r_i,
+        CAST(2 * m AS HUGEINT) * 1000000000000 // (tc + tr) AS f_i
+      FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(m) AS BIGINT) AS m_tot,
+           CAST(SUM(tc) AS BIGINT) AS cand_tokens,
+           CAST(SUM(tr) AS BIGINT) AS ref_tokens,
+           ROUND(CAST(SUM(p_i) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS macro_precision,
+           ROUND(CAST(SUM(r_i) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS macro_recall,
+           ROUND(CAST(SUM(f_i) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS macro_f1
+    FROM terms
+    """,
+)
+def eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged token-overlap F1 (the SQuAD/reading-comprehension
+    answer metric, Rajpurkar 2016) — the PER-PAIR member of the
+    generated-text family: BLEU/ROUGE/chrF are corpus-micro (one giant
+    count fold — a few long pairs dominate), token-F1 scores EVERY pair
+    on its own bag-of-tokens overlap and averages the per-pair scores,
+    so each (candidate, reference) pair carries equal weight — the
+    convention QA and instruction-following evals actually report. Per
+    pair: clipped unigram matches m, candidate/reference token totals
+    tc/tr; precision m/tc, recall m/tr, and F1 = 2m/(tc+tr) (the
+    harmonic identity — no p,r intermediate needed). Emits n_pairs and
+    the exact corpus totals so micro variants recompute downstream.
+
+    Exactness: the macro means are reorderable sums of per-pair RATIOS,
+    so each ratio is folded as the exact pico-scaled integer
+    (x·10^12) div denom in DECIMAL(38,0)/HUGEINT (truncation mirrors
+    `div` vs `//` on both engines — the eval_average_precision
+    convention), making the fold order-independent by construction;
+    ONE division and ROUND-6 close each metric. Zero-guards: a pair
+    missing one side folds p/r as 0; tc+tr >= 1 always under the
+    house tokenization (an empty doc is one ''-token).
+
+    Plan at 100 TB: the unigram slice of the eval_bleu topology — one
+    scan-stage explode, ONE map-side-combined (pair, h) groupBy, a
+    per-pair fold at |pairs| rows (map-side combined again), then a
+    1-row finish. No joins, nothing collects; pico-int64 capacity
+    holds to 9e6 pairs in int64 but the fold runs in decimal(38,0),
+    exact past any real corpus.
+    """
+    c = _pair_ngram_counts(spark, sf_dir, (1,))
+    p = c.groupBy("pair").agg(
+        F.sum(F.least("c_cnt", "r_cnt")).cast("long").alias("m"),
+        F.sum("c_cnt").cast("long").alias("tc"),
+        F.sum("r_cnt").cast("long").alias("tr"),
+    )
+    pico = F.lit(1000000000000).cast("decimal(38,0)")
+    p = (
+        p.withColumn("p_num", F.col("m").cast("decimal(38,0)") * pico)
+        .withColumn("f_num", F.lit(2).cast("decimal(38,0)") * F.col("m") * pico)
+        .withColumn("f_den", (F.col("tc") + F.col("tr")).cast("decimal(38,0)"))
+    )
+    terms = p.select(
+        "m",
+        "tc",
+        "tr",
+        F.when(F.col("tc") == 0, F.lit(0).cast("decimal(38,0)"))
+        .otherwise(F.expr("p_num div cast(tc as decimal(38,0))").cast("decimal(38,0)"))
+        .alias("p_i"),
+        F.when(F.col("tr") == 0, F.lit(0).cast("decimal(38,0)"))
+        .otherwise(F.expr("p_num div cast(tr as decimal(38,0))").cast("decimal(38,0)"))
+        .alias("r_i"),
+        F.expr("f_num div f_den").cast("decimal(38,0)").alias("f_i"),
+    )
+    f = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("m").cast("long").alias("m_tot"),
+        F.sum("tc").cast("long").alias("cand_tokens"),
+        F.sum("tr").cast("long").alias("ref_tokens"),
+        F.sum("p_i").alias("p_sum"),
+        F.sum("r_i").alias("r_sum"),
+        F.sum("f_i").alias("f_sum"),
+    )
+    scale = F.col("n_pairs").cast("double") * F.lit(1000000000000.0)
+    return f.select(
+        "n_pairs",
+        "m_tot",
+        "cand_tokens",
+        "ref_tokens",
+        F.round(F.col("p_sum").cast("double") / scale, 6).alias("macro_precision"),
+        F.round(F.col("r_sum").cast("double") / scale, 6).alias("macro_recall"),
+        F.round(F.col("f_sum").cast("double") / scale, 6).alias("macro_f1"),
+    )
+
+
+@query(
+    "eval_distinct_n",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 AS side,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT pair, side, n.n AS n,
+             CAST(('0x' || substring(sha256(
+               CASE n.n WHEN 1 THEN toks[u.i]
+                        ELSE toks[u.i] || ' ' || toks[u.i+1] END), 1, 15))
+               AS BIGINT) AS h
+      FROM tk,
+           (VALUES (1), (2)) AS n(n),
+           unnest(generate_series(1, greatest(len(toks) - n.n + 1, 0))) AS u(i)
+      WHERE side = 1)
+    SELECT
+      CAST(COUNT(DISTINCT CASE WHEN n = 1 THEN h END) AS BIGINT) AS d1,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+      CASE WHEN SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) = 0 THEN 0.0
+           ELSE CAST(COUNT(DISTINCT CASE WHEN n = 1 THEN h END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) END
+        AS distinct_1,
+      CAST(COUNT(DISTINCT CASE WHEN n = 2 THEN h END) AS BIGINT) AS d2,
+      CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+      CASE WHEN SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) = 0 THEN 0.0
+           ELSE CAST(COUNT(DISTINCT CASE WHEN n = 2 THEN h END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS DOUBLE) END
+        AS distinct_2
+    FROM g
+    """,
+)
+def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 generation-diversity ratios (Li et al.
+    2016) over the CANDIDATE side of the eval pairing — the degeneracy
+    monitor every generation eval runs next to BLEU/ROUGE/chrF: a model
+    that beam-collapses onto stock phrases scores fine on overlap
+    metrics while distinct-n craters. distinct_n = |unique n-grams
+    across all candidates| / total n-gram tokens across all candidates,
+    n=1,2; the exact integer numerators/denominators are emitted.
+
+    Exactness: both terms are exact integers off the same scan-stage
+    n-gram expansion (candidate side only — reference docs are filtered
+    before the explode, so they never leave the scan); grams hash to
+    the sha256 60-bit slice (distinct-counting hashes, the
+    text_ngram_novelty convention — collision odds ~t²/2^61, negligible
+    at any testable SF and one-in-a-million at 10^12 grams); each ratio
+    is ONE int64/int64 double division, IEEE-identical unrounded.
+
+    Plan at 100 TB: one scan + explode, ONE hash aggregate to distinct
+    (n, h) grain with a map-side partial (the COUNT DISTINCT expand is
+    2 n-values wide, constant), 1-row finish. No joins, no windows,
+    nothing collects.
+    """
+    c = _pair_ngram_counts(spark, sf_dir, (1, 2)).filter(F.col("c_cnt") > 0)
+    g = c.select("n", "h", "c_cnt")
+    f = g.agg(
+        F.countDistinct(F.when(F.col("n") == 1, F.col("h"))).cast("long").alias("d1"),
+        F.sum(F.when(F.col("n") == 1, F.col("c_cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("t1"),
+        F.countDistinct(F.when(F.col("n") == 2, F.col("h"))).cast("long").alias("d2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c_cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("t2"),
+    )
+
+    def ratio(dc: str, tc: str):
+        return F.when(F.col(tc) == 0, F.lit(0.0)).otherwise(
+            F.col(dc).cast("double") / F.col(tc).cast("double")
+        )
+
+    return f.select(
+        "d1",
+        "t1",
+        ratio("d1", "t1").alias("distinct_1"),
+        "d2",
+        "t2",
+        ratio("d2", "t2").alias("distinct_2"),
+    )
+
+
 @query(
     "bpe_merge_candidates",
     oracle=r"""

@@ -734,3 +734,41 @@ def test_bleu_one_gram_shuffle(spark, sf_dir):
     assert "partial_" in plan, plan  # map-side combine before the gram shuffle
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_chrf_one_gram_shuffle(spark, sf_dir):
+    """eval_chrf (r15): identical topology contract to eval_bleu at
+    character grain — the only data-sized exchanges are the deliberate
+    _spread_small_scan repartition and the one (pair, n, h) count shuffle;
+    both sides' counts are conditional sums in the SAME aggregate (no
+    cand-vs-ref join); per-n and 1-row folds are bounded."""
+    plan = _plan(spark, sf_dir, "eval_chrf")
+    assert _n_exchanges(plan) <= 3, (_n_exchanges(plan), plan)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before the gram shuffle
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_token_f1_no_joins_two_folds(spark, sf_dir):
+    """eval_token_f1 (r15): unigram slice of the bleu topology plus a
+    per-pair fold — gram shuffle, pair fold, 1-row finish; the pico
+    fixed-point terms are column arithmetic, never a join or a Python
+    boundary."""
+    plan = _plan(spark, sf_dir, "eval_token_f1")
+    assert _n_exchanges(plan) <= 3, (_n_exchanges(plan), plan)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "partial_" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_distinct_n_no_joins(spark, sf_dir):
+    """eval_distinct_n (r15): one gram shuffle then the COUNT DISTINCT
+    expand (2 n-values wide, constant) into a 1-row fold — no joins, no
+    windows, no Python."""
+    plan = _plan(spark, sf_dir, "eval_distinct_n")
+    assert _n_exchanges(plan) <= 4, (_n_exchanges(plan), plan)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

@@ -1510,22 +1510,47 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any testable SF and one-in-a-million at 10^12 grams); each ratio
     is ONE int64/int64 double division, IEEE-identical unrounded.
 
-    Plan at 100 TB: one scan + explode, ONE hash aggregate to distinct
-    (n, h) grain with a map-side partial (the COUNT DISTINCT expand is
-    2 n-values wide, constant), 1-row finish. No joins, no windows,
-    nothing collects.
+    Plan at 100 TB: one scan + explode over HALF the corpus (the side
+    filter runs in the scan stage, before the n-gram expansion — the
+    reference volume never explodes or shuffles), ONE hash aggregate
+    to distinct (n, h) grain with a map-side partial (the COUNT
+    DISTINCT expand is 2 n-values wide, constant), 1-row finish. No
+    joins, no windows, nothing collects.
     """
-    c = _pair_ngram_counts(spark, sf_dir, (1, 2)).filter(F.col("c_cnt") > 0)
-    g = c.select("n", "h", "c_cnt")
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    base = _spread_small_scan(d).select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+    def _ngrams(k: int):
+        idx = F.sequence(F.lit(0), F.size("toks") - k)
+
+        def gram(i):
+            return F.concat_ws(
+                " ",
+                *[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(k)],
+            )
+
+        arr = F.transform(idx, lambda i: F.struct(F.lit(k).alias("n"), gram(i).alias("g")))
+        return F.when(F.size("toks") >= k, arr).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    g = base.select(
+        F.explode(F.flatten(F.array(_ngrams(1), _ngrams(2)))).alias("ng")
+    ).select(
+        F.col("ng.n").alias("n"),
+        F.conv(F.substring(F.sha2(F.col("ng.g"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     f = g.agg(
         F.countDistinct(F.when(F.col("n") == 1, F.col("h"))).cast("long").alias("d1"),
-        F.sum(F.when(F.col("n") == 1, F.col("c_cnt")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("t1"),
+        F.count(F.when(F.col("n") == 1, F.lit(1))).cast("long").alias("t1"),
         F.countDistinct(F.when(F.col("n") == 2, F.col("h"))).cast("long").alias("d2"),
-        F.sum(F.when(F.col("n") == 2, F.col("c_cnt")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("t2"),
+        F.count(F.when(F.col("n") == 2, F.lit(1))).cast("long").alias("t2"),
     )
 
     def ratio(dc: str, tc: str):

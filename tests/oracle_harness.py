@@ -23,6 +23,14 @@ from wri_data_processing_spark.catalog import TABLES
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle side: DuckDB's default memory_limit is 80% of RAM,
+    # which OOM-kills the host when a Spark driver JVM shares the box and a
+    # stress-SF oracle builds a large hash/sort state (the r15 10x-synth
+    # sweep died this way at ~95 GB RSS). A hard cap + a spill directory
+    # turns that into disk spill; SPARK_GRAFT_DUCK_MEM overrides per run.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")

@@ -6441,6 +6441,12 @@ def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR-scale to pico-unit BIGINTs per group (order-independent, the
     stats_ljung_box discipline); the pooled numerator folds the floor'd
     integer variances exactly. One closing double tree, ROUND-6.
+    The ln-fold ACCUMULATES in decimal(38,0) (r15: its pico terms grow
+    LINEARLY with group size — ~3.5e18/group at 10x-sf0.1, so a long
+    accumulator crosses int64 where DuckDB's SUM(BIGINT) silently
+    widens to HUGEINT; caught by the 10x-synth sweep). Past 2^53 the
+    decimal->double projection's 1-ULP is ~1e-16 relative on sum_lnv
+    and absorbed by ROUND-6 on the statistic.
 
     Plan: one map-side-combined per-type power-sum aggregate (5 rows),
     one 1-row fold, scalar algebra.
@@ -6465,15 +6471,23 @@ def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - 1).cast("decimal(38,0)")
             * F.floor(F.col("s2i")).cast("decimal(38,0)")
         ).alias("pooled_num_i"),
+        # Each pico term is (n_i-1)*ln(S_i^2)*1e12 — LINEAR in the group
+        # size, ~3.5e18 per group at 10x-sf0.1, so the five-term SUM must
+        # accumulate in decimal(38,0): a long accumulator crosses int64 at
+        # that scale (ANSI raise — caught by the r15 10x-synth sweep).
+        # DuckDB's SUM(BIGINT) widens to HUGEINT implicitly; this is the
+        # explicit mirror. The per-term floor->long stays: a SINGLE term
+        # past int64 (n_i ~ 5e17 rows) is out of reach, and keeping it
+        # pins term grain identical on both engines.
         F.sum(
             F.floor(
                 (F.col("n").cast("double") - F.lit(1.0))
                 * F.log("s2i")
                 * F.lit(1000000000000.0)
-            ).cast("long")
-        )
-        .cast("decimal(38,0)")
-        .alias("sum_lnv_i"),
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("sum_lnv_i"),
         F.sum(
             F.floor(
                 F.lit(1000000000000.0) / (F.col("n").cast("double") - F.lit(1.0))

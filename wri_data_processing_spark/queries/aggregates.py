@@ -474,13 +474,14 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE at any magnitude, so both the emitted revenue (micros/1e6) and
     the growth ratio (micros/micros — the 1e6 cancels) are bit-identical
     on both engines as long as a year stays under $9.2e12 (the BIGINT
-    micros ceiling). Overflow past it is ASYMMETRIC (ADVICE r14): DuckDB
-    raises, but Spark's non-ANSI decimal->long cast yields NULL silently,
-    so a production run with no oracle alongside would emit NULL
-    revenue/yoy_growth with no error — deployments past that magnitude
-    should set spark.sql.ansi.enabled=true to make the bridge raise (the
-    same caveat applies to every micros-bridge emitter and the
-    Krippendorff S_e BIGINT narrowing). The window runs over |years|
+    micros ceiling). Overflow past it (ADVICE r14, sharpened r15): DuckDB
+    raises, and Spark raises too UNDER ITS DEFAULTS — ANSI mode is on
+    since Spark 4.0, and the r15 10x-synth sweep empirically confirmed
+    the ARITHMETIC_OVERFLOW raise in this runtime (stats_bartlett). The
+    failure is silent (NULL, no error) only in deployments that opt OUT
+    via spark.sql.ansi.enabled=false — such legacy-mode runs past that
+    magnitude lose the loud guarantee (the same caveat applies to every
+    micros-bridge emitter and the Krippendorff S_e BIGINT narrowing). The window runs over |years|
     rows — a single-partition sort
     of a handful of rows is fine precisely because the heavy reduction
     already happened; this is the shape where a global window is NOT a

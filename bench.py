@@ -168,6 +168,17 @@ HEADLINE = [
     # join — the serving-latency twin of retrieval_pipeline for the
     # hybrid path.
     "retrieval_hybrid_rrf",
+    # r15b: eval_cer is the one headline slot where a per-row QUADRATIC
+    # JVM expression (the Levenshtein DP inside the post-shuffle project)
+    # dominates a single pair shuffle — a distinct regression class: a
+    # slide to a Python UDF or a pairing join shows up here first.
+    "eval_cer",
+    # eval_dedup_pr runs BOTH proven candidate generators (posting-list
+    # exact Jaccard + declared-permutation MinHash banding) plus the
+    # pair-level full-outer audit join — the heaviest dedup-family
+    # composition, and the slot that times the generators' shared
+    # helpers against each other every round.
+    "eval_dedup_pr",
 ]
 
 SPREAD_TARGET = 0.20

@@ -351,6 +351,18 @@ SHOWCASE = [
      "SET), 1-row widened stats broadcast, in-row |Q|-struct explode fans "
      "out per query, and the only data-sized exchange is the per-query "
      "rank — WindowGroupLimit prunes map-side to <=10 before the shuffle"),
+    ("eval_cer",
+     "one (pair) groupBy assembling the paired texts via conditional MAX "
+     "(map-side partial) is the ONLY data exchange; the quadratic "
+     "Levenshtein DP is the built-in JVM expression in the post-shuffle "
+     "project — no join, no Python; pico decimal(38,0) macro fold, 1-row "
+     "finish"),
+    ("eval_dedup_pr",
+     "both proven sub-quadratic candidate generators (posting-list exact "
+     "Jaccard, declared-permutation MinHash banding) feed one pair-level "
+     "full-outer hash join; per-threshold counts are conditional sums in "
+     "a 1-row fold, and the operating curve is a bounded 4-row in-row "
+     "struct explode — thresholds never join"),
 ]
 
 

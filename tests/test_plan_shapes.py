@@ -772,3 +772,32 @@ def test_distinct_n_no_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_cer_one_pair_shuffle_no_python(spark, sf_dir):
+    """eval_cer (r15): the only data-sized exchanges are the deliberate
+    _spread_small_scan repartition and ONE (pair) groupBy carrying the
+    paired texts (map-side partial MAX); the O(L^2) Levenshtein DP is the
+    built-in JVM expression inside the post-shuffle project — no joins,
+    no windows, no Python, 1-row finish."""
+    plan = _plan(spark, sf_dir, "eval_cer")
+    assert _n_exchanges(plan) <= 2, (_n_exchanges(plan), plan)
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before the pair shuffle
+    assert "levenshtein" in plan, plan  # the JVM built-in, not a UDF
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_dedup_pr_equi_joins_only(spark, sf_dir):
+    """eval_dedup_pr (r15): the union of the two proven sub-quadratic
+    generator shapes plus one pair-level full-outer hash join — every
+    join an equi-join (band/signature/posting-list/pair), the threshold
+    curve a bounded 4-row in-row explode, never a join; no NLJ, no
+    cartesian, no Python anywhere."""
+    plan = _plan(spark, sf_dir, "eval_dedup_pr")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan  # the pair-level TP/FP/FN join
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

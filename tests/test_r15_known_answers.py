@@ -376,3 +376,226 @@ class TestEvalDistinctN:
         both must be real fractions: neither all-unique nor collapsed."""
         row = registry.REGISTRY["eval_distinct_n"](spark, sf_dir).collect()[0]
         assert 0.0 < row["distinct_1"] < row["distinct_2"] < 1.0
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Wagner–Fischer DP — independent of both engines' C/JVM
+    implementations (two-row rolling table)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+class TestEvalCer:
+    def _replay(self, sf_dir):
+        """Independent CER arithmetic: Python DP edit distance + big-int
+        pico fixed-point macro fold (the eval_token_f1 replay convention)."""
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        cand: dict[int, str] = {}
+        ref: dict[int, str] = {}
+        for _, row in docs.iterrows():
+            pair, side = int(row.doc_id) // 2, int(row.doc_id) % 2
+            (cand if side == 1 else ref)[pair] = row.text.strip()
+        P = 10**12
+        n_pairs = edits_tot = ref_tot = cand_tot = c_sum = 0
+        for pair in set(cand) & set(ref):
+            c, r = cand[pair], ref[pair]
+            e = _lev(c, r)
+            n_pairs += 1
+            edits_tot += e
+            ref_tot += len(r)
+            cand_tot += len(c)
+            c_sum += (e * P) // max(len(r), 1)
+        return {
+            "n_pairs": n_pairs,
+            "total_edits": edits_tot,
+            "ref_chars": ref_tot,
+            "cand_chars": cand_tot,
+            "cer_micro": round(edits_tot / ref_tot, 6) if ref_tot else 0.0,
+            "cer_macro": round(c_sum / (n_pairs * P), 6),
+        }
+
+    def test_cer_replay(self, spark, sf_dir):
+        exp = self._replay(sf_dir)
+        got = registry.REGISTRY["eval_cer"](spark, sf_dir).collect()
+        assert len(got) == 1
+        row = got[0].asDict()
+        for k, v in exp.items():
+            assert row[k] == v, (k, row[k], v)
+
+    def test_liveness(self, spark, sf_dir):
+        """CER must be a real error rate at the tested SF: nonzero (the
+        candidates aren't copies of their references), yet strictly below
+        the delete-all-insert-all degenerate alignment (total_edits <
+        ref_chars + cand_chars — the pairs share real structure). CER > 1
+        is legitimate when candidates run longer than references
+        (insertions are edits), so 1.0 is NOT an upper bound; the
+        Levenshtein envelope edits <= max(|c|, |r|) per pair is."""
+        row = registry.REGISTRY["eval_cer"](spark, sf_dir).collect()[0]
+        assert row["n_pairs"] > 0
+        assert 0.0 < row["cer_micro"]
+        assert 0.0 < row["cer_macro"]
+        assert row["total_edits"] < row["ref_chars"] + row["cand_chars"]
+
+    def test_hand_computed_fixture(self):
+        """kitten->sitting is the canonical 3-edit case; the DP helper must
+        reproduce it plus the degenerate empty/equal cases the engine's
+        zero-guards lean on."""
+        assert _lev("kitten", "sitting") == 3
+        assert _lev("", "abc") == 3
+        assert _lev("", "") == 0
+        assert _lev("ab" * 200, "ba" * 200) == 2
+
+    def test_ascii_contract_probe(self, spark, sf_dir):
+        """The documented oracle CONTRACT (llm_pipeline.eval_cer docstring):
+        DuckDB's levenshtein counts BYTES, Spark's counts CODEPOINTS — they
+        diverge on multi-byte characters ('héllo'->'hallo': 1 on Spark, 2
+        on DuckDB), and the oracle equality therefore holds on ASCII text
+        only. Pin BOTH engine facts and the corpus precondition so an
+        engine upgrade or a fixture change that breaks the contract fails
+        here, not in the driver."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        assert duckdb.connect().execute(
+            "select levenshtein('héllo', 'hallo')"
+        ).fetchone()[0] == 2
+        spark_d = (
+            spark.range(1)
+            .select(F.levenshtein(F.lit("héllo"), F.lit("hallo")))
+            .collect()[0][0]
+        )
+        assert spark_d == 1
+        non_ascii = (
+            pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+            .str.contains(r"[^\x00-\x7f]", regex=True)
+            .sum()
+        )
+        assert non_ascii == 0, "corpus gained non-ASCII text: CER oracle contract void"
+
+
+class TestEvalDedupPr:
+    def _replay(self, sf_dir):
+        """Full independent replay of BOTH pair generators in pure Python:
+        exact trigram-set Jaccard with the DF-cap semantics, and the
+        declared-permutation MinHash signatures/banding — hashlib + ints,
+        neither engine's SQL."""
+        import hashlib
+        from collections import defaultdict
+
+        from wri_data_processing_spark.queries.llm_dedup import (
+            _JACCARD_THRESHOLD,
+            _MAX_DF,
+            _MINHASH_BANDS,
+            _MINHASH_P,
+            _MINHASH_PERMS,
+            _DEDUP_PR_THRESHOLDS,
+        )
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+        reps: dict[str, int] = {}
+        for _, row in docs.iterrows():
+            t = row.text
+            if t not in reps or row.doc_id < reps[t]:
+                reps[t] = int(row.doc_id)
+        shingles = {}
+        for text, did in reps.items():
+            toks = _toks(text)
+            shingles[did] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        # exact side: posting lists with the DF cap
+        posting = defaultdict(list)
+        for did, ss in shingles.items():
+            for s in ss:
+                posting[s].append(did)
+        common = defaultdict(int)
+        for s, ds in posting.items():
+            if 2 <= len(ds) <= _MAX_DF:
+                ds = sorted(ds)
+                for i in range(len(ds)):
+                    for k in range(i + 1, len(ds)):
+                        common[(ds[i], ds[k])] += 1
+        truth = {
+            p
+            for p, c in common.items()
+            if c / (len(shingles[p[0]]) + len(shingles[p[1]]) - c)
+            >= _JACCARD_THRESHOLD
+        }
+
+        # minhash side: sha 60-bit base hash, declared permutations, banding
+        def sig(ss):
+            hs = [
+                int(hashlib.sha256(s.encode()).hexdigest()[:15], 16) % _MINHASH_P
+                for s in ss
+            ]
+            return [
+                min((a * h + b) % _MINHASH_P for h in hs) for a, b in _MINHASH_PERMS
+            ]
+
+        sigs = {did: sig(ss) for did, ss in shingles.items() if ss}
+        buckets = defaultdict(set)
+        for did, ms in sigs.items():
+            for j in range(_MINHASH_BANDS):
+                buckets[(j, tuple(ms[4 * j : 4 * j + 4]))].add(did)
+        cands = set()
+        for ds in buckets.values():
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for k in range(i + 1, len(ds)):
+                    cands.add((ds[i], ds[k]))
+        est = {
+            p: sum(x == y for x, y in zip(sigs[p[0]], sigs[p[1]])) / 16.0
+            for p in cands
+        }
+
+        rows = []
+        for th in _DEDUP_PR_THRESHOLDS:
+            pred = {p for p, e in est.items() if e >= th}
+            rows.append((th, len(truth), len(pred), len(truth & pred)))
+        return rows
+
+    def test_curve_replay(self, spark, sf_dir):
+        exp = self._replay(sf_dir)
+        got = registry.REGISTRY["eval_dedup_pr"](spark, sf_dir).collect()
+        assert len(got) == 4
+        for row, (th, n_truth, n_pred, n_tp) in zip(got, exp):
+            assert row["th"] == th
+            assert row["n_truth"] == n_truth
+            assert row["n_pred"] == n_pred
+            assert row["n_tp"] == n_tp
+            if n_pred:
+                assert row["prec"] == round(n_tp / n_pred, 6)
+            if n_truth:
+                assert row["rec"] == round(n_tp / n_truth, 6)
+
+    def test_shares_generator_with_lsh_op(self, spark, sf_dir):
+        """The th=0.25 row audits dedup_minhash_lsh's SHIPPED operating
+        point: its n_pred must equal the lsh op's row count exactly —
+        the cross-op contract the shared helper exists to guarantee."""
+        lsh = registry.REGISTRY["dedup_minhash_lsh"](spark, sf_dir).count()
+        row = registry.REGISTRY["eval_dedup_pr"](spark, sf_dir).collect()[0]
+        assert row["th"] == 0.25
+        assert row["n_pred"] == lsh
+
+    def test_curve_monotone_and_fn_branch_live(self, spark, sf_dir):
+        """Raising the threshold can only shrink the candidate set (n_pred,
+        n_tp non-increasing; recall non-increasing), and the strict 16/16
+        point must MISS some truth pairs at every SF (the banding-loss
+        branch this op exists to expose — near-verbatim pairs still sit
+        below minhash-identical)."""
+        got = registry.REGISTRY["eval_dedup_pr"](spark, sf_dir).collect()
+        for a, b in zip(got, got[1:]):
+            assert a["n_pred"] >= b["n_pred"]
+            assert a["n_tp"] >= b["n_tp"]
+            assert a["rec"] >= b["rec"]
+        assert got[-1]["n_tp"] < got[-1]["n_truth"]
+        assert all(r["n_truth"] == got[0]["n_truth"] for r in got)

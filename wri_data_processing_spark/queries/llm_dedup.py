@@ -355,6 +355,54 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_pairs_from_reps(reps: DataFrame) -> DataFrame:
+    """Declared-permutation MinHash+LSH candidate pairs with their match-
+    fraction estimate, from an exact-dup-collapsed (doc_id, text) frame:
+    (doc_a, doc_b, e). The dedup_minhash_lsh body, factored so
+    eval_dedup_pr can score the SAME candidate generator against exact
+    Jaccard ground truth — the two ops can never drift on shingling,
+    permutations, or banding. Unthresholded: callers apply
+    ``e >= _MINHASH_EST_MIN`` (or their own operating point)."""
+    sh = _shingle_arrays(reps, 3)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    base = F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10).cast("long")
+    hx = ex.select("doc_id", (base % _MINHASH_P).alias("h"))
+    sig = hx.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"m{k}")
+            for k, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+    # Signature table feeds three plan branches (two band sides + two
+    # estimate sides); it's |unique docs| rows — materialize once.
+    sig = sig.localCheckpoint()
+
+    band_exprs = [
+        F.concat_ws(",", *[F.col(f"m{4 * j + r}").cast("string") for r in range(4)])
+        for j in range(_MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_exprs)).alias("j", "bsig"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "j", "bsig")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "j", "bsig"), ["j", "bsig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(16)]
+    )
+    matches = sum((F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(16))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("e"))
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, engine-native and ORACLE-EXACT.
@@ -382,42 +430,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    sh = _shingle_arrays(reps, 3)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    base = F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10).cast("long")
-    hx = ex.select("doc_id", (base % _MINHASH_P).alias("h"))
-    sig = hx.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"m{k}")
-            for k, (a, b) in enumerate(_MINHASH_PERMS)
-        ]
-    )
-    # Signature table feeds three plan branches (two band sides + two
-    # estimate sides); it's |unique docs| rows — materialize once.
-    sig = sig.localCheckpoint()
-
-    band_exprs = [
-        F.concat_ws(",", *[F.col(f"m{4 * j + r}").cast("string") for r in range(4)])
-        for j in range(_MINHASH_BANDS)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_exprs)).alias("j", "bsig"))
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "j", "bsig")
-        .join(bands.select(F.col("doc_id").alias("doc_b"), "j", "bsig"), ["j", "bsig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(16)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(16)])
-    matches = sum(
-        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(16)
-    )
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("e"))
-    )
+    est = _minhash_pairs_from_reps(reps)
     return est.filter(F.col("e") >= _MINHASH_EST_MIN).select(
         "doc_a", "doc_b", F.round("e", 4).alias("jaccard_est")
     )
@@ -468,6 +481,184 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
         )
     )
+
+
+# The audited operating points: est thresholds at signature-match quartiles
+# (4/16, 8/16, 12/16, 16/16 of the 16 minhashes) — every value k/16 is an
+# exact double on both engines, so the e >= th comparisons are engine-
+# identical. dedup_minhash_lsh ships the first (0.25).
+_DEDUP_PR_THRESHOLDS = (0.25, 0.5, 0.75, 1.0)
+
+_DEDUP_PR_COUNT_COLS = ",\n        ".join(
+    f"CAST(SUM(CASE WHEN e >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS np_{i},\n"
+    f"        CAST(SUM(CASE WHEN has_t AND e >= {t} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS tp_{i}"
+    for i, t in enumerate(_DEDUP_PR_THRESHOLDS)
+)
+
+
+def _DEDUP_PR_PICK(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {t} THEN {col}_{i}" for i, t in enumerate(_DEDUP_PR_THRESHOLDS)
+    )
+    return f"(CASE th.th {whens} END)"
+
+
+_DEDUP_PR_PICK_COLS = (
+    f"{_DEDUP_PR_PICK('np')} AS n_pred, {_DEDUP_PR_PICK('tp')} AS n_tp"
+)
+
+
+def _dedup_pr_oracle() -> str:
+    """Compose the MinHash CTE chain with an x-prefixed exact-Jaccard
+    chain (both over the shared ``reps`` universe) into the one-row
+    precision/recall audit. The exact chain mirrors _pairs_ctes exactly
+    (DISTINCT string shingles, DF in [2, _MAX_DF] posting cap, uncapped
+    sizes) but reads FROM reps — renamed to avoid the minhash chain's
+    ``sh`` CTE."""
+    return f"""
+    WITH {_minhash_ctes()},
+    xt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM reps),
+    xsh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM xt, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    xsizes AS (SELECT doc_id, COUNT(*) AS n FROM xsh GROUP BY doc_id),
+    xeligible AS (
+      SELECT shingle FROM xsh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {_MAX_DF}
+    ),
+    xpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM xsh a
+      JOIN xeligible el ON a.shingle = el.shingle
+      JOIN xsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM xpairs
+      JOIN xsizes s1 ON doc_a = s1.doc_id
+      JOIN xsizes s2 ON doc_b = s2.doc_id
+      WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD}
+    ),
+    j AS (
+      SELECT t.doc_a IS NOT NULL AS has_t, p.e AS e
+      FROM truth t FULL OUTER JOIN est p USING (doc_a, doc_b)
+    ),
+    counts AS (
+      SELECT
+        CAST(SUM(CASE WHEN has_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        {_DEDUP_PR_COUNT_COLS}
+      FROM j),
+    th(th) AS (VALUES (0.25), (0.5), (0.75), (1.0))
+    SELECT CAST(th.th AS DOUBLE) AS th, n_truth,
+           {_DEDUP_PR_PICK_COLS},
+           CASE WHEN {_DEDUP_PR_PICK('np')} = 0 THEN 0.0
+                ELSE ROUND(CAST({_DEDUP_PR_PICK('tp')} AS DOUBLE)
+                           / CAST({_DEDUP_PR_PICK('np')} AS DOUBLE), 6)
+             END AS prec,
+           CASE WHEN n_truth = 0 THEN 0.0
+                ELSE ROUND(CAST({_DEDUP_PR_PICK('tp')} AS DOUBLE)
+                           / CAST(n_truth AS DOUBLE), 6)
+             END AS rec,
+           CASE WHEN n_truth + {_DEDUP_PR_PICK('np')} = 0 THEN 0.0
+                ELSE ROUND(CAST(2 * {_DEDUP_PR_PICK('tp')} AS DOUBLE)
+                           / CAST(n_truth + {_DEDUP_PR_PICK('np')} AS DOUBLE), 6)
+             END AS f1
+    FROM counts, th
+    ORDER BY th
+    """
+
+
+@query("eval_dedup_pr", oracle=_dedup_pr_oracle())
+def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-curve audit of the MinHash-LSH candidate generator —
+    eval_ann_recall's analog for the dedup stack. MinHash banding is the
+    100 TB near-dup path and it loses pairs BY DESIGN (at exact Jaccard
+    s the 4x4 banding catches 1-(1-s^4)^4 — only ~43% at s = 0.6); this
+    op measures exactly what each operating point loses and admits:
+    predicted = the LSH candidate set at est >= th for each signature-
+    match quartile th in {0.25, 0.5, 0.75, 1.0} (the first is
+    dedup_minhash_lsh's shipped threshold; via the shared
+    _minhash_pairs_from_reps so the ops cannot drift), truth = the exact
+    posting-list Jaccard >= 0.6 pairs (the dedup_ngram_jaccard
+    machinery), BOTH over the same exact-dup-collapsed rep universe.
+    One row per threshold with exact TP/truth/pred counts and rounded
+    precision/recall/F1 — the curve a pipeline owner reads when choosing
+    bands x rows (a single point would be blind: on near-verbatim
+    corpora like this one the 0.25 point sits at recall 1.0 and only
+    the strict 16/16 point shows the loss — measured across SFs).
+
+    Exactness: both pair sets are exact integer-keyed; per-threshold
+    counts are conditional sums over ONE full-outer pair-level equi-join
+    (e = matches/16 and every th are exact doubles, so e >= th is
+    engine-identical); P/R/F1 are int64/int64 double divisions + ROUND-6
+    with zero-guards (CASE on both engines). The truth side carries
+    _pairs_ctes' DF-cap semantics (pairs only from shingles with
+    document frequency in [2, _MAX_DF]) — the exact op's scale guard.
+
+    Plan at 100 TB: the union of the two proven sub-quadratic shapes —
+    the posting-list explode (bounded by the DF cap) and the band
+    equi-join (bounded by band collisions) — then a pair-level
+    full-outer hash join of two candidate-sized sets, a 1-row
+    conditional-sum fold, and a bounded 4-row in-row struct explode for
+    the curve (thresholds never join — no NLJ, no windows, nothing
+    collects); total cost is the cost of the two generators compared.
+    """
+    d = table(spark, sf_dir, "documents")
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    truth = _jaccard_pairs(_shingles_hashed(reps, 3)).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    pred = _minhash_pairs_from_reps(reps).select("doc_a", "doc_b", "e")
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
+        F.col("t").isNotNull().alias("has_t"), "e"
+    )
+    counts = j.agg(
+        F.count(F.when(F.col("has_t"), 1)).cast("long").alias("n_truth"),
+        *[
+            c
+            for i, t in enumerate(_DEDUP_PR_THRESHOLDS)
+            for c in (
+                F.count(F.when(F.col("e") >= t, 1)).cast("long").alias(f"np_{i}"),
+                F.count(F.when(F.col("has_t") & (F.col("e") >= t), 1))
+                .cast("long")
+                .alias(f"tp_{i}"),
+            )
+        ],
+    )
+    curve = counts.select(
+        "n_truth",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("th"),
+                        F.col(f"np_{i}").alias("n_pred"),
+                        F.col(f"tp_{i}").alias("n_tp"),
+                    )
+                    for i, t in enumerate(_DEDUP_PR_THRESHOLDS)
+                ]
+            )
+        ).alias("row"),
+    ).select("row.th", "n_truth", "row.n_pred", "row.n_tp")
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    return curve.select(
+        "th",
+        "n_truth",
+        "n_pred",
+        "n_tp",
+        _ratio(F.col("n_tp"), F.col("n_pred")).alias("prec"),
+        _ratio(F.col("n_tp"), F.col("n_truth")).alias("rec"),
+        _ratio(F.lit(2) * F.col("n_tp"), F.col("n_truth") + F.col("n_pred")).alias("f1"),
+    ).orderBy("th")
 
 
 _SIMHASH_BITS = 60  # 15 hex chars of sha256: exact int64 on both engines

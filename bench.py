@@ -185,9 +185,27 @@ SPREAD_TARGET = 0.20
 EXTRA_RUNS = 2
 
 
+# r15 (OPTIMIZATION_r15.md, guide §1.4): the timed action is the NOOP SINK,
+# not count(). count() lets Catalyst prune unreferenced columns and whole
+# row-preserving operators, and the audit (experiments/noop_audit.py) showed
+# it was silently skipping the core compute of several headline queries —
+# privacy_pipeline's scan-fused regex pipeline (13.5x under-measured),
+# text_lang_id_multi's per-trigram sha folds (37x), eval_cer's quadratic DP
+# (4.7x), the window family, q1's aggregate expressions (4x). The noop sink
+# computes EVERY column of every row and discards it. Set
+# SPARK_GRAFT_BENCH_ACTION=count to reproduce the legacy r1-r14 measurement
+# (kept for cross-round comparison; both numbers recorded in
+# OPTIMIZATION_r15.md).
+_BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+
+
 def _time_once(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
-    fn(spark, sf_dir).count()
+    df = fn(spark, sf_dir)
+    if _BENCH_ACTION == "count":
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -485,6 +503,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": raw_total,
         "unit": "sec",
+        "timed_action": _BENCH_ACTION,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env_cpu_probe_sec": probe_pre["cpu_sec"],

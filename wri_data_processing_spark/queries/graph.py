@@ -75,34 +75,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, {5} synchronous iterations) over the
     undirected co-purchase part graph, in Q30 integer fixed point.
 
-    Each iteration: scatter rank//degree along edges (join), gather by sum
-    (groupBy) — two shuffles on the node key that AQE coalesces; rank and
-    degree stay co-partitioned so only the scatter moves data. The driver
-    loop only BUILDS the plan; nothing executes until the consumer acts.
-    At 100 TB: cache + localCheckpoint every ~5 rounds (lineage otherwise
-    deepens linearly), and the heavy-hitter nodes this very query surfaces
-    get the salted-join treatment from scale_patterns.join_skew_salted.
-    The final double is rank_q / 2^30 — an exact binary scale, so even the
-    float projection is bit-identical.
+    r15 optimization round, measured warm+interleaved at sf0.1 (noop sink):
+
+    - **Edge build via per-order sets, not a self-join** (guide §2.4): one
+      groupBy(l_orderkey).collect_set(l_partkey) (map-side combined), pairs
+      generated IN-ROW by a double explode with u < v — replaces the
+      distinct + self-join, which shuffled the 600k-row item table twice
+      before the pair distinct. Same undirected pair set (collect_set IS
+      the per-order distinct; array_sort only canonicalizes in-array order,
+      measured faster than unsorted — the sorted explode keeps the pair
+      stream locally ordered for the distinct's map-side combine).
+    - **Edges hash-partitioned on node BEFORE the checkpoint** (guide §2.4:
+      two operations keyed the same way share one exchange): LogicalRDD
+      preserves the partitioning, so each iteration's scatter join reuses
+      the in-memory edge partitioning and only the NODE-sized share table
+      moves — before, all 2.4M edge rows reshuffled EVERY iteration.
+    - **Shares computed on the node-sized table**: rq div degree via ONE
+      node-keyed rank⋈degree join; the r1..r14 shape joined
+      edges->ranks->deg, paying the degree join at EDGE size five times.
+    - **First iteration folded**: r0 is the constant 2^30, so its scatter
+      is ``2^30 div degree`` straight off the degree table — no join.
+    - The unrolled plan collapses from 82 Exchanges (5 replayed copies of
+      the edge derivation; plans/r15/graph_pagerank_before.txt) to one
+      derivation + 5 join/aggregate rounds (.._after.txt).
+
+    Measured: 7.4 s -> 4.6 s median (interleaved, noop). At 100 TB the same
+    structure holds — checkpoint the edge list partitioned by node once,
+    move only rank-sized tables per iteration — and the heavy-hitter nodes
+    this very query surfaces get the salted-join treatment from
+    scale_patterns.join_skew_salted. The final double is rank_q / 2^30 — an
+    exact binary scale, so even the float projection is bit-identical.
     """
-    items = (
-        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    order_items = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     undirected = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        order_items.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
     )
-    edges = undirected.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        undirected.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    edges = (
+        undirected.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+        .unionAll(undirected.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        .repartition("node")
+        .localCheckpoint()
     )
-    deg = edges.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    ranks = deg.select("node", F.lit(_Q30).cast("long").alias("rq"))
-    for _ in range(_ITERS):
-        contribs = (
-            edges.join(ranks, "node")
-            .join(deg, "node")
-            .select(F.col("nb").alias("node"), F.expr("rq div degree").alias("contrib"))
+    deg = (
+        edges.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint()
+    )
+    ranks = None  # r0 = 2^30 for every node; folded into the first scatter
+    for it in range(_ITERS):
+        if ranks is None:
+            shares = deg.select("node", F.expr(f"{_Q30} div degree").alias("contrib"))
+        else:
+            shares = ranks.join(deg, "node").select(
+                "node", F.expr("rq div degree").alias("contrib")
+            )
+        contribs = edges.join(shares, "node").select(
+            F.col("nb").alias("node"), "contrib"
         )
         ranks = contribs.groupBy("node").agg(
             F.expr(f"CAST({_TELEPORT_Q} + (17 * sum(contrib)) div 20 AS BIGINT)").alias("rq")

@@ -24,7 +24,7 @@ to |bucket collisions|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wri_data_processing_spark.catalog import table
@@ -158,6 +158,32 @@ def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
     pat = r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * n) + r"))"
     arr = F.regexp_extract_all(norm, F.lit(pat), 1)
     return d2.select("doc_id", F.array_distinct(arr).alias("shingles"))
+
+
+def _word_ngram_hashes(d: DataFrame, n: int, *keep: str) -> DataFrame:
+    """Distinct word n-gram xxhash64 keys per row: (*keep, shingle: long).
+
+    The codegen'd regex construction of _shingle_arrays (normalize
+    whitespace, overlapping lookahead captures) generalized to carry
+    arbitrary passenger columns, for consumers that shingle with context
+    (contamination_flag keeps ``source``; corpus_prep_pipeline keeps
+    ``doc_id``). Replaces the interpreted F.transform(F.sequence, ...)
+    higher-order lambda those ops carried — the same hot spot the r15 build
+    round measured at 8x on the 3-gram path. Hashing the space-joined
+    shingle STRING instead of the chained multi-arg xxhash64 changes only
+    internal join-key values (tokens cannot contain spaces, so the join is
+    equivalent up to the 64-bit collision bound both formulations already
+    accept). No _spread_small_scan here: both consumers run the shingling
+    inside larger compositions where the input is either already shuffled
+    or filtered scan-stage work.
+    """
+    d2 = d.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= n)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    pat = r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * n) + r"))"
+    arr = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    return d2.select(*keep, F.explode_outer(arr).alias("_sh")).select(
+        *keep, F.xxhash64("_sh").alias("shingle")
+    )
 
 
 def _shingles_hashed(d: DataFrame, n: int = 3) -> DataFrame:
@@ -355,6 +381,12 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_base_h(shingle_col: str) -> Column:
+    """The MinHash base hash: first 60 bits of sha256(shingle) mod P."""
+    base = F.conv(F.substring(F.sha2(shingle_col, 256), 1, 15), 16, 10).cast("long")
+    return base % _MINHASH_P
+
+
 def _minhash_pairs_from_reps(reps: DataFrame) -> DataFrame:
     """Declared-permutation MinHash+LSH candidate pairs with their match-
     fraction estimate, from an exact-dup-collapsed (doc_id, text) frame:
@@ -365,8 +397,15 @@ def _minhash_pairs_from_reps(reps: DataFrame) -> DataFrame:
     ``e >= _MINHASH_EST_MIN`` (or their own operating point)."""
     sh = _shingle_arrays(reps, 3)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    base = F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10).cast("long")
-    hx = ex.select("doc_id", (base % _MINHASH_P).alias("h"))
+    hx = ex.select("doc_id", _minhash_base_h("shingle").alias("h"))
+    return _minhash_pairs_from_hx(hx)
+
+
+def _minhash_pairs_from_hx(hx: DataFrame) -> DataFrame:
+    """MinHash+LSH pairs from an already-hashed (doc_id, h) shingle frame —
+    the signature/banding/estimate tail of :func:`_minhash_pairs_from_reps`,
+    split out so eval_dedup_pr can feed BOTH generators from one shared
+    shingle pass instead of re-running the regex construction per branch."""
     sig = hx.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MINHASH_P).alias(f"m{k}")
@@ -615,10 +654,34 @@ def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call the sig table below already makes); measured 2.99 -> 2.57 s at
     # sf0.1 (warm interleaved medians).
     reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).localCheckpoint()
-    truth = _jaccard_pairs(_shingles_hashed(reps, 3)).select(
+    # ONE shared shingle pass for both generators (r15 optimization): the
+    # regex n-gram construction + explode runs once, emitting BOTH internal
+    # keys — the posting-list xxhash64 and the MinHash sha-based base hash —
+    # in the same scan-stage projection, materialized as a compact
+    # (doc_id, n, 2 longs) frame. Before, each branch re-ran the regex pass
+    # over reps (_shingles_hashed and _minhash_pairs_from_reps each call
+    # _shingle_arrays). Key values are unchanged — identical pair output.
+    arr = _shingle_arrays(reps, 3)
+    sh_both = (
+        arr.select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode_outer("shingles").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.xxhash64("s").alias("shingle"),
+            _minhash_base_h("s").alias("h"),
+        )
+        .localCheckpoint()
+    )
+    truth = _jaccard_pairs(sh_both.select("doc_id", "n", "shingle")).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
-    pred = _minhash_pairs_from_reps(reps).select("doc_a", "doc_b", "e")
+    pred = _minhash_pairs_from_hx(sh_both.select("doc_id", "h")).select(
+        "doc_a", "doc_b", "e"
+    )
     j = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
         F.col("t").isNotNull().alias("has_t"), "e"
     )
@@ -795,6 +858,17 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
         "lbl", F.col("node")
     ).localCheckpoint()
 
+    # Convergence via the label-sum invariant: every step takes mins of
+    # existing labels, so per-node labels NEVER increase — sum(lbl) is
+    # strictly decreasing until the fixpoint and constant exactly there.
+    # One single-column aggregate over the just-checkpointed frame replaces
+    # the old per-round join(old, new) + limit(1) + count job (a full extra
+    # shuffle per round). decimal(38,0) keeps the sum exact for any node-id
+    # range (int64 ids x trillions of nodes overflows BIGINT at 100 TB).
+    def _lbl_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _lbl_sum(labels)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -821,17 +895,12 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
             .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.lbl") != F.col("old.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"label propagation did not reach a fixpoint in {max_rounds} rounds"
@@ -1076,14 +1145,35 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor. O(N^2) with a broadcast side: valid only for corpora that fit a
     broadcast; the registered scale path is dedup_embedding's bucketed
     candidates + exact verify."""
-    from wri_data_processing_spark.queries.llm_similarity import _dvec, cosine
+    from wri_data_processing_spark.queries.llm_similarity import (
+        _dvec,
+        cosine_from_norms,
+        vec_norm,
+    )
 
+    # r15: norms once per VECTOR (the sim_pairs_exact shape) instead of
+    # inside the per-pair cosine — bit-identical (cosine_from_norms keeps
+    # the same dot/(na*nb) association), O(N) instead of O(N^2) norm folds,
+    # and the per-pair filter carries ONE unrolled dot instead of three
+    # (the 3-fold inline blew janino's 64 KB method limit and dropped the
+    # whole stage to interpreted fallback).
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), _dvec("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), _dvec("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        _dvec("embedding").alias("ea"),
+        vec_norm(_dvec("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        _dvec("embedding").alias("eb"),
+        vec_norm(_dvec("embedding")).alias("nb"),
+    )
     dups = (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .filter(
+            cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            >= 0.45
+        )
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
@@ -1403,16 +1493,13 @@ def dedup_ngram_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps plain strings so DuckDB can replay it verbatim.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = 5
-    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-        )
+    # r15: the 5-gram strings come from _shingle_arrays' codegen'd regex
+    # pass — identical strings to the old interpreted transform/slice/
+    # concat_ws lambda (the construction equivalence the r15 build round
+    # proved by exceptAll at n=3), at the measured ~8x lower cost.
+    g = _shingle_arrays(d, 5).select(
+        "doc_id", F.explode_outer("shingles").alias("sh")
     )
-    g = base.select("doc_id", F.explode_outer(sh).alias("sh"))
     df_tbl = g.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     shared = F.sum((F.col("df") > 1).cast("int")).cast("long")
     total = F.count(F.lit(1)).cast("long")

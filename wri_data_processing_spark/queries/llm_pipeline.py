@@ -114,20 +114,13 @@ def contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Shingles are compared as xxhash64 longs; the string oracle is
     identical up to 64-bit hash collisions.
     """
+    from wri_data_processing_spark.queries.llm_dedup import _word_ngram_hashes
+
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - 4)
-    sh4 = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(4)]
-        ),
-    )
-    shingles = (
-        d.select("doc_id", "source", toks.alias("toks"))
-        .filter(F.size("toks") >= 4)
-        .select("doc_id", "source", F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
-    )
+    # r15: one codegen'd regex pass builds the distinct 4-gram keys (see
+    # _word_ngram_hashes) — the interpreted transform/sequence/element_at
+    # lambda this op carried was the measured hot-spot class.
+    shingles = _word_ngram_hashes(d, 4, "doc_id", "source")
     bench = shingles.filter(F.col("source") == "src0").select("shingle").distinct()
     hits = (
         shingles.filter(F.col("source") != "src0")
@@ -902,17 +895,26 @@ def _pair_ngram_counts(spark: SparkSession, sf_dir: str, ks: tuple) -> DataFrame
         F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
     )
 
+    # r15: gram STRING construction for k >= 2 moves to the codegen'd
+    # overlapping-regex pass over the space-rejoined token stream (the
+    # _shingle_arrays construction, multiplicity-preserving: no distinct) —
+    # same strings, same order, same count as the old interpreted
+    # transform/element_at/concat_ws lambda. Unigrams stay the token array
+    # ITSELF (zero construction) — this also preserves the engine/oracle
+    # convention that a whitespace-only doc tokenizes as [''] and counts
+    # one unigram, which a \S+-based regex would drop. The k >= 2 arms are
+    # unaffected by that edge case: such docs have size(toks) == 1 and take
+    # the empty-array guard.
     def _ngrams(k: int):
-        idx = F.sequence(F.lit(0), F.size("toks") - k)
-
-        def gram(i):
-            return F.concat_ws(
-                " ",
-                *[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(k)],
-            )
-
-        arr = F.transform(idx, lambda i: F.struct(F.lit(k).alias("n"), gram(i).alias("g")))
-        # Guard: sequence(0, size-k) runs DESCENDING when size < k.
+        if k == 1:
+            grams = F.col("toks")
+        else:
+            norm = F.array_join("toks", " ")
+            pat = r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * k) + r"))"
+            grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+        arr = F.transform(
+            grams, lambda g: F.struct(F.lit(k).alias("n"), g.alias("g"))
+        )
         return F.when(F.size("toks") >= k, arr).otherwise(
             F.array().cast("array<struct<n:int,g:string>>")
         )
@@ -1172,14 +1174,16 @@ def _pair_chargram_counts(spark: SparkSession, sf_dir: str, ks: tuple) -> DataFr
     )
 
     def _grams(k: int):
-        idx = F.sequence(F.lit(1), F.length("s") - k + 1)
-        arr = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(k).alias("n"), F.col("s").substr(i.cast("int"), F.lit(k)).alias("g")
-            ),
+        # r15: overlapping char k-grams via ONE codegen'd regex pass ((?s)
+        # so '.' crosses the line separators \s+ doesn't strip) — every
+        # position 1..len-k+1 in order with multiplicity, identical to the
+        # old interpreted transform/substr lambda.
+        grams = F.regexp_extract_all(
+            F.col("s"), F.lit(r"(?s)(?=(" + "." * k + r"))"), 1
         )
-        # Guard: sequence(1, len-k+1) runs DESCENDING when len < k.
+        arr = F.transform(
+            grams, lambda g: F.struct(F.lit(k).alias("n"), g.alias("g"))
+        )
         return F.when(F.length("s") >= k, arr).otherwise(
             F.array().cast("array<struct<n:int,g:string>>")
         )
@@ -1524,16 +1528,19 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
 
+    # r15: same regex gram construction as _pair_ngram_counts — unigrams
+    # are the token array itself (preserving the [''] empty-doc token
+    # convention), bigrams come from the codegen'd overlapping-regex pass.
     def _ngrams(k: int):
-        idx = F.sequence(F.lit(0), F.size("toks") - k)
-
-        def gram(i):
-            return F.concat_ws(
-                " ",
-                *[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(k)],
-            )
-
-        arr = F.transform(idx, lambda i: F.struct(F.lit(k).alias("n"), gram(i).alias("g")))
+        if k == 1:
+            grams = F.col("toks")
+        else:
+            norm = F.array_join("toks", " ")
+            pat = r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * k) + r"))"
+            grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+        arr = F.transform(
+            grams, lambda g: F.struct(F.lit(k).alias("n"), g.alias("g"))
+        )
         return F.when(F.size("toks") >= k, arr).otherwise(
             F.array().cast("array<struct<n:int,g:string>>")
         )
@@ -1732,16 +1739,16 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
-    idx = F.sequence(F.lit(0), F.size("toks") - 2)
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(F.col("toks"), (i + 1).cast("int")).alias("left_tok"),
-            F.element_at(F.col("toks"), (i + 2).cast("int")).alias("right_tok"),
-        ),
+    # r15: adjacent pairs via the codegen'd overlapping-regex pass (the
+    # text_bigram_lm construction) instead of the interpreted transform/
+    # element_at struct lambda — identical pair multiset and order.
+    bgarr = F.regexp_extract_all(
+        F.array_join("toks", " "), F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), 1
     )
-    bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.left_tok", "p.right_tok"
+    bg = t.select("doc_id", F.explode_outer(bgarr).alias("b")).select(
+        "doc_id",
+        F.substring_index("b", " ", 1).alias("left_tok"),
+        F.substring_index("b", " ", -1).alias("right_tok"),
     )
     return (
         bg.groupBy("left_tok", "right_tok")
@@ -2029,6 +2036,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wri_data_processing_spark.queries.llm_dedup import (
         _jaccard_pairs,
         _shingles_hashed,
+        _word_ngram_hashes,
         propagate_min_labels,
     )
     from wri_data_processing_spark.queries.llm_text import _PUNCT_RE
@@ -2073,24 +2081,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rem = surv.join(nd_drop, "doc_id", "left_anti")
 
-    toks = F.split(F.trim(text), r"\s+")
-    sh4 = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("toks")) - 4),
-        lambda i: F.xxhash64(
-            *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(4)]
-        ),
-    )
+    # r15: the 4-gram decontamination keys come from the codegen'd regex
+    # pass (_word_ngram_hashes) instead of the interpreted transform/
+    # sequence/element_at lambda — same distinct-shingle semantics, same
+    # collision caveat, one whole-stage-codegen'd projection per side.
     bench = (
-        d.filter(F.col("source") == "src0")
-        .select(toks.alias("toks"))
-        .filter(F.size("toks") >= 4)
-        .select(F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
+        _word_ngram_hashes(d.filter(F.col("source") == "src0"), 4)
         .distinct()
     )
     contam = (
-        rem.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 4)
-        .select("doc_id", F.explode_outer(F.array_distinct(sh4)).alias("shingle"))
+        _word_ngram_hashes(rem.select("doc_id", "text"), 4, "doc_id")
         .join(F.broadcast(bench), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
@@ -3642,18 +3642,23 @@ def _bpe_loop(
     syms frame (rewritten through round `rounds` iff rewrite_last)."""
     merges: list[DataFrame] = []
     for r in range(1, rounds + 1):
-        idx = F.sequence(F.lit(0), F.size("syms") - 2)
-        pair_structs = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(F.col("syms"), (i + 1).cast("int")).alias("left_tok"),
-                F.element_at(F.col("syms"), (i + 2).cast("int")).alias("right_tok"),
-            ),
+        # r15: adjacent symbol pairs via the overlapping-regex pass over
+        # the space-rejoined symbol stream (symbols are whitespace-free by
+        # construction — words split on \s+, merges only concatenate), so
+        # every round's pair-count scan is codegen instead of the
+        # interpreted transform/element_at struct lambda.
+        bgarr = F.regexp_extract_all(
+            F.array_join("syms", " "), F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), 1
         )
         pc = (
             syms.filter(F.size("syms") >= 2)
-            .select("cnt", F.explode(pair_structs).alias("p"))
-            .groupBy("p.left_tok", "p.right_tok")
+            .select("cnt", F.explode_outer(bgarr).alias("b"))
+            .select(
+                "cnt",
+                F.substring_index("b", " ", 1).alias("left_tok"),
+                F.substring_index("b", " ", -1).alias("right_tok"),
+            )
+            .groupBy("left_tok", "right_tok")
             .agg(F.sum("cnt").cast("long").alias("n_pairs"))
         )
         best = (

@@ -32,20 +32,57 @@ from wri_data_processing_spark.registry import query
 _PAIR_TAU = 0.45  # driver testdata max pairwise cosine is ~0.51
 
 
+_EMB_DIM = 64  # embeddings.embedding dimensionality — fixed in TESTDATA's
+# schema and assumed by every vector op below. The r15 optimization unrolls
+# the per-pair folds to this width; under ANSI mode (Spark 4 default) a
+# shorter array fails loudly at element_at rather than silently truncating.
+
+
 def _dvec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    # Elementwise cast as ONE codegen'd Cast node — identical values to the
+    # old F.transform(x -> cast) lambda (float->double is exact), without
+    # the per-element interpreted-lambda evaluation.
+    return c.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product as the zip_with/aggregate fold.
+
+    MEASURED AND REJECTED (r15): unrolling this to 64 element_at terms
+    (straight-line codegen, bit-identical association) was 3-6x SLOWER at
+    sf0.1 — sim_pairs_threshold 1.18 -> 6.57 s, retrieval_pipeline 1.52 ->
+    4.58 s. The unrolled expression inflates the whole-stage-codegen method
+    past HotSpot's JIT limits (and in the 3-folds-per-pair case past
+    janino's 64 KB hard cap), so the "faster" straight-line code runs as
+    INTERPRETED JVM bytecode, while the higher-order fold compiles to a
+    compact JIT-able loop. Keep the fold.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _fold_zip(a, b, term, zero, dim: int = _EMB_DIM) -> Column:
+    """``F.aggregate(F.zip_with(a, b, term), zero, acc + x)`` — the shared
+    element-fold every integer vector distance/score uses. ``dim`` is
+    accepted (and ignored) so call sites document their array width; see
+    _dot for why the unrolled element_at alternative was rejected."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, term), zero, lambda acc, x: acc + x)
 
 
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity between two array<double> columns."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (vec_norm(a) * vec_norm(b))
+    return _dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def vec_norm(a: Column) -> Column:
-    """L2 norm of an array<double> column."""
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    """L2 norm of an array<double> column (zip-free single-array fold)."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
 
 
 def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -55,8 +92,7 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     pair join that's the difference between O(N) and O(candidate-pairs)
     higher-order-function evaluations — at 250 vectors/bucket, a ~125x cut
     of two-thirds of the per-pair array arithmetic."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (na * nb)
+    return _dot(a, b) / (na * nb)
 
 
 _IVF_NLIST = 8  # testdata default for the scale-safe pair/dedup plans
@@ -105,11 +141,7 @@ def ivf_assign(e: DataFrame, nlist: int = _IVF_NLIST) -> DataFrame:
     cents = q.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     return (
         q.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
@@ -420,11 +452,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j, sv) for j, sv in enumerate(_srp_signs())], "j int, sv array<bigint>"
     )
     q = e.select("vec_id", _qvec("embedding").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "sv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = _fold_zip("qv", "sv", lambda a, b: a * b, F.lit(0).cast("long"))
     # shiftleft's Python wrapper takes only a literal count; the SQL form
     # accepts a column expression for the per-row bit position.
     bits = q.crossJoin(F.broadcast(signs)).select("vec_id", "j", dot.alias("dot"))
@@ -651,11 +679,7 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     dist = q.crossJoin(F.broadcast(cvec)).select(
         "vec_id", "label", "clabel", d2.alias("d2")
     )
@@ -773,11 +797,7 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = codes.filter(F.col("vec_id") == 0).select(
         F.col("q8").alias("qq"), _dvec("embedding").alias("qv")
     )
-    score = F.aggregate(
-        F.zip_with("q8", "qq", lambda a, b: (2 * a - 255) * (2 * b - 255)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    score = _fold_zip("q8", "qq", lambda a, b: (2 * a - 255) * (2 * b - 255), F.lit(0).cast("long"))
     cand = (
         codes.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qrow))
@@ -804,11 +824,7 @@ def _km_assign(qt: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment step: (vec_id, cid, d2) — argmin int64 L2 over
     quantized components against a broadcast centroid table, ties to the
     lower cid. Same arithmetic as ivf_assign, but keeps the distance."""
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     return (
         qt.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
@@ -936,11 +952,7 @@ def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-(vector, subspace) argmin over a broadcast codebook: (vec_id, m,
     c, d2) with integer L2 and ties to the lower centroid id — the
     _km_assign arithmetic applied independently inside each subspace."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("sv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"), dim=_PQ_DSUB)
     return (
         sub.join(F.broadcast(cents), "m")
         .select("vec_id", "m", "c", d2.alias("d2"))
@@ -1025,11 +1037,7 @@ def ivfpq_index(qt: DataFrame) -> tuple:
     ccents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    cd2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    cd2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     asg = (
         qt.crossJoin(F.broadcast(ccents))
         .select("vec_id", "cid", cd2.alias("d2"))
@@ -1208,11 +1216,7 @@ def pq_query(
     """PQ query path — what a serving query actually costs once the index
     exists: one 8x64 LUT of query-to-centroid distances (broadcast), an
     ADC sum of 8 lookups per candidate, TakeOrdered pool, exact re-rank."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("sv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"), dim=_PQ_DSUB)
     # lut columns renamed so the join condition can never resolve both sides
     # to a shared lineage (Spark warns 'trivially true predicate' there).
     lut = (
@@ -1359,11 +1363,7 @@ def ivfpq_query(
     the CELL-SPECIFIC query residual, ADC restricted to probed cells via
     the LUT equi-join (unprobed vectors find no LUT row), exact re-rank."""
     q = qt.filter(F.col("vec_id") == qid).select(F.col("qv").alias("qq"))
-    qd2 = F.aggregate(
-        F.zip_with("qq", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    qd2 = _fold_zip("qq", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     probes = (
         ccents.crossJoin(F.broadcast(q))
         .select("cid", "cv", "qq", qd2.alias("d2"))
@@ -1383,11 +1383,7 @@ def ivfpq_query(
             )
         ).alias("m", "sv"),
     ).select("pcid", F.col("m").cast("long").alias("m"), "sv")
-    ld2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    ld2 = _fold_zip("sv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"), dim=_PQ_DSUB)
     lut = qsub.join(F.broadcast(pcents), "m").select(
         "pcid", F.col("m").alias("lm"), F.col("c").alias("lc"), ld2.alias("qd2")
     )
@@ -1663,11 +1659,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id",
                 "qv",
-                F.aggregate(
-                    F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
+                _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long")).alias("d2"),
             )
             .groupBy("vec_id")
             .agg(F.first("qv").alias("qv"), F.min("d2").alias("dmin"))
@@ -1775,11 +1767,7 @@ _MMR_K = 5
 
 def _idot(a, b):
     """Exact BIGINT dot product of two quantized component arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    return _fold_zip(a, b, lambda x, y: x * y, F.lit(0).cast("long"))
 
 
 def _mmr_greedy(pool: DataFrame) -> DataFrame:
@@ -1980,11 +1968,7 @@ def retrieval_pool(spark: SparkSession, sf_dir: str, checkpoint: bool = True) ->
     cents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     probes = (
         qt.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(cents))
@@ -2159,17 +2143,11 @@ def embed_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cvec.select(F.col("label").alias("la"), F.col("cv").alias("ca"))
     b = cvec.select(F.col("label").alias("lb"), F.col("cv").alias("cb"))
     pairs = a.join(F.broadcast(b), F.col("la") < F.col("lb"))
-    dot = F.aggregate(
-        F.zip_with("ca", "cb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    na = F.aggregate(
-        F.transform("ca", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-    nb = F.aggregate(
-        F.transform("cb", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+    dot = _fold_zip("ca", "cb", lambda x, y: x * y, F.lit(0).cast("long"))
+    # na/nb: folding the same column against itself gives the identical
+    # per-element x*x term and association as the old transform+aggregate.
+    na = _fold_zip("ca", "ca", lambda x, y: x * y, F.lit(0).cast("long"))
+    nb = _fold_zip("cb", "cb", lambda x, y: x * y, F.lit(0).cast("long"))
     d = pairs.select(
         "la", "lb", dot.alias("dot"), na.alias("na"), nb.alias("nb")
     )
@@ -2242,11 +2220,7 @@ def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("alabel"),
         F.col("qv").alias("aqv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("aqv", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("aqv", "qv", lambda x, y: (x - y) * (x - y), F.lit(0).cast("long"))
     d = (
         q.crossJoin(F.broadcast(anch))
         .filter(F.col("vec_id") != F.col("aid"))
@@ -2380,11 +2354,7 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     dist = q.crossJoin(F.broadcast(cvec)).select(
         "vec_id", "label", "clabel", d2.alias("d2")
     )
@@ -2642,11 +2612,7 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = qt.filter(F.col("vec_id") < _IVF_NLIST).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("qv", "cv", lambda a, b: (a - b) * (a - b), F.lit(0).cast("long"))
     probes = (
         qt.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(cents))
@@ -2796,11 +2762,7 @@ def embed_separation_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("alabel"),
         F.col("qv").alias("aqv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("aqv", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _fold_zip("aqv", "qv", lambda x, y: (x - y) * (x - y), F.lit(0).cast("long"))
     d = (
         q.crossJoin(F.broadcast(anch))
         .filter(F.col("vec_id") != F.col("aid"))

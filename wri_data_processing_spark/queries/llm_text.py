@@ -654,18 +654,20 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks"
         ),
     ).filter(F.size("toks") >= 2)
-    bg = t.select(
+    # r15: adjacent pairs via ONE codegen'd overlapping-regex pass over the
+    # space-rejoined token stream (tokens are [a-z0-9]+ so the join is
+    # unambiguous) instead of the interpreted transform/sequence/element_at
+    # struct lambda — same (w1, w2) multiset in the same order, the measured
+    # HOF-vs-regex hot-spot class. explode_outer keeps Catalyst from pushing
+    # a non-empty-array constraint filter that would re-evaluate the regex.
+    bgarr = F.regexp_extract_all(
+        F.array_join("toks", " "), F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), 1
+    )
+    bg = t.select("doc_id", F.explode_outer(bgarr).alias("b")).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.element_at("toks", (i + 1).cast("int")).alias("w1"),
-                    F.element_at("toks", (i + 2).cast("int")).alias("w2"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        F.substring_index("b", " ", 1).alias("w1"),
+        F.substring_index("b", " ", -1).alias("w2"),
+    )
     db = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_d")
     )
@@ -1557,17 +1559,16 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
         ).alias("toks"),
     ).filter(F.size("toks") >= 2)
-    bg = t.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.element_at("toks", (i + 1).cast("int")).alias("w1"),
-                    F.element_at("toks", (i + 2).cast("int")).alias("w2"),
-                ),
-            )
-        ).alias("b")
-    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # r15: same codegen'd overlapping-regex bigram pass as text_bigram_lm
+    # (identical (w1, w2) multiset/order; tokens are [a-z0-9]+ so the
+    # space-join is unambiguous).
+    bgarr = F.regexp_extract_all(
+        F.array_join("toks", " "), F.lit(r"(?<=^|\s)(?=(\S+ \S+))"), 1
+    )
+    bg = t.select(F.explode_outer(bgarr).alias("b")).select(
+        F.substring_index("b", " ", 1).alias("w1"),
+        F.substring_index("b", " ", -1).alias("w2"),
+    )
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     cb = cb.localCheckpoint()  # feeds cu, cont, tot and the term join
     cu = cb.groupBy("w1").agg(
@@ -1777,12 +1778,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
     ).filter(F.size("toks") >= n)
-    idx = F.sequence(F.lit(0), F.size(F.col("toks")) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), (i + k + 1).cast("int")) for k in range(n)]
-        ),
+    # r15: shingle strings via the codegen'd overlapping-regex pass
+    # (identical strings/order to the old interpreted concat_ws lambda —
+    # the _shingle_arrays construction).
+    sh = F.regexp_extract_all(
+        F.array_join("toks", " "),
+        F.lit(r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * n) + r"))"),
+        1,
     )
     hs = d2.select(
         "source",

@@ -195,6 +195,66 @@ def test_propagation_sum_convergence_matches_join_check(
     assert old_rounds == rounds
 
 
+def _mmr_greedy_loop(pool):
+    """The pre-r15 driver-loop MMR (anti-join + broadcast + TakeOrdered +
+    checkpoint per round), replayed verbatim as the reference."""
+    from wri_data_processing_spark.queries.llm_similarity import _MMR_K, _idot
+
+    chosen = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "vec_id",
+            "qv",
+            "rel",
+            F.lit(0).cast("long").alias("maxsim"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        cands = pool.join(
+            chosen.select(F.col("vec_id").alias("vid")),
+            pool["vec_id"] == F.col("vid"),
+            "left_anti",
+        )
+        scored = (
+            cands.crossJoin(F.broadcast(cc))
+            .select("vec_id", "qv", "rel", _idot(F.col("qv"), F.col("cv")).alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.first("rel").alias("rel"),
+                F.max("s").cast("long").alias("maxsim"),
+            )
+        )
+        pick = (
+            scored.orderBy((F.col("rel") - F.col("maxsim")).desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(r).alias("pick"), "vec_id", "qv", "rel", "maxsim")
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint()
+    return chosen.select("pick", "vec_id", "rel", "maxsim").orderBy("pick")
+
+
+def test_mmr_expression_matches_loop(spark, sf_dir):
+    """The r15 single-expression MMR must reproduce the old driver-loop
+    greedy exactly — full pool, pool smaller than K, and empty pool (the
+    slice(...,1,1) empty-safe argmax)."""
+    from wri_data_processing_spark.queries.llm_similarity import (
+        _mmr_greedy,
+        retrieval_pool,
+    )
+
+    full = retrieval_pool(spark, sf_dir)
+    assert _mmr_greedy(full).collect() == _mmr_greedy_loop(full).collect()
+    tiny = full.orderBy(F.col("rel").desc(), "vec_id").limit(3).localCheckpoint()
+    assert _mmr_greedy(tiny).collect() == _mmr_greedy_loop(tiny).collect()
+    empty = full.filter(F.lit(False)).localCheckpoint()
+    assert _mmr_greedy(empty).collect() == []
+    assert _mmr_greedy_loop(empty).collect() == []
+
+
 def test_minhash_split_helpers_compose_to_original(spark, sf_dir):
     """_minhash_pairs_from_hx(_minhash_base_h over exploded shingles) ==
     _minhash_pairs_from_reps — the factoring eval_dedup_pr's shared pass

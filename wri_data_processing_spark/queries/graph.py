@@ -88,24 +88,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **Edges hash-partitioned on node BEFORE the checkpoint** (guide §2.4:
       two operations keyed the same way share one exchange): LogicalRDD
       preserves the partitioning, so each iteration's scatter join reuses
-      the in-memory edge partitioning and only the NODE-sized share table
+      the in-memory edge partitioning and only the NODE-sized rank table
       moves — before, all 2.4M edge rows reshuffled EVERY iteration.
-    - **Shares computed on the node-sized table**: rq div degree via ONE
-      node-keyed rank⋈degree join; the r1..r14 shape joined
-      edges->ranks->deg, paying the degree join at EDGE size five times.
-    - **First iteration folded**: r0 is the constant 2^30, so its scatter
-      is ``2^30 div degree`` straight off the degree table — no join.
-    - The unrolled plan collapses from 82 Exchanges (5 replayed copies of
-      the edge derivation; plans/r15/graph_pagerank_before.txt) to one
-      derivation + 5 join/aggregate rounds (.._after.txt).
+    - **Degree carried ON the edge row** (guide §2.4 again): a window count
+      over the node-partitioned edges (no sort — unbounded frame — and the
+      partitionBy reuses the repartition exchange) stamps degree(node) onto
+      every edge before the checkpoint, so there is NO degree table and NO
+      per-iteration rank⋈degree join at all; each iteration is exactly one
+      edges⋈ranks join + one gather aggregate. ``rq div degree`` evaluated
+      per edge row is the same integer as per node, and the gathered sum is
+      the same multiset — bit-identical. (Measured over the
+      shares-on-node-table intermediate: 4.87 -> 3.87 s median.)
+    - **First iteration folded**: r0 is the constant 2^30, so iteration 1's
+      scatter is ``2^30 div degree`` projected straight off the checkpointed
+      edges — no join.
+    - The unrolled plan collapses from 208 Exchange nodes (5 replayed
+      copies of the edge derivation; plans/r15/graph_pagerank_before.txt)
+      to one derivation + 5 join/aggregate rounds (.._after.txt).
 
-    Measured: 7.4 s -> 4.6 s median (interleaved, noop). At 100 TB the same
-    structure holds — checkpoint the edge list partitioned by node once,
-    move only rank-sized tables per iteration — and the heavy-hitter nodes
-    this very query surfaces get the salted-join treatment from
+    Measured vs the r14 shape: 7.4 -> 3.9 s median (interleaved, noop; the
+    intermediate shares-on-node-table design from the first half of this
+    round measured 4.6-4.9). At 100 TB the same structure holds —
+    checkpoint the degree-stamped edge list partitioned by node once, move
+    only rank-sized tables per iteration — and the heavy-hitter nodes this
+    very query surfaces get the salted-join treatment from
     scale_patterns.join_skew_salted. The final double is rank_q / 2^30 — an
     exact binary scale, so even the float projection is bit-identical.
     """
+    from pyspark.sql import Window
+
     order_items = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -121,24 +132,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirected.select(F.col("u").alias("node"), F.col("v").alias("nb"))
         .unionAll(undirected.select(F.col("v").alias("node"), F.col("u").alias("nb")))
         .repartition("node")
-        .localCheckpoint()
-    )
-    deg = (
-        edges.groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .withColumn(
+            "degree", F.count(F.lit(1)).over(Window.partitionBy("node")).cast("long")
+        )
         .localCheckpoint()
     )
     ranks = None  # r0 = 2^30 for every node; folded into the first scatter
     for it in range(_ITERS):
         if ranks is None:
-            shares = deg.select("node", F.expr(f"{_Q30} div degree").alias("contrib"))
-        else:
-            shares = ranks.join(deg, "node").select(
-                "node", F.expr("rq div degree").alias("contrib")
+            contribs = edges.select(
+                F.col("nb").alias("node"), F.expr(f"{_Q30} div degree").alias("contrib")
             )
-        contribs = edges.join(shares, "node").select(
-            F.col("nb").alias("node"), "contrib"
-        )
+        else:
+            contribs = edges.join(ranks, "node").select(
+                F.col("nb").alias("node"), F.expr("rq div degree").alias("contrib")
+            )
         ranks = contribs.groupBy("node").agg(
             F.expr(f"CAST({_TELEPORT_Q} + (17 * sum(contrib)) div 20 AS BIGINT)").alias("rq")
         )

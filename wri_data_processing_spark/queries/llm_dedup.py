@@ -854,9 +854,6 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
     deeper per-materialization plans lost (~2.1s vs ~3.0s, sf0.1).
     """
     global LAST_PROPAGATION_ROUNDS
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).localCheckpoint()
 
     # Convergence via the label-sum invariant: every step takes mins of
     # existing labels, so per-node labels NEVER increase — sum(lbl) is
@@ -868,19 +865,39 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
     def _lbl_sum(frame: DataFrame):
         return frame.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _lbl_sum(labels)
+    # Round 1 folded into the edge list (r15, guide §2.4): r0 labels are the
+    # node ids themselves, so round 1's edges-join + union + min collapses to
+    # ONE groupBy straight off the symmetric edges — no separate node-universe
+    # distinct, no init checkpoint, no init sum job, no round-1 join. (The
+    # node universe is distinct(src), which groupBy(src) reproduces exactly;
+    # an initial fixpoint check is unnecessary because any edge strictly
+    # lowers its larger endpoint's label — for the empty edge list the
+    # ``new_sum is None`` arm converges in round 1, matching the old code.)
+    # Measured on the dedup_clusters_unique edge kind: 3.93 -> 3.40 s median
+    # for edges+propagation end to end (warm interleaved, noop).
+    labels = None
+    prev_sum: object = object()  # sentinel: never equal to a real sum
     rounds = 0
     converged = False
     for _ in range(max_rounds):
         rounds += 1
-        msgs = edges.join(labels, edges.dst == labels.node).select(
-            edges.src.alias("node"), "lbl"
-        )
-        hop = (
-            msgs.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
+        if labels is None:
+            hop = (
+                edges.select(
+                    F.col("src").alias("node"), F.least("src", "dst").alias("lbl")
+                )
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+        else:
+            msgs = edges.join(labels, edges.dst == labels.node).select(
+                edges.src.alias("node"), "lbl"
+            )
+            hop = (
+                msgs.unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
         # Pointer jump: replace each node's label with its label's label
         # (always <= — labels only decrease and node lbl's own label is
         # <= lbl). The join's build side is the label table itself.
@@ -897,7 +914,7 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = 50):
         )
         new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if new_sum is None or new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum

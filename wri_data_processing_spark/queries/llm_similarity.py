@@ -1770,44 +1770,76 @@ def _idot(a, b):
     return _fold_zip(a, b, lambda x, y: x * y, F.lit(0).cast("long"))
 
 
+# (rel desc, vec_id asc) over pool structs — the pool-cut / first-pick order.
+_MMR_CMP_REL = """(pa, pb) ->
+    CASE WHEN pa.rel > pb.rel THEN -1 WHEN pa.rel < pb.rel THEN 1
+         WHEN pa.vec_id < pb.vec_id THEN -1
+         WHEN pa.vec_id > pb.vec_id THEN 1 ELSE 0 END"""
+
+# ((rel - maxsim) desc, vec_id asc) over scored structs — the greedy argmax.
+_MMR_CMP_MMR = """(sa, sb) ->
+    CASE WHEN sa.rel - sa.maxsim > sb.rel - sb.maxsim THEN -1
+         WHEN sa.rel - sa.maxsim < sb.rel - sb.maxsim THEN 1
+         WHEN sa.vec_id < sb.vec_id THEN -1
+         WHEN sa.vec_id > sb.vec_id THEN 1 ELSE 0 END"""
+
+# Round r's candidate scoring: pool minus chosen, each with its max BIGINT
+# dot against the chosen set (the same _idot fold, in SQL form).
+_MMR_SCORED = """
+  transform(
+    filter(pool, p -> NOT exists(acc, c -> c.vec_id = p.vec_id)),
+    p -> struct(
+      p.vec_id AS vec_id, p.qv AS qv, p.rel AS rel,
+      array_max(transform(acc, c ->
+        aggregate(zip_with(p.qv, c.qv, (x, y) -> x * y),
+                  CAST(0 AS BIGINT), (s, x) -> s + x))) AS maxsim))"""
+
+_MMR_EXPR = f"""
+transform(
+  aggregate(
+    sequence(2, {_MMR_K}),
+    transform(
+      slice(array_sort(pool, {_MMR_CMP_REL}), 1, 1),
+      p1 -> struct(1 AS pick, p1.vec_id AS vec_id, p1.qv AS qv,
+                   p1.rel AS rel, CAST(0 AS BIGINT) AS maxsim)),
+    (acc, r) -> acc || transform(
+      slice(array_sort({_MMR_SCORED}, {_MMR_CMP_MMR}), 1, 1),
+      b -> struct(r AS pick, b.vec_id AS vec_id, b.qv AS qv,
+                  b.rel AS rel, b.maxsim AS maxsim))),
+  c -> struct(c.pick AS pick, c.vec_id AS vec_id, c.rel AS rel,
+              c.maxsim AS maxsim))
+"""
+
+
 def _mmr_greedy(pool: DataFrame) -> DataFrame:
     """Greedy lambda=1/2 MMR over a small checkpointed pool frame with
-    columns (vec_id, qv, rel) — the engine twin of _mmr_tail_sql()."""
-    chosen = (
-        pool.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("pick"),
-            "vec_id",
-            "qv",
-            "rel",
-            F.lit(0).cast("long").alias("maxsim"),
-        )
+    columns (vec_id, qv, rel) — the engine twin of _mmr_tail_sql().
+
+    r15: evaluated as ONE nested higher-order expression over the pool
+    collected to a single <= _MMR_POOL-element array — the greedy selection
+    is a deterministic function of the pool SET, so no driver loop, no
+    per-round anti-join/broadcast/TakeOrdered/localCheckpoint barriers:
+    one tiny job instead of 4 rounds x 4 jobs. Tie-breaks replicate the
+    loop exactly ((rel desc, vec_id) for pick 1, (rel - maxsim desc,
+    vec_id) after); the dot is the same BIGINT zip_with/aggregate fold;
+    ``slice(..., 1, 1)`` is the empty-safe argmax (a pool smaller than
+    _MMR_K — or empty — yields fewer picks, exactly like the loop's empty
+    TakeOrdered; element_at would raise under ANSI). The interpreted
+    nested-HOF evaluation runs on ONE row of <= 20 structs — micro-scale,
+    where the r15 janino/JIT findings do not apply. Measured (with the
+    retrieval_pool build included): 1.92 -> 0.81 s median; the loop
+    variants 'checkpoint every 2nd round' (neutral) and 'fully lazy
+    unroll' (1.5x WORSE — 3^4 pool-leaf replays with nested broadcast
+    builds) are recorded in experiments/r15_mmr_ab.py. At 100 TB the pool
+    is still <= _MMR_POOL rows after the rerank cut, so the single-row
+    evaluation holds at any corpus size.
+    """
+    one = pool.agg(F.collect_list(F.struct("vec_id", "qv", "rel")).alias("pool"))
+    return (
+        one.select(F.explode(F.expr(_MMR_EXPR)).alias("c"))
+        .select("c.pick", "c.vec_id", "c.rel", "c.maxsim")
+        .orderBy("pick")
     )
-    for r in range(2, _MMR_K + 1):
-        cc = chosen.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-        cands = pool.join(
-            chosen.select(F.col("vec_id").alias("vid")),
-            pool["vec_id"] == F.col("vid"),
-            "left_anti",
-        )
-        scored = (
-            cands.crossJoin(F.broadcast(cc))
-            .select("vec_id", "qv", "rel", _idot(F.col("qv"), F.col("cv")).alias("s"))
-            .groupBy("vec_id")
-            .agg(
-                F.first("qv").alias("qv"),
-                F.first("rel").alias("rel"),
-                F.max("s").cast("long").alias("maxsim"),
-            )
-        )
-        pick = (
-            scored.orderBy((F.col("rel") - F.col("maxsim")).desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(r).alias("pick"), "vec_id", "qv", "rel", "maxsim")
-        )
-        chosen = chosen.unionByName(pick).localCheckpoint()
-    return chosen.select("pick", "vec_id", "rel", "maxsim").orderBy("pick")
 
 
 def _mmr_tail_sql() -> str:

@@ -653,15 +653,41 @@ def test_ngram_novelty_anti_join_carries_keys_not_text(spark, sf_dir):
 
 
 def test_r13_scan_stage_ops_zero_exchanges(spark, sf_dir):
-    """text_lang_id_multi and text_mattr are per-document projections —
-    zero shuffle exchanges, zero Python nodes (the trigram bucket array
-    and the token window sweep are JVM-side transform/aggregate). At
-    100 TB these run at reader throughput, the pii_detect_report class."""
-    for name in ("text_lang_id_multi", "text_mattr"):
+    """text_mattr is a per-document projection — zero shuffle exchanges,
+    zero Python nodes (the token window sweep is a JVM-side
+    transform/aggregate). At 100 TB it runs at reader throughput, the
+    pii_detect_report class.
+
+    r15: text_lang_id_multi LEFT this class deliberately — the
+    interpreted transform + 5 aggregate() folds were replaced by a
+    codegen'd trigram explode + ONE map-side-combined groupBy(doc_id)
+    (OPTIMIZATION_r15.md; 3.88 -> 3.04 s). Its pin moved to
+    test_r15_lang_id_single_doc_exchange below."""
+    for name in ("text_mattr",):
         plan = _plan(spark, sf_dir, name)
         assert _n_exchanges(plan) == 0, (name, plan)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, (name, node)
+
+
+def test_r15_lang_id_single_doc_exchange(spark, sf_dir):
+    """text_lang_id_multi's r15 shape: trigram explode + hash/weight
+    projection in WholeStageCodegen, collapsed map-side by a partial
+    aggregate so EXACTLY ONE exchange carries one narrow row per doc —
+    a regression either back to the zero-exchange interpreted-fold form
+    or to a per-trigram shuffle (partial agg lost) shows up here. The
+    aggregate must be a HashAggregate: lang rides as a grouping key, not
+    first(lang), because a first() string buffer forces SortAggregate,
+    which SORTS every exploded trigram row per partition (measured 22%
+    slower). No joins, no Python nodes."""
+    plan = _plan(spark, sf_dir, "text_lang_id_multi")
+    assert _n_exchanges(plan) == 1, plan
+    assert "partial_" in plan, plan  # map-side combine before the exchange
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
 
 
 def test_krippendorff_no_join(spark, sf_dir):

@@ -1917,8 +1917,50 @@ def _lid_pred_col() -> F.Column:
 
 
 def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _lid_score_sql: doc -> per-class scores + argmax."""
-    s = _lid_frame(spark, sf_dir).drop("text")
+    """Spark twin of _lid_score_sql: doc -> per-class scores + argmax.
+
+    r15: trigram extraction via the codegen'd overlapping-regex pass +
+    posexplode-free explode, with the sha-slice hash and all five weight
+    lookups evaluated in a WHOLE-STAGE-CODEGEN projection and summed by a
+    map-side-combined groupBy — replaces reading off _lid_frame,
+    whose transform()-built bucket array and five aggregate() folds run
+    INTERPRETED per element (the r15 HOF hot-spot class). Identical
+    integers: same trigram stream (every char position, (?s) so '.'
+    crosses newlines), same sha slice mod, same weight arrays; the added
+    exchange carries ONE narrow row per document (partial agg collapses
+    the per-trigram rows map-side — documents explode within their own
+    scan partition). `lang` rides as a GROUPING KEY, not first(lang): a
+    first() aggregate has a string buffer, which HashAggregate cannot
+    hold, so Spark falls back to SortAggregate and SORTS every exploded
+    trigram row per partition — keying by (doc_id, lang) keeps the pure
+    HashAggregate (lang is functionally dependent on doc_id, so the
+    groups are identical). Measured warm interleaved at sf0.1 (noop):
+    3.88 -> 3.04 s median for the explode shape (experiments/
+    r15_lid_ab.py; the 5-folds-in-one-struct variant measured WORSE and
+    is recorded there as rejected), re-measured independently 3.34 ->
+    2.21, then SortAggregate -> HashAggregate 2.51 -> 2.06 s median
+    (exceptAll-equal both ways at sf0.01).
+    _lid_frame keeps the old in-row shape for eval_krippendorff_alpha,
+    which needs text + scores on one row.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri = F.regexp_extract_all(F.col("text"), F.lit(r"(?s)(?=(...))"), 1)
+    g = d.select("doc_id", "lang", F.explode(tri).alias("t"))
+    bkt = (
+        F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 15), 16, 10).cast("long")
+        % _LID_D
+    ).cast("int")
+    ws = {c: F.array(*[F.lit(w) for w in _LID_W[c]]) for c in _LID_CLASSES}
+    s = (
+        g.select("doc_id", "lang", bkt.alias("x"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(F.element_at(ws[c], F.col("x") + 1)).cast("long").alias(f"s_{c}")
+                for c in _LID_CLASSES
+            ],
+        )
+    )
     return s.withColumn("pred_lang", _lid_pred_col())
 
 
@@ -1941,10 +1983,13 @@ def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|W| <= 2048, no overflow until ~4e15 trigrams/doc), the argmax a
     mirrored CASE chain over exact integers — no floats anywhere.
 
-    Plan at 100 TB: scan-stage only — the trigram bucket array
-    materializes once per row as a projected column and all five folds
-    read it (one sha256 per trigram, not five); zero exchanges. Like
-    pii_detect_report, this is reader-throughput.
+    Plan at 100 TB (r15 shape — see _lid_scored): trigram explode +
+    sha/weight projection in WholeStageCodegen, collapsed map-side by the
+    partial aggregate, then EXACTLY ONE exchange carrying one narrow row
+    per document (document-count-sized, not trigram-count-sized). One
+    sha256 per trigram, all five weight lookups in the same codegen'd
+    projection. Pinned by
+    tests/test_plan_shapes.py::test_r15_lang_id_single_doc_exchange.
     """
     return _lid_scored(spark, sf_dir).select(
         "doc_id",
@@ -2008,7 +2053,8 @@ def eval_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     model invents).
 
     All counts are exact integers; each metric is ONE guarded mirrored
-    division, ROUND-6. Plan: the scorer's scan stage, then two bounded
+    division, ROUND-6. Plan: the scorer's explode + per-document partial
+    aggregate stage (r15 — see _lid_scored), then two bounded
     map-side-combined groupBys (|classes| rows) and broadcast joins on a
     5-row frame — reader-throughput plus constant-size algebra.
     """

@@ -277,3 +277,78 @@ def test_minhash_split_helpers_compose_to_original(spark, sf_dir):
     split = _minhash_pairs_from_hx(hx)
     assert split.exceptAll(whole).count() == 0
     assert whole.exceptAll(split).count() == 0
+
+
+def _jaccard_pairs_no_prefilter(sh, max_df):
+    """The pre-r15 pair pipeline, WITHOUT the length prefilter — the
+    formulation _jaccard_pairs carried before the §2.3 shuffle cut."""
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _JACCARD_THRESHOLD,
+        _PACK,
+    )
+
+    pk = F.col("doc_id") * _PACK + F.col("n")
+    g = (
+        sh.select(pk.alias("pk"), "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list("pk").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = (
+        g.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    n_a, n_b = F.col("a") % _PACK, F.col("b") % _PACK
+    jac = F.col("n_common") / (n_a + n_b - F.col("n_common"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            F.floor(F.col("a") / _PACK).cast("long").alias("doc_a"),
+            F.floor(F.col("b") / _PACK).cast("long").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def test_jaccard_length_prefilter_is_lossless(spark, sf_dir):
+    """The r15 length prefilter (5*min(n_a,n_b) >= 3*max — the exact int64
+    form of max-achievable-Jaccard >= 3/5) must be invisible in the output:
+    identical pairs AND jaccard values vs the unfiltered formulation, on
+    real testdata and on a crafted frame sitting exactly ON the boundary."""
+    from wri_data_processing_spark.queries.llm_dedup import (
+        _MAX_DF,
+        _jaccard_pairs,
+        _shingles_hashed,
+    )
+
+    sh = _shingles_hashed(_docs(spark, sf_dir), 3)
+    new = _jaccard_pairs(sh)
+    old = _jaccard_pairs_no_prefilter(sh, _MAX_DF)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+    # Boundary: doc 1 (3 shingles) fully inside doc 2 (5 shingles) has
+    # jaccard exactly 3/(3+5-3) = 3/5 — the prefilter holds with equality
+    # (5*3 == 3*5) and the pair MUST survive. Docs 3/4 (2 of 2 shared, but
+    # doc 4 has 4) give 2/4 = 0.5: dropped by the final filter either way.
+    # Docs 5/6 (1 of 1 shared, doc 6 has 3) are prefilter-cut (5*1 < 3*3);
+    # their true jaccard 1/3 confirms the cut row was a goner regardless.
+    rows = []
+    rows += [(1, 3, s) for s in (100, 101, 102)]
+    rows += [(2, 5, s) for s in (100, 101, 102, 103, 104)]
+    rows += [(3, 2, s) for s in (200, 201)]
+    rows += [(4, 4, s) for s in (200, 201, 202, 203)]
+    rows += [(5, 1, s) for s in (300,)]
+    rows += [(6, 3, s) for s in (300, 301, 302)]
+    crafted = spark.createDataFrame(rows, "doc_id long, n long, shingle long")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in _jaccard_pairs(crafted).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs_no_prefilter(crafted, _MAX_DF).collect()
+    }
+    assert got == want == {(1, 2, 0.6)}

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from wri_data_processing_spark.catalog import table
 from wri_data_processing_spark.registry import query
 
-_JACCARD_THRESHOLD = 0.6
+# Threshold kept as an exact rational (3/5) so the pair-generation length
+# prefilter in _jaccard_pairs can be pure int64 arithmetic: a pair's maximum
+# achievable Jaccard is min(n_a,n_b)/max(n_a,n_b) (reached when the smaller
+# shingle set is fully contained), so 5*min >= 3*max is EXACTLY the set of
+# pairs that could still pass the final >= 0.6 filter.
+_JT_NUM, _JT_DEN = 3, 5
+_JACCARD_THRESHOLD = _JT_NUM / _JT_DEN  # same double the old 0.6 literal produced
 _MAX_DF = 1000  # document-frequency cap on shingles (scale guard)
 
 
@@ -244,10 +250,25 @@ def _jaccard_pairs(sh: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
         .agg(F.collect_list("pk").alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
+    # Length prefilter (r15, guide §2.3 "shuffle fewer bytes"): a pair's
+    # maximum achievable Jaccard is min(n_a,n_b)/max(n_a,n_b) (n_common <=
+    # min, and c/(n_a+n_b-c) is increasing in c), so a pair with
+    # 5*min < 3*max sits provably below the 3/5 threshold for EVERY
+    # possible n_common — the final filter would drop it after counting.
+    # Cutting it here, inside the explode, shrinks the pair-aggregation
+    # shuffle. Exact in int64 (both sizes ride in the packed keys), and
+    # all-or-nothing per (a, b) — the sizes are constants of the pair, so
+    # surviving pairs keep their full n_common count. The integer gap to
+    # 3/5 is >= 1/(5*2^20), orders of magnitude above double rounding, so
+    # this can never drop a pair the float >= 0.6 filter would keep.
+    pa, pb = F.col("a") % _PACK, F.col("b") % _PACK
     pairs = (
         g.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.least(pa, pb) * _JT_DEN >= F.greatest(pa, pb) * _JT_NUM)
+        )
     )
     n_a, n_b = F.col("a") % _PACK, F.col("b") % _PACK
     jac = F.col("n_common") / (n_a + n_b - F.col("n_common"))

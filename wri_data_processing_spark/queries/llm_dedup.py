@@ -1590,12 +1590,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window key is the first 16 hex chars of sha256 (identical on both),
     and all outputs are integer counts — no floats anywhere.
 
-    Spark plan: windows are built JVM-side as transform(sequence(...)) over
-    the text column and exploded AFTER hashing, so the explode emits
-    (doc_id, 16-char key) pairs — the document text itself never enters the
+    Spark plan: window POSITIONS are exploded and the hash computed in the
+    same WholeStageCodegen projection (r16 — the prior transform(sequence)
+    lambda evaluated interpreted per window), so only (doc_id, 16-char key)
+    pairs leave the scan stage — the document text itself never enters the
     exchange. Two shuffles total: the posting aggregation on wh (map-side
-    combined) and the per-doc coverage aggregation; the dup-key semi side is
-    left to AQE to broadcast when small.
+    combined; the >= 2-distinct-docs test is min(doc_id) != max(doc_id), a
+    one-phase aggregate) and the per-doc coverage aggregation; the dup-key
+    semi side is left to AQE to broadcast when small.
 
     100 TB notes: suffix-array ExactSubstr is a sequential algorithm; this
     windowed formulation is the shuffle-native equivalent and is exact for
@@ -1627,19 +1629,39 @@ def substring_window_coverage(d: DataFrame, k: int) -> DataFrame:
     one-line checkpoint is the lever to flip; kept un-flipped here so the
     local bench keeps measuring the honest two-pass cost."""
     d = d.filter(F.length("text") >= k)
-    wins = _spread_small_scan(d).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (k - 1)),
-                lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
-            )
-        ).alias("wh"),
+    # r16 (guide §4.1, the r15 lang-id lesson): the per-window hash used to
+    # be a transform(sequence(...)) lambda, which Spark evaluates
+    # INTERPRETED per element — every window paid non-codegen expression
+    # dispatch around its sha2. Exploding the POSITIONS first and hashing
+    # in the downstream projection keeps the whole pass inside one
+    # WholeStageCodegen span (Generate -> Project); the text column never
+    # leaves the stage (only (doc_id, wh) reaches the exchange), and the
+    # window stream — same positions, same sha2, same substring — is
+    # byte-identical.
+    wins = (
+        _spread_small_scan(d)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.substring(
+                F.sha2(F.col("text").substr(F.col("i"), F.lit(k)), 256), 1, 16
+            ).alias("wh"),
+        )
     )
+    # r16 (guide §2.3 "aggregate before you shuffle"): the dup predicate only
+    # asks ">= 2 distinct docs", which is exactly min(doc_id) != max(doc_id)
+    # — two plain long buffers in ONE HashAggregate phase instead of
+    # count_distinct's two-level (wh, doc_id)-keyed distinct aggregation, so
+    # the exchange carries one (wh, min, max) partial per map task instead
+    # of every distinct (wh, doc_id) pair.
     dup = (
         wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("wh", F.lit(1).alias("isdup"))
     )
     return (
@@ -1707,6 +1729,15 @@ def winnow_fingerprint_coverage(d: DataFrame, k: int, w: int) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - (k - 1)),
         lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
     )
+    # r16 (guide §4.1, the r15 slice-HOF finding): array_min(slice(hs, j, w))
+    # allocated a fresh w-element array per window position inside the
+    # interpreted lambda — the exact expression shape the r15 A/B measured
+    # at 0.43x when de-allocated. least() over w direct element_at reads
+    # computes the same minimum (fixed-length lowercase hex strings, no
+    # nulls, so least == array_min) with ZERO allocation per position. w is
+    # a compile-time constant (8), so the unrolled least stays tiny — far
+    # under the 64 KB/JIT limits the r15 unroll rejection hit at 64 wide,
+    # and inside an interpreted lambda it is w child evals either way.
     fps = (
         _spread_small_scan(d)
         .select("doc_id", hs.alias("hs"))
@@ -1716,16 +1747,20 @@ def winnow_fingerprint_coverage(d: DataFrame, k: int, w: int) -> DataFrame:
                 F.array_distinct(
                     F.transform(
                         F.sequence(F.lit(1), F.size("hs") - (w - 1)),
-                        lambda j: F.array_min(F.slice("hs", j, w)),
+                        lambda j: F.least(
+                            *[F.element_at("hs", j + off) for off in range(w)]
+                        ),
                     )
                 )
             ).alias("fp"),
         )
     )
+    # min != max is the same ">= 2 distinct docs" predicate as a one-phase
+    # aggregate — see substring_window_coverage (r16, guide §2.3).
     dup = (
         fps.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("fp", F.lit(1).alias("isdup"))
     )
     return (
@@ -1800,19 +1835,30 @@ def substring_dup_spans(d: DataFrame, k: int) -> DataFrame:
     """Merged duplicated-span intervals per doc: (doc_id, island,
     span_start, span_end, span_len), 1-based inclusive character offsets."""
     d = d.filter(F.length("text") >= k)
-    wins = _spread_small_scan(d).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (k - 1)),
-                lambda i: F.substring(F.sha2(F.col("text").substr(i, F.lit(k)), 256), 1, 16),
-            )
-        ).alias("i0", "wh"),
-    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "wh")
+    # r16: positions exploded first, hash in the codegen projection — the
+    # same §4.1 rewrite as substring_window_coverage (the transform lambda
+    # ran interpreted per window); identical (doc_id, i, wh) stream.
+    wins = (
+        _spread_small_scan(d)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.substring(
+                F.sha2(F.col("text").substr(F.col("i"), F.lit(k)), 256), 1, 16
+            ).alias("wh"),
+        )
+    )
+    # min != max is the same ">= 2 distinct docs" predicate as a one-phase
+    # aggregate — see substring_window_coverage (r16, guide §2.3).
     dup = (
         wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("wh")
     )
     hits = wins.join(dup, "wh").select("doc_id", "i")

@@ -1662,8 +1662,17 @@ def eval_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cand").isNotNull() & F.col("ref").isNotNull())
     )
+    # r16 (guide §1.2: don't compute what you can prove): levenshtein(x, x)
+    # is 0 by definition, so identical pairs — common in real eval corpora
+    # (unchanged transcriptions) and present in testdata — skip the
+    # O(|cand|*|ref|) DP behind a codegen'd equality check. The equality
+    # scan is O(min(len)) with early exit; the non-equal branch is the
+    # exact same built-in as before, so every emitted integer is unchanged.
     e = p.select(
-        F.levenshtein("cand", "ref").cast("long").alias("edits"),
+        F.when(F.col("cand") == F.col("ref"), F.lit(0))
+        .otherwise(F.levenshtein("cand", "ref"))
+        .cast("long")
+        .alias("edits"),
         F.length("ref").cast("long").alias("ref_len"),
         F.length("cand").cast("long").alias("cand_len"),
     )

@@ -444,19 +444,25 @@ def privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     t = _pii_text_col()
 
-    def n_pii(col: F.Column) -> F.Column:
-        total = sum(
-            (
-                F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0)))
-                for p in (_RE_PHONE, _RE_IPV4, _RE_SSN)
-            ),
-            F.size(F.regexp_extract_all(col, F.lit(_RE_EMAIL), F.lit(0))),
-        )
-        cards = F.filter(
+    # r16 (guide §4.1): both detector passes are consumed ONLY as
+    # ``n_pii(col) > 0`` — existence, not counts — so each
+    # regexp_extract_all (which walks the whole string and allocates every
+    # match) becomes an rlike that stops at the FIRST match, OR-chained so
+    # codegen short-circuits pattern k+1 whenever pattern k already hit.
+    # ``size(regexp_extract_all(p)) >= 1  <=>  rlike(p)`` for the same
+    # pattern string, and the Luhn arm keeps the extract_all it genuinely
+    # needs (per-candidate digit fold) behind an exists() that also
+    # short-circuits. Patterns ordered by augmentation hit rate (phone 1/5,
+    # email 1/7, ipv4 1/11, ssn 1/13) so matching documents exit earliest;
+    # the Luhn arm runs last because it is the expensive one.
+    def any_pii(col: F.Column) -> F.Column:
+        hit = col.rlike(_RE_PHONE)
+        for p in (_RE_EMAIL, _RE_IPV4, _RE_SSN):
+            hit = hit | col.rlike(p)
+        return hit | F.exists(
             F.regexp_extract_all(col, F.lit(_RE_CARD), F.lit(0)),
             lambda c: _luhn_ok_col(c),
         )
-        return total + F.size(cards)
 
     red = t
     for pat, tok in [
@@ -469,10 +475,10 @@ def privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         red = F.regexp_replace(red, pat, tok)
     per = d.select(
         "source",
-        F.when(n_pii(t) > 0, 1).otherwise(0).alias("had"),
+        F.when(any_pii(t), 1).otherwise(0).alias("had"),
         F.when(red != t, 1).otherwise(0).alias("changed"),
         (F.length(t) - F.length(red)).cast("long").alias("removed"),
-        F.when(n_pii(red) > 0, 1).otherwise(0).alias("residual"),
+        F.when(any_pii(red), 1).otherwise(0).alias("residual"),
     )
     return (
         per.groupBy("source")

@@ -291,6 +291,63 @@ def old_eval_cer(spark, sf_dir):
     )
 
 
+def old_web_corpus_pipeline(spark, sf_dir):
+    from wri_data_processing_spark.queries.llm_pipeline import _canonical_urls
+    from wri_data_processing_spark.queries.llm_text import _lm_xent
+    from wri_data_processing_spark.queries.stats_numeric import (
+        _grouped_two_phase_cumsum,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    keep = (
+        _canonical_urls(d)
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(keep, "doc_id", "left_semi")
+    x = (
+        _lm_xent(surv)
+        .join(surv.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+    )
+    gd = x.groupBy("lang", "xent").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_tokens").cast("long").alias("tk"),
+    )
+    cum = _grouped_two_phase_cumsum(gd, "lang", "xent", ["c"])
+    n = gd.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    tails = (
+        cum.withColumn("cumb", F.col("cum_c") - F.col("c"))
+        .join(F.broadcast(n), "lang")
+        .filter(F.expr("(cumb * 3) div n") == 2)
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tail"),
+            F.sum("tk").cast("long").alias("tail_tokens"),
+        )
+    )
+    inp = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    sv = x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_surv"),
+        F.sum("n_tokens").cast("long").alias("surv_tokens"),
+    )
+    return (
+        inp.join(sv, "lang")
+        .join(tails, "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            (F.col("n_input") - F.col("n_surv")).alias("n_url_dup"),
+            F.coalesce("n_tail", F.lit(0)).cast("long").alias("n_tail_dropped"),
+            (F.col("n_surv") - F.coalesce("n_tail", F.lit(0))).cast("long").alias("n_kept"),
+            (F.col("surv_tokens") - F.coalesce("tail_tokens", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
 # ---- main ------------------------------------------------------------------
 
 CASES = {
@@ -313,6 +370,10 @@ CASES = {
     "cer": (
         old_eval_cer,
         lambda s, sf: registry.REGISTRY["eval_cer"](s, sf),
+    ),
+    "web_corpus": (
+        old_web_corpus_pipeline,
+        lambda s, sf: registry.REGISTRY["web_corpus_pipeline"](s, sf),
     ),
 }
 

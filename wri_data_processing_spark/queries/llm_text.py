@@ -438,16 +438,39 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm_xent(table(spark, sf_dir, "documents"))
 
 
-def _lm_xent(d: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_types, xent) — the text_lm_score plan over an
-    arbitrary (doc_id, text) frame; the LM trains on exactly this frame."""
+def _lm_xent(
+    d: DataFrame, passengers: tuple[str, ...] = (), share_dt: bool = False
+) -> DataFrame:
+    """(doc_id, *passengers, n_tokens, n_types, xent) — the text_lm_score
+    plan over an arbitrary (doc_id, text) frame; the LM trains on exactly
+    this frame.
+
+    ``passengers`` (r16) are columns functionally dependent on doc_id
+    (e.g. lang) carried through the chain as extra grouping keys: the
+    groups — and therefore every count, the vocabulary, and each xent —
+    are identical, but a consumer that needs (doc_id, lang, xent) rows no
+    longer has to join the scored frame back to its input, which would
+    re-run the input's whole derivation a second time (guide §1.2).
+
+    ``share_dt`` (r16) localCheckpoints the (doc, word, count) frame,
+    which otherwise recomputes once for the vocabulary aggregate and once
+    for the scoring join — i.e. the input scan + tokenize explode + first
+    aggregation run twice. The checkpoint trades one disk-backed
+    materialization of the compact count rows for that whole second pass
+    (measured 0.93x inside web_corpus_pipeline at sf0.1; a bigger win
+    when the input is itself a derived frame, as there). Off by default:
+    callers over a bare scan pay the materialization without saving a
+    derivation."""
+    keys = ["doc_id", *passengers]
     tok = d.select(
-        "doc_id",
+        *keys,
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("w"),
     )
-    dt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("c_dw"))
+    dt = tok.groupBy(*keys, "w").agg(F.count(F.lit(1)).cast("long").alias("c_dw"))
+    if share_dt:
+        dt = dt.localCheckpoint()
     vocab = dt.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c"))
     tot = vocab.agg(
         F.sum("c").cast("long").alias("n_total"),
@@ -460,9 +483,9 @@ def _lm_xent(d: DataFrame) -> DataFrame:
     terms = (
         dt.join(vocab, "w")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", "w", "c_dw", (F.col("c_dw").cast("double") * lnp).alias("term"))
+        .select(*keys, "w", "c_dw", (F.col("c_dw").cast("double") * lnp).alias("term"))
     )
-    g = terms.groupBy("doc_id").agg(
+    g = terms.groupBy(*keys).agg(
         F.sum("c_dw").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.transform(
@@ -471,7 +494,7 @@ def _lm_xent(d: DataFrame) -> DataFrame:
     )
     fold = F.aggregate("terms", F.lit(0.0), lambda a, x: a + x)
     return g.select(
-        "doc_id",
+        *keys,
         "n_tokens",
         "n_types",
         F.round(-fold / F.col("n_tokens").cast("double"), 6).alias("xent"),

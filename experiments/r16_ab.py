@@ -348,6 +348,56 @@ def old_web_corpus_pipeline(spark, sf_dir):
     )
 
 
+def old_tokenizer_pipeline(spark, sf_dir):
+    from tests.test_r16_optimizations import _sequential_bpe
+    from wri_data_processing_spark.queries.llm_pipeline import (
+        _BPE_ROUNDS,
+        _bpe_word_syms,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    wl = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    syms = _bpe_word_syms(d)
+    _, final_syms = _sequential_bpe(syms, _BPE_ROUNDS, rewrite_last=True)
+    final = final_syms.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    return (
+        wl.join(final, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_word_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_chr")).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("mean_word_chars"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_chr")).cast("double"),
+                6,
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---- main ------------------------------------------------------------------
 
 CASES = {
@@ -374,6 +424,10 @@ CASES = {
     "web_corpus": (
         old_web_corpus_pipeline,
         lambda s, sf: registry.REGISTRY["web_corpus_pipeline"](s, sf),
+    ),
+    "tokenizer": (
+        old_tokenizer_pipeline,
+        lambda s, sf: registry.REGISTRY["tokenizer_pipeline"](s, sf),
     ),
 }
 

@@ -42,7 +42,29 @@ def sweep_sf(
 ) -> dict[str, dict]:
     con = duck_con(sf_dir)
     out: dict[str, dict] = {}
-    names = sorted(registry.REGISTRY)
+    # Heavily rewritten ops sweep FIRST (VERDICT r15 item 9): the driver's
+    # 50-query oracle sample missed the r15/r16 rewrites, so the sweep
+    # artifact leads with them — any divergence is loud at the top of the
+    # file, not buried at its alphabetical position.
+    priority = [
+        "graph_pagerank",
+        "text_lang_id_multi",
+        "retrieval_pipeline",
+        "sim_mmr_rerank",
+        "dedup_embedding_exact",
+        "dedup_substring",
+        "dedup_substring_winnow",
+        "dedup_substring_spans",
+        "privacy_pipeline",
+        "eval_cer",
+        "web_corpus_pipeline",
+        "tokenizer_pipeline",
+        "bpe_train_rounds",
+        "text_ngram_novelty",
+    ]
+    names = [p for p in priority if p in registry.REGISTRY] + [
+        n for n in sorted(registry.REGISTRY) if n not in priority
+    ]
     if only:
         names = [n for n in names if any(n.startswith(p) for p in only)]
     if exclude:

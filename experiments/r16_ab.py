@@ -348,6 +348,55 @@ def old_web_corpus_pipeline(spark, sf_dir):
     )
 
 
+def old_text_ngram_novelty(spark, sf_dir):
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    d = table(spark, sf_dir, "documents")
+    n = 3
+    d2 = _spread_small_scan(d).select(
+        "source",
+        F.when(F.substring(F.md5("text"), 1, 1) <= "b", "train")
+        .otherwise("holdout")
+        .alias("split"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    sh = F.regexp_extract_all(
+        F.array_join("toks", " "),
+        F.lit(r"(?<=^|\s)(?=(" + " ".join([r"\S+"] * n) + r"))"),
+        1,
+    )
+    hs = d2.select(
+        "source",
+        "split",
+        F.explode_outer(F.array_distinct(sh)).alias("shingle"),
+    ).select(
+        "source",
+        "split",
+        F.conv(F.substring(F.sha2("shingle", 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    train = hs.filter(F.col("split") == "train").select("h").distinct()
+    hold = hs.filter(F.col("split") == "holdout").select("source", "h").distinct()
+    novel = hold.join(train, "h", "left_anti")
+    rep = hold.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("holdout_ngrams"))
+    nvc = novel.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    return (
+        rep.join(nvc, "source", "left")
+        .select(
+            "source",
+            "holdout_ngrams",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("novel_ngrams"),
+            F.round(
+                F.coalesce(F.col("nv"), F.lit(0)).cast("double")
+                / F.col("holdout_ngrams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def old_tokenizer_pipeline(spark, sf_dir):
     from tests.test_r16_optimizations import _sequential_bpe
     from wri_data_processing_spark.queries.llm_pipeline import (
@@ -428,6 +477,10 @@ CASES = {
     "tokenizer": (
         old_tokenizer_pipeline,
         lambda s, sf: registry.REGISTRY["tokenizer_pipeline"](s, sf),
+    ),
+    "novelty": (
+        old_text_ngram_novelty,
+        lambda s, sf: registry.REGISTRY["text_ngram_novelty"](s, sf),
     ),
 }
 

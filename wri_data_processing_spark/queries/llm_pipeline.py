@@ -3636,7 +3636,11 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_word_syms(d: DataFrame) -> DataFrame:
     """(word, cnt, syms) — the global word-frequency table split to
     character symbols, the frame every BPE round rewrites."""
-    words = d.select(
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    # r16: spread the single-split local scan before the word explode +
+    # partial count (it ran on one core); no-op on a many-split scan.
+    words = _spread_small_scan(d).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     w = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -3946,9 +3950,15 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|-row tokenized vocabulary — composition overhead is a single
     equi-join + rollup.
     """
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
     d = table(spark, sf_dir, "documents")
+    # r16: spread the single-split local scan before the word explode +
+    # partial (lang, word) count; no-op on a many-split scan. (The BPE
+    # side's own spread lives in _bpe_word_syms.)
     wl = (
-        d.select(
+        _spread_small_scan(d)
+        .select(
             "lang",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
         )

@@ -670,6 +670,11 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (vocab sides broadcastable under AQE), 1-row totals broadcast,
     bounded per-doc ordered fold.
     """
+    # r16 probe: _spread_small_scan here measured 1.12x WORSE twice
+    # (interleaved, 7 reps: 1.95 -> 2.19 s) — unlike lang_id/privacy, the
+    # scan-stage tokenize is not this query's wall (the join tail and the
+    # per-doc ordered fold are, and they run post-shuffle parallel), so the
+    # spread exchange only added two stage boundaries. Left unspread.
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -1820,19 +1825,35 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    train = hs.filter(F.col("split") == "train").select("h").distinct()
-    hold = hs.filter(F.col("split") == "holdout").select("source", "h").distinct()
-    novel = hold.join(train, "h", "left_anti")
-    rep = hold.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("holdout_ngrams"))
-    nvc = novel.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    # r16 (guide §2.4 "remove shuffles outright", §1.2 "don't compute things
+    # twice"): hs used to feed TWO branches (train-distinct, holdout-
+    # distinct) that each re-ran the shingle + sha pass, then met in a
+    # left-anti join. One h-keyed aggregation answers both questions in one
+    # pass and ONE shuffle: per shingle hash, did train contain it (max of
+    # a flag), and which sources hold it in the holdout (collect_set —
+    # bounded by the source vocabulary, a low-cardinality categorical, so
+    # the buffer can never grow data-sized). Identical set algebra:
+    # novel(source) = |{h : source in hsrc(h), tr(h) = 0}|,
+    # holdout_ngrams(source) = |{h : source in hsrc(h)}|.
+    g = hs.groupBy("h").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("tr"),
+        F.collect_set(
+            F.when(F.col("split") == "holdout", F.col("source"))
+        ).alias("hsrc"),
+    )
+    per = g.select("tr", F.explode("hsrc").alias("source"))
     return (
-        rep.join(nvc, "source", "left")
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("holdout_ngrams"),
+            F.count(F.when(F.col("tr") == 0, 1)).cast("long").alias("novel_ngrams"),
+        )
         .select(
             "source",
             "holdout_ngrams",
-            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("novel_ngrams"),
+            "novel_ngrams",
             F.round(
-                F.coalesce(F.col("nv"), F.lit(0)).cast("double")
+                F.col("novel_ngrams").cast("double")
                 / F.col("holdout_ngrams").cast("double"),
                 6,
             ).alias("novelty_rate"),
@@ -1966,7 +1987,17 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _lid_frame keeps the old in-row shape for eval_krippendorff_alpha,
     which needs text + scores on one row.
     """
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    # r16: spread the under-parallel local scan BEFORE the per-trigram sha
+    # work (the llm_dedup discipline): documents.parquet at bench SFs is ONE
+    # file split, so the whole explode + sha projection ran on one core —
+    # measured in the 10x scaling audit as a flat 8-vs-32-core ratio (0.97).
+    # At real scale the scan has thousands of splits and the helper skips
+    # the exchange entirely.
+    d = _spread_small_scan(
+        table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    )
     tri = F.regexp_extract_all(F.col("text"), F.lit(r"(?s)(?=(...))"), 1)
     g = d.select("doc_id", "lang", F.explode(tri).alias("t"))
     bkt = (

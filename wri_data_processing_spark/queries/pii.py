@@ -441,7 +441,13 @@ def privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii_prevalence_by_source: one regexp_replace chain and one second
     detector pass, both per-row scan work.
     """
-    d = table(spark, sf_dir, "documents")
+    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+
+    # r16: spread the single-split local scan before the ~15 regex passes
+    # per row (detect x2, redact chain) — they ran on ONE core (the 10x
+    # scaling audit's flat-ratio finding); a real-scale scan has many
+    # splits and the helper no-ops.
+    d = _spread_small_scan(table(spark, sf_dir, "documents"))
     t = _pii_text_col()
 
     # r16 (guide §4.1): both detector passes are consumed ONLY as

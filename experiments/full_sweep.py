@@ -160,7 +160,9 @@ def main() -> None:
 
     out_path = args.out or os.path.join(REPO_ROOT, f"SWEEP_r{args.round}.json")
     with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
+        # sort_keys would re-alphabetize and defeat the priority-first op
+        # ordering (VERDICT r15 item 9); dict order is already deterministic.
+        json.dump(result, fh, indent=1)
     print(f"wrote {out_path}")
     sys.exit(1 if exit_bad else 0)
 

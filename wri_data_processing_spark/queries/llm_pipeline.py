@@ -3635,12 +3635,14 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_word_syms(d: DataFrame) -> DataFrame:
     """(word, cnt, syms) — the global word-frequency table split to
-    character symbols, the frame every BPE round rewrites."""
-    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
+    character symbols, the frame every BPE round rewrites.
 
-    # r16: spread the single-split local scan before the word explode +
-    # partial count (it ran on one core); no-op on a many-split scan.
-    words = _spread_small_scan(d).select(
+    r16 probe: _spread_small_scan here measured 1.23x WORSE in a 3-way
+    interleave (fold-only 1.72 s vs fold+spread 2.12 s median) — the word
+    explode + partial count is not the loop's wall (the per-round rewrite
+    checkpoints are), so the spread exchange only added stage boundaries.
+    Left unspread, the text_bigram_lm lesson."""
+    words = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     w = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -3950,15 +3952,9 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|-row tokenized vocabulary — composition overhead is a single
     equi-join + rollup.
     """
-    from wri_data_processing_spark.queries.llm_dedup import _spread_small_scan
-
     d = table(spark, sf_dir, "documents")
-    # r16: spread the single-split local scan before the word explode +
-    # partial (lang, word) count; no-op on a many-split scan. (The BPE
-    # side's own spread lives in _bpe_word_syms.)
     wl = (
-        _spread_small_scan(d)
-        .select(
+        d.select(
             "lang",
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
         )
